@@ -1,0 +1,38 @@
+"""Vector math over array<float>/array<double> embedding columns.
+
+Pure Spark SQL expressions (F.zip_with / F.aggregate) so dot products and
+cosine similarity run inside codegen, JVM-side — the brute-force ANN path
+stays shuffle-free except for the final top-k.
+
+Elements are cast to double before accumulation so results are
+reproducible against a double-precision oracle regardless of the stored
+element type (the test embeddings are float32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))

@@ -1,0 +1,221 @@
+"""Missing-value imputation — SURVEY.md §2.8 T2/T3/T4/T5, the
+reference's domain core (fetch_data/common/impute_missing.py).
+
+Policy (parity with impute_missing.py:349-374):
+- consecutive-NULL runs of length <= short_gap_max (3): cubic-spline
+  interpolation over the series (scipy, linear fallback) — T3;
+- longer runs: historical same-calendar-slot average, cascading
+  slot mean → series mean → global mean — T4.
+
+Spark design:
+- T4 is fully native: one aggregation builds the (month, day, hour)
+  profile (impute_missing.py:101-129), then a broadcast join + coalesce
+  cascade fills the gaps. No Python in the loop — scales to any size.
+- T3 keeps scipy inside an ``applyInPandas`` grouped by series key: the
+  only genuine UDF in the engine (SURVEY.md §4). Each series (station ×
+  column) is one pandas group — the same unit of work the reference
+  processes, so parity is exact and parallelism is per-series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+
+def find_consecutive_missing_groups(values: np.ndarray) -> list[tuple[int, int]]:
+    """NaN runs → [(start_idx, length)].
+
+    Parity: impute_missing.py:14-38 (same output contract, including
+    empty input and all-NaN handling).
+    """
+    isna = np.isnan(values)
+    if isna.size == 0 or not isna.any():
+        return []
+    groups: list[tuple[int, int]] = []
+    start = None
+    for i, m in enumerate(isna):
+        if m and start is None:
+            start = i
+        elif not m and start is not None:
+            groups.append((start, i - start))
+            start = None
+    if start is not None:
+        groups.append((start, len(isna) - start))
+    return groups
+
+
+def _spline_fill_series(values: np.ndarray, short_gap_max: int) -> np.ndarray:
+    """Fill NaN runs of length <= short_gap_max by cubic spline over the
+    valid points, with the reference's fallback ladder
+    (impute_missing.py:41-98): <4 valid points or no valid point on one
+    side → linear np.interp; spline failure → linear.
+    """
+    out = values.copy()
+    valid_idx = np.flatnonzero(~np.isnan(values))
+    if valid_idx.size == 0:
+        return out
+    for start, length in find_consecutive_missing_groups(values):
+        if length > short_gap_max:
+            continue
+        gap_idx = np.arange(start, start + length)
+        before = valid_idx[valid_idx < start]
+        after = valid_idx[valid_idx >= start + length]
+        use_linear = valid_idx.size < 4 or before.size == 0 or after.size == 0
+        if not use_linear:
+            try:
+                from scipy.interpolate import interp1d
+
+                f = interp1d(
+                    valid_idx.astype(float),
+                    values[valid_idx],
+                    kind="cubic",
+                    fill_value="extrapolate",
+                )
+                out[gap_idx] = f(gap_idx.astype(float))
+                continue
+            except Exception:
+                pass
+        out[gap_idx] = np.interp(
+            gap_idx.astype(float), valid_idx.astype(float), values[valid_idx]
+        )
+    return out
+
+
+def spline_impute_short_gaps(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    short_gap_max: int = 3,
+) -> DataFrame:
+    """T3 — grouped-map pandas UDF: per series key, sort by time and
+    spline-fill short NULL runs. Long runs are left NULL for T4.
+
+    Output schema == input schema (value column filled in place).
+    """
+    schema = df.schema
+    key_list = list(keys)
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        pdf[value_col] = _spline_fill_series(vals, short_gap_max)
+        return pdf
+
+    return df.groupBy(*key_list).applyInPandas(fill, schema=schema)
+
+
+def historical_profile(
+    df: DataFrame, ts_col: str, value_col: str, keys: Sequence[str]
+) -> DataFrame:
+    """A7 — per (keys, month, day, hour) mean of the value column.
+    Parity: impute_missing.py:101-129 (_build_historical_lookup)."""
+    ts = F.col(ts_col)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.month(ts).alias("_m"),
+            F.dayofmonth(ts).alias("_d"),
+            F.hour(ts).alias("_h"),
+        )
+        .agg(F.avg(value_col).alias("_slot_mean"))
+    )
+
+
+def historical_average_impute(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    min_gap_len: int = 4,
+) -> DataFrame:
+    """T4 — fill NULL runs of length >= min_gap_len from the same
+    (month, day, hour) historical mean, cascading to the series mean,
+    then the global mean (impute_missing.py:356-374).
+
+    Fully native: profile agg + broadcast joins + coalesce. Runs whose
+    length is below ``min_gap_len`` are left for the spline path.
+    """
+    key_list = list(keys)
+    ts = F.col(ts_col)
+
+    # classify each null row by its island length (T2)
+    w = Window.partitionBy(*key_list).orderBy(ts_col)
+    grp = F.count(F.when(F.col(value_col).isNotNull(), 1)).over(w)
+    tagged = df.withColumn("_grp", grp)
+    wg = Window.partitionBy(*key_list, "_grp")
+    tagged = tagged.withColumn(
+        "_gap_len",
+        F.when(
+            F.col(value_col).isNull(),
+            F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).over(wg),
+        ),
+    )
+
+    profile = historical_profile(df, ts_col, value_col, key_list)
+    series_mean = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_list)
+        .agg(F.avg(value_col).alias("_series_mean"))
+    )
+    global_mean = df.agg(F.avg(value_col).alias("_global_mean"))
+
+    out = (
+        tagged.withColumn("_m", F.month(ts))
+        .withColumn("_d", F.dayofmonth(ts))
+        .withColumn("_h", F.hour(ts))
+        .join(F.broadcast(profile), key_list + ["_m", "_d", "_h"], "left")
+        .join(F.broadcast(series_mean), key_list, "left")
+        .crossJoin(F.broadcast(global_mean))
+    )
+    fill = F.coalesce(
+        F.col("_slot_mean"), F.col("_series_mean"), F.col("_global_mean")
+    )
+    filled = F.when(
+        F.col(value_col).isNull() & (F.col("_gap_len") >= min_gap_len), fill
+    ).otherwise(F.col(value_col))
+    return out.withColumn(value_col, filled).drop(
+        "_grp", "_gap_len", "_m", "_d", "_h", "_slot_mean", "_series_mean", "_global_mean"
+    )
+
+
+def impute_missing_values(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    keys: Sequence[str],
+    short_gap_max: int = 3,
+) -> DataFrame:
+    """T5 — the orchestrated pipeline: for each value column, long gaps
+    via historical average (native), short gaps via spline (pandas UDF).
+
+    Matches impute_missing_values (impute_missing.py:191-457) with
+    per-station × per-column semantics; order of the two passes does not
+    interact because each pass only touches runs in its own length class.
+    """
+    out = df
+    for vc in value_cols:
+        out = historical_average_impute(out, ts_col, vc, keys, min_gap_len=short_gap_max + 1)
+        out = spline_impute_short_gaps(out, ts_col, vc, keys, short_gap_max=short_gap_max)
+    return out
+
+
+def impute_stats(df: DataFrame, value_cols: Sequence[str]) -> DataFrame:
+    """A9 — per-column null count / mean / std report (debug stats,
+    impute_missing.py:241-257)."""
+    aggs = []
+    for vc in value_cols:
+        aggs += [
+            F.sum(F.col(vc).isNull().cast("int")).alias(f"{vc}_nulls"),
+            rnd(F.avg(vc), 6).alias(f"{vc}_mean"),
+            rnd(F.stddev_samp(vc), 6).alias(f"{vc}_std"),
+        ]
+    return df.agg(*aggs)

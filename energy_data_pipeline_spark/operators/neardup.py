@@ -1,0 +1,218 @@
+"""Near-duplicate detection for training corpora.
+
+Three scale paths, all deterministic and engine-portable (hashing is
+md5-based so a SQL oracle can reproduce results bit-for-bit):
+
+- n-gram Jaccard (exact): explode distinct shingles, self-join on
+  shingle, count overlaps. Quadratic only within shingle buckets —
+  correct baseline, used to verify the approximate paths.
+- MinHash + LSH: per-doc signature of NUM_HASHES md5-min values over
+  shingles; band signatures bucket candidate pairs, exact Jaccard
+  verifies. At 100 TB this is the standard shuffle-light path: the only
+  wide exchange is on (band_idx, band_sig) buckets.
+- SimHash: 16-bit sign-aggregated fingerprint from per-word md5 bits;
+  near-dups = Hamming distance <= threshold on bucket-joined candidates.
+
+Spark-first: everything is built-in higher-order functions (transform /
+array_min / array_intersect) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+from ..functions.text import shingles, words
+
+NUM_HASHES = 12
+BAND_ROWS = 3  # 4 bands of 3 hashes
+SIMHASH_BITS = 16
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle set per document (array column)."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("shingle_set"),
+    ).filter(F.size("shingle_set") > 0)
+
+
+def _minhash_sig(shingle_set: Column, k: int) -> Column:
+    return F.array_min(
+        F.transform(shingle_set, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Add mh_0..mh_{n-1} min-hash columns (md5-family, seed-prefixed)."""
+    out = sh
+    for k in range(num_hashes):
+        out = out.withColumn(f"mh_{k}", _minhash_sig(F.col("shingle_set"), k))
+    return out
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Band the signature, bucket-join to produce candidate (id1, id2)."""
+    n_bands = num_hashes // band_rows
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via array_intersect on the
+    (broadcastable at verify-stage cardinality) shingle sets."""
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle_set").alias("_s1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle_set").alias("_s2"))
+    j = (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("n_common", F.size(F.array_intersect("_s1", "_s2")))
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("n_common")
+                / (F.size("_s1") + F.size("_s2") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return j.select("id1", "id2", "jaccard")
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash→LSH→verify pipeline; returns (id1, id2, jaccard) pairs."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
+    return jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shingle inverted index.
+
+    The self-join is on individual shingles, so cost is bounded by
+    shingle-bucket sizes (inverse-document-frequency shaped), not |docs|².
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    inv = sh.select(id_col, F.explode("shingle_set").alias("sh"))
+    sizes = sh.select(id_col, F.size("shingle_set").alias("n_sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .withColumn(
+            "jaccard",
+            rnd(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def _word_bit(word: Column, bit: int) -> Column:
+    """Bit `bit` (0..15) of a word's md5: high bit of hex nibble bit+1."""
+    nib = F.substring(F.md5(word), bit + 1, 1)
+    return F.when(nib.isin(*_HEX_HIGH), 1).otherwise(-1)
+
+
+def simhash16(text_col: Column) -> Column:
+    """16-bit SimHash over whitespace words as a bit-string column.
+
+    Per bit: sign of the sum of ±1 votes across words (ties → '0' to be
+    deterministic). Portable to the SQL oracle (md5 nibble arithmetic).
+    """
+    w = words(text_col)
+    bits = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            F.transform(w, lambda word: _word_bit(word, b)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by first half of the signature
+    (cheap blocking), then exact Hamming <= max_hamming within buckets."""
+    sigs = df.select(
+        F.col(id_col), simhash16(F.col(text_col)).alias("sig")
+    ).withColumn("blk", F.substring("sig", 1, SIMHASH_BITS // 2))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = F.lit(0)
+    for i in range(1, SIMHASH_BITS + 1):
+        ham = ham + F.when(
+            F.substring(F.col("a.sig"), i, 1) != F.substring(F.col("b.sig"), i, 1), 1
+        ).otherwise(0)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,380 @@
+"""Training-data corpus query surface: dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), ANN similarity search (brute-force + LSH),
+and text analysis (lang-id, quality, token stats, fingerprints).
+
+All hashing is md5-based so the DuckDB oracle reproduces Spark's results
+exactly; oracle SQL for the signature/LSH queries is GENERATED from the
+same constants the Spark operators use (hash seeds, band layout,
+hyperplane signs) — one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+from ..functions import text as T
+from ..operators import neardup, similarity
+from ..operators.dedup import duplicate_groups
+from ..sources import load_table
+
+# ---------------------------------------------------------------- helpers
+# DuckDB equivalents of functions/text.py primitives
+DUCK_WORDS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len({w}) - 1), "
+    "i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+
+JACCARD_THRESHOLD = 0.5
+NGRAM_THRESHOLD = 0.8
+ANN_QUERY_MAX = 8
+ANN_K = 5
+
+
+# --- exact duplicate groups (hash-groupBy) ---
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- fingerprint clusters (order-insensitive near-identity) ---
+def fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({DUCK_WORDS.format(col='lower(text)')})), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fps GROUP BY fp HAVING count(*) > 1
+"""
+
+
+# --- n-gram Jaccard near-dup pairs (exact, inverted index) ---
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=NGRAM_THRESHOLD, n=3
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
+), shn AS (
+  SELECT doc_id, s FROM sh WHERE len(s) > 0
+), inv AS (
+  SELECT doc_id, unnest(s) AS g FROM shn
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS n FROM shn)
+SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+FROM common JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= {NGRAM_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH near-dup pairs ---
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
+    )
+
+
+def _minhash_sql() -> str:
+    nh, br = neardup.NUM_HASHES, neardup.BAND_ROWS
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(s, x -> md5('{k}:' || x))) AS mh_{k}"
+        for k in range(nh)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_sig FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{i}" for i in range(b * br, (b + 1) * br)),
+        )
+        for b in range(nh // br)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), shr AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
+), sh AS (
+  SELECT doc_id, s FROM shr WHERE len(s) > 0
+), sig AS (
+  SELECT doc_id, s,
+         {sig_cols}
+  FROM sh
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), j AS (
+  SELECT id1, id2,
+         len(list_intersect(s1.s, s2.s)) AS c, len(s1.s) AS n1, len(s2.s) AS n2
+  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+)
+SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 6) AS jaccard
+FROM j WHERE round(c * 1.0 / (n1 + n2 - c), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash near-dup pairs ---
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    bits = neardup.SIMHASH_BITS
+    high = ", ".join(f"'{h}'" for h in neardup._HEX_HIGH)
+    bit_exprs = ",\n         ".join(
+        (
+            f"CASE WHEN list_sum(list_transform(wl, x -> CASE WHEN "
+            f"substr(md5(x), {b + 1}, 1) IN ({high}) THEN 1 ELSE -1 END)) > 0 "
+            f"THEN '1' ELSE '0' END AS bit_{b}"
+        )
+        for b in range(bits)
+    )
+    sig = " || ".join(f"bit_{b}" for b in range(bits))
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.sig, {i}, 1) <> substr(b.sig, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, bits + 1)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), bitcols AS (
+  SELECT doc_id,
+         {bit_exprs}
+  FROM w
+), sigs AS (
+  SELECT doc_id, {sig} AS sig FROM bitcols
+), blocked AS (
+  SELECT doc_id, sig, substr(sig, 1, {bits // 2}) AS blk FROM sigs
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, {ham} AS hamming
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE {ham} <= 3
+"""
+
+
+# --- ANN: brute-force cosine top-k (baseline) ---
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K
+    )
+
+
+DUCK_COSINE = (
+    "round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)"
+)
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {ANN_QUERY_MAX}
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {DUCK_COSINE} AS cosine_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {ANN_K}
+"""
+
+
+# --- ANN: LSH-bucketed top-k (scale path) ---
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K
+    )
+
+
+def _ann_lsh_sql() -> str:
+    planes = similarity.hyperplane_signs(similarity.N_PLANES, 64)
+    bit_exprs = []
+    for row in planes:
+        terms = " + ".join(
+            (f"-{{v}}[{d + 1}]" if s < 0 else f"{{v}}[{d + 1}]")
+            for d, s in enumerate(row)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bit_exprs)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {bucket.format(v='CAST(embedding AS DOUBLE[])')} AS bkt
+  FROM embeddings WHERE vec_id < {ANN_QUERY_MAX}
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         {bucket.format(v='CAST(embedding AS DOUBLE[])')} AS bkt
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {DUCK_COSINE} AS cosine_sim
+  FROM q JOIN c USING (bkt) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {ANN_K}
+"""
+
+
+# --- text analysis: token stats ---
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws("text").cast("bigint").alias("n_tokens_ws"),
+        T.token_count_bpe("text").cast("bigint").alias("n_tokens_bpe"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({DUCK_WORDS.format(col='text')}) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{T.TOKEN_REGEX}')) AS n_tokens_bpe,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+# --- text analysis: language ID heuristic ---
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.lang_id("text").alias("pred_lang")
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    hits = ",\n         ".join(
+        "len(list_filter(wl, x -> lower(x) IN ({words}))) AS h_{lang}".format(
+            words=", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "\n            ".join(
+        f"WHEN h_{lang} = {mx} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM w
+)
+SELECT doc_id, lang,
+       CASE WHEN {mx} = 0 THEN 'und'
+            {case}
+       END AS pred_lang
+FROM scored
+"""
+
+
+# --- text analysis: quality scoring ---
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws("text").cast("bigint").alias("n_tokens"),
+        rnd(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        rnd(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{m}'" for m in T.LANG_MARKERS["en"])
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(wl) AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(wl) > 0
+              THEN len(list_filter(wl, x -> lower(x) IN ({stop}))) * 1.0 / len(wl)
+              ELSE 0.0 END AS sraw
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(praw, 6) AS punct_ratio,
+       round(sraw, 6) AS stopword_ratio,
+       round(least(n_tok / 50.0, 1.0) * 0.5
+             + greatest(0.0, 1.0 - praw * 5) * 0.25
+             + least(sraw * 5, 1.0) * 0.25, 6) AS quality
+FROM base
+"""
+
+
+# --- fingerprints per doc ---
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+DOC_FP_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({DUCK_WORDS.format(col='lower(text)')})), ' ')) AS fp
+FROM documents
+"""
+
+CORPUS_QUERIES = {
+    "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
+    "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
+    "dd_ngram_jaccard_near_dups": (ngram_jaccard_near_dups, NGRAM_JACCARD_SQL),
+    "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
+    "dd_simhash_near_dups": (simhash_near_dups, _simhash_sql()),
+    "ann_brute_force_topk": (ann_brute_force, ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh, _ann_lsh_sql()),
+    "txt_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "txt_lang_id": (lang_id_pred, _lang_id_sql()),
+    "txt_quality_scores": (quality_scores, _quality_sql()),
+    "txt_doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
+}

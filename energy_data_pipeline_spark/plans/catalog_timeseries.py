@@ -1,0 +1,269 @@
+"""Time-series / data-quality query surface — SURVEY.md §2.8 (T1–T7).
+
+The reference's domain core: calendar densification, gap-run islands,
+two-tier imputation (cubic spline for short gaps — the engine's only
+pandas UDF — and historical calendar-slot averages for long gaps).
+
+T3/T5 have no SQL oracle (scipy spline is not SQL-expressible); the
+driver records a rows-only check and pytest holds the parity tests
+against the reference's fixture semantics (tests/test_impute.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+from ..operators.gaps import null_gap_islands, sessionize
+from ..operators.impute import impute_missing_values, spline_impute_short_gaps
+from ..sources import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+RANGE_START = "2024-01-01 00:00:00"
+RANGE_END = "2024-01-30 23:00:00"
+
+
+def _hour_bucket_ntz(ts_col):
+    """Wall-clock hour truncation that stays TIMESTAMP_NTZ (tz-safe)."""
+    return F.to_timestamp_ntz(
+        F.concat(F.date_format(ts_col, "yyyy-MM-dd HH"), F.lit(":00:00"))
+    )
+
+
+def _calendar_hours(spark: SparkSession) -> DataFrame:
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(RANGE_START).cast("timestamp_ntz"),
+                F.lit(RANGE_END).cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_ts")
+    )
+
+
+# --- T1: calendar densification — days with no purchase events ---
+# Parity: pd.date_range(...).difference (nambu_merge_pv_data.py:58-63).
+def missing_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    present = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return cal.join(present, "day", "left_anti")
+
+
+MISSING_DAYS_SQL = """
+SELECT CAST(gs.d AS DATE) AS day
+FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30', INTERVAL 1 DAY) gs(d)
+WHERE CAST(gs.d AS DATE) NOT IN (
+  SELECT DISTINCT CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+# --- T2: consecutive-gap run-length islands ---
+# Parity: find_consecutive_missing_groups (impute_missing.py:14-38) —
+# here over the global hourly grid: hours with zero 'purchase' events,
+# grouped into consecutive runs.
+def purchase_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cal = _calendar_hours(spark)
+    present = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(_hour_bucket_ntz("ts").alias("hour_ts"))
+        .distinct()
+    )
+    missing = cal.join(present, "hour_ts", "left_anti")
+    # islands trick: hours-since-epoch minus row_number is constant per run
+    # (timestamp_diff on NTZ is pure wall-clock arithmetic — tz-safe)
+    idx = F.timestamp_diff(
+        "HOUR", F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"), F.col("hour_ts")
+    ).cast("long")
+    w = Window.orderBy("hour_ts")
+    grouped = missing.withColumn("_k", idx - F.row_number().over(w))
+    return (
+        grouped.groupBy("_k")
+        .agg(
+            F.date_format(F.min("hour_ts"), TS_FMT_SPARK).alias("gap_start"),
+            F.date_format(F.max("hour_ts"), TS_FMT_SPARK).alias("gap_end"),
+            F.count(F.lit(1)).alias("gap_len"),
+        )
+        .drop("_k")
+    )
+
+
+GAP_ISLANDS_SQL = f"""
+WITH cal AS (
+  SELECT gs.h AS hour_ts
+  FROM generate_series(TIMESTAMP '{RANGE_START}', TIMESTAMP '{RANGE_END}', INTERVAL 1 HOUR) gs(h)
+), present AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hour_ts FROM events WHERE event_type = 'purchase'
+), missing AS (
+  SELECT hour_ts FROM cal WHERE hour_ts NOT IN (SELECT hour_ts FROM present)
+), grouped AS (
+  SELECT hour_ts,
+         CAST(epoch(hour_ts) / 3600 AS BIGINT) - row_number() OVER (ORDER BY hour_ts) AS k
+  FROM missing
+)
+SELECT strftime(min(hour_ts), '{TS_FMT_DUCK}') AS gap_start,
+       strftime(max(hour_ts), '{TS_FMT_DUCK}') AS gap_end,
+       count(*) AS gap_len
+FROM grouped GROUP BY k
+"""
+
+
+# --- T4: historical-average imputation (native path) ---
+# Parity: impute_missing.py:356-374 — fill missing slots from the same
+# calendar-slot mean, cascading to the global mean.
+def view_series_hist_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # intermediate averages rounded to 6 so the downstream cascade is
+    # computed from inputs identical to the oracle's (FP-order safety)
+    series = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(_hour_bucket_ntz("ts").alias("hour_ts"))
+        .agg(rnd(F.avg("value"), 6).alias("_v"))
+    )
+    cal = _calendar_hours(spark)
+    dense = cal.join(series, "hour_ts", "left")
+    profile = series.groupBy(F.hour("hour_ts").alias("_h")).agg(
+        rnd(F.avg("_v"), 6).alias("_slot_mean")
+    )
+    global_mean = series.agg(rnd(F.avg("_v"), 6).alias("_gm"))
+    out = (
+        dense.withColumn("_h", F.hour("hour_ts"))
+        .join(F.broadcast(profile), "_h", "left")
+        .crossJoin(F.broadcast(global_mean))
+    )
+    return out.select(
+        F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_ts"),
+        rnd(F.coalesce("_v", "_slot_mean", "_gm"), 4).alias("value_filled"),
+        F.col("_v").isNull().cast("int").cast("bigint").alias("was_missing"),
+    )
+
+
+HIST_IMPUTE_SQL = f"""
+WITH series AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, round(avg(value), 6) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), cal AS (
+  SELECT gs.h AS hour_ts
+  FROM generate_series(TIMESTAMP '{RANGE_START}', TIMESTAMP '{RANGE_END}', INTERVAL 1 HOUR) gs(h)
+), dense AS (
+  SELECT cal.hour_ts, series.v FROM cal LEFT JOIN series ON cal.hour_ts = series.hour_ts
+), profile AS (
+  SELECT EXTRACT(hour FROM hour_ts) AS h, round(avg(v), 6) AS slot_mean FROM series GROUP BY 1
+), gm AS (SELECT round(avg(v), 6) AS g FROM series)
+SELECT strftime(dense.hour_ts, '{TS_FMT_DUCK}') AS hour_ts,
+       round(coalesce(dense.v, profile.slot_mean, gm.g), 4) AS value_filled,
+       CASE WHEN dense.v IS NULL THEN 1 ELSE 0 END AS was_missing
+FROM dense
+LEFT JOIN profile ON EXTRACT(hour FROM dense.hour_ts) = profile.h
+CROSS JOIN gm
+"""
+
+
+# --- sessionization (stateful stream semantics as batch windows) ---
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", ["user_id"], gap_seconds=1800)
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        F.col("n_events").alias("n_events"),
+    )
+
+
+SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+# --- T3: cubic-spline imputation (pandas UDF — rows-only check) ---
+# Parity: _spline_impute (impute_missing.py:41-98) with the linear
+# fallback ladder; scipy runs inside applyInPandas per series.
+def spline_impute_view_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(_hour_bucket_ntz("ts").alias("hour_ts"))
+        .agg(F.avg("value").alias("v"))
+    )
+    dense = (
+        _calendar_hours(spark)
+        .join(series, "hour_ts", "left")
+        .withColumn("series_key", F.lit("view"))
+    )
+    filled = spline_impute_short_gaps(
+        dense, "hour_ts", "v", keys=["series_key"], short_gap_max=3
+    )
+    return filled.select(
+        "series_key",
+        F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_ts"),
+        rnd("v", 4).alias("value_filled"),
+    )
+
+
+# --- T5: full impute pipeline (historical + spline) — rows-only check ---
+def impute_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type", _hour_bucket_ntz("ts").alias("hour_ts"))
+        .agg(F.avg("value").alias("v"))
+    )
+    cal = _calendar_hours(spark)
+    keys = series.select("event_type").distinct()
+    dense = keys.crossJoin(cal).join(series, ["event_type", "hour_ts"], "left")
+    out = impute_missing_values(
+        dense, "hour_ts", ["v"], keys=["event_type"], short_gap_max=3
+    )
+    return out.select(
+        "event_type",
+        F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_ts"),
+        rnd("v", 4).alias("value_filled"),
+    )
+
+
+TIMESERIES_QUERIES = {
+    "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
+    "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
+    "t4_view_series_hist_impute": (view_series_hist_impute, HIST_IMPUTE_SQL),
+    "st_user_sessions": (user_sessions, SESSIONS_SQL),
+    "t3_spline_impute_view_series": (spline_impute_view_series, None),
+    "t5_impute_pipeline_demo": (impute_pipeline_demo, None),
+}

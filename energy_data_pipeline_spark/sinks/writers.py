@@ -1,0 +1,114 @@
+"""Idempotent write protocols — SURVEY.md §2.2 (K1–K7).
+
+The reference's load semantics, re-expressed over parquet tables:
+
+- K3 append                    → ``append``
+- K4 idempotent range overwrite (DELETE keyed date-range + insert,
+  daily_pv_automation.py:201-224) → ``overwrite_date_range`` via dynamic
+  partition overwrite on a day-partitioned table: replaying a batch
+  replaces exactly the partitions it covers, atomically per partition.
+- K5 upsert (ON CONFLICT DO UPDATE, namdong_wind_collect.py:191-225)
+  → ``upsert``: anti-join the old table on the unique key, union the new
+  batch, atomic directory swap (staging + rename). On Delta/Iceberg this
+  would be MERGE INTO; plain parquet needs the swap for atomicity
+  (SURVEY.md §7.5).
+- K6 truncate+reload (hangyoung_wind_load.py:65-67) → ``truncate_reload``
+  (mode=overwrite).
+
+Scale: K4 touches only affected day partitions; K5's anti-join shuffles
+on the unique key — at 100 TB prefer day-partition scoping (pass
+``scope_filter``) so the anti-join reads only overlapping partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """K1/K3 — plain append."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def truncate_reload(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """K6 — full refresh."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite_date_range(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    day_col: str = "p_day",
+    extra_partition_cols: Sequence[str] = (),
+) -> None:
+    """K4 — replace-by-day-partition. The batch is written with
+    ``partitionOverwriteMode=dynamic``: only the day partitions present in
+    the batch are replaced; everything else is untouched. Replaying the
+    same (or a corrected) batch for a date range is therefore idempotent —
+    the Spark-native equivalent of the reference's single ranged DELETE +
+    append in one transaction."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = df.withColumn(day_col, F.to_date(F.col(ts_col)))
+        out.write.mode("overwrite").partitionBy(day_col, *extra_partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def upsert(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    scope_filter: str | None = None,
+) -> int:
+    """K5 — upsert into a parquet table: old rows whose key collides with
+    the batch are replaced; others kept. Returns rows written.
+
+    ``scope_filter`` (SQL predicate) limits which existing rows are even
+    read for the anti-join — pass a day-range predicate at scale so only
+    overlapping partitions participate.
+
+    Atomicity: the merged result is staged to a sibling temp dir and
+    swapped in (parquet has no MERGE); on Delta this entire function is
+    one ``MERGE INTO``.
+    """
+    key_list = list(keys)
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        in_scope = old.filter(scope_filter) if scope_filter else old
+        out_of_scope = old.filter(f"NOT ({scope_filter})") if scope_filter else None
+        kept = in_scope.join(
+            new_df.select(*key_list).distinct(), key_list, "left_anti"
+        )
+        merged = kept.unionByName(new_df.select(*old.columns))
+        if out_of_scope is not None:
+            merged = merged.unionByName(out_of_scope)
+    else:
+        merged = new_df
+
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    return n

@@ -1,0 +1,11 @@
+from .csv_flexible import is_probably_csv, read_csv_flexible
+from .tables import TABLE_NAMES, load_table, load_tables, register_views
+
+__all__ = [
+    "TABLE_NAMES",
+    "is_probably_csv",
+    "load_table",
+    "load_tables",
+    "read_csv_flexible",
+    "register_views",
+]

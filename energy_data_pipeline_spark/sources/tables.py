@@ -1,0 +1,62 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+
+At 100 TB these would be partitioned/bucketed managed tables; the loaders
+keep the access path declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown, column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
+# timestamp, so they are read as long (nanosAsLong) and rebuilt as
+# TIMESTAMP_NTZ by pure arithmetic (timezone-independent).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _nanos_to_ntz(col: str):
+    micros = (F.col(col) / F.lit(1000)).cast("long")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_add("MICROSECOND", micros, epoch)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, _nanos_to_ntz(col))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works directly
+    (mirrors the reference's Grafana→Postgres surface, SURVEY.md §3.3)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,40 @@
+"""Every catalog query with an oracle must match DuckDB at sf0.001 —
+the local mirror of the driver's CORRECTNESS gate (which runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from energy_data_pipeline_spark.plans.catalog import CATALOG
+
+from .oracle_harness import compare, duck_connection
+
+ORACLE_CASES = [
+    (name, fn, sql) for name, (fn, sql) in CATALOG.items() if sql is not None
+]
+ROWS_ONLY_CASES = [
+    (name, fn) for name, (fn, sql) in CATALOG.items() if sql is None
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_small):
+    con = duck_connection(sf_small)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES]
+)
+def test_oracle_parity(spark, sf_small, duck, name, fn, sql):
+    df = fn(spark, sf_small)
+    report = compare(df, duck, sql)
+    assert report["ok"], f"{name}: {report['issues']}"
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES, ids=[c[0] for c in ROWS_ONLY_CASES])
+def test_rows_only_queries_run(spark, sf_small, name, fn):
+    df = fn(spark, sf_small)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
