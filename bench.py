@@ -1,0 +1,82 @@
+"""Per-round benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver-side collect bottleneck). Timing excludes session startup; a
+warm-up action initializes the executor threads and parquet footers first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("energy-data-pipeline-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from energy_data_pipeline_spark.plans.catalog import CATALOG
+    from energy_data_pipeline_spark.sources import load_table
+
+    # Warm-up: touch every table so footer reads / codegen warmup don't
+    # land in the first measured query.
+    from energy_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in sorted(CATALOG.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
