@@ -42,18 +42,25 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
 def _bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
     """LSH bucket id: concatenated sign bits of plane dot products.
 
-    The per-plane dot is built as a left-associated sum of ±v[i] terms so
-    floating-point evaluation order matches the SQL oracle exactly.
+    The plane matrix is embedded as ONE array<array<double>> literal and
+    each dot product is a zip_with/aggregate fold — a compact expression
+    tree (plan analysis + codegen stay cheap) instead of n_planes×dim
+    inline ± terms. The fold is left-associated starting at 0.0, which is
+    bit-identical to the oracle's left-associated ±term sum (0.0 + x == x
+    and -1.0 * x == -x in IEEE 754).
     """
-    bits = []
-    for row in planes:
-        acc = None
-        for d, s in enumerate(row):
-            term = F.element_at(vec, d + 1).cast("double")
-            term = term if s > 0 else -term
-            acc = term if acc is None else acc + term
-        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    planes_lit = F.lit([[float(s) for s in row] for row in planes])
+    dots = F.transform(
+        planes_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, vec, lambda s, x: s * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    return F.concat_ws(
+        "", F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    )
 
 
 def brute_force_topk(

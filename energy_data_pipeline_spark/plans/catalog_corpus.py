@@ -18,7 +18,7 @@ from ..functions.rounding import rnd
 from ..functions import text as T
 from ..operators import neardup, similarity
 from ..operators.dedup import duplicate_groups
-from ..sources import load_table
+from ..sources import fan_out, load_table
 
 # ---------------------------------------------------------------- helpers
 # DuckDB equivalents of functions/text.py primitives
@@ -51,7 +51,7 @@ FROM documents GROUP BY 1
 
 # --- fingerprint clusters (order-insensitive near-identity) ---
 def fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", T.fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -160,15 +160,11 @@ def _simhash_sql() -> str:
         (
             f"CASE WHEN list_sum(list_transform(wl, x -> CASE WHEN "
             f"substr(md5(x), {b + 1}, 1) IN ({high}) THEN 1 ELSE -1 END)) > 0 "
-            f"THEN '1' ELSE '0' END AS bit_{b}"
+            f"THEN 1 ELSE 0 END AS bit_{b}"
         )
         for b in range(bits)
     )
-    sig = " || ".join(f"bit_{b}" for b in range(bits))
-    ham = " + ".join(
-        f"(CASE WHEN substr(a.sig, {i}, 1) <> substr(b.sig, {i}, 1) THEN 1 ELSE 0 END)"
-        for i in range(1, bits + 1)
-    )
+    sig = " + ".join(f"bit_{b} * {1 << (bits - 1 - b)}" for b in range(bits))
     return f"""
 WITH w AS (
   SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
@@ -177,19 +173,20 @@ WITH w AS (
          {bit_exprs}
   FROM w
 ), sigs AS (
-  SELECT doc_id, {sig} AS sig FROM bitcols
+  SELECT doc_id, CAST({sig} AS INTEGER) AS sig FROM bitcols
 ), blocked AS (
-  SELECT doc_id, sig, substr(sig, 1, {bits // 2}) AS blk FROM sigs
+  SELECT doc_id, sig, sig >> {bits // 2} AS blk FROM sigs
 )
-SELECT a.doc_id AS id1, b.doc_id AS id2, {ham} AS hamming
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
 FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE {ham} <= 3
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
 # --- ANN: brute-force cosine top-k (baseline) ---
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K
     )
@@ -221,7 +218,7 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 
 # --- ANN: LSH-bucketed top-k (scale path) ---
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K
     )
@@ -260,7 +257,7 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 
 # --- text analysis: token stats ---
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count_ws("text").cast("bigint").alias("n_tokens_ws"),
@@ -280,7 +277,7 @@ FROM documents
 
 # --- text analysis: language ID heuristic ---
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang", T.lang_id("text").alias("pred_lang")
     )
@@ -316,7 +313,7 @@ FROM scored
 
 # --- text analysis: quality scoring ---
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count_ws("text").cast("bigint").alias("n_tokens"),
@@ -355,7 +352,7 @@ FROM base
 
 # --- fingerprints per doc ---
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 

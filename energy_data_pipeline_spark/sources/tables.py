@@ -51,6 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the scan is under-parallel.
+
+    Small single-file inputs (like the local test parquet) arrive as one
+    split, which serializes CPU-heavy per-row stages (hashing, shingling,
+    vector math) onto one core. At production scale the scan already
+    yields >= cores splits and this is a no-op — the partition-count
+    check makes the shuffle conditional, so wide tables never pay it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES))
 
