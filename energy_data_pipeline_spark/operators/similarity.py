@@ -63,6 +63,45 @@ def _bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH sign-bucket the corpus
+    once (persisted — compute-once across the self-join branches), join
+    within buckets, keep pairs with cosine >= threshold.
+
+    At 100 TB the bucket join replaces the |corpus|² cross product; the
+    persisted (id, vec, bucket) projection is the only state."""
+    from pyspark.storagelevel import StorageLevel
+
+    planes = hyperplane_signs(n_planes, dim)
+    e = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("cosine_sim", rnd(cosine(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            "cosine_sim",
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -18,12 +18,14 @@ from ..functions.rounding import rnd
 from ..sources import load_table
 from .catalog_core import CORE_QUERIES
 from .catalog_corpus import CORPUS_QUERIES
+from .catalog_ext import EXT_QUERIES
 from .catalog_timeseries import TIMESERIES_QUERIES
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **CORE_QUERIES,
     **TIMESERIES_QUERIES,
     **CORPUS_QUERIES,
+    **EXT_QUERIES,
 }
 
 

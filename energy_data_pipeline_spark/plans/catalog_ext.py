@@ -1,0 +1,391 @@
+"""Extended query surface: the remaining SURVEY.md §2 operators
+(T7 completeness-driven backfill, J5 fuzzy containment lookup, T8
+accumulating merge, P12/P14/P16 expression ops) plus the multimodal
+plumbing and embedding-cosine near-dup from the training-data surface.
+
+Same contract as the other catalog modules: every Spark callable's
+column names/types/rounding match its DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..operators import multimodal, similarity
+from ..sources import fan_out, load_table
+
+
+# --- T7 / J4: completeness-driven backfill plan ---------------------------
+# Reference: fetch_data/pv/nambu_backfill.py:161-182 (_find_incomplete_days)
+# — find (user, day) cells inside the observation window where fewer than
+# REQUIRED_HOURS distinct hours are present, including days with NO rows
+# (calendar densification + left anti-join against complete days).
+T7_START, T7_END = "2024-01-01", "2024-01-15"
+T7_REQUIRED_HOURS = 20
+
+
+def incomplete_days_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(T7_START).cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(T7_END).cast("timestamp_ntz"))
+    )
+    users = ev.select("user_id").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(T7_START).cast("date"),
+                F.date_sub(F.lit(T7_END).cast("date"), 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    calendar = users.crossJoin(days)
+    per_day = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.countDistinct(F.hour("ts")).alias("n_hours"))
+    complete = per_day.filter(F.col("n_hours") >= T7_REQUIRED_HOURS).select(
+        "user_id", "day"
+    )
+    return (
+        calendar.join(complete, ["user_id", "day"], "left_anti")
+        .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+    )
+
+
+T7_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '{T7_START} 00:00:00' AND ts < TIMESTAMP '{T7_END} 00:00:00'
+), users AS (SELECT DISTINCT user_id FROM ev),
+days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '{T7_START}', DATE '{T7_END}' - 1, INTERVAL 1 DAY) t(d)
+), calendar AS (SELECT user_id, day FROM users CROSS JOIN days),
+complete AS (
+  SELECT user_id, CAST(ts AS DATE) AS day
+  FROM ev GROUP BY 1, 2
+  HAVING count(DISTINCT extract(hour FROM ts)) >= {T7_REQUIRED_HOURS}
+)
+SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day
+FROM calendar c LEFT JOIN complete k
+  ON c.user_id = k.user_id AND c.day = k.day
+WHERE k.user_id IS NULL
+"""
+
+
+# --- J5: fuzzy containment lookup (exact → contains → default) ------------
+# Reference: fetch_data/pv/database.py:211-223 (get_namdong_location):
+# exact dict hit, else substring containment either way, else default.
+J5_DIM: tuple[tuple[str, str], ...] = (
+    ("ECONOMY ANODIZED STEEL", "heavy"),
+    ("STEEL", "metal"),
+    ("BRASS", "metal"),
+    ("COPPER", "metal"),
+    ("TIN", "soft"),
+    ("NICKEL", "metal"),
+)
+J5_DEFAULT = "other"
+
+
+def fuzzy_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(list(J5_DIM), ["kw", "category"])
+    exact = dim.withColumnRenamed("category", "cat_exact")
+    # containment candidates: first match by dim order
+    contains = (
+        part.crossJoin(F.broadcast(dim))
+        .filter(
+            F.col("p_type").contains(F.col("kw")) | F.col("kw").contains(F.col("p_type"))
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("p_partkey").orderBy(F.col("kw"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("p_partkey", F.col("category").alias("cat_contains"))
+    )
+    return (
+        part.join(F.broadcast(exact), part.p_type == exact.kw, "left")
+        .join(contains, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            "p_type",
+            F.coalesce("cat_exact", "cat_contains", F.lit(J5_DEFAULT)).alias(
+                "category"
+            ),
+        )
+    )
+
+
+def _j5_sql() -> str:
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in J5_DIM)
+    return f"""
+WITH dim(kw, category) AS (VALUES {vals}),
+contains_hit AS (
+  SELECT p_partkey, category,
+         row_number() OVER (PARTITION BY p_partkey ORDER BY kw) AS rk
+  FROM part CROSS JOIN dim
+  WHERE contains(p_type, kw) OR contains(kw, p_type)
+)
+SELECT p.p_partkey, p.p_type,
+       coalesce(e.category,
+                (SELECT c.category FROM contains_hit c
+                 WHERE c.p_partkey = p.p_partkey AND c.rk = 1),
+                '{J5_DEFAULT}') AS category
+FROM part p LEFT JOIN dim e ON p.p_type = e.kw
+"""
+
+
+# --- T8: accumulating merged dataset (append + dedup keep-last) -----------
+# Reference: prefect_flows/merge_to_all.py:16-101 — accumulate batches,
+# new data wins on the unique key. Batch order is explicit (_batch_seq)
+# because Spark has no implicit concat order (SURVEY.md §7 risk 1).
+T8_CUT = "2024-01-10"
+
+
+def accumulating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    old_batch = ev.filter(
+        F.col("ts") < F.lit(T8_CUT).cast("timestamp_ntz")
+    ).withColumn("_batch_seq", F.lit(1))
+    # the "restated" re-delivery: overlapping slice with corrected values
+    new_batch = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp_ntz"))
+        )
+        .withColumn("value", rnd(F.col("value") * 1.1, 4))
+        .withColumn("_batch_seq", F.lit(2))
+    )
+    merged = old_batch.unionByName(new_batch)
+    w = Window.partitionBy("event_id").orderBy(F.col("_batch_seq").desc())
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rnd(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+T8_SQL = f"""
+WITH old_batch AS (
+  SELECT event_id, event_type, value, 1 AS _batch_seq
+  FROM events WHERE ts < TIMESTAMP '{T8_CUT} 00:00:00'
+), new_batch AS (
+  SELECT event_id, event_type, round(value * 1.1, 4) AS value, 2 AS _batch_seq
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+), merged AS (
+  SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY _batch_seq DESC) AS rk
+  FROM merged
+)
+SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+FROM ranked WHERE rk = 1 GROUP BY event_type
+"""
+
+
+# --- embedding-cosine near-dup pairs (LSH-bucketed self-join) -------------
+EMB_DUP_THRESHOLD = 0.9
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=EMB_DUP_THRESHOLD
+    )
+
+
+def _emb_dup_sql() -> str:
+    planes = similarity.hyperplane_signs(similarity.N_PLANES, 64)
+    bit_exprs = []
+    for row in planes:
+        terms = " + ".join(
+            (f"-{{v}}[{d + 1}]" if s < 0 else f"{{v}}[{d + 1}]")
+            for d, s in enumerate(row)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bit_exprs)
+    cos = (
+        "round(list_sum(list_transform(range(1, len(v1) + 1), i -> v1[i] * v2[i]))"
+        " / (sqrt(list_sum(list_transform(v1, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(v2, x -> x * x)))), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket.format(v='CAST(embedding AS DOUBLE[])')} AS bkt
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, {cos} AS cosine_sim
+FROM pairs WHERE {cos} >= {EMB_DUP_THRESHOLD}
+"""
+
+
+# --- P12: numeric extraction from text ------------------------------------
+# Reference: initial_db_ingestion.py:57-62 (clean_spec "100.5kW" → 100.5).
+def numeric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint").alias("name_num"),
+    )
+
+
+P12_SQL = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num
+FROM customer
+"""
+
+
+# --- P13+P14: concat keys + map lookup with fallback ----------------------
+# Reference: namdong_collect_pv.py:288 (concat keys);
+# daily_pv_automation.py:181-184 (dict map with NULL fallback).
+P14_MAP: tuple[tuple[int, str], ...] = ((0, "AFRICA-Z"), (2, "ASIA-Z"), (4, "MEA-Z"))
+
+
+def key_and_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    mapping = F.create_map(
+        *[F.lit(x) for pair in P14_MAP for x in pair]
+    )
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat_ws("_", "n_name", "r_name").alias("nation_region_key"),
+            F.coalesce(mapping[F.col("n_regionkey")], F.col("r_name")).alias(
+                "zone"
+            ),
+        )
+    )
+
+
+def _p14_sql() -> str:
+    cases = " ".join(f"WHEN {k} THEN '{v}'" for k, v in P14_MAP)
+    return f"""
+SELECT n_name || '_' || r_name AS nation_region_key,
+       coalesce(CASE n_regionkey {cases} END, r_name) AS zone
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --- P16: calendar month helpers (prev-month range / month-chunk split) ---
+def month_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    return (
+        span.select(
+            F.explode(
+                F.sequence(F.trunc("lo", "month"), F.trunc("hi", "month"), F.expr("interval 1 month"))
+            ).alias("month_start")
+        )
+        .select(
+            F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.last_day("month_start"), "yyyy-MM-dd").alias("month_end"),
+        )
+    )
+
+
+P16_SQL = """
+WITH span AS (
+  SELECT date_trunc('month', min(CAST(o_orderdate AS DATE))) AS lo,
+         date_trunc('month', max(CAST(o_orderdate AS DATE))) AS hi
+  FROM orders
+), months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS d FROM span
+)
+SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS month_start,
+       strftime(last_day(CAST(d AS DATE)), '%Y-%m-%d') AS month_end
+FROM months
+"""
+
+
+# --- multimodal plumbing over a deterministic media table -----------------
+# documents.text is reused as the binary payload so the mapInPandas
+# decode plumbing (schema, Arrow batching) is exercised on real bytes.
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.when(kind == "image", F.lit("png"))
+        .when(kind == "audio", F.lit("wav"))
+        .otherwise(F.lit("mp4"))
+        .alias("format"),
+        F.when(kind == "image", (F.col("doc_id") % 64 + 16).cast("int")).alias("width"),
+        F.when(kind == "image", (F.col("doc_id") % 48 + 16).cast("int")).alias("height"),
+        F.when(kind != "image", ((F.col("doc_id") % 7 + 1) * 1000).cast("int")).alias(
+            "duration_ms"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fake-decode over binary payloads; the oracle checks the
+    Spark-side plumbing output (ids, kinds, byte counts) — the feature
+    vector itself is exercised by unit tests."""
+    media = _media_df(spark, sf_dir)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    plan = multimodal.frame_sample_plan(media, every_ms=400)
+    return plan.groupBy("media_id", "format").agg(
+        F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
+    )
+
+
+MEDIA_FRAME_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, 'mp4' AS format,
+         (doc_id % 7 + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, format,
+       CAST(floor((duration_ms - 1) / 400) + 1 AS BIGINT) AS n_frames,
+       CAST(floor((duration_ms - 1) / 400) * 400 AS BIGINT) AS last_frame_ms
+FROM media
+"""
+
+EXT_QUERIES = {
+    "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
+    "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
+    "t8_accumulating_merge": (accumulating_merge, T8_SQL),
+    "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
+    "p12_numeric_extraction": (numeric_extraction, P12_SQL),
+    "p14_key_and_map_lookup": (key_and_map_lookup, _p14_sql()),
+    "p16_month_chunks": (month_chunks, P16_SQL),
+    "mm_feature_extract": (media_feature_extract, MEDIA_FEATURES_SQL),
+    "mm_frame_plan": (media_frame_plan, MEDIA_FRAME_SQL),
+}
