@@ -51,11 +51,70 @@ def find_consecutive_missing_groups(values: np.ndarray) -> list[tuple[int, int]]
     return groups
 
 
+def _not_a_knot_spline(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Cubic spline interpolation with not-a-knot boundary conditions —
+    the same interpolant as scipy ``interp1d(kind='cubic')`` /
+    ``CubicSpline(bc_type='not-a-knot')``, implemented with a Thomas
+    (tridiagonal) solve so it is O(n) at any series length.
+
+    Out-of-range queries extrapolate with the nearest polynomial piece
+    (scipy's ``fill_value='extrapolate'`` behavior). Requires len(x)>=4.
+    """
+    n = x.size
+    h = np.diff(x)
+    s = np.diff(y) / h
+    # interior rows i=1..n-2: a M_{i-1} + b M_i + c M_{i+1} = d  (unknown
+    # M = second derivatives); not-a-knot ties M_0/M_{n-1} to neighbors:
+    #   M_0 = ((h0+h1) M_1 - h0 M_2) / h1      (3rd-deriv continuity at x1)
+    #   M_{n-1} analogous at x_{n-2}
+    a = h[:-1].astype(float).copy()
+    b = 2.0 * (h[:-1] + h[1:])
+    c = h[1:].astype(float).copy()
+    d = 6.0 * np.diff(s)
+    # fold the boundary relations into the first/last interior rows
+    b[0] += a[0] * (h[0] + h[1]) / h[1]
+    c[0] -= a[0] * h[0] / h[1]
+    a[0] = 0.0
+    b[-1] += c[-1] * (h[-1] + h[-2]) / h[-2]
+    a[-1] -= c[-1] * h[-1] / h[-2]
+    c[-1] = 0.0
+    # Thomas solve for M_1..M_{n-2}
+    m = b.size
+    cp = np.empty(m)
+    dp = np.empty(m)
+    cp[0] = c[0] / b[0]
+    dp[0] = d[0] / b[0]
+    for i in range(1, m):
+        denom = b[i] - a[i] * cp[i - 1]
+        cp[i] = c[i] / denom
+        dp[i] = (d[i] - a[i] * dp[i - 1]) / denom
+    M = np.empty(n)
+    M[m] = dp[m - 1]
+    for i in range(m - 2, -1, -1):
+        M[i + 1] = dp[i] - cp[i] * M[i + 2]
+    M[0] = ((h[0] + h[1]) * M[1] - h[0] * M[2]) / h[1]
+    M[n - 1] = ((h[-1] + h[-2]) * M[n - 2] - h[-1] * M[n - 3]) / h[-2]
+    # piecewise evaluation; clip segment index for extrapolation
+    seg = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    hs = h[seg]
+    lo = x[seg]
+    hi = x[seg + 1]
+    return (
+        M[seg] * (hi - xq) ** 3 / (6 * hs)
+        + M[seg + 1] * (xq - lo) ** 3 / (6 * hs)
+        + (y[seg] / hs - M[seg] * hs / 6) * (hi - xq)
+        + (y[seg + 1] / hs - M[seg + 1] * hs / 6) * (xq - lo)
+    )
+
+
 def _spline_fill_series(values: np.ndarray, short_gap_max: int) -> np.ndarray:
     """Fill NaN runs of length <= short_gap_max by cubic spline over the
     valid points, with the reference's fallback ladder
     (impute_missing.py:41-98): <4 valid points or no valid point on one
     side → linear np.interp; spline failure → linear.
+
+    Uses scipy when available (bit-parity with the reference), else the
+    numpy not-a-knot spline above (same interpolant to ~1e-12).
     """
     out = values.copy()
     valid_idx = np.flatnonzero(~np.isnan(values))
@@ -70,15 +129,22 @@ def _spline_fill_series(values: np.ndarray, short_gap_max: int) -> np.ndarray:
         use_linear = valid_idx.size < 4 or before.size == 0 or after.size == 0
         if not use_linear:
             try:
-                from scipy.interpolate import interp1d
+                try:
+                    from scipy.interpolate import interp1d
 
-                f = interp1d(
-                    valid_idx.astype(float),
-                    values[valid_idx],
-                    kind="cubic",
-                    fill_value="extrapolate",
-                )
-                out[gap_idx] = f(gap_idx.astype(float))
+                    f = interp1d(
+                        valid_idx.astype(float),
+                        values[valid_idx],
+                        kind="cubic",
+                        fill_value="extrapolate",
+                    )
+                    out[gap_idx] = f(gap_idx.astype(float))
+                except ImportError:
+                    out[gap_idx] = _not_a_knot_spline(
+                        valid_idx.astype(float),
+                        values[valid_idx],
+                        gap_idx.astype(float),
+                    )
                 continue
             except Exception:
                 pass

@@ -41,6 +41,9 @@ def read_csv_flexible(
     charset = {"utf-8-sig": "UTF-8", "euc-kr": "EUC-KR", "cp949": "x-windows-949"}.get(
         enc, enc.upper()
     )
+    if charset not in ("UTF-8", "UTF-16", "ISO-8859-1", "US-ASCII"):
+        # Spark 4 gates non-core charsets behind the javaCharsets flag
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     reader = (
         spark.read.option("header", "true")
         .option("encoding", charset)

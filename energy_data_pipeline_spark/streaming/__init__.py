@@ -1,0 +1,15 @@
+from .incremental import (
+    available_now_ingest,
+    hourly_aggregate_stream,
+    read_event_stream,
+    running_watermark_stream,
+    upsert_stream,
+)
+
+__all__ = [
+    "available_now_ingest",
+    "hourly_aggregate_stream",
+    "read_event_stream",
+    "running_watermark_stream",
+    "upsert_stream",
+]

@@ -1,0 +1,195 @@
+"""Structured Streaming surface — the idiomatic upgrade path for the
+reference's cron-batch semantics (SURVEY.md §2.9).
+
+The reference runs Prefect cron flows that (a) resume from a per-key
+watermark (daily_pv_automation.py:74-126), (b) tolerate late/duplicate
+deliveries via idempotent writes (K4/K5), and (c) accumulate a merged
+dataset with keep-last dedup (merge_to_all.py:16-101). Those semantics
+map onto:
+
+- ``Trigger.AvailableNow`` over a landing directory → "process whatever
+  arrived since last run, then stop" — exactly a cron tick, but with
+  checkpointed exactly-once file tracking instead of hand-rolled state.
+- ``withWatermark`` + windowed aggregation → bounded-state late-data
+  handling for the hourly rollups the dashboards serve.
+- ``foreachBatch`` + the K5 upsert writer → idempotent keyed delivery.
+- ``applyInPandasWithState`` → the per-key MAX(ts) watermark table as a
+  custom stateful operator (T6), maintained incrementally instead of
+  re-aggregated per run.
+
+At scale: state size is bounded by (keys × window retention); the
+landing dir should be day-partitioned so maxFilesPerTrigger yields even
+micro-batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+# events-shaped landing schema (streams cannot infer schemas)
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType = EVENT_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet landing directory."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
+
+
+def hourly_aggregate_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """A1's hourly rollup as a streaming windowed aggregate.
+
+    The watermark bounds state: rows later than ``watermark`` behind the
+    max seen event time are dropped; completed windows are emitted and
+    their state freed (mirrors the reference's "re-fetch the incomplete
+    last day" policy with engine-managed bookkeeping).
+
+    Event-time watermarks require an instant (TIMESTAMP) column, so the
+    wall-clock NTZ column is cast through the session timezone and the
+    window start cast back — a lossless round-trip within one session."""
+    return (
+        stream_df.withColumn("_wts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .groupBy(F.window("_wts", "1 hour").alias("w"), F.col(key_col))
+        .agg(F.sum(value_col).alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            key_col,
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def available_now_ingest(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Cron-tick ingest: drain everything currently in the landing dir
+    into the sink, exactly once (checkpointed), then stop — the
+    Structured Streaming equivalent of the reference's daily Prefect
+    flow run."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def upsert_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+) -> None:
+    """K5 upsert as a streaming sink: each micro-batch is merged into the
+    keyed table via foreachBatch (new rows win on key collision), so
+    re-delivered/late records stay idempotent — the reference's
+    ON CONFLICT DO UPDATE (namdong_wind_collect.py:191-225) semantics."""
+    from ..sinks.writers import upsert
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert(batch_df.sparkSession, batch_df, table_path, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --- custom stateful operator: per-key running watermark (T6) -------------
+WATERMARK_STATE_SCHEMA = StructType(
+    [StructField("max_ts", LongType(), True), StructField("n_rows", LongType(), True)]
+)
+WATERMARK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("last_ts", TimestampNTZType(), True),
+        StructField("n_rows", LongType(), True),
+    ]
+)
+
+
+def _update_watermark(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Incrementally maintain MAX(ts)/COUNT per key across micro-batches."""
+    max_us, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        batch_max = pdf["ts"].max()
+        batch_us = int(batch_max.value // 1_000)  # ns → µs
+        max_us = batch_us if max_us is None else max(max_us, batch_us)
+        n += len(pdf)
+    state.update((max_us, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts": [pd.Timestamp(max_us * 1_000) if max_us is not None else pd.NaT],
+            "n_rows": [n],
+        }
+    )
+
+
+def running_watermark_stream(stream_df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """T6's per-key watermark table as an incrementally-maintained
+    stateful stream: emits the updated (key, last_ts, n_rows) row for
+    every key seen in each micro-batch."""
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _update_watermark,
+        outputStructType=WATERMARK_OUTPUT_SCHEMA,
+        stateStructType=WATERMARK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

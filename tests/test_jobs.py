@@ -1,0 +1,124 @@
+"""End-to-end job tests mirroring the reference's flows (SURVEY.md §3):
+PV collection transform+load invariants (24 rows/plant-day, idempotent
+replay), weather ETL impute+merge, and the dashboard SQL surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_data_pipeline_spark.jobs import (
+    daily_pv_job,
+    serve_dashboard,
+    weather_etl_job,
+)
+
+
+def _wide_pv_batch(spark, days, gencds=("G1", "G2"), base=10.0):
+    """One row per (day, gencd): ymd, gencd, hogi, plant_name, 24 hour cols."""
+    rows = []
+    for d in days:
+        for g in gencds:
+            row = {
+                "ymd": d,
+                "gencd": g,
+                "hogi": 1,
+                "plant_name": "None" if g == "G2" else f"plant-{g}",
+            }
+            for h in range(1, 25):
+                # a couple of dirty cells exercise the coerce path
+                row[f"qhorgen{h:02d}"] = (
+                    "bad" if (g == "G2" and h == 5) else str(base + h)
+                )
+            rows.append(row)
+    return spark.createDataFrame(rows)
+
+
+def test_daily_pv_job_shape_and_idempotency(spark, tmp_path):
+    path = str(tmp_path / "pv_generation")
+    name_map = {"G1": "plant-G1", "G2": "plant-G2-mapped"}
+
+    stats = daily_pv_job(
+        _wide_pv_batch(spark, ["20240101", "20240102"]), path, name_map
+    )
+    assert stats["rows_in_batch"] == 2 * 2 * 24
+    assert stats["rows_in_table"] == stats["rows_in_batch"]
+    assert stats["days_in_batch"] == 2
+
+    out = spark.read.parquet(path)
+    # 24 rows per plant-day invariant (daily_pv_automation.py:105-113)
+    per_day = out.groupBy("gencd", F.to_date("datetime").alias("d")).count()
+    assert all(r["count"] == 24 for r in per_day.collect())
+    # coerce-with-default: the dirty cell became 0.0, not NULL
+    assert out.filter("generation = 0.0").count() == 2  # one per day for G2 h5
+    # P14 fallback: "None" plant name replaced from the map
+    assert (
+        out.filter("gencd = 'G2'").select("plant_name").distinct().collect()[0][0]
+        == "plant-G2-mapped"
+    )
+
+    # replaying the SAME batch must not duplicate anything (K4 idempotency)
+    stats2 = daily_pv_job(
+        _wide_pv_batch(spark, ["20240101", "20240102"]), path, name_map
+    )
+    assert stats2["rows_in_table"] == stats["rows_in_table"]
+
+    # a corrected overlapping batch replaces only its own day
+    stats3 = daily_pv_job(
+        _wide_pv_batch(spark, ["20240102", "20240103"], base=100.0), path, name_map
+    )
+    out3 = spark.read.parquet(path)
+    assert stats3["rows_in_table"] == 3 * 2 * 24
+    jan1_max = out3.filter("datetime < '2024-01-02'").agg(F.max("generation")).collect()[0][0]
+    jan2_max = out3.filter(
+        "datetime >= '2024-01-02' and datetime < '2024-01-03'"
+    ).agg(F.max("generation")).collect()[0][0]
+    assert jan1_max < 50  # old batch value retained
+    assert jan2_max > 100  # replaced by corrected batch
+
+
+def _weather_batch(spark, stations=("seoul", "busan"), hours=72, gaps=((5, 2), (30, 5))):
+    rows = []
+    for s in stations:
+        for h in range(hours):
+            ta: float | None = 10.0 + 5 * math.sin(h / 24 * 2 * math.pi)
+            hm: float | None = 60.0 + 10 * math.cos(h / 24 * 2 * math.pi)
+            for start, length in gaps:
+                if start <= h < start + length:
+                    ta = None
+                    hm = None
+            rows.append((s, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h), ta, hm))
+    return spark.createDataFrame(rows, "station_name string, tm timestamp_ntz, ta double, hm double")
+
+
+def test_weather_etl_job_imputes_and_merges(spark, tmp_path):
+    path = str(tmp_path / "weather_all")
+    stats = weather_etl_job(_weather_batch(spark), path)
+    assert stats["ta_nulls_before"] == 2 * (2 + 5)
+    assert stats["ta_nulls_after"] == 0
+    assert stats["hm_nulls_after"] == 0
+    assert stats["rows_in_table"] == 2 * 72
+
+    # re-delivery of an overlapping corrected batch keeps the key unique
+    stats2 = weather_etl_job(_weather_batch(spark, hours=96), path)
+    assert stats2["rows_in_table"] == 2 * 96
+    out = spark.read.parquet(path)
+    assert out.groupBy("station_name", "tm").count().filter("count > 1").count() == 0
+
+
+def test_serve_dashboard_panels(spark, sf_small):
+    panels = serve_dashboard(spark, sf_small)
+    assert set(panels) == {
+        "hourly_generation_timeseries",
+        "window_total_stat",
+        "top10_entities",
+        "active_entity_count",
+        "daily_total_30d",
+    }
+    for name, df in panels.items():
+        rows = df.collect()
+        assert rows, f"panel {name} returned no rows"
+    assert panels["top10_entities"].count() == 10

@@ -1,0 +1,147 @@
+"""Structured Streaming semantics tests: AvailableNow incremental ingest,
+watermarked hourly aggregation, foreachBatch upsert idempotency, and the
+stateful per-key watermark operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_data_pipeline_spark.streaming import (
+    available_now_ingest,
+    hourly_aggregate_stream,
+    read_event_stream,
+    running_watermark_stream,
+    upsert_stream,
+)
+from energy_data_pipeline_spark.streaming.incremental import EVENT_STREAM_SCHEMA
+
+
+def _mk_batch(spark, rows):
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, v)
+        for (i, m, u, t, v) in rows
+    ]
+    return spark.createDataFrame(data, EVENT_STREAM_SCHEMA)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "landing": str(tmp_path / "landing"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "table": str(tmp_path / "table"),
+    }
+    return d
+
+
+def test_available_now_ingest_is_incremental(spark, dirs):
+    b1 = _mk_batch(spark, [(1, 0, 10, "click", 1.0), (2, 61, 10, "view", 2.0)])
+    b1.write.mode("append").parquet(dirs["landing"])
+
+    stream = read_event_stream(spark, dirs["landing"])
+    available_now_ingest(stream, dirs["sink"], dirs["ckpt"])
+    assert spark.read.parquet(dirs["sink"]).count() == 2
+
+    # second cron tick: only the NEW file is processed (checkpointed)
+    b2 = _mk_batch(spark, [(3, 120, 11, "click", 3.0)])
+    b2.write.mode("append").parquet(dirs["landing"])
+    stream = read_event_stream(spark, dirs["landing"])
+    available_now_ingest(stream, dirs["sink"], dirs["ckpt"])
+    out = spark.read.parquet(dirs["sink"])
+    assert out.count() == 3
+    assert out.select("event_id").distinct().count() == 3
+
+
+def test_hourly_aggregate_stream_matches_batch(spark, dirs):
+    rows = [(i, i * 7, i % 3, "click" if i % 2 else "view", float(i)) for i in range(40)]
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+
+    stream = read_event_stream(spark, dirs["landing"])
+    agg = hourly_aggregate_stream(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_agg")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["hour_start"], r["event_type"]): (r["total_value"], r["n_events"])
+        for r in spark.sql("select * from hourly_agg").collect()
+    }
+    batch = (
+        _mk_batch(spark, rows)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            .cast("timestamp_ntz")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.sum("value").alias("tv"), F.count(F.lit(1)).alias("n"))
+    )
+    want_all = {
+        (r["hour_start"], r["event_type"]): (r["tv"], r["n"]) for r in batch.collect()
+    }
+    # append mode emits only windows closed by the final watermark; every
+    # emitted window must match the batch result exactly
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert want_all[k] == v
+
+
+def test_upsert_stream_idempotent_redelivery(spark, dirs):
+    b1 = _mk_batch(spark, [(1, 0, 10, "click", 1.0), (2, 30, 11, "view", 2.0)])
+    b1.write.mode("append").parquet(dirs["landing"])
+    stream = read_event_stream(spark, dirs["landing"])
+    upsert_stream(stream, dirs["table"], keys=["event_id"], checkpoint_dir=dirs["ckpt"])
+    assert spark.read.parquet(dirs["table"]).count() == 2
+
+    # redelivery of event 2 with a corrected value + one new event
+    b2 = _mk_batch(spark, [(2, 30, 11, "view", 9.0), (3, 45, 12, "click", 3.0)])
+    b2.write.mode("append").parquet(dirs["landing"])
+    stream = read_event_stream(spark, dirs["landing"])
+    upsert_stream(stream, dirs["table"], keys=["event_id"], checkpoint_dir=dirs["ckpt"])
+
+    out = spark.read.parquet(dirs["table"])
+    assert out.count() == 3
+    assert out.filter("event_id = 2").collect()[0]["value"] == 9.0
+
+
+def test_running_watermark_stream_accumulates_state(spark, dirs):
+    collected: list = []
+
+    def _tick():
+        stream = read_event_stream(spark, dirs["landing"])
+        wm = running_watermark_stream(stream)
+        q = (
+            wm.writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = _mk_batch(spark, [(1, 0, 10, "click", 1.0), (2, 90, 10, "view", 2.0)])
+    b1.write.mode("append").parquet(dirs["landing"])
+    _tick()
+    rows = {r["user_id"]: r for r in collected}
+    assert rows[10]["n_rows"] == 2
+    assert rows[10]["last_ts"] == dt.datetime(2024, 1, 1, 1, 30)
+
+    # next tick: state persists across restarts via checkpoint
+    collected.clear()
+    b2 = _mk_batch(spark, [(3, 300, 10, "click", 3.0)])
+    b2.write.mode("append").parquet(dirs["landing"])
+    _tick()
+    rows2 = {r["user_id"]: r for r in collected}
+    assert rows2[10]["n_rows"] == 3
+    assert rows2[10]["last_ts"] == dt.datetime(2024, 1, 1, 5, 0)
