@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 
-from ..sources import load_table
+from ..sources import load_table  # noqa: F401  (re-exported for callers)
+from ..sources.tables import load_events_window
 from .catalog_core import CORE_QUERIES
 from .catalog_corpus import CORPUS_QUERIES
 from .catalog_ext import EXT_QUERIES
@@ -34,11 +35,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     window filter → hourly bucket → per-entity SUM → top-10.
     Parity: pv_test/grafana/dashboards/pv_dashboard.json panels 20/21.
     """
-    ev = load_table(spark, sf_dir, "events")
-    windowed = ev.filter(
-        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("ts") < F.lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
-    )
+    windowed = load_events_window(spark, sf_dir, "2024-01-01", "2024-02-01")
     return (
         windowed.groupBy("user_id")
         .agg(rnd(F.sum("value"), 4).alias("total_value"))

@@ -22,6 +22,7 @@ from ..functions.rounding import rnd
 from ..operators import dedup, topk
 from ..operators.rollup import daily_stats
 from ..sources import load_table
+from ..sources.tables import load_events_window
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -53,11 +54,9 @@ FROM events GROUP BY 1, 2
 # --- A2: global SUM over a time window (stat panel) ---
 # Parity: pv_dashboard.json:296 — SUM(generation) WHERE datetime BETWEEN.
 def window_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
-        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
-    ).agg(
+    # time predicate pushed in the nanos domain (row-group pruning at scale)
+    ev = load_events_window(spark, sf_dir, "2024-01-10", "2024-01-20")
+    return ev.agg(
         rnd(F.sum("value"), 4).alias("total_value"),
         F.count(F.lit(1)).alias("n_rows"),
     )

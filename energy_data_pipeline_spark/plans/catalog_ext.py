@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rnd
 from ..operators import multimodal, similarity
 from ..sources import fan_out, load_table
+from ..sources.tables import load_events_window
 
 
 # --- T7 / J4: completeness-driven backfill plan ---------------------------
@@ -27,10 +28,7 @@ T7_REQUIRED_HOURS = 20
 
 
 def incomplete_days_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        (F.col("ts") >= F.lit(T7_START).cast("timestamp_ntz"))
-        & (F.col("ts") < F.lit(T7_END).cast("timestamp_ntz"))
-    )
+    ev = load_events_window(spark, sf_dir, T7_START, T7_END)
     users = ev.select("user_id").distinct()
     days = spark.range(1).select(
         F.explode(
@@ -148,16 +146,12 @@ T8_CUT = "2024-01-10"
 
 
 def accumulating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    old_batch = ev.filter(
-        F.col("ts") < F.lit(T8_CUT).cast("timestamp_ntz")
-    ).withColumn("_batch_seq", F.lit(1))
+    old_batch = load_events_window(spark, sf_dir, None, T8_CUT).withColumn(
+        "_batch_seq", F.lit(1)
+    )
     # the "restated" re-delivery: overlapping slice with corrected values
     new_batch = (
-        ev.filter(
-            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp_ntz"))
-        )
+        load_events_window(spark, sf_dir, "2024-01-05", "2024-01-12")
         .withColumn("value", rnd(F.col("value") * 1.1, 4))
         .withColumn("_batch_seq", F.lit(2))
     )

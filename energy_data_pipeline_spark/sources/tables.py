@@ -51,6 +51,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_window(
+    spark: SparkSession,
+    sf_dir: str,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """events scan with the time predicate applied in the RAW nanos
+    domain, BEFORE the long→TIMESTAMP_NTZ rebuild.
+
+    Filtering the rebuilt column cannot push past the arithmetic
+    (Catalyst won't invert it), so the scan would read every row group.
+    Translating the bounds to int64 nanos pushes a plain range predicate
+    into the parquet scan — at 100 TB this is the difference between
+    pruning to the touched row groups and a full-table read.
+    ``start``/``end`` are 'YYYY-MM-DD[ HH:MM:SS]' wall-clock strings,
+    half-open [start, end).
+    """
+    import datetime as _dt
+
+    def _nanos(s: str) -> int:
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+        d = _dt.datetime.strptime(s, fmt)
+        return int((d - _dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000_000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(_nanos(start)))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(_nanos(end)))
+        return df.withColumn("ts", _nanos_to_ntz("ts"))
+    # driver stored a real timestamp column: filter on it directly
+    if start is not None:
+        df = df.filter(F.col("ts") >= F.lit(start).cast("timestamp_ntz"))
+    if end is not None:
+        df = df.filter(F.col("ts") < F.lit(end).cast("timestamp_ntz"))
+    return df
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IF the scan is under-parallel.
 
