@@ -1,0 +1,69 @@
+"""Plan-quality regression tests: the physical plans we audited into
+shape must stay in shape. Catches silent regressions that correctness
+tests cannot (a filter that stops pushing down, a broadcast that falls
+back to an unpartitioned cross product)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_data_pipeline_spark.plans.catalog import CATALOG, flagship
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_unpartitioned_cartesian_anywhere(spark):
+    """CartesianProduct (non-broadcast cross join) must never appear —
+    every intended cross is broadcast-shaped (BroadcastNestedLoopJoin
+    with a tiny build side)."""
+    offenders = []
+    for name, (fn, _sql) in CATALOG.items():
+        if plan_of(fn(spark, SF)).count("CartesianProduct"):
+            offenders.append(name)
+    assert not offenders, f"unpartitioned cross product in: {offenders}"
+
+
+@pytest.mark.parametrize("name", ["a2_window_total", "t7_incomplete_days_backfill"])
+def test_events_time_window_pushes_down(spark, name):
+    """Time-window filters must reach the parquet scan in the raw nanos
+    domain (PushedFilters range on ts), not evaluate post-scan."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "GreaterThanOrEqual(ts," in plan or "LessThan(ts," in plan, plan[:2000]
+
+
+def test_flagship_pushes_down_and_limits(spark):
+    plan = plan_of(flagship(spark, SF))
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "TakeOrderedAndProject" in plan  # top-k is limit-aware, not a full sort
+
+
+@pytest.mark.parametrize(
+    "name", ["j1_dim_join_agg", "j2_supplier_window_activity", "q3_top_urgent_orders"]
+)
+def test_dim_joins_broadcast(spark, name):
+    """Fact-dim joins must broadcast the dim, never sort-merge it."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scans_prune_columns(spark):
+    """q1 reads 7 of 11 lineitem columns — ReadSchema must not contain
+    the unused ones (column pruning reaches the scan)."""
+    fn, _ = CATALOG["q1_pricing_summary"]
+    plan = plan_of(fn(spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
