@@ -52,6 +52,17 @@ def main() -> None:
         except Exception:
             pass
 
+    # spawn the Python UDF workers once so the first pandas-UDF query
+    # isn't charged the per-executor interpreter cold start
+    import pandas as _pd  # noqa: F401
+
+    def _ident(it):
+        yield from it
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _ident, schema="id long"
+    ).count()
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(CATALOG.items()):
         t0 = time.perf_counter()

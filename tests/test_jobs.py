@@ -122,3 +122,35 @@ def test_serve_dashboard_panels(spark, sf_small):
         rows = df.collect()
         assert rows, f"panel {name} returned no rows"
     assert panels["top10_entities"].count() == 10
+
+
+def _wide_wind_batch(spark, days, plants=(("한림풍력", 1), ("한림풍력", 2), ("성산풍력", 1))):
+    rows = []
+    for d in days:
+        for name, hogi in plants:
+            row = {"ymd": d, "plant_name": name, "hogi": hogi}
+            for h in range(1, 25):
+                row[f"qhorGen{h:02d}"] = float(h + hogi * 10)
+            rows.append(row)
+    return spark.createDataFrame(rows)
+
+
+def test_wind_ingest_job_rollover_suffix_upsert(spark, tmp_path):
+    from energy_data_pipeline_spark.jobs import wind_ingest_job
+
+    path = str(tmp_path / "wind")
+    stats = wind_ingest_job(_wide_wind_batch(spark, ["20240101"]), path)
+    assert stats["rows_in_batch"] == 3 * 24
+    out = spark.read.parquet(path)
+    # P9: hour 24 rolled to next-day 00:00
+    rolled = out.filter("timestamp = '2024-01-02 00:00:00'")
+    assert rolled.count() == 3
+    assert out.filter("timestamp = '2024-01-01 00:00:00'").count() == 0
+    # P15/A8: multi-unit plant suffixed, single-unit untouched
+    names = {r[0] for r in out.select("plant_name").distinct().collect()}
+    assert names == {"한림풍력 1", "한림풍력 2", "성산풍력"}
+    # K5: redelivery upserts, no key duplicates
+    stats2 = wind_ingest_job(_wide_wind_batch(spark, ["20240101"]), path)
+    assert stats2["rows_in_table"] == stats["rows_in_table"]
+    out2 = spark.read.parquet(path)
+    assert out2.groupBy("timestamp", "plant_name").count().filter("count > 1").count() == 0
