@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 
-from ..sources import load_table  # noqa: F401  (re-exported for callers)
 from ..sources.tables import load_events_window
 from .catalog_core import CORE_QUERIES
 from .catalog_corpus import CORPUS_QUERIES

@@ -14,7 +14,7 @@ dashboard SQL / pipeline SQL from /root/reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd

@@ -17,7 +17,6 @@ from ..functions.rounding import rnd
 
 from ..functions import text as T
 from ..operators import neardup, similarity
-from ..operators.dedup import duplicate_groups
 from ..sources import fan_out, load_table
 
 # ---------------------------------------------------------------- helpers

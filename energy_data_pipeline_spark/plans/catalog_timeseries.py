@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 
-from ..operators.gaps import null_gap_islands, sessionize
+from ..operators.gaps import sessionize
 from ..operators.impute import impute_missing_values, spline_impute_short_gaps
 from ..sources import load_table
 

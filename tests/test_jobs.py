@@ -154,3 +154,35 @@ def test_wind_ingest_job_rollover_suffix_upsert(spark, tmp_path):
     assert stats2["rows_in_table"] == stats["rows_in_table"]
     out2 = spark.read.parquet(path)
     assert out2.groupBy("timestamp", "plant_name").count().filter("count > 1").count() == 0
+
+
+def test_notify_job_result_mocked(monkeypatch):
+    from energy_data_pipeline_spark.jobs.notify import notify_job_result
+
+    sent = []
+
+    def fake_transport(url, payload):
+        sent.append((url, payload))
+        return 200
+
+    # no URL configured -> silent skip
+    monkeypatch.delenv("NOTIFY_WEBHOOK_URL", raising=False)
+    assert notify_job_result("pv", {"rows": 1}, transport=fake_transport) is False
+    assert sent == []
+    # explicit URL -> delivered
+    assert notify_job_result(
+        "pv", {"rows": 1}, webhook_url="http://x", transport=fake_transport
+    )
+    assert sent[0][0] == "http://x" and "pv" in sent[0][1]["text"]
+
+    # HTTP 500 -> False, no raise
+    assert (
+        notify_job_result("pv", {}, webhook_url="http://x", transport=lambda u, p: 500)
+        is False
+    )
+
+    # transport exception -> False, no raise
+    def boom(u, p):
+        raise OSError("down")
+
+    assert notify_job_result("pv", {}, webhook_url="http://x", transport=boom) is False
