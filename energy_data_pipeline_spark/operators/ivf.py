@@ -1,0 +1,153 @@
+"""IVF (inverted-file) approximate nearest neighbor — the second scale
+path next to random-hyperplane LSH (operators/similarity.py).
+
+Two pieces, deliberately separable:
+
+- ``kmeans_lloyd``: coarse-quantizer training as iterative DataFrame
+  jobs — assignment is a broadcast-centroid argmin (narrow, codegen),
+  the update is one groupBy averaging vectors per cell. Each Lloyd
+  round is one shuffle of (cell, vector) partial sums; centroids
+  (k × dim doubles) always fit in a broadcast. This is how the engine
+  expresses iterative algorithms: driver-side loop over declarative
+  rounds, nothing collected but the k centroids.
+- ``ivf_assign`` / ``ivf_topk``: index-time cell assignment and
+  query-time search probing the ``nprobe`` nearest cells only. At 100 TB
+  the cell assignment is the partition key — cells are co-located, and a
+  query touches nprobe/k of the corpus.
+
+Determinism: centroids are either passed in, or seeded by taking the
+first-k vectors in id order — so search results are reproducible and the
+assignment/search stages have an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..functions.vectors import cosine, l2_distance
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int = N_CELLS
+) -> list[list[float]]:
+    """Deterministic seeding: the k lowest-id vectors (cast to double).
+    Good enough as a fixed coarse quantizer for oracle-checked search;
+    refine with ``kmeans_lloyd`` when recall matters more than parity."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.lit([[float(x) for x in c] for c in centroids])
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indices (0-based) of the n nearest centroids by L2, ties by index.
+
+    One array expression: distances via zip_with folds against a single
+    array<array<double>> literal, then an argsort by (distance, index).
+    """
+    cents = _centroid_lit(centroids)
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(c, vec, lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            i.alias("idx"),
+        ),
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, n)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: each vector gets its nearest cell id (partition key
+    at scale)."""
+    return corpus.withColumn(
+        "cell", F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Search: probe the query's ``nprobe`` nearest cells, exact cosine
+    within the probed subset, top-k per query."""
+    indexed = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", rnd(cosine("_qv", "_cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = N_CELLS,
+    iterations: int = 5,
+) -> list[list[float]]:
+    """Train the coarse quantizer: Lloyd iterations as DataFrame rounds.
+
+    Per round: broadcast-centroid argmin assignment (narrow) → groupBy
+    cell with element-wise vector sums (one shuffle of k×dim partials) →
+    collect k centroids. Empty cells keep their previous centroid."""
+    centroids = seed_centroids(corpus, id_col, vec_col, k)
+    dim = len(centroids[0])
+    vecs = corpus.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    for _ in range(iterations):
+        assigned = vecs.withColumn(
+            "cell", F.element_at(_nearest_cells(F.col("v"), centroids, 1), 1)
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("v", d + 1)).alias(f"s{d}") for d in range(dim)],
+        )
+        new = {
+            r["cell"]: [r[f"s{d}"] / r["n"] for d in range(dim)]
+            for r in sums.collect()
+        }
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids

@@ -101,6 +101,48 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize over binary payloads.
+
+    The real kernel (PIL ``Image.resize``) is stubbed like decode; the
+    fake path produces a deterministic payload of exactly target_w ×
+    target_h bytes (md5-keystream of the original), so the Spark-side
+    contract — binary in/binary out, metadata rewritten to the target
+    dimensions, non-images passed through untouched — is fully testable.
+    """
+
+    def _fake_resize(payload: bytes) -> bytes:
+        need = target_w * target_h
+        out = bytearray()
+        counter = 0
+        seed = hashlib.md5(payload).digest()
+        while len(out) < need:
+            out.extend(hashlib.md5(seed + counter.to_bytes(4, "little")).digest())
+            counter += 1
+        return bytes(out[:need])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            payloads = []
+            for p, img in zip(pdf["payload"], is_img):
+                if not img or p is None:
+                    payloads.append(p)
+                elif fake:
+                    payloads.append(_fake_resize(bytes(p)))
+                else:  # pragma: no cover - stub
+                    decode_real(bytes(p))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf.loc[is_img, "width"] = target_w
+            pdf.loc[is_img, "height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media, frame_ts).
 

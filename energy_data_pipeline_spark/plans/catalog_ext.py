@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
-from ..operators import multimodal, similarity
+from ..operators import ivf, multimodal, similarity
 from ..sources import fan_out, load_table
 from ..sources.tables import load_events_window
 
@@ -227,6 +227,66 @@ FROM pairs WHERE {cos} >= {EMB_DUP_THRESHOLD}
 """
 
 
+# --- ANN: IVF (inverted-file) top-k — the second scale path ---------------
+IVF_QUERY_MAX = 8
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf.seed_centroids(emb, "vec_id", "embedding", k=ivf.N_CELLS)
+    return ivf.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < IVF_QUERY_MAX),
+        cents,
+        k=5,
+        nprobe=ivf.N_PROBE,
+    )
+
+
+def _ivf_sql() -> str:
+    cos = (
+        "round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))"
+        " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings ORDER BY vec_id LIMIT {ivf.N_CELLS}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dist AS (
+  SELECT e.vec_id, cents.cid,
+         list_sum(list_transform(range(1, len(v) + 1),
+                  i -> (c[i] - v[i]) * (c[i] - v[i]))) AS d2
+  FROM e CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid, row_number() OVER (
+           PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+  FROM dist
+), assign AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM ranked
+  WHERE vec_id < {IVF_QUERY_MAX} AND rk <= {ivf.N_PROBE}
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         eq.v AS qv, ea.v AS cv
+  FROM qprobe q
+  JOIN assign a USING (cell)
+  JOIN e eq ON eq.vec_id = q.query_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos} DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 # --- P12: numeric extraction from text ------------------------------------
 # Reference: initial_db_ingestion.py:57-62 (clean_spec "100.5kW" → 100.5).
 def numeric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +437,7 @@ EXT_QUERIES = {
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
     "t8_accumulating_merge": (accumulating_merge, T8_SQL),
     "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
+    "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "p12_numeric_extraction": (numeric_extraction, P12_SQL),
     "p14_key_and_map_lookup": (key_and_map_lookup, _p14_sql()),
     "p16_month_chunks": (month_chunks, P16_SQL),

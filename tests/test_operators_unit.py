@@ -225,3 +225,44 @@ def test_frame_sample_plan_counts(spark):
     assert set(counts) == set(durations)
     for mid, n in counts.items():
         assert n == (durations[mid] - 1) // 500 + 1
+
+
+def test_multimodal_resize_contract(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    out = multimodal.resize_images(media, target_w=8, target_h=4)
+    rows = out.collect()
+    assert len(rows) == 30
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["width"] == 8 and r["height"] == 4
+            assert len(r["payload"]) == 32
+        else:  # non-images untouched
+            assert r["width"] is None
+    # determinism
+    again = multimodal.resize_images(media, target_w=8, target_h=4).collect()
+    a = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    b = {r["media_id"]: bytes(r["payload"]) for r in again}
+    assert a == b
+
+
+def test_kmeans_lloyd_improves_inertia(spark, sf_small):
+    from energy_data_pipeline_spark.operators import ivf
+    from energy_data_pipeline_spark.sources import load_table
+    import numpy as np
+
+    emb = load_table(spark, sf_small, "embeddings")
+    vecs = np.array([[float(x) for x in r["embedding"]] for r in emb.collect()])
+
+    def inertia(cents):
+        c = np.array(cents)
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    seeded = ivf.seed_centroids(emb, "vec_id", "embedding")
+    trained = ivf.kmeans_lloyd(emb, iterations=3)
+    assert len(trained) == ivf.N_CELLS
+    assert inertia(trained) < inertia(seeded)
+    # trained quantizer still serves exact-cosine top-k search
+    out = ivf.ivf_topk(emb, emb.filter("vec_id < 3"), trained, k=3)
+    got = out.collect()
+    assert len(got) == 9
