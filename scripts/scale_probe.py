@@ -1,0 +1,156 @@
+"""Scale probe: run headline operator shapes on synthetic data 17-20x the
+sf0.1 bench size and record wall-clock scaling factors.
+
+Generates data with Spark itself (range + expressions — nothing touches
+/root/testdata), so the probe is reproducible anywhere:
+
+  python scripts/scale_probe.py          # writes scale_probe_results.json
+
+Shapes probed:
+- flagship (window filter → groupBy sum → top-k) on 0.6M vs 12M events
+- keep-last dedup (window row_number) at both sizes
+- hot-key join: 95%-skewed key, plain vs salted_join
+- MinHash-LSH near-dup end-to-end on 5k vs 100k documents
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def synth_events(spark, n: int):
+    return (
+        spark.range(0, n, 1, 64)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_add(
+                "SECOND",
+                (F.col("id") * 7 % 5_184_000).cast("long"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+            ).alias("ts"),
+            (F.xxhash64("id") % 10_000).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("click"), F.lit("view"), F.lit("purchase"), F.lit("error")),
+                (F.pmod(F.xxhash64("id", F.lit(1)), 4) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 10_000) / 100.0).alias("value"),
+        )
+    )
+
+
+def synth_docs(spark, n: int):
+    vocab = [f"w{i:03d}" for i in range(400)]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    word_at = lambda j: F.element_at(  # noqa: E731
+        varr, (F.pmod(F.xxhash64("id", F.lit(j)), 400) + 1).cast("int")
+    )
+    text = F.concat_ws(" ", *[word_at(j) for j in range(40)])
+    # 10% near-dups: same words as doc id-1 with one word changed
+    return spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # flagship shape + keep-last dedup at 0.6M vs 12M
+    for label, n in [("0.6M", 600_000), ("12M", 12_000_000)]:
+        ev = synth_events(spark, n)
+        ev.count()  # materialize generation cost outside timing? generation is lazy; include it, it's identical per-row work
+        results[f"flagship_{label}"] = timed(
+            lambda: noop(
+                ev.filter(
+                    (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+                    & (F.col("ts") < F.lit("2024-02-01").cast("timestamp_ntz"))
+                )
+                .groupBy("user_id")
+                .agg(F.sum("value").alias("t"))
+                .orderBy(F.desc("t"))
+                .limit(10)
+            )
+        )
+        w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("event_id"))
+        results[f"dedup_keep_last_{label}"] = timed(
+            lambda: noop(
+                ev.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1")
+            )
+        )
+
+    # hot-key join: 95% of rows share one key; dim is 100k rows (not broadcast)
+    from energy_data_pipeline_spark.operators.skew import salted_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    big = spark.range(0, 6_000_000, 1, 64).select(
+        F.when(F.pmod("id", 20) < 19, F.lit(7)).otherwise(F.pmod("id", 100_000)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), "id").alias("name")
+    )
+    results["hotkey_join_plain"] = timed(
+        lambda: noop(big.join(dim, "k"))
+    )
+    results["hotkey_join_salted"] = timed(
+        lambda: noop(salted_join(big, dim, ["k"], salt_factor=32))
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    # minhash end-to-end at 5k vs 100k docs
+    from energy_data_pipeline_spark.operators.neardup import minhash_lsh_near_dups
+
+    for label, n in [("5k", 5_000), ("100k", 100_000)]:
+        docs = synth_docs(spark, n)
+        results[f"minhash_lsh_{label}"] = timed(
+            lambda: noop(minhash_lsh_near_dups(docs, "doc_id", "text", threshold=0.5))
+        )
+
+    results["ratios"] = {
+        "flagship_20x_data": round(results["flagship_12M"] / results["flagship_0.6M"], 2),
+        "dedup_20x_data": round(
+            results["dedup_keep_last_12M"] / results["dedup_keep_last_0.6M"], 2
+        ),
+        "minhash_20x_docs": round(
+            results["minhash_lsh_100k"] / results["minhash_lsh_5k"], 2
+        ),
+        "salted_vs_plain_hotkey": round(
+            results["hotkey_join_salted"] / results["hotkey_join_plain"], 2
+        ),
+    }
+    print(json.dumps(results, indent=2))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scale_probe_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
