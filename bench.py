@@ -63,6 +63,25 @@ def main() -> None:
         _ident, schema="id long"
     ).count()
 
+    # JIT/codegen warmup: touch the interpreted higher-order-function and
+    # hash/regex evaluators once so the first text-heavy query measures
+    # steady-state throughput, not JVM warmup
+    from pyspark.sql import functions as F
+
+    warm = spark.range(0, 2000, 1, int(cpus)).select(
+        F.concat_ws(" ", F.lit("a b c d"), F.col("id").cast("string")).alias("t")
+    )
+    warm.select(
+        F.md5("t"),
+        F.array_sort(F.array_distinct(F.filter(F.split("t", r"\s+"), lambda w: w != ""))),
+        F.aggregate(
+            F.transform(F.split("t", r"\s+"), F.md5),
+            F.lit(0),
+            lambda a, h: a + F.when(F.substring(h, 1, 1) == "a", 1).otherwise(0),
+        ),
+        F.regexp_extract("t", r"(\d+)", 1),
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(CATALOG.items()):
         t0 = time.perf_counter()
