@@ -287,6 +287,32 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
+# --- O1/O2: sorted timeseries panel with limit ----------------------------
+# Reference: wind_dashboard.json panel 1 — SELECT ... ORDER BY timestamp;
+# deterministic under LIMIT via the event_id tiebreak.
+def recent_events_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_window(spark, sf_dir, "2024-01-01", "2024-01-08")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_id",
+            "event_type",
+            rnd("value", 4).alias("value"),
+        )
+    )
+
+
+O1_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_id, event_type,
+       round(value, 4) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+ORDER BY ts DESC, event_id ASC LIMIT 100
+"""
+
+
 # --- P12: numeric extraction from text ------------------------------------
 # Reference: initial_db_ingestion.py:57-62 (clean_spec "100.5kW" → 100.5).
 def numeric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +464,7 @@ EXT_QUERIES = {
     "t8_accumulating_merge": (accumulating_merge, T8_SQL),
     "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
+    "o1_recent_events_sorted": (recent_events_sorted, O1_SQL),
     "p12_numeric_extraction": (numeric_extraction, P12_SQL),
     "p14_key_and_map_lookup": (key_and_map_lookup, _p14_sql()),
     "p16_month_chunks": (month_chunks, P16_SQL),

@@ -266,3 +266,33 @@ def test_kmeans_lloyd_improves_inertia(spark, sf_small):
     out = ivf.ivf_topk(emb, emb.filter("vec_id < 3"), trained, k=3)
     got = out.collect()
     assert len(got) == 9
+
+
+# --- §1.3 schema-alias resolution -----------------------------------------
+def test_resolve_columns_alias_fallbacks(spark):
+    from energy_data_pipeline_spark.sources.schema_resolve import (
+        PV_ALIASES,
+        WEATHER_ALIASES,
+        resolve_columns,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "seoul", 1.0)], "date string, station_name string, ta double"
+    )
+    out = resolve_columns(df, WEATHER_ALIASES, required=["tm", "stnNm"])
+    assert set(out.columns) == {"tm", "stnNm", "ta"}
+
+    # canonical already present: untouched; extra columns pass through
+    df2 = spark.createDataFrame([("x", 1.0)], "tm string, ta double")
+    out2 = resolve_columns(df2, WEATHER_ALIASES)
+    assert out2.columns == ["tm", "ta"]
+
+    # missing required -> error listing the candidate chain
+    df3 = spark.createDataFrame([(1.0,)], "ta double")
+    with pytest.raises(ValueError, match="tried"):
+        resolve_columns(df3, WEATHER_ALIASES, required=["tm"])
+
+    # Korean PV fallback (발전구분 -> 발전소명)
+    df4 = spark.createDataFrame([("solar", 1.0)], "`발전구분` string, v double")
+    out4 = resolve_columns(df4, PV_ALIASES)
+    assert "발전소명" in out4.columns
