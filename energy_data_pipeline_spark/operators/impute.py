@@ -226,13 +226,50 @@ def historical_average_impute(
         ),
     )
 
-    profile = historical_profile(df, ts_col, value_col, key_list)
-    series_mean = (
+    # one pass builds all three cascade levels: GROUPING SETS
+    # ((keys,m,d,h), (keys), ()) instead of three scans of the fact
+    # table — at scale this is the difference between 1 and 3 reads.
+    nn = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(*key_list)
-        .agg(F.avg(value_col).alias("_series_mean"))
+        .select(
+            *key_list,
+            F.month(ts).alias("_m"),
+            F.dayofmonth(ts).alias("_d"),
+            F.hour(ts).alias("_h"),
+            F.col(value_col).alias("_v"),
+        )
     )
-    global_mean = df.agg(F.avg(value_col).alias("_global_mean"))
+    gcols = key_list + ["_m", "_d", "_h"]
+    levels = (
+        nn.groupingSets([gcols, key_list, []], *gcols)
+        .agg(F.avg("_v").alias("_mean"), F.grouping_id().alias("_gid"))
+        .persist()
+    )
+    n = len(gcols)
+    slot_gid, series_gid, global_gid = 0, (1 << 3) - 1, (1 << n) - 1
+    profile = levels.filter(F.col("_gid") == slot_gid).select(
+        *gcols, F.col("_mean").alias("_slot_mean")
+    )
+    series_mean = levels.filter(F.col("_gid") == series_gid).select(
+        *key_list, F.col("_mean").alias("_series_mean")
+    )
+    # the global row vanishes on all-null input; a left join against a
+    # one-row frame keeps the cascade well-defined (fills stay NULL)
+    spark = df.sparkSession
+    global_mean = (
+        spark.range(1)
+        .select(F.lit(1).alias("_one"))
+        .join(
+            F.broadcast(
+                levels.filter(F.col("_gid") == global_gid).select(
+                    F.lit(1).alias("_one"), F.col("_mean").alias("_global_mean")
+                )
+            ),
+            "_one",
+            "left",
+        )
+        .drop("_one")
+    )
 
     out = (
         tagged.withColumn("_m", F.month(ts))
