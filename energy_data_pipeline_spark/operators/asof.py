@@ -1,0 +1,93 @@
+"""As-of join — align each left row with the most recent right row at or
+before its timestamp, per key (the canonical time-series enrichment:
+"attach the latest prior weather reading to each generation hour").
+
+Spark has no built-in as-of join; the naive range join
+(l.ts >= r.ts, max per pair) explodes quadratically per key. This
+implementation is the scalable union-tag form:
+
+1. tag right rows and union them with left rows on (key, ts);
+2. one window per key ordered by ts carries the last seen right value
+   forward (last_value ignorenulls);
+3. keep the left rows.
+
+Cost: a single shuffle on the key — the same exchange a groupBy would
+pay — independent of how many right rows precede each left row. A
+``tolerance`` bounds staleness (right rows older than tolerance are
+ignored), matching the usual as-of semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest right
+    ``value_cols`` whose ``right_ts`` <= ``left_ts`` (per ``on`` key and
+    within ``tolerance_seconds`` when given); NULL when no prior right
+    row exists.
+
+    Ties on equal timestamps resolve to the right row (<= semantics),
+    with right-before-left union ordering making that deterministic.
+    """
+    keys = list(on)
+    vals = list(value_cols)
+
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in vals],
+        F.lit(None).cast("timestamp_ntz").alias("_r_ts"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
+        *[F.col(c).alias(f"_r_{c}") for c in vals],
+        F.col(right_ts).cast("timestamp_ntz").alias("_r_ts"),
+    )
+    # right rows sort before left rows at equal ts → "<=" semantics
+    unioned = rhs.unionByName(lhs)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
+            for c in vals
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_carried_ts"),
+    )
+    out = carried.filter(F.col("_is_left") == 1)
+    fresh = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.col("_carried_ts")
+        >= F.timestamp_add("SECOND", F.lit(-tolerance_seconds), F.col("_ts"))
+    )
+    return out.select(
+        F.col("_row.*"),
+        *[
+            F.when(fresh, F.col(f"_carried_{c}")).alias(f"{c}{suffix}")
+            for c in vals
+        ],
+    )

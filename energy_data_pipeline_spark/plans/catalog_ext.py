@@ -313,6 +313,55 @@ ORDER BY ts DESC, event_id ASC LIMIT 100
 """
 
 
+# --- as-of join: each purchase gets the latest prior view value ----------
+# Custom operator (Spark lacks as-of join); oracle uses DuckDB's native
+# ASOF JOIN, so the union-tag+window implementation is verified against
+# an independent reference implementation of the semantics.
+def purchases_asof_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_events_window(spark, sf_dir, "2024-01-01", "2024-01-15")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        rnd("value", 4).alias("purchase_value"),
+        rnd("view_value_asof", 4).alias("prior_view_value"),
+    )
+
+
+ASOF_SQL = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+), p AS (
+  SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value AS view_value FROM ev WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       round(p.value, 4) AS purchase_value,
+       round(v.view_value, 4) AS prior_view_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 # --- P12: numeric extraction from text ------------------------------------
 # Reference: initial_db_ingestion.py:57-62 (clean_spec "100.5kW" → 100.5).
 def numeric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +514,7 @@ EXT_QUERIES = {
     "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "o1_recent_events_sorted": (recent_events_sorted, O1_SQL),
+    "j6_purchases_asof_views": (purchases_asof_views, ASOF_SQL),
     "p12_numeric_extraction": (numeric_extraction, P12_SQL),
     "p14_key_and_map_lookup": (key_and_map_lookup, _p14_sql()),
     "p16_month_chunks": (month_chunks, P16_SQL),

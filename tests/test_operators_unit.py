@@ -296,3 +296,52 @@ def test_resolve_columns_alias_fallbacks(spark):
     df4 = spark.createDataFrame([("solar", 1.0)], "`발전구분` string, v double")
     out4 = resolve_columns(df4, PV_ALIASES)
     assert "발전소명" in out4.columns
+
+
+# --- as-of join edge semantics --------------------------------------------
+def test_asof_join_semantics(spark):
+    from energy_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", "2024-01-01 10:00:00"),   # tie with right at 10:00
+            (2, "u", "2024-01-01 11:30:00"),   # between rights
+            (3, "u", "2024-01-01 08:00:00"),   # before any right
+            (4, "w", "2024-01-01 12:00:00"),   # key with no rights
+        ],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 09:00:00", 9.0),
+            ("u", "2024-01-01 10:00:00", 10.0),
+            ("u", "2024-01-01 11:00:00", 11.0),
+        ],
+        "k string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    out = {
+        r["id"]: r["rv_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["rv"]
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 11.0, 3: None, 4: None}
+
+    # tolerance: a right row older than 30 min is too stale
+    out_tol = {
+        r["id"]: r["rv_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rv"], tolerance_seconds=1800,
+        ).collect()
+    }
+    assert out_tol == {1: 10.0, 2: 11.0, 3: None, 4: None}
+    out_tight = {
+        r["id"]: r["rv_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rv"], tolerance_seconds=60,
+        ).collect()
+    }
+    assert out_tight == {1: 10.0, 2: None, 3: None, 4: None}
