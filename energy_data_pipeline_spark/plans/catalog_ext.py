@@ -362,6 +362,88 @@ FROM p ASOF LEFT JOIN v
 """
 
 
+# --- interval join: clicks inside each user-day purchase span -------------
+# Custom operator (bucketed equi-join form of the range join); oracle is
+# the plain BETWEEN theta join.
+def clicks_in_purchase_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import bucketed_interval_join
+
+    ev = load_events_window(spark, sf_dir, "2024-01-01", "2024-01-08")
+    spans = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("span_start"), F.max("ts").alias("span_end"))
+        .filter(F.col("span_start") < F.col("span_end"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = bucketed_interval_join(
+        clicks, spans, on=["user_id"], ts_col="ts",
+        start_col="span_start", end_col="span_end", bucket_seconds=3600,
+    )
+    return joined.groupBy(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_clicks_in_span"))
+
+
+INTERVAL_JOIN_SQL = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+), spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(ts) AS span_start, max(ts) AS span_end
+  FROM ev WHERE event_type = 'purchase'
+  GROUP BY 1, 2 HAVING min(ts) < max(ts)
+), clicks AS (
+  SELECT user_id, ts FROM ev WHERE event_type = 'click'
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       count(*) AS n_clicks_in_span
+FROM clicks c JOIN spans s
+  ON c.user_id = s.user_id AND c.ts BETWEEN s.span_start AND s.span_end
+GROUP BY 1, 2
+"""
+
+
+# --- hypertable-style multi-grain rollup (one pass, grouping sets) --------
+def multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import rollup_time_grains
+
+    ev = load_events_window(spark, sf_dir, "2024-01-01", "2024-01-08")
+    out = rollup_time_grains(
+        ev,
+        "ts",
+        keys=["event_type"],
+        aggs={
+            "total_value": rnd(F.sum("value"), 4),
+            "n_events": F.count(F.lit(1)),
+        },
+        grains=("hour", "day"),
+    )
+    return out.select(
+        "grain",
+        F.date_format("grain_start", "yyyy-MM-dd HH:mm:ss").alias("grain_start"),
+        "event_type",
+        "total_value",
+        "n_events",
+    )
+
+
+MULTIGRAIN_SQL = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+)
+SELECT 'hour' AS grain, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS grain_start,
+       event_type, round(sum(value), 4) AS total_value, count(*) AS n_events
+FROM ev GROUP BY 2, 3
+UNION ALL
+SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+       event_type, round(sum(value), 4), count(*)
+FROM ev GROUP BY 2, 3
+"""
+
+
 # --- P12: numeric extraction from text ------------------------------------
 # Reference: initial_db_ingestion.py:57-62 (clean_spec "100.5kW" → 100.5).
 def numeric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +597,8 @@ EXT_QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "o1_recent_events_sorted": (recent_events_sorted, O1_SQL),
     "j6_purchases_asof_views": (purchases_asof_views, ASOF_SQL),
+    "j7_clicks_in_purchase_spans": (clicks_in_purchase_spans, INTERVAL_JOIN_SQL),
+    "a12_multigrain_rollup": (multigrain_rollup, MULTIGRAIN_SQL),
     "p12_numeric_extraction": (numeric_extraction, P12_SQL),
     "p14_key_and_map_lookup": (key_and_map_lookup, _p14_sql()),
     "p16_month_chunks": (month_chunks, P16_SQL),
