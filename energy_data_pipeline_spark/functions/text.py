@@ -158,6 +158,19 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def dup_word_ratio(col: Column | str) -> Column:
+    """Share of words that are repeats of an earlier word — the cheap
+    repetition signal used to filter degenerate/boilerplate documents
+    from training corpora (1 - distinct/total; 0.0 for empty text)."""
+    return _let(
+        words(col),
+        lambda w: F.when(
+            F.size(w) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct not applied).
 

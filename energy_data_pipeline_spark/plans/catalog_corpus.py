@@ -349,6 +349,60 @@ FROM base
 """
 
 
+# --- text analysis: repetition signals ---
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-text filter signals: duplicate-word ratio (expression)
+    and top-trigram share (explode + groupBy — linear, scales to long
+    documents where a per-row quadratic array expression would not)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        T.shingles(F.col("text"), 3).alias("_grams"),
+        rnd(T.dup_word_ratio("text"), 6).alias("dup_word_ratio"),
+    )
+    inv = base.select("doc_id", F.explode("_grams").alias("g"))
+    gram_counts = inv.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    shares = gram_counts.groupBy("doc_id").agg(
+        rnd(F.max("c") / F.sum("c"), 6).alias("top_trigram_share")
+    )
+    return (
+        base.select("doc_id", "dup_word_ratio")
+        .join(shares, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_word_ratio",
+            F.coalesce("top_trigram_share", F.lit(0.0)).alias("top_trigram_share"),
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), base AS (
+  SELECT doc_id, wl,
+         CASE WHEN len(wl) > 0
+              THEN round(1.0 - len(list_distinct(wl)) * 1.0 / len(wl), 6)
+              ELSE 0.0 END AS dup_word_ratio,
+         CASE WHEN len(wl) >= 3
+              THEN list_transform(range(1, len(wl) - 1),
+                                  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+              ELSE [] END AS grams
+  FROM w
+), inv AS (
+  SELECT doc_id, unnest(grams) AS g FROM base
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM inv GROUP BY 1, 2
+), shares AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_trigram_share
+  FROM gc GROUP BY doc_id
+)
+SELECT b.doc_id, b.dup_word_ratio,
+       coalesce(s.top_trigram_share, 0.0) AS top_trigram_share
+FROM base b LEFT JOIN shares s ON b.doc_id = s.doc_id
+"""
+
+
 # --- fingerprints per doc ---
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -373,4 +427,5 @@ CORPUS_QUERIES = {
     "txt_lang_id": (lang_id_pred, _lang_id_sql()),
     "txt_quality_scores": (quality_scores, _quality_sql()),
     "txt_doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
+    "txt_repetition_scores": (repetition_scores, REPETITION_SQL),
 }

@@ -67,3 +67,21 @@ def test_scans_prune_columns(spark):
     plan = plan_of(fn(spark, SF))
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
+
+
+def test_day_partitioned_table_prunes_partitions(spark, tmp_path):
+    """The K4 sink layout (day-partitioned parquet) must let a day filter
+    prune partitions at planning time — the 100 TB access path."""
+    from energy_data_pipeline_spark.sinks.writers import overwrite_date_range
+    from energy_data_pipeline_spark.sources.tables import load_events_window
+
+    ev = load_events_window(spark, SF, "2024-01-01", "2024-01-11")
+    path = str(tmp_path / "events_by_day")
+    overwrite_date_range(ev, path, ts_col="ts")
+
+    table = spark.read.parquet(path)
+    q = table.filter("p_day = DATE '2024-01-03'").groupBy("event_type").count()
+    plan = plan_of(q)
+    # the day predicate must appear as a partition filter on the scan
+    assert "PartitionFilters" in plan and "p_day" in plan
+    assert q.count() > 0
