@@ -42,6 +42,10 @@ def asof_join(
 
     Ties on equal timestamps resolve to the right row (<= semantics),
     with right-before-left union ordering making that deterministic.
+
+    Determinism requires the right side to be unique per (key, ts) —
+    with several right rows on the same timestamp, "the latest prior
+    row" is ill-defined in any engine; pre-aggregate first.
     """
     keys = list(on)
     vals = list(value_cols)

@@ -324,8 +324,12 @@ def purchases_asof_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value")
+    # pre-aggregate to unique (user, ts): as-of semantics are only
+    # deterministic when the right side has one row per (key, ts)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("view_value"))
     )
     out = asof_join(
         purchases,
@@ -351,7 +355,8 @@ WITH ev AS (
 ), p AS (
   SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'
 ), v AS (
-  SELECT user_id, ts, value AS view_value FROM ev WHERE event_type = 'view'
+  SELECT user_id, ts, avg(value) AS view_value FROM ev
+  WHERE event_type = 'view' GROUP BY 1, 2
 )
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
