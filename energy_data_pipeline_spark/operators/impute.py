@@ -118,7 +118,9 @@ def _spline_fill_series(values: np.ndarray, short_gap_max: int) -> np.ndarray:
     """
     out = values.copy()
     valid_idx = np.flatnonzero(~np.isnan(values))
-    if valid_idx.size == 0:
+    # <2 valid points: no interpolation is defined — leave NaN, matching
+    # the reference's valid-count guard (impute_missing.py:52-55)
+    if valid_idx.size < 2:
         return out
     for start, length in find_consecutive_missing_groups(values):
         if length > short_gap_max:
@@ -157,49 +159,35 @@ def _spline_fill_series(values: np.ndarray, short_gap_max: int) -> np.ndarray:
 def spline_impute_short_gaps(
     df: DataFrame,
     ts_col: str,
-    value_col: str,
+    value_col: str | Sequence[str],
     keys: Sequence[str],
     short_gap_max: int = 3,
 ) -> DataFrame:
     """T3 — grouped-map pandas UDF: per series key, sort by time and
     spline-fill short NULL runs. Long runs are left NULL for T4.
 
-    Output schema == input schema (value column filled in place).
+    Accepts one column or a list — every column is filled in the SAME
+    pandas pass, so N columns cost one grouped shuffle, not N.
+    Output schema == input schema (value columns filled in place).
     """
     schema = df.schema
     key_list = list(keys)
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-        vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
-        pdf[value_col] = _spline_fill_series(vals, short_gap_max)
+        for vc in vcols:
+            vals = pdf[vc].to_numpy(dtype="float64", na_value=np.nan)
+            pdf[vc] = _spline_fill_series(vals, short_gap_max)
         return pdf
 
     return df.groupBy(*key_list).applyInPandas(fill, schema=schema)
 
 
-def historical_profile(
-    df: DataFrame, ts_col: str, value_col: str, keys: Sequence[str]
-) -> DataFrame:
-    """A7 — per (keys, month, day, hour) mean of the value column.
-    Parity: impute_missing.py:101-129 (_build_historical_lookup)."""
-    ts = F.col(ts_col)
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
-            *keys,
-            F.month(ts).alias("_m"),
-            F.dayofmonth(ts).alias("_d"),
-            F.hour(ts).alias("_h"),
-        )
-        .agg(F.avg(value_col).alias("_slot_mean"))
-    )
-
-
 def historical_average_impute(
     df: DataFrame,
     ts_col: str,
-    value_col: str,
+    value_col: str | Sequence[str],
     keys: Sequence[str],
     min_gap_len: int = 4,
 ) -> DataFrame:
@@ -207,53 +195,63 @@ def historical_average_impute(
     (month, day, hour) historical mean, cascading to the series mean,
     then the global mean (impute_missing.py:356-374).
 
-    Fully native: profile agg + broadcast joins + coalesce. Runs whose
-    length is below ``min_gap_len`` are left for the spline path.
+    Fully native, and single-scan twice over:
+    - all three cascade levels come from ONE aggregation via GROUPING
+      SETS ((keys,m,d,h), (keys), ()) instead of three scans;
+    - all value columns share that aggregation and the three broadcast
+      joins, so N columns cost the same joins as one.
+    The (small) levels table is persisted for its three consumers; it is
+    profile-sized (keys × calendar slots) and MEMORY_AND_DISK-evictable.
+
+    Runs shorter than ``min_gap_len`` are left for the spline path.
     """
     key_list = list(keys)
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     ts = F.col(ts_col)
 
-    # classify each null row by its island length (T2)
+    # classify each null row by its island length (T2), per column
     w = Window.partitionBy(*key_list).orderBy(ts_col)
-    grp = F.count(F.when(F.col(value_col).isNotNull(), 1)).over(w)
-    tagged = df.withColumn("_grp", grp)
-    wg = Window.partitionBy(*key_list, "_grp")
-    tagged = tagged.withColumn(
-        "_gap_len",
-        F.when(
-            F.col(value_col).isNull(),
-            F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).over(wg),
-        ),
-    )
-
-    # one pass builds all three cascade levels: GROUPING SETS
-    # ((keys,m,d,h), (keys), ()) instead of three scans of the fact
-    # table — at scale this is the difference between 1 and 3 reads.
-    nn = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            *key_list,
-            F.month(ts).alias("_m"),
-            F.dayofmonth(ts).alias("_d"),
-            F.hour(ts).alias("_h"),
-            F.col(value_col).alias("_v"),
+    tagged = df
+    drop_cols: list[str] = []
+    for vc in vcols:
+        grp = F.count(F.when(F.col(vc).isNotNull(), 1)).over(w)
+        tagged = tagged.withColumn(f"_grp_{vc}", grp)
+        wg = Window.partitionBy(*key_list, f"_grp_{vc}")
+        tagged = tagged.withColumn(
+            f"_gap_{vc}",
+            F.when(
+                F.col(vc).isNull(),
+                F.sum(F.when(F.col(vc).isNull(), 1).otherwise(0)).over(wg),
+            ),
         )
+        drop_cols += [f"_grp_{vc}", f"_gap_{vc}"]
+
+    nn = df.select(
+        *key_list,
+        F.month(ts).alias("_m"),
+        F.dayofmonth(ts).alias("_d"),
+        F.hour(ts).alias("_h"),
+        *vcols,
     )
     gcols = key_list + ["_m", "_d", "_h"]
+    # avg() ignores NULLs, so one pass serves every column's cascade
     levels = (
         nn.groupingSets([gcols, key_list, []], *gcols)
-        .agg(F.avg("_v").alias("_mean"), F.grouping_id().alias("_gid"))
+        .agg(
+            *[F.avg(vc).alias(f"_mean_{vc}") for vc in vcols],
+            F.grouping_id().alias("_gid"),
+        )
         .persist()
     )
     n = len(gcols)
     slot_gid, series_gid, global_gid = 0, (1 << 3) - 1, (1 << n) - 1
     profile = levels.filter(F.col("_gid") == slot_gid).select(
-        *gcols, F.col("_mean").alias("_slot_mean")
+        *gcols, *[F.col(f"_mean_{vc}").alias(f"_slot_{vc}") for vc in vcols]
     )
     series_mean = levels.filter(F.col("_gid") == series_gid).select(
-        *key_list, F.col("_mean").alias("_series_mean")
+        *key_list, *[F.col(f"_mean_{vc}").alias(f"_series_{vc}") for vc in vcols]
     )
-    # the global row vanishes on all-null input; a left join against a
+    # the global row vanishes on empty input; a left join against a
     # one-row frame keeps the cascade well-defined (fills stay NULL)
     spark = df.sparkSession
     global_mean = (
@@ -262,7 +260,8 @@ def historical_average_impute(
         .join(
             F.broadcast(
                 levels.filter(F.col("_gid") == global_gid).select(
-                    F.lit(1).alias("_one"), F.col("_mean").alias("_global_mean")
+                    F.lit(1).alias("_one"),
+                    *[F.col(f"_mean_{vc}").alias(f"_global_{vc}") for vc in vcols],
                 )
             ),
             "_one",
@@ -279,15 +278,18 @@ def historical_average_impute(
         .join(F.broadcast(series_mean), key_list, "left")
         .crossJoin(F.broadcast(global_mean))
     )
-    fill = F.coalesce(
-        F.col("_slot_mean"), F.col("_series_mean"), F.col("_global_mean")
-    )
-    filled = F.when(
-        F.col(value_col).isNull() & (F.col("_gap_len") >= min_gap_len), fill
-    ).otherwise(F.col(value_col))
-    return out.withColumn(value_col, filled).drop(
-        "_grp", "_gap_len", "_m", "_d", "_h", "_slot_mean", "_series_mean", "_global_mean"
-    )
+    for vc in vcols:
+        fill = F.coalesce(
+            F.col(f"_slot_{vc}"), F.col(f"_series_{vc}"), F.col(f"_global_{vc}")
+        )
+        out = out.withColumn(
+            vc,
+            F.when(
+                F.col(vc).isNull() & (F.col(f"_gap_{vc}") >= min_gap_len), fill
+            ).otherwise(F.col(vc)),
+        )
+        drop_cols += [f"_slot_{vc}", f"_series_{vc}", f"_global_{vc}"]
+    return out.drop("_m", "_d", "_h", *drop_cols)
 
 
 def impute_missing_values(
@@ -297,18 +299,26 @@ def impute_missing_values(
     keys: Sequence[str],
     short_gap_max: int = 3,
 ) -> DataFrame:
-    """T5 — the orchestrated pipeline: for each value column, long gaps
-    via historical average (native), short gaps via spline (pandas UDF).
+    """T5 — the orchestrated pipeline: long gaps via historical average
+    (native), then short gaps via spline (pandas UDF); all value columns
+    in one pass of each stage.
 
-    Matches impute_missing_values (impute_missing.py:191-457) with
-    per-station × per-column semantics; order of the two passes does not
-    interact because each pass only touches runs in its own length class.
+    Same fill policy as the reference (impute_missing.py:191-457):
+    gap-run classification per station × column, len <= short_gap_max →
+    spline, longer → calendar-slot cascade. One deliberate deviation,
+    for a determinism the reference lacks: the reference mutates the
+    series array in place while iterating gaps, so each gap's anchors
+    depend on scan order (earlier fills become anchors, later ones do
+    not). Here the two phases are order-free — historical fills land
+    first everywhere, then one spline pass sees (original + historical)
+    values as anchors — so results do not depend on gap iteration order.
     """
-    out = df
-    for vc in value_cols:
-        out = historical_average_impute(out, ts_col, vc, keys, min_gap_len=short_gap_max + 1)
-        out = spline_impute_short_gaps(out, ts_col, vc, keys, short_gap_max=short_gap_max)
-    return out
+    out = historical_average_impute(
+        df, ts_col, value_cols, keys, min_gap_len=short_gap_max + 1
+    )
+    return spline_impute_short_gaps(
+        out, ts_col, value_cols, keys, short_gap_max=short_gap_max
+    )
 
 
 def impute_stats(df: DataFrame, value_cols: Sequence[str]) -> DataFrame:

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
-from ..functions.vectors import cosine, l2_distance
+from ..functions.vectors import cosine
 
 N_CELLS = 8
 N_PROBE = 2
@@ -133,6 +133,9 @@ def kmeans_lloyd(
     cell with element-wise vector sums (one shuffle of k×dim partials) →
     collect k centroids. Empty cells keep their previous centroid."""
     centroids = seed_centroids(corpus, id_col, vec_col, k)
+    if not centroids:
+        raise ValueError("kmeans_lloyd: empty corpus")
+    k = len(centroids)  # corpus may hold fewer than k vectors
     dim = len(centroids[0])
     vecs = corpus.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")

@@ -27,14 +27,15 @@ def bucketed_interval_join(
     start_col: str,
     end_col: str,
     bucket_seconds: int = 3600,
-    how: str = "inner",
 ) -> DataFrame:
     """Join each point row to every interval row (same ``on`` key) whose
     [start, end] range contains it — inclusive bounds, matching the
     reference's dashboard BETWEEN (pv_dashboard.json:83).
 
     ``bucket_seconds`` trades explode factor against bucket selectivity;
-    pick ≈ median interval length.
+    pick ≈ median interval length. Inner-join semantics only: the exact
+    range predicate is applied after the bucket join, which would
+    silently drop the NULL-extended rows of an outer join.
     """
     keys = list(on)
     b = F.lit(bucket_seconds)
@@ -53,7 +54,7 @@ def bucketed_interval_join(
     )
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     return (
-        pts.join(ivals, keys + ["_bucket"], how)
+        pts.join(ivals, keys + ["_bucket"], "inner")
         .filter(cond)
         .drop("_bucket")
     )
