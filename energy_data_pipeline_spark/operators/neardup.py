@@ -248,21 +248,52 @@ def simhash16(text_col: Column) -> Column:
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by first half of the signature
-    (cheap blocking), then exact Hamming <= max_hamming within buckets."""
+    """SimHash near-dup pairs with pigeonhole blocking: the signature is
+    split into ``max_hamming + 1`` bit-blocks, candidates are pairs
+    sharing ANY block exactly, then integer bit_count(xor) verifies.
+    A pair within Hamming distance d cannot differ in more than d
+    blocks, so with d+1 blocks at least one matches — FULL recall,
+    unlike half-signature bucketing which misses pairs whose differing
+    bits fall in the blocking half."""
+    n_blocks = max_hamming + 1
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError(
+            f"SIMHASH_BITS={SIMHASH_BITS} not divisible into {n_blocks} blocks"
+        )
+    bpb = SIMHASH_BITS // n_blocks
+    mask = (1 << bpb) - 1
     sigs = _pin(
         simhash_sigs(df, id_col, text_col)
         .withColumn("sig_i", F.conv("sig", 2, 10).cast("int"))
-        .withColumn("blk", F.shiftright("sig_i", SIMHASH_BITS // 2))
-        .select(id_col, "sig_i", "blk")
+        .select(id_col, "sig_i")
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    blocks = _pin(
+        sigs.select(
+            id_col,
+            "sig_i",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.shiftright(
+                                "sig_i", SIMHASH_BITS - bpb * (b + 1)
+                            ).bitwiseAND(F.lit(mask)).alias("blk"),
+                        )
+                        for b in range(n_blocks)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select(id_col, "sig_i", "_bb.b", "_bb.blk")
+    )
+    a = blocks.alias("a")
+    b_ = blocks.alias("b")
     ham = F.bit_count(F.col("a.sig_i").bitwiseXOR(F.col("b.sig_i")))
     return (
         a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
+            b_,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .withColumn("hamming", ham.cast("int"))
@@ -272,4 +303,5 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id2"),
             "hamming",
         )
+        .distinct()
     )

@@ -164,6 +164,11 @@ def _simhash_sql() -> str:
         for b in range(bits)
     )
     sig = " + ".join(f"bit_{b} * {1 << (bits - 1 - b)}" for b in range(bits))
+    max_hamming = 3
+    n_blocks = max_hamming + 1
+    bpb = bits // n_blocks
+    mask = (1 << bpb) - 1
+    block_vals = ", ".join(f"({b})" for b in range(n_blocks))
     return f"""
 WITH w AS (
   SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
@@ -174,12 +179,15 @@ WITH w AS (
 ), sigs AS (
   SELECT doc_id, CAST({sig} AS INTEGER) AS sig FROM bitcols
 ), blocked AS (
-  SELECT doc_id, sig, sig >> {bits // 2} AS blk FROM sigs
+  SELECT doc_id, sig, t.b,
+         (sig >> ({bits} - {bpb} * (t.b + 1))) & {mask} AS blk
+  FROM sigs, (VALUES {block_vals}) t(b)
 )
-SELECT a.doc_id AS id1, b.doc_id AS id2,
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 3
+FROM blocked a JOIN blocked b
+  ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 

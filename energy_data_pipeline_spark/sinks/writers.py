@@ -27,7 +27,7 @@ import shutil
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -87,12 +87,36 @@ def upsert(
     Atomicity: the merged result is staged to a sibling temp dir and
     swapped in (parquet has no MERGE); on Delta this entire function is
     one ``MERGE INTO``.
+
+    The batch is deduplicated on the key first (deterministic winner:
+    max over the non-key columns) — ON CONFLICT applies rows one at a
+    time so the table can never hold two rows per key, and this writer
+    must uphold the same invariant even for self-colliding batches.
     """
     key_list = list(keys)
+    # batch-internal key collisions: keep one deterministic winner
+    non_keys = [c for c in new_df.columns if c not in key_list]
+    if non_keys:
+        wdd = Window.partitionBy(*key_list).orderBy(
+            *[F.col(c).desc_nulls_last() for c in non_keys]
+        )
+        new_df = (
+            new_df.withColumn("_rk", F.row_number().over(wdd))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    else:
+        new_df = new_df.dropDuplicates(key_list)
+
     if os.path.exists(path):
         old = spark.read.parquet(path)
-        in_scope = old.filter(scope_filter) if scope_filter else old
-        out_of_scope = old.filter(f"NOT ({scope_filter})") if scope_filter else None
+        if scope_filter:
+            # NULL-safe split: rows where the predicate is NULL must be
+            # KEPT (out of scope), not silently dropped from the table
+            in_scope = old.filter(f"coalesce(({scope_filter}), false)")
+            out_of_scope = old.filter(f"NOT coalesce(({scope_filter}), false)")
+        else:
+            in_scope, out_of_scope = old, None
         kept = in_scope.join(
             new_df.select(*key_list).distinct(), key_list, "left_anti"
         )

@@ -64,9 +64,8 @@ def run_fetch(
                     except Exception:
                         if attempt + 1 < retries and backoff_s:
                             time.sleep(backoff_s)
-            yield pd.DataFrame(out) if out else pd.DataFrame(
-                {f.split(" ")[0]: [] for f in result_schema.split(", ")}
-            )
+            if out:
+                yield pd.DataFrame(out)
 
     return tasks.mapInPandas(run, schema=result_schema)
 
@@ -104,9 +103,16 @@ def probe_start_date(
     )
     if year is None:
         return None
+    import calendar as _cal
+
     for month in range(1, 13):
-        last_dom = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31][month - 1]
-        if exists(f"{year}{month:02d}01") or exists(f"{year}{month:02d}{last_dom}"):
+        last_dom = _cal.monthrange(year, month)[1]
+        # probe first/mid/last: detects feeds that begin mid-month (the
+        # assumption, matching the reference, is a feed that once
+        # started stays continuous through the probe horizon)
+        if any(
+            exists(f"{year}{month:02d}{d:02d}") for d in (1, 15, last_dom)
+        ):
             for day in range(1, last_dom + 1):
                 d = f"{year}{month:02d}{day:02d}"
                 if exists(d):

@@ -80,7 +80,9 @@ def hourly_aggregate_stream(
 
     Event-time watermarks require an instant (TIMESTAMP) column, so the
     wall-clock NTZ column is cast through the session timezone and the
-    window start cast back — a lossless round-trip within one session."""
+    window start cast back. Lossless for fixed-offset session timezones
+    (the engine's KST convention); under a DST zone the windows follow
+    instants, so repeated/skipped wall-clock hours merge or shift."""
     return (
         stream_df.withColumn("_wts", F.col(ts_col).cast("timestamp"))
         .withWatermark("_wts", watermark)
@@ -166,6 +168,7 @@ def _update_watermark(
     """Incrementally maintain MAX(ts)/COUNT per key across micro-batches."""
     max_us, n = state.get if state.exists else (None, 0)
     for pdf in pdfs:
+        pdf = pdf.dropna(subset=["ts"])  # NULL ts must not poison state
         if len(pdf) == 0:
             continue
         batch_max = pdf["ts"].max()
