@@ -102,8 +102,11 @@ def lang_id(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
+    """Punctuation = not letter/digit/underscore/whitespace, Unicode-aware
+    (ASCII \\w would classify every CJK character as punctuation and
+    zero the quality score of zh documents lang_id supports)."""
     c = F.col(col) if isinstance(col, str) else col
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}_\s]", ""))
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 

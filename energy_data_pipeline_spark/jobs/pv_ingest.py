@@ -73,10 +73,16 @@ def daily_pv_job(
         order_col="_seq",
     ).drop("_seq")
 
-    overwrite_date_range(final, table_path, ts_col="datetime")
-    loaded = final.sparkSession.read.parquet(table_path)
-    return {
-        "rows_in_batch": final.count(),
-        "rows_in_table": loaded.count(),
-        "days_in_batch": final.select(F.to_date("datetime")).distinct().count(),
-    }
+    # persist: the write + the three stats would otherwise re-run the
+    # whole unpivot/dedup DAG four times
+    final = final.persist()
+    try:
+        overwrite_date_range(final, table_path, ts_col="datetime")
+        loaded = final.sparkSession.read.parquet(table_path)
+        return {
+            "rows_in_batch": final.count(),
+            "rows_in_table": loaded.count(),
+            "days_in_batch": final.select(F.to_date("datetime")).distinct().count(),
+        }
+    finally:
+        final.unpersist()

@@ -42,9 +42,9 @@ def weather_etl_job(
         table_path,
         keys=[station_col, ts_col],
     )
-    after_row = impute_stats(
-        imputed.sparkSession.read.parquet(table_path), list(value_cols)
-    ).collect()[0]
+    # after-stats on the SAME batch the before-stats measured, so the
+    # pair is comparable (the accumulated table may hold older nulls)
+    after_row = impute_stats(imputed, list(value_cols)).collect()[0]
     stats = {"rows_in_table": n}
     stats.update(before)
     for c in value_cols:

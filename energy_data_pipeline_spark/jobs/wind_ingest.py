@@ -12,7 +12,7 @@ Distinctives vs the PV job:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.reshape import long_with_timestamp, unpivot_hours
@@ -20,21 +20,40 @@ from ..sinks.writers import upsert
 
 
 def add_unit_suffix(
-    df: DataFrame, plant_col: str, unit_col: str, out_col: str | None = None
+    df: DataFrame,
+    plant_col: str,
+    unit_col: str,
+    out_col: str | None = None,
+    known_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """P15/A8 — append ' <unit>' to the plant name only when the plant has
     more than one distinct unit (namdong_wind_collect.py:141-148 /
-    namdong_collect_pv.py:284-288), vectorized as a window count instead
-    of a row-wise apply."""
+    namdong_collect_pv.py:284-288), vectorized as a broadcast-joined
+    count instead of a row-wise apply.
+
+    Multi-unit status from ONE batch is unstable — a re-delivery that
+    happens to carry a single unit would flip the entity name and split
+    the upsert key. Pass ``known_pairs`` (the (plant, unit) pairs already
+    in the sink) so the decision is monotonic across batches."""
     out = out_col or plant_col
-    n_units = F.size(
-        F.collect_set(unit_col).over(Window.partitionBy(plant_col))
+    pairs = df.select(plant_col, unit_col).distinct()
+    if known_pairs is not None:
+        pairs = pairs.unionByName(
+            known_pairs.select(plant_col, unit_col)
+        ).distinct()
+    multi = pairs.groupBy(plant_col).agg(
+        (F.countDistinct(unit_col) > 1).alias("_multi")
     )
-    return df.withColumn(
-        out,
-        F.when(
-            n_units > 1, F.concat_ws(" ", F.col(plant_col), F.col(unit_col))
-        ).otherwise(F.col(plant_col)),
+    return (
+        df.join(F.broadcast(multi), plant_col, "left")
+        .withColumn(
+            out,
+            F.when(
+                F.coalesce(F.col("_multi"), F.lit(False)),
+                F.concat_ws(" ", F.col(plant_col), F.col(unit_col)),
+            ).otherwise(F.col(plant_col)),
+        )
+        .drop("_multi")
     )
 
 
@@ -42,8 +61,11 @@ def wind_ingest_job(wide_df: DataFrame, table_path: str) -> dict:
     """Transform+load for a wind payload batch.
 
     ``wide_df`` columns: ymd (yyyyMMdd string), plant_name, hogi,
-    qhorGen01..qhorGen24 (any case). Returns load stats.
-    """
+    qhorGen01..qhorGen24 (any case). Returns load stats. The sink keeps
+    (raw_plant, hogi) so the unit-suffix decision stays stable across
+    batches (see add_unit_suffix)."""
+    import os
+
     id_cols = [c for c in wide_df.columns if not c.lower().startswith("qhorgen")]
     long = unpivot_hours(
         wide_df,
@@ -57,10 +79,27 @@ def wind_ingest_job(wide_df: DataFrame, table_path: str) -> dict:
     long = long_with_timestamp(
         long, "ymd_date", hour24_rollover=True, ts_name="timestamp"
     )
-    long = add_unit_suffix(long, "plant_name", "hogi")
+    spark = long.sparkSession
+    known = None
+    if os.path.exists(table_path):
+        known = (
+            spark.read.parquet(table_path)
+            .select(F.col("raw_plant").alias("plant_name"), F.col("hogi"))
+            .distinct()
+        )
+    long = add_unit_suffix(
+        long, "plant_name", "hogi", out_col="entity_name", known_pairs=known
+    )
     final = (
         long.na.drop(subset=["timestamp", "plant_name"])
-        .select("timestamp", "plant_name", "generation")
+        .select(
+            "timestamp",
+            F.col("entity_name").alias("plant_display"),
+            F.col("plant_name").alias("raw_plant"),
+            "hogi",
+            "generation",
+        )
+        .withColumnRenamed("plant_display", "plant_name")
     )
     n = upsert(
         final.sparkSession, final, table_path, keys=["timestamp", "plant_name"]

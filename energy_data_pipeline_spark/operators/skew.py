@@ -33,7 +33,16 @@ def salted_join(
 
     Cost model: shuffles |skewed| + salt_factor·|other| rows — worth it
     iff the hot key's share would otherwise serialize the stage.
+
+    Supports inner/left joins only: replicating ``other`` across salt
+    buckets would emit salt_factor copies of unmatched right rows under
+    right/full-outer semantics.
     """
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    for df_, name in ((skewed, "skewed"), (other, "other")):
+        if "_salt" in df_.columns:
+            raise ValueError(f"{name} input already has a _salt column")
     keys = list(on)
     salted_l = skewed.withColumn(
         "_salt", (F.rand(seed=42) * salt_factor).cast("int")
@@ -56,6 +65,8 @@ def salted_agg_sum(
     Spark's hash aggregate already does map-side partials; the explicit
     salt stage additionally bounds the FINAL-stage input per reducer when
     a single key dominates (partial rows per key <= salt_factor)."""
+    if "_salt" in df.columns:
+        raise ValueError("input already has a _salt column")
     key_list = list(keys)
     partial = (
         df.withColumn("_salt", (F.rand(seed=42) * salt_factor).cast("int"))

@@ -339,7 +339,7 @@ WITH w AS (
   SELECT doc_id,
          CAST(len(wl) AS DOUBLE) AS n_tok,
          CASE WHEN length(text) > 0
-              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+              THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
               ELSE 0.0 END AS praw,
          CASE WHEN len(wl) > 0
               THEN len(list_filter(wl, x -> lower(x) IN ({stop}))) * 1.0 / len(wl)

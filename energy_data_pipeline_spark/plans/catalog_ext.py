@@ -89,9 +89,12 @@ J5_DEFAULT = "other"
 
 def fuzzy_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(list(J5_DIM), ["kw", "category"])
-    exact = dim.withColumnRenamed("category", "cat_exact")
-    # containment candidates: first match by dim order
+    dim = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(J5_DIM)], ["prio", "kw", "category"]
+    )
+    exact = dim.select("kw", F.col("category").alias("cat_exact"))
+    # containment candidates: first match by DECLARATION order (prio),
+    # mirroring the reference's dict-iteration precedence
     contains = (
         part.crossJoin(F.broadcast(dim))
         .filter(
@@ -100,7 +103,7 @@ def fuzzy_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "_rk",
             F.row_number().over(
-                Window.partitionBy("p_partkey").orderBy(F.col("kw"))
+                Window.partitionBy("p_partkey").orderBy(F.col("prio"))
             ),
         )
         .filter(F.col("_rk") == 1)
@@ -120,12 +123,12 @@ def fuzzy_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _j5_sql() -> str:
-    vals = ", ".join(f"('{k}', '{v}')" for k, v in J5_DIM)
+    vals = ", ".join(f"({i}, '{k}', '{v}')" for i, (k, v) in enumerate(J5_DIM))
     return f"""
-WITH dim(kw, category) AS (VALUES {vals}),
+WITH dim(prio, kw, category) AS (VALUES {vals}),
 contains_hit AS (
   SELECT p_partkey, category,
-         row_number() OVER (PARTITION BY p_partkey ORDER BY kw) AS rk
+         row_number() OVER (PARTITION BY p_partkey ORDER BY prio) AS rk
   FROM part CROSS JOIN dim
   WHERE contains(p_type, kw) OR contains(kw, p_type)
 )

@@ -186,3 +186,25 @@ def test_notify_job_result_mocked(monkeypatch):
         raise OSError("down")
 
     assert notify_job_result("pv", {}, webhook_url="http://x", transport=boom) is False
+
+
+def test_wind_unit_suffix_stable_across_batches(spark, tmp_path):
+    """A re-delivery carrying only one unit of a known multi-unit plant
+    must keep the suffixed entity name (monotonic naming)."""
+    from energy_data_pipeline_spark.jobs import wind_ingest_job
+
+    path = str(tmp_path / "wind")
+    wind_ingest_job(_wide_wind_batch(spark, ["20240101"]), path)
+    # second batch: only 한림풍력 unit 1
+    wind_ingest_job(
+        _wide_wind_batch(spark, ["20240102"], plants=(("한림풍력", 1),)), path
+    )
+    out = spark.read.parquet(path)
+    names_day2 = {
+        r[0]
+        for r in out.filter("timestamp >= '2024-01-02 01:00:00'")
+        .select("plant_name")
+        .distinct()
+        .collect()
+    }
+    assert names_day2 == {"한림풍력 1"}  # NOT plain 한림풍력
