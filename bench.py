@@ -82,16 +82,24 @@ def main() -> None:
         F.regexp_extract("t", r"(\d+)", 1),
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-2: host contention adds multi-second noise to single shots;
+    # the min reflects the query's actual steady-state cost
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(CATALOG.items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            print(f"bench error {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        best = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(f"bench error {name}: {e}", file=sys.stderr)
+                elapsed = -1.0
+                best = -1.0
+                break
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = best
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
