@@ -33,7 +33,9 @@ def ts_from_day_hour(day: Column, hour0: Column) -> Column:
     Parity: nambu_merge_pv_data.py:88 (``ymd + pd.to_timedelta(hour,'h')``)
     and the dashboard's ``datetime + hour * INTERVAL '1 hour'``.
     """
-    return F.timestamp_add("HOUR", hour0.cast("int"), day.cast("timestamp"))
+    # timestamp_ntz keeps this pure wall-clock arithmetic — a session-tz
+    # "timestamp" cast would shift DST-transition days
+    return F.timestamp_add("HOUR", hour0.cast("int"), day.cast("timestamp_ntz"))
 
 
 def ts_hour24_rollover(day: Column, hour1_24: Column) -> Column:
@@ -41,11 +43,8 @@ def ts_hour24_rollover(day: Column, hour1_24: Column) -> Column:
 
     Parity: fetch_data/wind/namdong_wind_collect.py:127-138.
     """
-    return F.timestamp_add(
-        "HOUR", (hour1_24 % F.lit(24)).cast("int"), day.cast("timestamp")
-    ) + F.when(hour1_24 == 24, F.expr("INTERVAL 24 HOURS")).otherwise(
-        F.expr("INTERVAL 0 HOURS")
-    )
+    # adding h hours directly IS the rollover: day + 24h = next-day 00:00
+    return F.timestamp_add("HOUR", hour1_24.cast("int"), day.cast("timestamp_ntz"))
 
 
 def hour_from_column_name(name_col: Column, one_based_src: bool = True, keep_one_based: bool = False) -> Column:
@@ -55,7 +54,8 @@ def hour_from_column_name(name_col: Column, one_based_src: bool = True, keep_one
     Parity: fetch_data/common/utils.py:18-24 (0-based),
     namdong_merge_pv_data.py:58-62 (1-based kept).
     """
-    h = F.regexp_extract(name_col, r"(\d+)", 1).cast("int")
+    # try_cast: a digit-less label yields NULL instead of an ANSI error
+    h = F.regexp_extract(name_col, r"(\d+)", 1).try_cast("int")
     if one_based_src and not keep_one_based:
         h = h - F.lit(1)
     return h

@@ -31,12 +31,14 @@ def calendar_days(spark: SparkSession, start: str, end: str) -> DataFrame:
 
 
 def calendar_hours(spark: SparkSession, start: str, end: str) -> DataFrame:
-    """All hour timestamps in [start, end] as column ``hour_ts``."""
+    """All hour timestamps in [start, end] as column ``hour_ts``
+    (TIMESTAMP_NTZ: a session-tz grid would skip/repeat wall-clock hours
+    across DST transitions and misalign completeness joins)."""
     return spark.range(1).select(
         F.explode(
             F.sequence(
-                F.lit(start).cast("timestamp"),
-                F.lit(end).cast("timestamp"),
+                F.lit(start).cast("timestamp_ntz"),
+                F.lit(end).cast("timestamp_ntz"),
                 F.expr("INTERVAL 1 HOUR"),
             )
         ).alias("hour_ts")

@@ -57,9 +57,16 @@ def sessionize(
     """
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
+    # timestamp_diff is pure wall-clock arithmetic; unix_timestamp would
+    # route NTZ values through the session timezone (DST-dependent gaps).
+    # Compare at MICROSECOND grain: a SECOND diff truncates, so a gap of
+    # 1800.9s would not split while fractional-epoch engines would.
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds),
+        | (
+            F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+            > F.lit(int(gap_seconds) * 1_000_000)
+        ),
         1,
     ).otherwise(0)
     sess = df.withColumn("_new", is_new).withColumn(

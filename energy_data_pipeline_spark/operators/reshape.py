@@ -66,7 +66,7 @@ def long_with_timestamp(
     0-based (utils.py:18-24), 1-based kept (namdong_merge_pv_data.py:126),
     and 24→next-day-00 (namdong_wind_collect.py:127-138). Pin one per call.
     """
-    h = F.regexp_extract(F.col(hour_label_col), r"(\d+)", 1).cast("int")
+    h = F.regexp_extract(F.col(hour_label_col), r"(\d+)", 1).try_cast("int")
     day = F.col(day_col)
     if hour24_rollover:
         ts = ts_hour24_rollover(day, h)

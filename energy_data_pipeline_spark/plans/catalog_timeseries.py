@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 
+from ..operators import densify
 from ..operators.gaps import sessionize
 from ..operators.impute import impute_missing_values, spline_impute_short_gaps
 from ..sources import load_table
@@ -35,36 +36,17 @@ def _hour_bucket_ntz(ts_col):
 
 
 def _calendar_hours(spark: SparkSession) -> DataFrame:
-    return spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit(RANGE_START).cast("timestamp_ntz"),
-                F.lit(RANGE_END).cast("timestamp_ntz"),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("hour_ts")
-    )
+    return densify.calendar_hours(spark, RANGE_START, RANGE_END)
 
 
 # --- T1: calendar densification — days with no purchase events ---
 # Parity: pd.date_range(...).difference (nambu_merge_pv_data.py:58-63).
 def missing_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cal = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2024-01-01").cast("date"),
-                F.lit("2024-01-30").cast("date"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("day")
+    present = ev.filter(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day")
     )
-    present = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(F.to_date("ts").alias("day"))
-        .distinct()
-    )
-    return cal.join(present, "day", "left_anti")
+    return densify.missing_days(present, spark, "2024-01-01", "2024-01-30")
 
 
 MISSING_DAYS_SQL = """
