@@ -72,7 +72,11 @@ def purchase_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     missing = cal.join(present, "hour_ts", "left_anti")
     # islands trick: hours-since-epoch minus row_number is constant per run
-    # (timestamp_diff on NTZ is pure wall-clock arithmetic — tz-safe)
+    # (timestamp_diff on NTZ is pure wall-clock arithmetic — tz-safe).
+    # The unpartitioned window (WindowExec warns) is deliberate and safe:
+    # it runs on the densified calendar grid AFTER the anti-join — bounded
+    # by calendar size (8.8k rows/year), not by fact-table volume. The
+    # 100 TB side is fully distributed up through the distinct + anti-join.
     idx = F.timestamp_diff(
         "HOUR", F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"), F.col("hour_ts")
     ).cast("long")
