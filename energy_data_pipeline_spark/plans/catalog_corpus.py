@@ -17,6 +17,7 @@ from ..functions.rounding import rnd
 
 from ..functions import text as T
 from ..operators import neardup, similarity
+from ..operators.components import connected_components
 from ..sources import fan_out, load_table
 
 # ---------------------------------------------------------------- helpers
@@ -106,7 +107,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs(id1, id2, jaccard)`` — shared by the
+    near-dup-pairs oracle and the dup-clusters oracle."""
     nh, br = neardup.NUM_HASHES, neardup.BAND_ROWS
     sig_cols = ",\n         ".join(
         f"list_min(list_transform(s, x -> md5('{k}:' || x))) AS mh_{k}"
@@ -119,8 +122,7 @@ def _minhash_sql() -> str:
         )
         for b in range(nh // br)
     )
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
 ), shr AS (
   SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
@@ -140,9 +142,44 @@ WITH w AS (
   SELECT id1, id2,
          len(list_intersect(s1.s, s2.s)) AS c, len(s1.s) AS n1, len(s2.s) AS n2
   FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+), pairs AS (
+  SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 6) AS jaccard
+  FROM j WHERE round(c * 1.0 / (n1 + n2 - c), 6) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_pair_ctes()}\nSELECT id1, id2, jaccard FROM pairs"
+
+
+# --- near-dup clusters: connected components over the pair graph ---
+# The pairs→clusters step every production dedup pipeline needs: a
+# cluster's canonical keeper is its minimum doc_id. Spark side is
+# iterative min-label propagation (operators/components.py); the oracle
+# computes the same fixpoint with a recursive CTE.
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup.minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
+    )
+    return connected_components(pairs, "id1", "id2").select(
+        F.col("vertex").alias("doc_id"), "cluster_id"
+    )
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), reach(v, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
 )
-SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 6) AS jaccard
-FROM j WHERE round(c * 1.0 / (n1 + n2 - c), 6) >= {JACCARD_THRESHOLD}
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
@@ -428,6 +465,7 @@ CORPUS_QUERIES = {
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
     "dd_ngram_jaccard_near_dups": (ngram_jaccard_near_dups, NGRAM_JACCARD_SQL),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
+    "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),
     "dd_simhash_near_dups": (simhash_near_dups, _simhash_sql()),
     "ann_brute_force_topk": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh, _ann_lsh_sql()),

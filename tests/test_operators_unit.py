@@ -345,3 +345,44 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out_tight == {1: 10.0, 2: None, 3: None, 4: None}
+
+
+# --- connected components (pairs → dedup clusters) ---
+def test_connected_components_chain_triangle_isolated(spark):
+    from energy_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain a-b-c (diameter 2), triangle x-y-z, isolated pair p-q;
+    # reversed/duplicate edges must not matter
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z"),
+         ("q", "p"), ("a", "b")],
+        "id1 string, id2 string",
+    )
+    got = {
+        r["vertex"]: r["cluster_id"]
+        for r in connected_components(pairs, "id1", "id2").collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "x",
+        "p": "p", "q": "p",
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from energy_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 12-vertex path stresses multi-round propagation (diameter 11)
+    ids = [f"v{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        list(zip(ids[1:], ids[:-1])), "id1 string, id2 string"
+    )
+    got = {
+        r["vertex"]: r["cluster_id"]
+        for r in connected_components(pairs, "id1", "id2").collect()
+    }
+    assert got == {v: "v00" for v in ids}
