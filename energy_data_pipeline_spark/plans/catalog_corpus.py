@@ -167,6 +167,44 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a training pipeline actually emits: every document
+    except non-canonical near-dup cluster members (keeper = min doc_id
+    per connected component). The anti-join side is the tiny cluster
+    table, so the full corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup.minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
+    )
+    losers = (
+        connected_components(pairs, "id1", "id2")
+        .filter(F.col("vertex") != F.col("cluster_id"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def _dedup_purged_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), reach(v, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
+), losers AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(r)
+)
+SELECT doc_id, source, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def _dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes()},
@@ -466,6 +504,7 @@ CORPUS_QUERIES = {
     "dd_ngram_jaccard_near_dups": (ngram_jaccard_near_dups, NGRAM_JACCARD_SQL),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
     "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),
+    "dd_dedup_purged_corpus": (dedup_purged_corpus, _dedup_purged_sql()),
     "dd_simhash_near_dups": (simhash_near_dups, _simhash_sql()),
     "ann_brute_force_topk": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh, _ann_lsh_sql()),
