@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
+from ..shipping import ensure_worker_imports
 
 
 def find_consecutive_missing_groups(values: np.ndarray) -> list[tuple[int, int]]:
@@ -170,6 +171,7 @@ def spline_impute_short_gaps(
     pandas pass, so N columns cost one grouped shuffle, not N.
     Output schema == input schema (value columns filled in place).
     """
+    ensure_worker_imports(df.sparkSession)
     schema = df.schema
     key_list = list(keys)
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)

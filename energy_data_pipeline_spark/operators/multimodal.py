@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..shipping import ensure_worker_imports
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -80,6 +82,7 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     maxRecordsPerBatch`` rows; payload bytes never pass through Python
     row-at-a-time.
     """
+    ensure_worker_imports(df.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,6 +115,7 @@ def resize_images(
     contract — binary in/binary out, metadata rewritten to the target
     dimensions, non-images passed through untouched — is fully testable.
     """
+    ensure_worker_imports(df.sparkSession)
 
     def _fake_resize(payload: bytes) -> bytes:
         need = target_w * target_h

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..shipping import ensure_worker_imports
+
 
 def fetch_task_table(
     spark: SparkSession,
@@ -52,6 +54,7 @@ def run_fetch(
     than failing the stage — the anti-join resume loop re-plans it next
     run, which is the reference's behavior across cron ticks.
     """
+    ensure_worker_imports(tasks.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
