@@ -50,22 +50,30 @@ def asof_join(
     keys = list(on)
     vals = list(value_cols)
 
-    lhs = left.select(
-        *keys,
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in vals],
-        F.lit(None).cast("timestamp_ntz").alias("_r_ts"),
-    )
+    # The carried right row travels as ONE nullable struct (NULL for left
+    # rows, non-NULL for every right row even when its value columns are
+    # NULL) so a single last(ignorenulls) carries timestamp and values
+    # atomically. Independent per-column carries would desync: a right
+    # row with a NULL value advances the as-of clock — under ASOF JOIN
+    # semantics the match is that row (yielding NULL), not an older
+    # non-NULL value, and freshness must be judged against ITS timestamp.
     rhs = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
-        *[F.col(c).alias(f"_r_{c}") for c in vals],
-        F.col(right_ts).cast("timestamp_ntz").alias("_r_ts"),
+        F.struct(
+            F.col(right_ts).cast("timestamp_ntz").alias("_r_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in vals],
+        ).alias("_r"),
     )
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(rhs.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+    )
+    rhs = rhs.withColumn("_row", F.lit(None).cast(lhs.schema["_row"].dataType))
     # right rows sort before left rows at equal ts → "<=" semantics
     unioned = rhs.unionByName(lhs)
     w = (
@@ -74,24 +82,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
-            for c in vals
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_carried_ts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_carried")
     )
     out = carried.filter(F.col("_is_left") == 1)
     fresh = (
-        F.lit(True)
+        F.col("_carried").isNotNull()
         if tolerance_seconds is None
-        else F.col("_carried_ts")
+        else F.col("_carried._r_ts")
         >= F.timestamp_add("SECOND", F.lit(-tolerance_seconds), F.col("_ts"))
     )
     return out.select(
         F.col("_row.*"),
         *[
-            F.when(fresh, F.col(f"_carried_{c}")).alias(f"{c}{suffix}")
+            F.when(fresh, F.col(f"_carried._r_{c}")).alias(f"{c}{suffix}")
             for c in vals
         ],
     )

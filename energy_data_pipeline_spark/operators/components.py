@@ -22,17 +22,28 @@ Scale notes (100 TB posture):
 - ``localCheckpoint`` after each round truncates the lineage so the
   plan does not grow with iteration count (an un-checkpointed loop
   re-executes every prior round's shuffles on each action).
-- For adversarial graphs with long chains, the round count grows with
-  the diameter; the standard escape is the large-star/small-star
-  contraction (Kiveris et al., "Connected Components in MapReduce"),
-  which converges in O(log^2 n) — the per-round join structure below
-  is the same, so it can be swapped in without changing callers.
+- Plain neighbor-min propagation needs diameter-many rounds — an
+  adversarial chain graph defeats any fixed budget. Each round here
+  therefore also POINTER-JUMPS (``label(u) <- label(label(u))``, the
+  "shortcut" of Shiloach-Vishkin / the contraction idea behind
+  large-star/small-star, Kiveris et al. "Connected Components in
+  MapReduce"), so path lengths halve per round and convergence is
+  O(log diameter): ``max_iter=25`` covers graphs of diameter ~2^25.
+- Non-convergence is NEVER silent: if the budget exhausts with labels
+  still changing, ``ConvergenceError`` is raised — wrong cluster labels
+  flowing into a dedup purge (dropping the wrong documents from a
+  training corpus) is strictly worse than a loud failure.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Iterative algorithm exhausted its round budget without reaching a
+    fixpoint — results would be wrong, so no result is returned."""
 
 
 def connected_components(
@@ -45,6 +56,9 @@ def connected_components(
     with cluster_id = the minimum vertex id reachable from ``vertex``.
 
     Deterministic for any id type with a total order (min/least).
+    Each round hooks (neighbor-min) then shortcuts (pointer jump), so
+    rounds needed is O(log diameter); raises :class:`ConvergenceError`
+    if ``max_iter`` rounds still leave labels changing.
     """
     edges = (
         pairs.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
@@ -60,20 +74,31 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # min label among each vertex's neighbours
+        # hook: min label among each vertex's neighbours
         nbr_min = (
             edges.join(labels, edges["_a"] == labels["vertex"])
             .groupBy(F.col("_b").alias("vertex"))
             .agg(F.min("cluster_id").alias("_nbr_min"))
         )
+        hooked = labels.join(nbr_min, "vertex", "left").select(
+            "vertex",
+            F.col("cluster_id").alias("_old"),
+            F.least(
+                F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
+            ).alias("_hook"),
+        )
+        # shortcut: label(u) <- label(label(u)) — labels are always ids of
+        # smaller same-component vertices, so this halves pointer chains
+        parent = hooked.select(
+            F.col("vertex").alias("_pv"), F.col("_hook").alias("_pl")
+        )
+        jumped = F.least(F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook")))
         new_labels = (
-            labels.join(nbr_min, "vertex", "left")
+            hooked.join(parent, hooked["_hook"] == parent["_pv"], "left")
             .select(
                 "vertex",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-                (F.col("_nbr_min") < F.col("cluster_id")).alias("_changed"),
+                jumped.alias("cluster_id"),
+                (jumped < F.col("_old")).alias("_changed"),
             )
             .localCheckpoint(eager=True)  # truncate lineage + materialize once
         )
@@ -81,6 +106,13 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise ConvergenceError(
+            f"connected_components: labels still changing after {max_iter} "
+            "hook+shortcut rounds (graph diameter ~2^{max_iter} exceeded or "
+            "pathological input); refusing to return wrong cluster labels"
+        )
 
     edges.unpersist()
     return labels

@@ -10,8 +10,10 @@ md5-based so a SQL oracle can reproduce results bit-for-bit):
   shingles; band signatures bucket candidate pairs, exact Jaccard
   verifies. At 100 TB this is the standard shuffle-light path: the only
   wide exchange is on (band_idx, band_sig) buckets.
-- SimHash: 16-bit sign-aggregated fingerprint from per-word md5 bits;
-  near-dups = Hamming distance <= threshold on bucket-joined candidates.
+- SimHash: 64-bit sign-aggregated fingerprint from per-word md5 bits
+  (carried as 4x16-bit block ints so every engine's signed-64 arithmetic
+  stays exact); near-dups = Hamming distance <= threshold on
+  pigeonhole-block-joined candidates.
 
 Spark-first: everything is built-in higher-order functions (transform /
 array_min / array_intersect) — no Python UDFs.
@@ -30,7 +32,7 @@ before any self-join. Two reasons, both structural:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -41,8 +43,15 @@ from ..sources.tables import fan_out
 
 NUM_HASHES = 12
 BAND_ROWS = 3  # 4 bands of 3 hashes
-SIMHASH_BITS = 16
-_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+SIMHASH_BITS = 64  # 16 md5 nibbles x 4 bits — one bit-vote per bit
+SIMHASH_BLOCKS = 4  # pigeonhole blocks for max_hamming=3 (d+1 blocks)
+SIMHASH_BITS_PER_BLOCK = SIMHASH_BITS // SIMHASH_BLOCKS
+# df cap for the exact inverted-index path: shingles present in more
+# documents than this are dropped from the index (Gopher/C4-style hot
+# n-gram removal) — one viral shingle would otherwise make its bucket
+# quadratic in corpus size. Sizes n1/n2 stay full-set, so capped-index
+# Jaccard is a lower bound that only affects pairs sharing hot shingles.
+NGRAM_MAX_DF = 256
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -160,14 +169,31 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    max_doc_freq: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle inverted index.
 
     The self-join is on individual shingles, so cost is bounded by
-    shingle-bucket sizes (inverse-document-frequency shaped), not |docs|².
+    shingle-bucket sizes. Bucket sizes are document frequencies, and a
+    single viral shingle (a boilerplate phrase across millions of pages)
+    makes its bucket quadratic — so shingles with df > ``max_doc_freq``
+    are dropped from the index before the self-join, the standard hot
+    n-gram cap. Set sizes stay full, so affected pairs get a Jaccard
+    lower bound (near-dup pairs share mostly NON-viral shingles and are
+    unaffected in practice).
+
+    The df filter is a count window partitioned by shingle: one shuffle
+    that also pre-partitions both self-join sides on the join key.
     """
     sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n))
     inv = sh.select(id_col, F.explode("shingle_set").alias("sh"))
+    if max_doc_freq is not None:
+        wdf = Window.partitionBy("sh")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = sh.select(id_col, F.size("shingle_set").alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -192,103 +218,119 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_sigs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
-) -> DataFrame:
-    """(id, sig) SimHash signatures.
+def _nibble_votes(h: Column, i: Column) -> Column:
+    """±1 votes for the 4 bits (MSB first) of md5-hex nibble ``i`` of
+    ``h`` — the nibble value is bound once via _let so the conv/substring
+    tree evaluates once per nibble, not once per bit (interpreted HOFs
+    get no CSE)."""
+    from ..functions.text import _let
+
+    return _let(
+        F.conv(F.substring(h, i.cast("int"), 1), 16, 10).cast("int"),
+        lambda v: F.array(
+            *[
+                F.shiftright(v, k).bitwiseAND(F.lit(1)) * 2 - 1
+                for k in (3, 2, 1, 0)
+            ]
+        ),
+    )
+
+
+def simhash_sigs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, blk_0..blk_3) 64-bit SimHash signatures as four 16-bit block
+    ints (block j = signature bits [16j, 16j+16), MSB first) — exact in
+    any engine's signed arithmetic and directly usable for pigeonhole
+    blocking.
 
     Single aggregate pass: one md5 per word (not per word×bit), with an
     array-of-votes accumulator folded via zip_with — measured ~2.5×
     faster than per-bit aggregate expressions under interpreted HOF eval.
+
+    Zero-word documents are excluded (mirroring doc_shingles): they have
+    no content to fingerprint, and the shared all-zero signature would
+    otherwise emit a quadratic hamming-0 clique of meaningless pairs.
     """
-    hx = fan_out(df).select(
-        F.col(id_col),
-        F.transform(words(F.col(text_col)), F.md5).alias("_hx"),
+    bits = SIMHASH_BITS
+    hx = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.transform(words(F.col(text_col)), F.md5).alias("_hx"),
+        )
+        .filter(F.size("_hx") > 0)
     )
     votes = F.aggregate(
         F.col("_hx"),
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(bits)),
-                lambda i: F.when(
-                    F.substring(h, i.cast("int"), 1).isin(*_HEX_HIGH), 1
-                ).otherwise(-1),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(bits // 4)),
+                    lambda i: _nibble_votes(h, i),
+                )
             ),
             lambda a, v: a + v,
         ),
     )
-    sig = F.concat_ws(
-        "", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    sig_bits = F.transform(
+        votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0))
     )
-    return hx.select(F.col(id_col), sig.alias("sig"))
-
-
-def simhash16(text_col: Column) -> Column:
-    """16-bit SimHash over whitespace words as a bit-string column.
-
-    Per bit: sign of the sum of ±1 votes across words (ties → '0' to be
-    deterministic). Portable to the SQL oracle (md5 nibble arithmetic).
-    Expression form for single-doc use; the batch path is simhash_sigs.
-    """
-    w = words(text_col)
-    bits = []
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            F.transform(w, F.md5),
+    bpb = SIMHASH_BITS_PER_BLOCK
+    blocks = [
+        F.aggregate(
+            F.slice(sig_bits, j * bpb + 1, bpb),
             F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, b + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1),
-        )
-        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+            lambda acc, x: acc * 2 + x,
+        ).alias(f"blk_{j}")
+        for j in range(SIMHASH_BLOCKS)
+    ]
+    return hx.select(F.col(id_col), *blocks)
 
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs with pigeonhole blocking: the signature is
-    split into ``max_hamming + 1`` bit-blocks, candidates are pairs
-    sharing ANY block exactly, then integer bit_count(xor) verifies.
-    A pair within Hamming distance d cannot differ in more than d
-    blocks, so with d+1 blocks at least one matches — FULL recall,
-    unlike half-signature bucketing which misses pairs whose differing
-    bits fall in the blocking half."""
-    n_blocks = max_hamming + 1
-    if SIMHASH_BITS % n_blocks:
+    """SimHash near-dup pairs with pigeonhole blocking: the 64-bit
+    signature is split into ``max_hamming + 1`` bit-blocks, candidates
+    are pairs sharing ANY block exactly, then integer bit_count(xor)
+    verifies. A pair within Hamming distance d cannot differ in more
+    than d blocks, so with d+1 blocks at least one matches — FULL
+    recall, unlike half-signature bucketing which misses pairs whose
+    differing bits fall in the blocking half.
+
+    At 64 bits a random doc pair collides on a 16-bit block with
+    p ~= 4/65536, so candidate buckets stay tiny and hamming <= 3 keeps
+    only genuinely near-identical texts (16 bits flagged ~28% of all
+    pairs at sf0.01 — semantically meaningless)."""
+    if max_hamming + 1 != SIMHASH_BLOCKS:
         raise ValueError(
-            f"SIMHASH_BITS={SIMHASH_BITS} not divisible into {n_blocks} blocks"
+            f"pigeonhole recall needs max_hamming + 1 == {SIMHASH_BLOCKS} blocks"
         )
-    bpb = SIMHASH_BITS // n_blocks
-    mask = (1 << bpb) - 1
-    sigs = _pin(
-        simhash_sigs(df, id_col, text_col)
-        .withColumn("sig_i", F.conv("sig", 2, 10).cast("int"))
-        .select(id_col, "sig_i")
-    )
+    sigs = _pin(simhash_sigs(df, id_col, text_col))
+    blk_cols = [f"blk_{j}" for j in range(SIMHASH_BLOCKS)]
     blocks = _pin(
         sigs.select(
             id_col,
-            "sig_i",
+            *blk_cols,
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            F.lit(b).alias("b"),
-                            F.shiftright(
-                                "sig_i", SIMHASH_BITS - bpb * (b + 1)
-                            ).bitwiseAND(F.lit(mask)).alias("blk"),
+                            F.lit(j).alias("b"), F.col(f"blk_{j}").alias("blk")
                         )
-                        for b in range(n_blocks)
+                        for j in range(SIMHASH_BLOCKS)
                     ]
                 )
             ).alias("_bb"),
-        ).select(id_col, "sig_i", "_bb.b", "_bb.blk")
+        ).select(id_col, *blk_cols, "_bb.b", "_bb.blk")
     )
     a = blocks.alias("a")
     b_ = blocks.alias("b")
-    ham = F.bit_count(F.col("a.sig_i").bitwiseXOR(F.col("b.sig_i")))
+    ham = sum(
+        F.bit_count(F.col(f"a.blk_{j}").bitwiseXOR(F.col(f"b.blk_{j}")))
+        for j in range(SIMHASH_BLOCKS)
+    )
     return (
         a.join(
             b_,

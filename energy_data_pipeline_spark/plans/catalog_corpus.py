@@ -86,8 +86,12 @@ WITH w AS (
   SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
 ), shn AS (
   SELECT doc_id, s FROM sh WHERE len(s) > 0
-), inv AS (
+), inv0 AS (
   SELECT doc_id, unnest(s) AS g FROM shn
+), inv AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv0
+  ) WHERE df <= {neardup.NGRAM_MAX_DF}
 ), common AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -170,8 +174,14 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus a training pipeline actually emits: every document
     except non-canonical near-dup cluster members (keeper = min doc_id
-    per connected component). The anti-join side is the tiny cluster
-    table, so the full corpus never shuffles."""
+    per connected component).
+
+    The anti-join is deliberately UN-hinted: the loser set is
+    proportional to the corpus dup rate (30-50% of a web crawl), far
+    beyond any broadcast threshold at 100 TB, so the scale-safe default
+    is a shuffled anti-join on doc_id. AQE still converts it to a
+    broadcast join at runtime when the loser side measures small —
+    size-gated by the engine instead of forced by a hint."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = neardup.minhash_lsh_near_dups(
         docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
@@ -181,7 +191,7 @@ def dedup_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vertex") != F.col("cluster_id"))
         .select(F.col("vertex").alias("doc_id"))
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "source", "lang"
     )
 
@@ -228,41 +238,62 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    # Mirrors neardup.simhash_sigs bit-for-bit: vote for signature bit b
+    # is +-1 by bit (3 - b%4) of md5-hex nibble b//4 (0-based); zero-word
+    # docs are excluded; the 64-bit signature is carried as 4x16-bit
+    # block ints, which double as the pigeonhole blocking key.
     bits = neardup.SIMHASH_BITS
-    high = ", ".join(f"'{h}'" for h in neardup._HEX_HIGH)
+    n_blocks = neardup.SIMHASH_BLOCKS
+    bpb = neardup.SIMHASH_BITS_PER_BLOCK
+    max_hamming = n_blocks - 1
     bit_exprs = ",\n         ".join(
         (
             f"CASE WHEN list_sum(list_transform(wl, x -> CASE WHEN "
-            f"substr(md5(x), {b + 1}, 1) IN ({high}) THEN 1 ELSE -1 END)) > 0 "
+            f"(((strpos('0123456789abcdef', substr(md5(x), {b // 4 + 1}, 1)) - 1)"
+            f" >> {3 - b % 4}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
             f"THEN 1 ELSE 0 END AS bit_{b}"
         )
         for b in range(bits)
     )
-    sig = " + ".join(f"bit_{b} * {1 << (bits - 1 - b)}" for b in range(bits))
-    max_hamming = 3
-    n_blocks = max_hamming + 1
-    bpb = bits // n_blocks
-    mask = (1 << bpb) - 1
+    blk_exprs = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"bit_{j * bpb + t} * {1 << (bpb - 1 - t)}" for t in range(bpb)
+        )
+        + f" AS INTEGER) AS blk_{j}"
+        for j in range(n_blocks)
+    )
+    blk_case = "CASE t.b " + " ".join(
+        f"WHEN {j} THEN blk_{j}" for j in range(n_blocks - 1)
+    ) + f" ELSE blk_{n_blocks - 1} END"
     block_vals = ", ".join(f"({b})" for b in range(n_blocks))
+    blk_cols = ", ".join(f"blk_{j}" for j in range(n_blocks))
+    ham = " + ".join(
+        f"bit_count(xor(a.blk_{j}, b.blk_{j}))" for j in range(n_blocks)
+    )
     return f"""
 WITH w AS (
   SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), wnz AS (
+  SELECT doc_id, wl FROM w WHERE len(wl) > 0
 ), bitcols AS (
   SELECT doc_id,
          {bit_exprs}
-  FROM w
+  FROM wnz
 ), sigs AS (
-  SELECT doc_id, CAST({sig} AS INTEGER) AS sig FROM bitcols
+  SELECT doc_id,
+         {blk_exprs}
+  FROM bitcols
 ), blocked AS (
-  SELECT doc_id, sig, t.b,
-         (sig >> ({bits} - {bpb} * (t.b + 1))) & {mask} AS blk
+  SELECT doc_id, {blk_cols}, t.b,
+         {blk_case} AS blk
   FROM sigs, (VALUES {block_vals}) t(b)
 )
 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       CAST({ham} AS INTEGER) AS hamming
 FROM blocked a JOIN blocked b
   ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+WHERE {ham} <= {max_hamming}
 """
 
 

@@ -347,6 +347,90 @@ def test_asof_join_semantics(spark):
     assert out_tight == {1: 10.0, 2: None, 3: None, 4: None}
 
 
+def test_asof_join_null_valued_right_row_advances_clock(spark):
+    # ASOF semantics: the match is the latest prior RIGHT ROW, even when
+    # its value is NULL — an older non-NULL value must not leak through,
+    # and freshness is judged against the matched row's timestamp.
+    from energy_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:30:00"),   # latest prior right has NULL value
+         (2, "u", "2024-01-01 09:30:00")],  # latest prior right is 9.0
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:00:00", 9.0),
+         ("u", "2024-01-01 10:00:00", None)],
+        "k string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    for tol in (None, 1800):
+        out = {
+            r["id"]: r["rv_asof"]
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="ts",
+                value_cols=["rv"], tolerance_seconds=tol,
+            ).collect()
+        }
+        # id=1: matched row is (10:00, NULL) — 30 min old, inside
+        # tolerance, value NULL; the desync bug returned 9.0 here
+        assert out == {1: None, 2: 9.0}, f"tolerance={tol}"
+
+
+# --- near-dup guards: hot-shingle cap + simhash empty docs ---
+def test_ngram_jaccard_hot_shingle_cap_bounds_bucket(spark):
+    from energy_data_pipeline_spark.operators.neardup import ngram_jaccard_pairs
+
+    # 10 identical docs: their one shingle has df=10. With the cap below
+    # df, the viral shingle leaves the index → zero pairs survive; the
+    # uncapped run would emit all 45 pairs at jaccard 1.0.
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_freq=5
+    )
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_freq=None
+    )
+    assert uncapped.count() == 45
+
+
+def test_simhash_ignores_empty_docs_and_keeps_near_identical(spark):
+    from energy_data_pipeline_spark.operators.neardup import (
+        SIMHASH_BLOCKS,
+        simhash_near_dups,
+        simhash_sigs,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from the fence and count passing clouds"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, text),
+            (1, text + " extra"),       # near-identical → low hamming
+            (2, ""),                    # empty: no signature, no pairs
+            (3, "   \t  "),             # whitespace-only: ditto
+            (4, "completely different words about submarine volcanoes "
+                "erupting under antarctic ice shelves last winter"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash_sigs(docs, "doc_id", "text")
+    assert set(sigs.columns) == {"doc_id"} | {
+        f"blk_{j}" for j in range(SIMHASH_BLOCKS)
+    }
+    assert {r["doc_id"] for r in sigs.collect()} == {0, 1, 4}
+
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=3).collect()
+    ids = {(r["id1"], r["id2"]) for r in pairs}
+    assert (0, 1) in ids                    # near-identical pair found
+    assert all(2 not in p and 3 not in p for p in ids)  # no empty-doc clique
+
+
 # --- connected components (pairs → dedup clusters) ---
 def test_connected_components_chain_triangle_isolated(spark):
     from energy_data_pipeline_spark.operators.components import (
@@ -386,3 +470,38 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(pairs, "id1", "id2").collect()
     }
     assert got == {v: "v00" for v in ids}
+
+
+def test_connected_components_adversarial_diameter(spark):
+    # a 41-vertex path (diameter 40 > the round budget of 25): plain
+    # neighbor-min propagation would exhaust max_iter with wrong labels;
+    # the pointer-jumping rounds must converge in O(log d)
+    from energy_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    ids = [f"v{i:02d}" for i in range(41)]
+    pairs = spark.createDataFrame(
+        list(zip(ids[1:], ids[:-1])), "id1 string, id2 string"
+    )
+    got = {
+        r["vertex"]: r["cluster_id"]
+        for r in connected_components(pairs, "id1", "id2", max_iter=8).collect()
+    }
+    assert got == {v: "v00" for v in ids}
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    import pytest
+
+    from energy_data_pipeline_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    ids = [f"v{i:02d}" for i in range(41)]
+    pairs = spark.createDataFrame(
+        list(zip(ids[1:], ids[:-1])), "id1 string, id2 string"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(pairs, "id1", "id2", max_iter=2)
