@@ -11,6 +11,7 @@ Implementation lives in ``energy_data_pipeline_spark`` (plans/catalog.py).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -34,6 +35,7 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
     operators ship it themselves, but wrapping here keeps the contract
     safe for any future query regardless of the external driver's CWD."""
 
+    @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_worker_imports(spark)
         return fn(spark, sf_dir)
@@ -46,4 +48,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}
+    """Catalog oracles. An entry may be a callable taking the grading
+    sf_dir and returning SQL (used for generated expected-value tables,
+    e.g. the t3/t5 spline fixtures) — resolved here against the driver's
+    grading scale (sf0.01, overridable via SPARK_GRAFT_ORACLE_SF_DIR)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out: dict[str, str] = {}
+    for name, (_fn, sql) in CATALOG.items():
+        resolved = sql(sf_dir) if callable(sql) else sql
+        if resolved is not None:
+            out[name] = resolved
+    return out

@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not
-in this environment): ``decode_image`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder produces
-stable feature vectors so the Spark-side plumbing — schema, batching,
-partitioning — is fully testable.
+Decode kernels sit behind a CAPABILITY PROBE (``media_capabilities``):
+optional libraries (PIL / soundfile / av) are detected once per worker
+process, a real kernel runs where its library exists, and ``fake=None``
+(auto) degrades to a deterministic md5-seeded fake decoder where it
+does not — so the Spark-side plumbing (schema, batching, partitioning)
+is fully testable in a libs-free sandbox and upgrades in place on a
+cluster image that has the codecs. ``fake=True`` pins the fake kernel
+(the catalog queries do this: their DuckDB oracles reproduce the fake
+features exactly, which a library-dependent path could not guarantee);
+``fake=False`` demands the real kernel and raises
+``MissingMediaLibrary`` where the probe fails.
 
 At scale: binary payloads ride in parquet; ``spark.sql.files.
 maxPartitionBytes`` bounds batch memory; metadata predicates (width,
@@ -16,7 +22,9 @@ materialized for surviving rows.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -67,15 +75,67 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return (raw % 10_000).astype("float64") / 10_000.0
 
 
-def decode_real(payload: bytes):  # pragma: no cover - stub
-    """Real decode path — requires image/audio libs not present here."""
-    raise NotImplementedError(
-        "media decoding requires PIL/librosa/av; install and replace "
-        "_fake_decode — the Spark plumbing below is library-agnostic"
+class MissingMediaLibrary(NotImplementedError):
+    """The real decode kernel was demanded (``fake=False``) but its
+    library is absent on this worker."""
+
+
+@lru_cache(maxsize=1)
+def media_capabilities() -> dict[str, bool]:
+    """Probe optional decode libraries ONCE per (worker) process.
+
+    find_spec does not import the library — the probe is cheap enough to
+    run in every UDF without paying decoder init for kinds never seen.
+    """
+    return {
+        "image": importlib.util.find_spec("PIL") is not None,
+        "audio": (
+            importlib.util.find_spec("soundfile") is not None
+            or importlib.util.find_spec("librosa") is not None
+        ),
+        "video": importlib.util.find_spec("av") is not None,
+    }
+
+
+def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray:
+    """Real decode+featurize kernel, gated by the capability probe.
+
+    Image path (PIL): decode → grayscale → dim×dim thumbnail → per-column
+    mean intensity in [0,1] — a minimal but genuine pixel-space feature.
+    Audio/video kernels follow the same pattern on soundfile/av; raises
+    :class:`MissingMediaLibrary` when the kind's library is absent.
+    """
+    caps = media_capabilities()
+    if kind == "image" and caps["image"]:  # pragma: no cover - no PIL here
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+        arr = np.asarray(img, dtype="float64") / 255.0
+        return arr.mean(axis=0)
+    raise MissingMediaLibrary(
+        f"no decoder available for kind={kind!r} (capabilities={caps}); "
+        "install PIL/soundfile/av on the cluster image, or pass fake=None "
+        "to degrade to the deterministic fake kernel"
     )
 
 
-def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame:
+def _decode_dispatch(
+    payload: bytes, kind: str, fake: bool | None, dim: int
+) -> np.ndarray:
+    """fake=True → fake kernel; fake=False → real kernel (raise if the
+    library is missing); fake=None → real where capable, else fake."""
+    if fake is True:
+        return _fake_decode(payload, dim)
+    if fake is None and not media_capabilities().get(kind, False):
+        return _fake_decode(payload, dim)
+    return decode_real(payload, kind, dim)
+
+
+def extract_features(
+    df: DataFrame, fake: bool | None = True, dim: int = 8
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched: each pandas batch holds ``spark.sql.execution.arrow.
@@ -87,10 +147,10 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                (_fake_decode(p, dim) if fake else decode_real(p)).tolist()
+                _decode_dispatch(p, k, fake, dim).tolist()
                 if p is not None
                 else None
-                for p in pdf["payload"]
+                for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {
@@ -105,15 +165,16 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
 
 
 def resize_images(
-    df: DataFrame, target_w: int, target_h: int, fake: bool = True
+    df: DataFrame, target_w: int, target_h: int, fake: bool | None = True
 ) -> DataFrame:
     """mapInPandas image resize over binary payloads.
 
-    The real kernel (PIL ``Image.resize``) is stubbed like decode; the
-    fake path produces a deterministic payload of exactly target_w ×
-    target_h bytes (md5-keystream of the original), so the Spark-side
-    contract — binary in/binary out, metadata rewritten to the target
-    dimensions, non-images passed through untouched — is fully testable.
+    The real kernel (PIL ``Image.resize``) sits behind the same
+    capability probe as decode; the fake path produces a deterministic
+    payload of exactly target_w × target_h bytes (md5-keystream of the
+    original), so the Spark-side contract — binary in/binary out,
+    metadata rewritten to the target dimensions, non-images passed
+    through untouched — is fully testable without image libraries.
     """
     ensure_worker_imports(df.sparkSession)
 
@@ -131,13 +192,27 @@ def resize_images(
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             payloads = []
+            use_fake = fake is True or (
+                fake is None and not media_capabilities()["image"]
+            )
             for p, img in zip(pdf["payload"], is_img):
                 if not img or p is None:
                     payloads.append(p)
-                elif fake:
+                elif use_fake:
                     payloads.append(_fake_resize(bytes(p)))
-                else:  # pragma: no cover - stub
-                    decode_real(bytes(p))
+                else:  # pragma: no cover - needs PIL
+                    if not media_capabilities()["image"]:
+                        raise MissingMediaLibrary("image resize needs PIL")
+                    from io import BytesIO
+
+                    from PIL import Image
+
+                    img_obj = Image.open(BytesIO(bytes(p)))
+                    buf = BytesIO()
+                    img_obj.resize((target_w, target_h)).save(
+                        buf, format=img_obj.format or "PNG"
+                    )
+                    payloads.append(buf.getvalue())
             pdf = pdf.copy()
             pdf["payload"] = payloads
             pdf.loc[is_img, "width"] = target_w

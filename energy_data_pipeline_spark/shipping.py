@@ -24,6 +24,7 @@ that needs it can run.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import threading
@@ -34,33 +35,46 @@ from pyspark.sql import SparkSession
 _PKG_NAME = "energy_data_pipeline_spark"
 _lock = threading.Lock()
 _shipped_apps: set[str] = set()
-_zip_path: str | None = None
+_zips_by_digest: dict[str, str] = {}
+
+
+def _source_files() -> list[tuple[str, str]]:
+    """(absolute, zip-relative) paths of every .py source in the package."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                full = os.path.join(root, name)
+                out.append((full, os.path.relpath(full, os.path.dirname(pkg_dir))))
+    return out
 
 
 def _build_pkg_zip() -> str:
     """Zip the package's .py sources into a per-process temp file.
 
-    ``addPyFile`` copies the file into Spark's file server immediately,
-    but we keep the source zip for the process lifetime anyway so repeat
-    sessions in one process (test suites) reuse it.
+    Cached by a content digest (path, size, mtime of every source), not
+    for the process lifetime: a long-lived process that edits sources
+    and then starts a fresh SparkContext (test suites reloading modules)
+    ships the CURRENT sources, not a stale zip.
     """
-    global _zip_path
-    if _zip_path is not None and os.path.exists(_zip_path):
-        return _zip_path
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    files = _source_files()
+    h = hashlib.sha256()
+    for full, rel in files:
+        st = os.stat(full)
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    digest = h.hexdigest()[:16]
+    cached = _zips_by_digest.get(digest)
+    if cached is not None and os.path.exists(cached):
+        return cached
     fd, path = tempfile.mkstemp(
-        prefix=f"{_PKG_NAME}_{os.getpid()}_", suffix=".zip"
+        prefix=f"{_PKG_NAME}_{os.getpid()}_{digest}_", suffix=".zip"
     )
     os.close(fd)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for name in sorted(files):
-                if not name.endswith(".py"):
-                    continue
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                zf.write(full, rel)
-    _zip_path = path
+        for full, rel in files:
+            zf.write(full, rel)
+    _zips_by_digest[digest] = path
     return path
 
 

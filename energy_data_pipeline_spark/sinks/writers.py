@@ -70,6 +70,39 @@ def overwrite_date_range(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _recover_upsert_state(path: str) -> None:
+    """Crash recovery for the staging-swap protocol (single writer per
+    table assumed). The swap is two renames with an unavoidable no-table
+    window on plain filesystems; every crash point leaves a recoverable
+    marker that this sweep repairs on the next run:
+
+    - table missing + ``__old_*`` backup present (crash between the two
+      renames): restore the newest backup as the live table;
+    - table present + dangling ``__old_*`` (crash after swap, before
+      cleanup): delete the backup;
+    - dangling ``__staging_*`` (crash mid-write): delete — the staged
+      data was never the table of record.
+    """
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    if not os.path.isdir(parent):
+        return
+    entries = os.listdir(parent)
+    backups = [
+        os.path.join(parent, e) for e in entries if e.startswith(base + "__old_")
+    ]
+    if not os.path.exists(path) and backups:
+        newest = max(backups, key=os.path.getmtime)
+        os.rename(newest, path)
+        backups.remove(newest)
+    if os.path.exists(path):
+        for b in backups:
+            shutil.rmtree(b, ignore_errors=True)
+    for e in entries:
+        if e.startswith(base + "__staging_"):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+
+
 def upsert(
     spark: SparkSession,
     new_df: DataFrame,
@@ -84,15 +117,20 @@ def upsert(
     read for the anti-join — pass a day-range predicate at scale so only
     overlapping partitions participate.
 
-    Atomicity: the merged result is staged to a sibling temp dir and
-    swapped in (parquet has no MERGE); on Delta this entire function is
-    one ``MERGE INTO``.
+    Atomicity, honestly stated: plain parquet directories have no MERGE
+    and no atomic two-directory swap, so there is a crash window between
+    the two renames where no live table exists. The protocol is instead
+    crash-RECOVERABLE: data is always in exactly one of (table, backup,
+    both), and :func:`_recover_upsert_state` — run at the start of every
+    upsert — restores the table from its backup / clears dangling state.
+    On Delta/Iceberg this entire function is one ``MERGE INTO``.
 
     The batch is deduplicated on the key first (deterministic winner:
     max over the non-key columns) — ON CONFLICT applies rows one at a
     time so the table can never hold two rows per key, and this writer
     must uphold the same invariant even for self-colliding batches.
     """
+    _recover_upsert_state(path)
     key_list = list(keys)
     # batch-internal key collisions: keep one deterministic winner
     non_keys = [c for c in new_df.columns if c not in key_list]

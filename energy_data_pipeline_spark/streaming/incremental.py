@@ -39,6 +39,8 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+from ..shipping import ensure_worker_imports
+
 # events-shaped landing schema (streams cannot infer schemas)
 EVENT_STREAM_SCHEMA = StructType(
     [
@@ -189,8 +191,6 @@ def running_watermark_stream(stream_df: DataFrame, key_col: str = "user_id") -> 
     """T6's per-key watermark table as an incrementally-maintained
     stateful stream: emits the updated (key, last_ts, n_rows) row for
     every key seen in each micro-batch."""
-    from ..shipping import ensure_worker_imports
-
     ensure_worker_imports(stream_df.sparkSession)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         _update_watermark,

@@ -157,6 +157,35 @@ def test_upsert_key_collision_and_scope(spark, tmp_path):
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
 
 
+def test_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    import os
+
+    from energy_data_pipeline_spark.sinks.writers import upsert
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upsert(spark, df1, path, keys=["k"])
+
+    # crash window 1: between the two renames — the live table was moved
+    # to its backup and the writer died; plus a stale staging dir
+    os.rename(path, path + "__old_deadbeef")
+    os.makedirs(path + "__staging_deadbeef")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    upsert(spark, df2, path, keys=["k"])
+    rows = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}  # backup data survived
+    assert not os.path.exists(path + "__old_deadbeef")
+    assert not os.path.exists(path + "__staging_deadbeef")
+
+    # crash window 2: after the swap, before backup cleanup — a dangling
+    # backup next to a live table must be deleted, not restored
+    os.makedirs(path + "__old_stale")
+    upsert(spark, df1.limit(0), path, keys=["k"])
+    assert not os.path.exists(path + "__old_stale")
+    rows2 = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows
+
+
 def test_truncate_reload(spark, tmp_path):
     path = str(tmp_path / "t")
     truncate_reload(_events_slice(spark, 1, 10, 1.0), path)
@@ -207,8 +236,28 @@ def test_multimodal_feature_extract_deterministic(spark):
 
 
 def test_multimodal_real_decode_is_stubbed():
+    # in this sandbox no media library exists → demanding the real
+    # kernel raises; MissingMediaLibrary subclasses NotImplementedError
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"\x00")
+
+
+def test_multimodal_capability_probe_and_auto_degrade(spark):
+    caps = multimodal.media_capabilities()
+    assert set(caps) == {"image", "audio", "video"}
+    if any(caps.values()):  # pragma: no cover - libs-present cluster image
+        pytest.skip("media libraries present; auto mode uses real kernels")
+    media = multimodal.synthetic_media(spark, n=12)
+    # fake=None (auto) degrades to the fake kernel without raising and
+    # matches the pinned-fake output bit for bit
+    auto = {r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, fake=None).collect()}
+    pinned = {r["media_id"]: r["feature"]
+              for r in multimodal.extract_features(media, fake=True).collect()}
+    assert auto == pinned
+    # fake=False (demand real) must fail loudly on a libs-free worker
+    with pytest.raises(Exception, match="MissingMediaLibrary|no decoder"):
+        multimodal.extract_features(media, fake=False).collect()
 
 
 def test_frame_sample_plan_counts(spark):
