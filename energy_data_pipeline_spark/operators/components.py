@@ -23,12 +23,16 @@ Scale notes (100 TB posture):
   plan does not grow with iteration count (an un-checkpointed loop
   re-executes every prior round's shuffles on each action).
 - Plain neighbor-min propagation needs diameter-many rounds — an
-  adversarial chain graph defeats any fixed budget. Each round here
-  therefore also POINTER-JUMPS (``label(u) <- label(label(u))``, the
-  "shortcut" of Shiloach-Vishkin / the contraction idea behind
-  large-star/small-star, Kiveris et al. "Connected Components in
-  MapReduce"), so path lengths halve per round and convergence is
-  O(log diameter): ``max_iter=25`` covers graphs of diameter ~2^25.
+  adversarial chain graph defeats any fixed budget. After a few plain
+  rounds (near-dup clusters are near-cliques and converge in 2-4), any
+  still-unconverged graph switches to hybrid rounds that also
+  POINTER-JUMP (``label(u) <- label(label(u))``, the "shortcut" of
+  Shiloach-Vishkin / the contraction idea behind large-star/small-star,
+  Kiveris et al. "Connected Components in MapReduce"), so pointer
+  distances double per round and convergence is O(log diameter):
+  ``max_iter=25`` covers astronomical diameters. The shortcut operates
+  on the round's CHECKPOINTED hook output — a self-join on live lineage
+  would recompute the hook aggregation on both branches.
 - Non-convergence is NEVER silent: if the budget exhausts with labels
   still changing, ``ConvergenceError`` is raised — wrong cluster labels
   flowing into a dedup purge (dropping the wrong documents from a
@@ -51,14 +55,17 @@ def connected_components(
     id1: str,
     id2: str,
     max_iter: int = 25,
+    shortcut_after: int = 2,
 ) -> DataFrame:
     """Cluster the undirected pair graph; returns (vertex, cluster_id)
     with cluster_id = the minimum vertex id reachable from ``vertex``.
 
     Deterministic for any id type with a total order (min/least).
-    Each round hooks (neighbor-min) then shortcuts (pointer jump), so
-    rounds needed is O(log diameter); raises :class:`ConvergenceError`
-    if ``max_iter`` rounds still leave labels changing.
+    Rounds < ``shortcut_after`` hook only (neighbor-min — one join +
+    aggregate, the cheap path shallow dedup graphs finish on); later
+    rounds also shortcut (pointer jump), making total rounds
+    O(log diameter). Raises :class:`ConvergenceError` if ``max_iter``
+    rounds still leave labels changing.
     """
     edges = (
         pairs.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
@@ -73,35 +80,49 @@ def connected_components(
         .withColumn("cluster_id", F.col("vertex"))
     )
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # hook: min label among each vertex's neighbours
         nbr_min = (
             edges.join(labels, edges["_a"] == labels["vertex"])
             .groupBy(F.col("_b").alias("vertex"))
             .agg(F.min("cluster_id").alias("_nbr_min"))
         )
-        hooked = labels.join(nbr_min, "vertex", "left").select(
-            "vertex",
-            F.col("cluster_id").alias("_old"),
-            F.least(
-                F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
-            ).alias("_hook"),
-        )
-        # shortcut: label(u) <- label(label(u)) — labels are always ids of
-        # smaller same-component vertices, so this halves pointer chains
-        parent = hooked.select(
-            F.col("vertex").alias("_pv"), F.col("_hook").alias("_pl")
-        )
-        jumped = F.least(F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook")))
-        new_labels = (
-            hooked.join(parent, hooked["_hook"] == parent["_pv"], "left")
+        hooked = (
+            labels.join(nbr_min, "vertex", "left")
             .select(
                 "vertex",
-                jumped.alias("cluster_id"),
-                (jumped < F.col("_old")).alias("_changed"),
+                F.col("cluster_id").alias("_old"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
+                ).alias("_hook"),
             )
             .localCheckpoint(eager=True)  # truncate lineage + materialize once
         )
+        if i < shortcut_after:
+            new_labels = hooked.select(
+                "vertex",
+                F.col("_hook").alias("cluster_id"),
+                (F.col("_hook") < F.col("_old")).alias("_changed"),
+            )
+        else:
+            # shortcut: label(u) <- label(label(u)) — labels are always
+            # ids of smaller same-component vertices, so pointer chains
+            # double-compress; self-join runs on the CHECKPOINTED hooked
+            parent = hooked.select(
+                F.col("vertex").alias("_pv"), F.col("_hook").alias("_pl")
+            )
+            jumped = F.least(
+                F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook"))
+            )
+            new_labels = (
+                hooked.join(parent, hooked["_hook"] == parent["_pv"], "left")
+                .select(
+                    "vertex",
+                    jumped.alias("cluster_id"),
+                    (jumped < F.col("_old")).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

@@ -134,6 +134,45 @@ def main():
             lambda: noop(minhash_lsh_near_dups(docs, "doc_id", "text", threshold=0.5))
         )
 
+    # hot-shingle (viral boilerplate) corpus: 40% of docs share one
+    # boilerplate sentence — the uncapped inverted index pays a
+    # quadratic bucket on its shingles, the df-capped index drops them
+    from energy_data_pipeline_spark.operators.neardup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved click here to subscribe to our newsletter today"
+    viral = spark.range(0, 6_000, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.pmod("id", 5) < 2,
+            F.concat(
+                F.lit(boiler + " "),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"u{j}x"), F.col("id"))
+                        for j in range(8)
+                    ],
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ", *[F.concat(F.lit(f"v{j}y"), F.col("id")) for j in range(16)]
+            )
+        )
+        .alias("text"),
+    )
+    results["ngram_viral_uncapped_6k"] = timed(
+        lambda: noop(
+            ngram_jaccard_pairs(viral, "doc_id", "text", threshold=0.8, max_doc_freq=None)
+        )
+    )
+    results["ngram_viral_capped_6k"] = timed(
+        lambda: noop(
+            ngram_jaccard_pairs(viral, "doc_id", "text", threshold=0.8)
+        )
+    )
+
     results["ratios"] = {
         "flagship_20x_data": round(results["flagship_12M"] / results["flagship_0.6M"], 2),
         "dedup_20x_data": round(
@@ -144,6 +183,9 @@ def main():
         ),
         "salted_vs_plain_hotkey": round(
             results["hotkey_join_salted"] / results["hotkey_join_plain"], 2
+        ),
+        "ngram_capped_vs_uncapped_viral": round(
+            results["ngram_viral_capped_6k"] / results["ngram_viral_uncapped_6k"], 2
         ),
     }
     print(json.dumps(results, indent=2))

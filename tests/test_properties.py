@@ -132,3 +132,52 @@ def test_salted_ops_equal_unsalted(spark, rows):
         for r in salted_agg_sum(df, ["k"], "v").collect()
     }
     assert plain_agg == salted_agg
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(edges=edges_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed hook+shortcut labeling must equal a sequential
+    union-find's min-vertex-per-component on ANY pair graph."""
+    from energy_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {
+        r["vertex"]: r["cluster_id"]
+        for r in connected_components(pairs, "id1", "id2").collect()
+    }
+    assert got == want
