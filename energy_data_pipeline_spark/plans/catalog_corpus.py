@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rnd
 
 from ..functions import text as T
-from ..operators import neardup, similarity
+from ..operators import neardup, sampling, similarity
 from ..operators.components import connected_components
 from ..sources import fan_out, load_table
 
@@ -517,6 +517,112 @@ FROM base b LEFT JOIN shares s ON b.doc_id = s.doc_id
 """
 
 
+# --- quality-filtered corpus (C4/Gopher-style keep/drop cascade) ---
+MIN_TOKENS = 10
+MAX_PUNCT_RATIO = 0.3
+MIN_QUALITY = 0.4
+MAX_DUP_WORD_RATIO = 0.6
+
+
+def quality_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pre-training document filter: drop too-short,
+    punctuation-heavy, low-quality, or self-repeating documents and emit
+    the surviving corpus. All thresholds are applied to values rounded
+    exactly as the txt_* reporting queries round them, so keep/drop
+    decisions are engine-portable at the boundaries. Pure JVM
+    expressions over one scan — embarrassingly parallel at 100 TB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    keep = (
+        (T.token_count_ws("text") >= MIN_TOKENS)
+        & (rnd(T.punct_ratio("text"), 6) <= MAX_PUNCT_RATIO)
+        & (T.quality_score("text") >= MIN_QUALITY)
+        & (rnd(T.dup_word_ratio("text"), 6) <= MAX_DUP_WORD_RATIO)
+    )
+    return docs.filter(keep).select("doc_id", "source", "lang")
+
+
+def _quality_filtered_sql() -> str:
+    stop = ", ".join(f"'{m}'" for m in T.LANG_MARKERS["en"])
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, lang, text, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), scored AS (
+  SELECT doc_id, source, lang,
+         len(wl) AS n_tok,
+         round(CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END, 6) AS punct_r,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(wl) > 0
+              THEN len(list_filter(wl, x -> lower(x) IN ({stop}))) * 1.0 / len(wl)
+              ELSE 0.0 END AS sraw,
+         round(CASE WHEN len(wl) > 0
+              THEN 1.0 - len(list_distinct(wl)) * 1.0 / len(wl)
+              ELSE 0.0 END, 6) AS dup_r
+  FROM w
+), q AS (
+  SELECT doc_id, source, lang, n_tok, punct_r, dup_r,
+         round(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+               + greatest(0.0, 1.0 - praw * 5) * 0.25
+               + least(sraw * 5, 1.0) * 0.25, 6) AS quality
+  FROM scored
+)
+SELECT doc_id, source, lang FROM q
+WHERE n_tok >= {MIN_TOKENS}
+  AND punct_r <= {MAX_PUNCT_RATIO}
+  AND quality >= {MIN_QUALITY}
+  AND dup_r <= {MAX_DUP_WORD_RATIO}
+"""
+
+
+# --- deterministic sampling: training-mix strata + splits ---
+MIX_RATES = {"en": 0.6, "zh": 0.4, "es": 0.3, "de": 0.3}  # fr deliberately absent
+
+
+def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A language-mix spec applied as deterministic hash sampling: keep
+    60% of en, 40% of zh, 30% of es/de, drop fr — membership is a pure
+    function of doc_id, so the mix is reproducible on any engine/rerun."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", "doc_id", MIX_RATES, seed="mix1"
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_sql() -> str:
+    bucket = sampling.duck_hash_bucket_sql("doc_id", seed="mix1")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v} * {sampling.HASH_MOD}" for k, v in MIX_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {bucket} < (CASE lang {cases} ELSE 0 END)
+"""
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): a document's
+    split never changes across reruns, repartitions, or corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(
+        docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+    ).select("doc_id", "split")
+
+
+def _split_sql() -> str:
+    bucket = sampling.duck_hash_bucket_sql("doc_id", seed="split1")
+    m = sampling.HASH_MOD
+    return f"""
+SELECT doc_id,
+       CASE WHEN {bucket} < {m - 2000} THEN 'train'
+            WHEN {bucket} < {m - 1000} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # --- fingerprints per doc ---
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -544,4 +650,7 @@ CORPUS_QUERIES = {
     "txt_quality_scores": (quality_scores, _quality_sql()),
     "txt_doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
     "txt_repetition_scores": (repetition_scores, REPETITION_SQL),
+    "txt_quality_filtered_corpus": (quality_filtered_corpus, _quality_filtered_sql()),
+    "smp_stratified_mix_sample": (stratified_mix_sample, _stratified_sql()),
+    "smp_train_val_test_split": (split_assignment, _split_sql()),
 }

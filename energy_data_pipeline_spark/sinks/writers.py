@@ -70,6 +70,38 @@ def overwrite_date_range(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: Sequence[str],
+    num_buckets: int = 64,
+    sort_cols: Sequence[str] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the pay-once co-location contract for
+    tables that are repeatedly joined or aggregated on the same keys
+    (fact-to-fact joins a broadcast can't cover at 100 TB).
+
+    ``bucketBy`` hash-partitions rows into ``num_buckets`` files per
+    partition at WRITE time; any later equi-join between two tables
+    bucketed the same way (same keys, same count), or groupBy on the
+    bucket keys, runs exchange-free — the shuffle happened once, at
+    ingest, instead of per query. ``sort_cols`` additionally pre-sorts
+    within buckets so sort-merge joins skip their sort.
+
+    ``path`` makes the table external (data at ``path``, metadata in the
+    session catalog); bucketed writes require ``saveAsTable`` — plain
+    ``.parquet(path)`` writes no bucket spec.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(int(num_buckets), *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def _recover_upsert_state(path: str) -> None:
     """Crash recovery for the staging-swap protocol (single writer per
     table assumed). The swap is two renames with an unavoidable no-table

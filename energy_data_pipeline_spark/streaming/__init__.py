@@ -3,6 +3,7 @@ from .incremental import (
     hourly_aggregate_stream,
     read_event_stream,
     running_watermark_stream,
+    session_stream,
     upsert_stream,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "hourly_aggregate_stream",
     "read_event_stream",
     "running_watermark_stream",
+    "session_stream",
     "upsert_stream",
 ]

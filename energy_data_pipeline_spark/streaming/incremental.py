@@ -99,6 +99,42 @@ def hourly_aggregate_stream(
     )
 
 
+def session_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """st_user_sessions' streaming twin: gap-based sessionization via the
+    native ``session_window`` — state per open session, closed and
+    emitted once the watermark passes the session's gap horizon. Same
+    NTZ→instant casting contract as :func:`hourly_aggregate_stream`.
+
+    The batch operator (operators/gaps.sessionize) and this stream apply
+    the same >gap split rule, so a backfill computed in batch and a live
+    tail computed here agree on session boundaries away from the seam.
+    """
+    return (
+        stream_df.withColumn("_wts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window("_wts", f"{gap_seconds} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("_wts").cast("timestamp_ntz").alias("session_end"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            "session_end",
+            "n_events",
+        )
+    )
+
+
 def available_now_ingest(
     stream_df: DataFrame,
     sink_dir: str,

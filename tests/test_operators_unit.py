@@ -426,6 +426,61 @@ def test_asof_join_null_valued_right_row_advances_clock(spark):
         assert out == {1: None, 2: 9.0}, f"tolerance={tol}"
 
 
+# --- deterministic sampling ------------------------------------------------
+def test_hash_bucket_matches_python_md5(spark):
+    import hashlib
+
+    from energy_data_pipeline_spark.operators.sampling import (
+        HASH_MOD,
+        hash_bucket,
+    )
+
+    df = spark.createDataFrame([(7,), (123456,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket("doc_id", seed="s").alias("b")).collect()
+    }
+    for k in (7, 123456):
+        want = int(hashlib.md5(f"s{k}".encode()).hexdigest()[:8], 16) % HASH_MOD
+        assert got[k] == want
+
+
+def test_train_val_test_split_stable_under_repartition(spark):
+    from energy_data_pipeline_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(df, "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # rand()-based sampling fails exactly this property
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    from energy_data_pipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, "lang", "doc_id", {"keep": 1.0})
+    rows = out.collect()
+    assert all(r["lang"] == "keep" for r in rows)
+    assert len(rows) == 100  # rate 1.0 keeps every row of the stratum
+
+
 # --- near-dup guards: hot-shingle cap + simhash empty docs ---
 def test_ngram_jaccard_hot_shingle_cap_bounds_bucket(spark):
     from energy_data_pipeline_spark.operators.neardup import ngram_jaccard_pairs

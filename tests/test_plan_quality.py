@@ -69,6 +69,33 @@ def test_scans_prune_columns(spark):
     assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
 
 
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange on either side — the write-time shuffle is reused by every
+    subsequent join (the fact-to-fact co-location path at 100 TB)."""
+    from energy_data_pipeline_spark.sinks.writers import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+    )
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    )
+    write_bucketed(a, "bkt_a", ["k"], num_buckets=8, sort_cols=["k"], path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", ["k"], num_buckets=8, sort_cols=["k"], path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_day_partitioned_table_prunes_partitions(spark, tmp_path):
     """The K4 sink layout (day-partitioned parquet) must let a day filter
     prune partitions at planning time — the 100 TB access path."""

@@ -14,6 +14,7 @@ from energy_data_pipeline_spark.streaming import (
     hourly_aggregate_stream,
     read_event_stream,
     running_watermark_stream,
+    session_stream,
     upsert_stream,
 )
 from energy_data_pipeline_spark.streaming.incremental import EVENT_STREAM_SCHEMA
@@ -93,6 +94,52 @@ def test_hourly_aggregate_stream_matches_batch(spark, dirs):
     assert got, "no windows emitted"
     for k, v in got.items():
         assert want_all[k] == v
+
+
+def test_session_stream_matches_batch_sessionize(spark, dirs):
+    # user 10: one session at minutes 0-20, another at 120-130;
+    # user 11: a single event at 5; a far tail event at 300 keeps the
+    # watermark ahead so all earlier sessions close and emit
+    rows = [
+        (1, 0, 10, "click", 1.0),
+        (2, 10, 10, "view", 1.0),
+        (3, 20, 10, "click", 1.0),
+        (4, 120, 10, "click", 1.0),
+        (5, 130, 10, "view", 1.0),
+        (6, 5, 11, "click", 1.0),
+        (7, 300, 11, "view", 1.0),
+    ]
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+
+    stream = read_event_stream(spark, dirs["landing"])
+    sess = session_stream(stream, gap_seconds=1800, watermark="1 second")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+
+    from energy_data_pipeline_spark.operators.gaps import sessionize
+
+    batch = sessionize(_mk_batch(spark, rows), "ts", ["user_id"], gap_seconds=1800)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-closed sessions; each emitted
+    # session must match the batch operator exactly, and the three
+    # closed sessions must all have been emitted
+    assert len(got) == 3
+    for k, v in got.items():
+        assert want[k] == v
 
 
 def test_upsert_stream_idempotent_redelivery(spark, dirs):
