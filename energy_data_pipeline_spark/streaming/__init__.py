@@ -1,5 +1,6 @@
 from .incremental import (
     available_now_ingest,
+    dedup_stream,
     hourly_aggregate_stream,
     read_event_stream,
     running_watermark_stream,
@@ -9,6 +10,7 @@ from .incremental import (
 
 __all__ = [
     "available_now_ingest",
+    "dedup_stream",
     "hourly_aggregate_stream",
     "read_event_stream",
     "running_watermark_stream",

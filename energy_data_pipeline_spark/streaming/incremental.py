@@ -135,6 +135,27 @@ def session_stream(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    id_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """O3/O4's streaming twin for at-least-once sources: drop redelivered
+    rows by id within the watermark horizon. State holds one entry per id
+    seen in the last ``watermark`` of event time and is evicted as the
+    watermark advances — bounded state, unlike an unwatermarked
+    dropDuplicates which grows forever. Rows older than the watermark
+    are dropped wholesale (their dedup state is gone; replay instead
+    through the idempotent batch sinks, K4/K5)."""
+    return (
+        stream_df.withColumn("_wts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .dropDuplicates([*id_cols, "_wts"])
+        .drop("_wts")
+    )
+
+
 def available_now_ingest(
     stream_df: DataFrame,
     sink_dir: str,

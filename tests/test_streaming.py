@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from energy_data_pipeline_spark.streaming import (
     available_now_ingest,
+    dedup_stream,
     hourly_aggregate_stream,
     read_event_stream,
     running_watermark_stream,
@@ -158,6 +159,28 @@ def test_upsert_stream_idempotent_redelivery(spark, dirs):
     out = spark.read.parquet(dirs["table"])
     assert out.count() == 3
     assert out.filter("event_id = 2").collect()[0]["value"] == 9.0
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, dirs):
+    # the same three events land twice (at-least-once source redelivery)
+    # within one run; the watermarked dedup must emit each id once
+    rows = [(1, 0, 10, "click", 1.0), (2, 30, 11, "view", 2.0), (3, 60, 12, "click", 3.0)]
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+
+    stream = dedup_stream(read_event_stream(spark, dirs["landing"]))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dirs["sink"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(dirs["sink"])
+    assert out.count() == 3
+    assert out.select("event_id").distinct().count() == 3
 
 
 def test_running_watermark_stream_accumulates_state(spark, dirs):
