@@ -131,7 +131,7 @@ def connected_components(
         edges.unpersist()
         raise ConvergenceError(
             f"connected_components: labels still changing after {max_iter} "
-            "hook+shortcut rounds (graph diameter ~2^{max_iter} exceeded or "
+            f"hook+shortcut rounds (graph diameter ~2^{max_iter} exceeded or "
             "pathological input); refusing to return wrong cluster labels"
         )
 

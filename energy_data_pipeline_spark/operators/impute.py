@@ -192,10 +192,18 @@ def historical_average_impute(
     value_col: str | Sequence[str],
     keys: Sequence[str],
     min_gap_len: int = 4,
+    fill_round_digits: int | None = None,
 ) -> DataFrame:
     """T4 — fill NULL runs of length >= min_gap_len from the same
     (month, day, hour) historical mean, cascading to the series mean,
     then the global mean (impute_missing.py:356-374).
+
+    ``fill_round_digits`` rounds the cascade means (via rnd, the
+    DuckDB-parity half-up) before they land: cross-engine oracles
+    compare averages computed with different summation orders, and
+    rounding the intermediate to a coarser grid than the final output
+    absorbs the last-ulp differences (the same FP-order safety the T4
+    catalog query applies inline).
 
     Fully native, and single-scan twice over:
     - all three cascade levels come from ONE aggregation via GROUPING
@@ -284,6 +292,8 @@ def historical_average_impute(
         fill = F.coalesce(
             F.col(f"_slot_{vc}"), F.col(f"_series_{vc}"), F.col(f"_global_{vc}")
         )
+        if fill_round_digits is not None:
+            fill = rnd(fill, fill_round_digits)
         out = out.withColumn(
             vc,
             F.when(
@@ -300,6 +310,7 @@ def impute_missing_values(
     value_cols: Sequence[str],
     keys: Sequence[str],
     short_gap_max: int = 3,
+    fill_round_digits: int | None = None,
 ) -> DataFrame:
     """T5 — the orchestrated pipeline: long gaps via historical average
     (native), then short gaps via spline (pandas UDF); all value columns
@@ -316,7 +327,12 @@ def impute_missing_values(
     values as anchors — so results do not depend on gap iteration order.
     """
     out = historical_average_impute(
-        df, ts_col, value_cols, keys, min_gap_len=short_gap_max + 1
+        df,
+        ts_col,
+        value_cols,
+        keys,
+        min_gap_len=short_gap_max + 1,
+        fill_round_digits=fill_round_digits,
     )
     return spline_impute_short_gaps(
         out, ts_col, value_cols, keys, short_gap_max=short_gap_max

@@ -97,13 +97,21 @@ def media_capabilities() -> dict[str, bool]:
     }
 
 
+# kinds decode_real has a genuine kernel for; auto mode (fake=None)
+# only routes a kind here when it is BOTH listed and capability-probed —
+# a kind whose library is installed but whose kernel is unwritten must
+# degrade to the fake, not crash with a misleading "install X" error
+REAL_KERNEL_KINDS = frozenset({"image"})
+
+
 def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray:
     """Real decode+featurize kernel, gated by the capability probe.
 
     Image path (PIL): decode → grayscale → dim×dim thumbnail → per-column
     mean intensity in [0,1] — a minimal but genuine pixel-space feature.
-    Audio/video kernels follow the same pattern on soundfile/av; raises
-    :class:`MissingMediaLibrary` when the kind's library is absent.
+    Raises :class:`MissingMediaLibrary` when the kind's library is
+    absent, :class:`NotImplementedError` when the library is present but
+    no kernel is written for the kind (audio/video today).
     """
     caps = media_capabilities()
     if kind == "image" and caps["image"]:  # pragma: no cover - no PIL here
@@ -114,6 +122,11 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
         img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
         arr = np.asarray(img, dtype="float64") / 255.0
         return arr.mean(axis=0)
+    if caps.get(kind, False):
+        raise NotImplementedError(
+            f"kind={kind!r}: library installed but no real kernel written "
+            "yet; pass fake=None to degrade to the deterministic fake"
+        )
     raise MissingMediaLibrary(
         f"no decoder available for kind={kind!r} (capabilities={caps}); "
         "install PIL/soundfile/av on the cluster image, or pass fake=None "
@@ -125,10 +138,13 @@ def _decode_dispatch(
     payload: bytes, kind: str, fake: bool | None, dim: int
 ) -> np.ndarray:
     """fake=True → fake kernel; fake=False → real kernel (raise if the
-    library is missing); fake=None → real where capable, else fake."""
+    library is missing or the kind's kernel is unwritten); fake=None →
+    real where a kernel exists AND the library is present, else fake."""
     if fake is True:
         return _fake_decode(payload, dim)
-    if fake is None and not media_capabilities().get(kind, False):
+    if fake is None and not (
+        kind in REAL_KERNEL_KINDS and media_capabilities().get(kind, False)
+    ):
         return _fake_decode(payload, dim)
     return decode_real(payload, kind, dim)
 

@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 HASH_MOD = 10_000  # basis points: rates resolve to 0.01% granularity
 
 
+def rate_to_bp(rate: float) -> int:
+    """A keep-rate as an integer bucket threshold in [0, HASH_MOD].
+
+    Thresholds are compared as INTEGERS everywhere (engine and oracle):
+    `rate * HASH_MOD` evaluated as a double can overshoot the integer
+    boundary (0.07 * 10000 == 700.0000000000001) while an exact-decimal
+    engine gets 700.0 — one extra bucket kept on one side only.
+    """
+    return max(0, min(HASH_MOD, int(round(rate * HASH_MOD))))
+
+
 def hash_bucket(col: Column | str, seed: str = "") -> Column:
     """Deterministic bucket in [0, HASH_MOD) — a pure function of
     (seed, value), identical in any engine that has md5 (the first 8 hex
@@ -55,10 +66,10 @@ def stratified_sample(
     row kept iff hash_bucket(id) < rate·HASH_MOD. Strata missing from
     ``rates`` are dropped (rate 0) — the usual "mix spec" semantics."""
     mapping = F.create_map(
-        *[F.lit(x) for k, v in rates.items() for x in (k, float(v))]
+        *[F.lit(x) for k, v in rates.items() for x in (k, rate_to_bp(v))]
     )
-    threshold = mapping[F.col(strata_col)] * HASH_MOD
-    return df.filter(hash_bucket(id_col, seed) < F.coalesce(threshold, F.lit(0.0)))
+    threshold = mapping[F.col(strata_col)]
+    return df.filter(hash_bucket(id_col, seed) < F.coalesce(threshold, F.lit(0)))
 
 
 def train_val_test_split(

@@ -594,7 +594,7 @@ def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stratified_sql() -> str:
     bucket = sampling.duck_hash_bucket_sql("doc_id", seed="mix1")
     cases = " ".join(
-        f"WHEN '{k}' THEN {v} * {sampling.HASH_MOD}" for k, v in MIX_RATES.items()
+        f"WHEN '{k}' THEN {sampling.rate_to_bp(v)}" for k, v in MIX_RATES.items()
     )
     return f"""
 SELECT doc_id, lang, source FROM documents

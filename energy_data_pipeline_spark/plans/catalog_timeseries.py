@@ -219,10 +219,13 @@ FROM sessions GROUP BY user_id, session_seq
 # fallback ladder; scipy runs inside applyInPandas per series.
 def spline_impute_view_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # hourly mean rounded to 6 BEFORE the spline: the oracle recomputes
+    # this average in DuckDB with a different summation order, and the
+    # kernel must see bit-identical inputs (same FP-order guard as T4)
     series = (
         ev.filter(F.col("event_type") == "view")
         .groupBy(_hour_bucket_ntz("ts").alias("hour_ts"))
-        .agg(F.avg("value").alias("v"))
+        .agg(rnd(F.avg("value"), 6).alias("v"))
     )
     dense = (
         _calendar_hours(spark)
@@ -242,16 +245,24 @@ def spline_impute_view_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T5: full impute pipeline (historical + spline) — rows-only check ---
 def impute_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # same FP-order guard as t3: round the hourly mean inputs AND the
+    # long-gap fill means to 6 so the oracle's independently-summed
+    # averages feed the spline kernel bit-identical anchors
     series = (
         ev.filter(F.col("event_type").isin("view", "click"))
         .groupBy("event_type", _hour_bucket_ntz("ts").alias("hour_ts"))
-        .agg(F.avg("value").alias("v"))
+        .agg(rnd(F.avg("value"), 6).alias("v"))
     )
     cal = _calendar_hours(spark)
     keys = series.select("event_type").distinct()
     dense = keys.crossJoin(cal).join(series, ["event_type", "hour_ts"], "left")
     out = impute_missing_values(
-        dense, "hour_ts", ["v"], keys=["event_type"], short_gap_max=3
+        dense,
+        "hour_ts",
+        ["v"],
+        keys=["event_type"],
+        short_gap_max=3,
+        fill_round_digits=6,
     )
     return out.select(
         "event_type",
@@ -261,14 +272,19 @@ def impute_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- T3/T5 oracle generation (expected-value literal tables) ---------------
-def _rnd4_py(x: float | None) -> float | None:
-    """Python twin of functions/rounding.rnd(col, 4) for oracle fixtures."""
+def _rnd_py(x: float | None, digits: int = 4) -> float | None:
+    """Python twin of functions/rounding.rnd(col, digits) for oracle
+    fixtures."""
     if x is None or math.isnan(x):
         return None
-    p = 10000.0
+    p = float(10**digits)
     if abs(x) * p >= float(2**63):
         return x
     return math.floor(abs(x) * p + 0.5) / p * (1.0 if x >= 0 else -1.0)
+
+
+def _rnd4_py(x: float | None) -> float | None:
+    return _rnd_py(x, 4)
 
 
 def _dense_series_from_duckdb(sf_dir: str, event_types: tuple[str, ...]):
@@ -290,7 +306,8 @@ def _dense_series_from_duckdb(sf_dir: str, event_types: tuple[str, ...]):
               FROM generate_series(TIMESTAMP '{RANGE_START}',
                                    TIMESTAMP '{RANGE_END}', INTERVAL 1 HOUR) gs(h)
             ), series AS (
-              SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+              SELECT event_type, date_trunc('hour', ts) AS h,
+                     round(avg(value), 6) AS v
               FROM '{events}' WHERE event_type IN ({types}) GROUP BY 1, 2
             ), keys AS (SELECT DISTINCT event_type FROM series)
             SELECT k.event_type, strftime(cal.hour_ts, '{TS_FMT_DUCK}') AS hts, s.v
@@ -372,15 +389,21 @@ def _t5_oracle_sql(sf_dir: str) -> str | None:
             return None
         series = _series_arrays(rows)
         all_vals = np.concatenate([vals for _h, vals in series.values()])
+        # fill means rounded to 6 to mirror the engine's
+        # fill_round_digits=6 (FP-order safety across engines)
         global_mean = (
-            float(np.nanmean(all_vals)) if not np.all(np.isnan(all_vals)) else None
+            _rnd_py(float(np.nanmean(all_vals)), 6)
+            if not np.all(np.isnan(all_vals))
+            else None
         )
         lits = []
         for et in sorted(series):
             hours, vals = series[et]
             hist = vals.copy()
             series_mean = (
-                float(np.nanmean(vals)) if not np.all(np.isnan(vals)) else None
+                _rnd_py(float(np.nanmean(vals)), 6)
+                if not np.all(np.isnan(vals))
+                else None
             )
             fill = series_mean if series_mean is not None else global_mean
             for start, length in find_consecutive_missing_groups(vals):

@@ -74,6 +74,15 @@ def _build_pkg_zip() -> str:
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for full, rel in files:
             zf.write(full, rel)
+    # evict superseded digests so an edit-and-rerun loop holds at most
+    # one zip on disk (addPyFile copied any prior zip into Spark's own
+    # tempdir, so deleting ours cannot break a running application)
+    for old_digest, old_path in list(_zips_by_digest.items()):
+        del _zips_by_digest[old_digest]
+        try:
+            os.remove(old_path)
+        except OSError:
+            pass
     _zips_by_digest[digest] = path
     return path
 

@@ -145,13 +145,18 @@ def dedup_stream(
     rows by id within the watermark horizon. State holds one entry per id
     seen in the last ``watermark`` of event time and is evicted as the
     watermark advances — bounded state, unlike an unwatermarked
-    dropDuplicates which grows forever. Rows older than the watermark
-    are dropped wholesale (their dedup state is gone; replay instead
-    through the idempotent batch sinks, K4/K5)."""
+    dropDuplicates which grows forever.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the id columns ALONE,
+    so a redelivery whose event time was re-stamped in transit (broker
+    retry, ingest clock adjustment) still dedups — `dropDuplicates([id,
+    ts])` would pass it through as a "new" row. Rows arriving after
+    their id's state has aged out are emitted again; replay that far
+    back goes through the idempotent batch sinks instead (K4/K5)."""
     return (
         stream_df.withColumn("_wts", F.col(ts_col).cast("timestamp"))
         .withWatermark("_wts", watermark)
-        .dropDuplicates([*id_cols, "_wts"])
+        .dropDuplicatesWithinWatermark(list(id_cols))
         .drop("_wts")
     )
 

@@ -163,10 +163,12 @@ def test_upsert_stream_idempotent_redelivery(spark, dirs):
 
 def test_dedup_stream_drops_redelivered_rows(spark, dirs):
     # the same three events land twice (at-least-once source redelivery)
-    # within one run; the watermarked dedup must emit each id once
+    # within one run — the second copy re-stamped 1 s later, as a broker
+    # retry would; dedup keys on id alone, so each id must emit once
     rows = [(1, 0, 10, "click", 1.0), (2, 30, 11, "view", 2.0), (3, 60, 12, "click", 3.0)]
+    restamped = [(i, sec + 1, u, t, v) for i, sec, u, t, v in rows]
     _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
-    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+    _mk_batch(spark, restamped).write.mode("append").parquet(dirs["landing"])
 
     stream = dedup_stream(read_event_stream(spark, dirs["landing"]))
     q = (
