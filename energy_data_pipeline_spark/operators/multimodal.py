@@ -7,11 +7,14 @@ process, a real kernel runs where its library exists, and ``fake=None``
 (auto) degrades to a deterministic md5-seeded fake decoder where it
 does not — so the Spark-side plumbing (schema, batching, partitioning)
 is fully testable in a libs-free sandbox and upgrades in place on a
-cluster image that has the codecs. ``fake=True`` pins the fake kernel
+cluster image that has the codecs. Two REAL kernels need no library at
+all and run anywhere: WAV audio (stdlib ``wave`` → per-block RMS
+energy) and binary PNM images (pure numpy → column mean intensity),
+selected per-row by payload magic. ``fake=True`` pins the fake kernel
 (the catalog queries do this: their DuckDB oracles reproduce the fake
-features exactly, which a library-dependent path could not guarantee);
-``fake=False`` demands the real kernel and raises
-``MissingMediaLibrary`` where the probe fails.
+features exactly, which a decode-dependent path could not guarantee);
+``fake=False`` demands a real kernel and raises
+``MissingMediaLibrary`` where neither a library nor a builtin applies.
 
 At scale: binary payloads ride in parquet; ``spark.sql.files.
 maxPartitionBytes`` bounds batch memory; metadata predicates (width,
@@ -97,23 +100,131 @@ def media_capabilities() -> dict[str, bool]:
     }
 
 
-# kinds decode_real has a genuine kernel for; auto mode (fake=None)
-# only routes a kind here when it is BOTH listed and capability-probed —
-# a kind whose library is installed but whose kernel is unwritten must
-# degrade to the fake, not crash with a misleading "install X" error
+# kinds decode_real has a LIBRARY-GENERAL kernel for (any format the
+# library reads); auto mode (fake=None) only routes a kind here when it
+# is BOTH listed and capability-probed — a kind whose library is
+# installed but whose kernel is unwritten must degrade to the fake, not
+# crash with a misleading "install X" error. Independent of libraries,
+# BUILTIN kernels (stdlib/numpy only — WAV audio, PNM images) are
+# selected per-row by payload magic via _sniff_builtin.
 REAL_KERNEL_KINDS = frozenset({"image"})
 
 
-def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray:
-    """Real decode+featurize kernel, gated by the capability probe.
+def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
+    """Which builtin (no-library) kernel can decode this payload, if any.
 
-    Image path (PIL): decode → grayscale → dim×dim thumbnail → per-column
-    mean intensity in [0,1] — a minimal but genuine pixel-space feature.
-    Raises :class:`MissingMediaLibrary` when the kind's library is
-    absent, :class:`NotImplementedError` when the library is present but
-    no kernel is written for the kind (audio/video today).
+    Magic-byte detection is per-row and total: a corpus mixing genuine
+    WAV/PNM payloads with other formats decodes what it can and lets
+    auto mode degrade the rest — no per-partition or per-job flag.
+    """
+    if payload is None:
+        return None
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if kind == "image" and payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    return None
+
+
+def _area_resample_axis(a: np.ndarray, dim: int, axis: int) -> np.ndarray:
+    """Resample one axis to length ``dim``: area (block-mean) when
+    shrinking, nearest-neighbor when growing. Pure numpy, total for any
+    input length >= 1."""
+    n = a.shape[axis]
+    if n >= dim:
+        bounds = (np.arange(dim) * n) // dim
+        sums = np.add.reduceat(a, bounds, axis=axis)
+        counts = np.diff(np.append(bounds, n)).astype("float64")
+        shape = [1] * a.ndim
+        shape[axis] = dim
+        return sums / counts.reshape(shape)
+    idx = (np.arange(dim) * n) // dim
+    return np.take(a, idx, axis=axis)
+
+
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Binary PNM (P5 grayscale / P6 RGB, maxval <= 255) → float array in
+    [0,1], shape (h, w) or (h, w, 3). Header = 4 whitespace-separated
+    tokens with '#' comments, one whitespace byte, then the raster."""
+    tokens: list[bytes] = []
+    pos = 0
+    while len(tokens) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace byte that ends the header
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported by the builtin kernel")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(payload, dtype="u1", count=need, offset=pos)
+    arr = raster.reshape((h, w, ch)) if ch == 3 else raster.reshape((h, w))
+    return arr.astype("float64") / float(maxval)
+
+
+def _decode_pnm_features(payload: bytes, dim: int) -> np.ndarray:
+    """PNM builtin kernel: decode → grayscale → dim×dim area resample →
+    per-column mean intensity (the same feature contract as the PIL
+    path, minus PIL's exact resize filter)."""
+    arr = _parse_pnm(payload)
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
+def _decode_wav_features(payload: bytes, dim: int) -> np.ndarray:
+    """WAV builtin kernel (stdlib ``wave`` + numpy): mono-mix, split the
+    sample stream into ``dim`` contiguous blocks, per-block RMS energy
+    in [0,1] — the audio analogue of the image column-mean feature."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if len(x) == 0:
+        return np.zeros(dim)
+    blocks = np.array_split(x, dim)
+    return np.array(
+        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
+    )
+
+
+def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray:
+    """Real decode+featurize kernel: library path where installed,
+    builtin (stdlib/numpy) path where the payload's format allows.
+
+    Image: PIL (any format) → grayscale → dim×dim → per-column mean
+    intensity in [0,1]; without PIL, binary PNM (P5/P6) decodes via the
+    pure-numpy builtin with the same feature contract. Audio: WAV
+    decodes via stdlib ``wave`` into per-block RMS energy — no library
+    needed. Raises :class:`MissingMediaLibrary` when neither a library
+    nor a builtin can handle the payload, :class:`NotImplementedError`
+    when the kind's library is present but no kernel is written for it
+    (non-WAV audio, video today).
     """
     caps = media_capabilities()
+    builtin = _sniff_builtin(payload, kind)
     if kind == "image" and caps["image"]:  # pragma: no cover - no PIL here
         import io
 
@@ -122,15 +233,20 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
         img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
         arr = np.asarray(img, dtype="float64") / 255.0
         return arr.mean(axis=0)
+    if builtin == "pnm":
+        return _decode_pnm_features(payload, dim)
+    if builtin == "wav":
+        return _decode_wav_features(payload, dim)
     if caps.get(kind, False):
         raise NotImplementedError(
             f"kind={kind!r}: library installed but no real kernel written "
             "yet; pass fake=None to degrade to the deterministic fake"
         )
     raise MissingMediaLibrary(
-        f"no decoder available for kind={kind!r} (capabilities={caps}); "
-        "install PIL/soundfile/av on the cluster image, or pass fake=None "
-        "to degrade to the deterministic fake kernel"
+        f"no decoder available for kind={kind!r} (capabilities={caps}, "
+        "payload matches no builtin format); install PIL/soundfile/av on "
+        "the cluster image, or pass fake=None to degrade to the "
+        "deterministic fake kernel"
     )
 
 
@@ -139,11 +255,14 @@ def _decode_dispatch(
 ) -> np.ndarray:
     """fake=True → fake kernel; fake=False → real kernel (raise if the
     library is missing or the kind's kernel is unwritten); fake=None →
-    real where a kernel exists AND the library is present, else fake."""
+    real where a library-general kernel exists AND its library is
+    present, or where the payload magic matches a builtin kernel —
+    else fake."""
     if fake is True:
         return _fake_decode(payload, dim)
     if fake is None and not (
-        kind in REAL_KERNEL_KINDS and media_capabilities().get(kind, False)
+        (kind in REAL_KERNEL_KINDS and media_capabilities().get(kind, False))
+        or _sniff_builtin(payload, kind)
     ):
         return _fake_decode(payload, dim)
     return decode_real(payload, kind, dim)

@@ -260,6 +260,75 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
         multimodal.extract_features(media, fake=False).collect()
 
 
+def _wav_bytes(samples, framerate=8000, nch=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_builtin_wav_kernel_rms_blocks():
+    # 8 blocks of 100 constant-amplitude samples → per-block RMS is the
+    # block's amplitude; no media library involved (stdlib wave + numpy)
+    samples = np.concatenate(
+        [np.full(100, i * 4096, dtype="<i2") for i in range(8)]
+    )
+    feat = multimodal.decode_real(_wav_bytes(samples), kind="audio", dim=8)
+    assert np.allclose(feat, np.arange(8) * 4096 / 32768.0, atol=1e-12)
+
+
+def test_builtin_wav_stereo_monomix():
+    # stereo: left = half scale, right = silence → mono mix RMS = 0.25
+    inter = np.zeros(128, dtype="<i2")
+    inter[0::2] = 16384
+    feat = multimodal.decode_real(_wav_bytes(inter, nch=2), kind="audio", dim=4)
+    assert np.allclose(feat, 0.25, atol=1e-12)
+
+
+def test_builtin_pnm_kernel_column_means():
+    # 8×8 grayscale gradient (column j = j*32), with a header comment —
+    # the builtin P5 parser must skip it; feature = column means / 255
+    arr = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+    payload = b"P5\n# synthetic gradient\n8 8\n255\n" + arr.tobytes()
+    feat = multimodal.decode_real(payload, kind="image", dim=8)
+    assert np.allclose(feat, np.arange(8) * 32 / 255.0, atol=1e-12)
+
+
+def test_builtin_pnm_rgb_and_resample():
+    # 16×16 P6 where every pixel is (60, 120, 180) → grayscale 120
+    # everywhere; area-resample to 8×8 keeps it exactly
+    raster = np.tile(np.array([60, 120, 180], dtype="u1"), (16, 16, 1))
+    payload = b"P6 16 16 255\n" + raster.tobytes()
+    feat = multimodal.decode_real(payload, kind="image", dim=8)
+    assert np.allclose(feat, 120.0 / 255.0, atol=1e-12)
+
+
+def test_auto_mode_routes_builtin_rows_real_others_fake(spark):
+    # one decodable WAV row + one opaque-bytes row of each kind: auto
+    # mode must decode the WAV with the real kernel and degrade the
+    # opaque rows to the fake — per-row, in one mapInPandas pass
+    wav = _wav_bytes(np.full(800, 8192, dtype="<i2"))
+    rows = [
+        (1, "audio", "wav", None, None, 100, bytearray(wav)),
+        (2, "audio", "opus", None, None, 100, bytearray(b"\x01\x02junk")),
+        (3, "image", "png", 4, 4, None, bytearray(b"\x89PNGjunk")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, fake=None, dim=4).collect()
+    }
+    assert np.allclose(got[1], multimodal.decode_real(wav, "audio", 4))
+    assert got[2] == multimodal._fake_decode(b"\x01\x02junk", 4).tolist()
+    assert got[3] == multimodal._fake_decode(b"\x89PNGjunk", 4).tolist()
+
+
 def test_frame_sample_plan_counts(spark):
     media = multimodal.synthetic_media(spark, n=30)
     plan = multimodal.frame_sample_plan(media, every_ms=500)
