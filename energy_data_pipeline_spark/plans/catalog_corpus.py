@@ -623,6 +623,96 @@ FROM documents
 """
 
 
+# --- corpus vocabulary (tokenizer-training input) ---
+VOCAB_TOPK = 50
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table — the input a tokenizer trainer (BPE/
+    unigram) consumes: token, document frequency, total occurrences,
+    top ``VOCAB_TOPK`` by occurrence count.
+
+    Two-level aggregation: (doc_id, token) first — the map-side partial
+    agg absorbs the explode blowup before anything shuffles — then token.
+    The global top-k compiles to TakeOrderedAndProject (per-partition
+    heads + one k-row merge), never a full sort. Tie-break is total
+    desc, then token asc, so the k-row cutoff is deterministic across
+    engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(T.words("text")).alias("token"))
+    per_doc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("_n"))
+    vocab = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("_n").alias("n_occurrences"),
+    )
+    return vocab.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(VOCAB_TOPK)
+
+
+VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_WORDS.format(col='text')}) AS token FROM documents
+), per_doc AS (
+  SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT token,
+       count(*) AS doc_freq,
+       CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_TOPK}
+"""
+
+
+# --- train/eval decontamination scan ---
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: val/test documents whose order-insensitive
+    content fingerprint also appears in the train split — exact-content
+    leakage from train into eval, the check every training pipeline
+    runs before trusting its benchmark numbers.
+
+    Composes the deterministic split (same seed as
+    ``smp_train_val_test_split``, so the split being scanned IS the one
+    being shipped) with the T-style content fingerprint. The train side
+    is matched with a ``left_semi`` equi-join on the fingerprint hash —
+    a plain shuffled join, NOT a broadcast: train is ~80% of the corpus
+    at any scale."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tagged = sampling.train_val_test_split(
+        docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+    ).withColumn("fp", T.fingerprint("text"))
+    train_fps = tagged.filter(F.col("split") == "train").select("fp")
+    return (
+        tagged.filter(F.col("split") != "train")
+        .join(train_fps, "fp", "left_semi")
+        .select("doc_id", "split", "fp")
+    )
+
+
+def _contamination_sql() -> str:
+    bucket = sampling.duck_hash_bucket_sql("doc_id", seed="split1")
+    m = sampling.HASH_MOD
+    fp = (
+        "md5(array_to_string(list_sort(list_distinct("
+        + DUCK_WORDS.format(col="lower(text)")
+        + ")), ' '))"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, {fp} AS fp,
+         CASE WHEN {bucket} < {m - 2000} THEN 'train'
+              WHEN {bucket} < {m - 1000} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT e.doc_id, e.split, e.fp
+FROM tagged e
+WHERE e.split <> 'train'
+  AND e.fp IN (SELECT fp FROM tagged WHERE split = 'train')
+"""
+
+
 # --- fingerprints per doc ---
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -651,6 +741,8 @@ CORPUS_QUERIES = {
     "txt_doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
     "txt_repetition_scores": (repetition_scores, REPETITION_SQL),
     "txt_quality_filtered_corpus": (quality_filtered_corpus, _quality_filtered_sql()),
+    "txt_vocab_topk": (vocab_topk, VOCAB_SQL),
     "smp_stratified_mix_sample": (stratified_mix_sample, _stratified_sql()),
     "smp_train_val_test_split": (split_assignment, _split_sql()),
+    "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
 }
