@@ -132,6 +132,29 @@ def quality_score(col: Column | str) -> Column:
     return rnd((len_score * 0.5 + punct_pen * 0.25 + stop_score * 0.25), 6)
 
 
+# the C4/Gopher-style admission thresholds shared by the
+# txt_quality_filtered_corpus catalog query and the corpus ingest job
+MIN_TOKENS = 10
+MAX_PUNCT_RATIO = 0.3
+MIN_QUALITY = 0.4
+MAX_DUP_WORD_RATIO = 0.6
+
+
+def quality_keep(col: Column | str = "text") -> Column:
+    """The standard pre-training keep/drop cascade as one predicate:
+    drop too-short, punctuation-heavy, low-quality, or self-repeating
+    documents. Thresholds compare ROUNDED values (rnd, the
+    DuckDB-parity half-up) so keep/drop decisions at the boundaries are
+    engine-portable — an oracle recomputing the ratios with a different
+    FP summation order lands on the same side."""
+    return (
+        (token_count_ws(col) >= MIN_TOKENS)
+        & (rnd(punct_ratio(col), 6) <= MAX_PUNCT_RATIO)
+        & (quality_score(col) >= MIN_QUALITY)
+        & (rnd(dup_word_ratio(col), 6) <= MAX_DUP_WORD_RATIO)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: lowercase, distinct
     whitespace tokens, sorted, md5 — the classic 'fingerprint' key for

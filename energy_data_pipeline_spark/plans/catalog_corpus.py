@@ -518,27 +518,21 @@ FROM base b LEFT JOIN shares s ON b.doc_id = s.doc_id
 
 
 # --- quality-filtered corpus (C4/Gopher-style keep/drop cascade) ---
-MIN_TOKENS = 10
-MAX_PUNCT_RATIO = 0.3
-MIN_QUALITY = 0.4
-MAX_DUP_WORD_RATIO = 0.6
+# thresholds live in functions/text.py (shared with jobs/corpus_ingest)
+MIN_TOKENS = T.MIN_TOKENS
+MAX_PUNCT_RATIO = T.MAX_PUNCT_RATIO
+MIN_QUALITY = T.MIN_QUALITY
+MAX_DUP_WORD_RATIO = T.MAX_DUP_WORD_RATIO
 
 
 def quality_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard pre-training document filter: drop too-short,
     punctuation-heavy, low-quality, or self-repeating documents and emit
-    the surviving corpus. All thresholds are applied to values rounded
-    exactly as the txt_* reporting queries round them, so keep/drop
-    decisions are engine-portable at the boundaries. Pure JVM
-    expressions over one scan — embarrassingly parallel at 100 TB."""
+    the surviving corpus (predicate shared with the corpus ingest job —
+    T.quality_keep, thresholds applied to oracle-rounded values). Pure
+    JVM expressions over one scan — embarrassingly parallel at 100 TB."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    keep = (
-        (T.token_count_ws("text") >= MIN_TOKENS)
-        & (rnd(T.punct_ratio("text"), 6) <= MAX_PUNCT_RATIO)
-        & (T.quality_score("text") >= MIN_QUALITY)
-        & (rnd(T.dup_word_ratio("text"), 6) <= MAX_DUP_WORD_RATIO)
-    )
-    return docs.filter(keep).select("doc_id", "source", "lang")
+    return docs.filter(T.quality_keep("text")).select("doc_id", "source", "lang")
 
 
 def _quality_filtered_sql() -> str:

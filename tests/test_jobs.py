@@ -208,3 +208,62 @@ def test_wind_unit_suffix_stable_across_batches(spark, tmp_path):
         .collect()
     }
     assert names_day2 == {"한림풍력 1"}  # NOT plain 한림풍력
+
+
+# --- corpus ingest (training-data admission pipeline) ----------------------
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs back "
+    "to the barn again tonight"
+)
+_GOOD2 = (
+    "a small stream of data flows into the lake where it is filtered "
+    "and stored for later use by the trainers"
+)
+
+
+def _doc_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+
+
+def test_corpus_ingest_admission_cascade(spark, tmp_path):
+    from energy_data_pipeline_spark.jobs.corpus_ingest import corpus_ingest_job
+
+    path = str(tmp_path / "corpus")
+    b1 = _doc_batch(
+        spark,
+        [
+            (1, "web", "en", _GOOD),
+            (2, "web", "en", "too short"),          # fails quality
+            (3, "web", "en", _GOOD),                # in-batch dup of 1
+            (4, "web", "en", _GOOD2),
+        ],
+    )
+    stats = corpus_ingest_job(b1, path, batch_id="b1")
+    assert stats == {
+        "arrived": 4,
+        "failed_quality": 1,
+        "dup_in_batch": 1,
+        "dup_in_corpus": 0,
+        "admitted": 2,
+    }
+    corpus = spark.read.parquet(path)
+    assert {r["doc_id"] for r in corpus.collect()} == {1, 4}  # keep-first
+
+    # batch 2: one dup-of-corpus, one genuinely new
+    b2 = _doc_batch(
+        spark,
+        [
+            (10, "web", "en", _GOOD),  # fingerprint already admitted
+            (11, "web", "en", _GOOD2 + " with a brand new suffix sentence"),
+        ],
+    )
+    stats2 = corpus_ingest_job(b2, path, batch_id="b2")
+    assert stats2["dup_in_corpus"] == 1
+    assert stats2["admitted"] == 1
+
+    # retry of batch 2 (idempotence under redelivery): nothing re-admitted
+    stats3 = corpus_ingest_job(b2, path, batch_id="b2-retry")
+    assert stats3["admitted"] == 0
+    assert spark.read.parquet(path).count() == 3

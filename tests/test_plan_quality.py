@@ -69,6 +69,37 @@ def test_scans_prune_columns(spark):
     assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
 
 
+def test_vocab_topk_avoids_global_sort(spark):
+    """txt_vocab_topk's top-k must compile to TakeOrderedAndProject
+    (per-partition heads + k-row merge) — a global Sort of the full
+    vocabulary would shuffle every token at 100 TB."""
+    from energy_data_pipeline_spark.plans.catalog_corpus import vocab_topk
+
+    plan = plan_of(vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan, plan
+
+
+def test_contamination_join_is_not_broadcast(spark):
+    """dd_cross_split_contamination must not broadcast the train-side
+    fingerprint set — train is ~80% of the corpus at any scale. The
+    semi-join must be shuffle-shaped (SortMerge or ShuffledHash)."""
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        cross_split_contamination,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # production posture: planner must not DEPEND on the train side
+    # fitting a broadcast (at sf0.001 it happens to, which AQE may use)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(cross_split_contamination(spark, SF))
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "LeftSemi" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with NO
     Exchange on either side — the write-time shuffle is reused by every
