@@ -33,6 +33,21 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_from_norms(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+) -> Column:
+    """cosine(a, b) with the norms supplied as PRECOMPUTED columns.
+
+    Inside a pair join, ``cosine`` re-folds each side's norm aggregate
+    for every candidate PAIR; materializing norms once per ROW (in the
+    pre-join projection, where a persist or broadcast caches them)
+    leaves only the dot-product fold as per-pair work. Value-identical:
+    the per-row norm is the same ``sqrt(fold(x*x))`` expression, just
+    evaluated at the projection instead of inside the join condition.
+    """
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))

@@ -80,7 +80,9 @@ def corpus_ingest_job(
 def _existing_fingerprints(spark: SparkSession, corpus_path: str) -> DataFrame | None:
     """Fingerprint column of the admitted corpus, or None on first run.
     Column-pruned scan: only ``fp`` is read, not the document text."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(corpus_path).select("fp").distinct()
-    except Exception:
+    except AnalysisException:  # PATH_NOT_FOUND on the very first batch
         return None
