@@ -6,10 +6,11 @@ md5-based so a SQL oracle can reproduce results bit-for-bit):
 - n-gram Jaccard (exact): explode distinct shingles, self-join on
   shingle, count overlaps. Quadratic only within shingle buckets —
   correct baseline, used to verify the approximate paths.
-- MinHash + LSH: per-doc signature of NUM_HASHES md5-min values over
-  shingles; band signatures bucket candidate pairs, exact Jaccard
-  verifies. At 100 TB this is the standard shuffle-light path: the only
-  wide exchange is on (band_idx, band_sig) buckets.
+- MinHash + LSH: per-doc signature of NUM_HASHES minima of affine
+  permutations of an md5-derived base hash per shingle; band signatures
+  bucket candidate pairs, exact Jaccard verifies. At 100 TB this is the
+  standard shuffle-light path: the only wide exchange is on
+  (band_idx, band_sig) buckets.
 - SimHash: 64-bit sign-aggregated fingerprint from per-word md5 bits
   (carried as 4x16-bit block ints so every engine's signed-64 arithmetic
   stays exact); near-dups = Hamming distance <= threshold on
@@ -32,6 +33,8 @@ before any self-join. Two reasons, both structural:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -41,8 +44,39 @@ from ..functions.rounding import rnd
 from ..functions.text import shingles, words
 from ..sources.tables import fan_out
 
-NUM_HASHES = 12
-BAND_ROWS = 3  # 4 bands of 3 hashes
+# MinHash layout: 96 hash functions banded as 32 bands x 3 rows.
+# Candidate-recall S-curve: P(candidate | jaccard=j) = 1 - (1 - j^3)^32,
+# which is 98.6% at the engine's declared JACCARD_THRESHOLD=0.5 (99.97%
+# at j=0.6, ~100% above). The S-curve midpoint (~0.32) sits BELOW the
+# threshold on purpose: candidate generation errs toward recall and the
+# exact-Jaccard verify stage removes the sub-threshold candidates, so
+# false positives cost only verify time while false negatives are
+# unrecoverable. Measured-recall regression test:
+# tests/test_operators_unit.py::TestMinHashRecall.
+NUM_HASHES = 96
+BAND_ROWS = 3  # 32 bands of 3 hashes
+
+# The k hash functions are affine permutations (a*h + b) mod P of ONE
+# md5-derived 31-bit base hash per shingle — the standard MinHash
+# construction. One md5 per shingle instead of k: at 96 hashes the
+# md5-per-(shingle,k) scheme would cost 8x the old 12-hash version;
+# this costs ~1/12th of it in hashing and 96 cheap integer passes.
+# P = 2^31 - 1 (prime): products a*h < 2^62 stay exact in any engine's
+# signed-64 arithmetic, so the DuckDB oracle reproduces bit-for-bit.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _perm_params(k: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash function ``k`` — derived from md5
+    so they are reproducible constants, not RNG state."""
+    a = int(hashlib.md5(f"mh-a:{k}".encode()).hexdigest()[:8], 16) % (
+        MINHASH_PRIME - 1
+    ) + 1
+    b = int(hashlib.md5(f"mh-b:{k}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+    return a, b
+
+
+MINHASH_PERMS: list[tuple[int, int]] = [_perm_params(k) for k in range(NUM_HASHES)]
 SIMHASH_BITS = 64  # 16 md5 nibbles x 4 bits — one bit-vote per bit
 SIMHASH_BLOCKS = 4  # pigeonhole blocks for max_hamming=3 (d+1 blocks)
 SIMHASH_BITS_PER_BLOCK = SIMHASH_BITS // SIMHASH_BLOCKS
@@ -69,23 +103,46 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     ).filter(F.size("shingle_set") > 0)
 
 
-def _minhash_sig(shingle_set: Column, k: int) -> Column:
-    return F.array_min(
-        F.transform(shingle_set, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
+def shingle_base_hash(s: Column) -> Column:
+    """31-bit base hash of a shingle: first 8 md5 hex digits as an
+    integer, mod MINHASH_PRIME — identical in DuckDB as
+    ``('0x' || substr(md5(x),1,8))::UBIGINT % P``."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % F.lit(
+        MINHASH_PRIME
+    )
+
+
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """doc_shingles + ``hs``: the per-shingle base-hash array the k
+    affine permutations run over. Computed alongside the shingle set so
+    the md5 work is paid once and cached with the pin — the 96 mh
+    columns then only do integer arithmetic over the cached array."""
+    return doc_shingles(df, id_col, text_col, n).withColumn(
+        "hs", F.transform(F.col("shingle_set"), shingle_base_hash)
     )
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Add mh_0..mh_{n-1} min-hash columns (md5-family, seed-prefixed).
+    """Add mh_0..mh_{n-1} min-hash columns: min over shingles of the
+    k-th affine permutation of the base hash (``hs`` column required —
+    see doc_shingle_hashes).
 
-    Single projection over the (cached) shingle sets — one pass, k
-    array_min(transform(md5)) expressions evaluated side by side.
+    Single projection, k array_min(transform) passes side by side; each
+    pass is 3 integer ops per shingle over the cached base-hash array.
     """
     return sh.select(
         "*",
         *[
-            _minhash_sig(F.col("shingle_set"), k).alias(f"mh_{k}")
-            for k in range(num_hashes)
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b))
+                    % F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"mh_{k}")
+            for k, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
         ],
     )
 
@@ -100,7 +157,10 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // band_rows
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
+        cols = [
+            F.col(f"mh_{i}").cast("string")
+            for i in range(b * band_rows, (b + 1) * band_rows)
+        ]
         bands.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
         )
@@ -157,7 +217,7 @@ def minhash_lsh_near_dups(
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """MinHash→LSH→verify pipeline; returns (id1, id2, jaccard) pairs."""
-    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n))
+    sh = _pin(doc_shingle_hashes(fan_out(df), id_col, text_col, n))
     sigs = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
     return jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
