@@ -124,6 +124,16 @@ def doc_shingle_hashes(
     )
 
 
+def _affine(a: int, b: int):
+    """One-arg lambda for ``F.transform``: (a*h + b) mod P with the
+    constants bound in a closure. PySpark derives the higher-order
+    function's arity from the Python lambda's parameter count, so
+    binding via default args (``lambda h, a=a, b=b: ...``) builds a
+    3-arg HOF and fails analysis with
+    INVALID_LAMBDA_FUNCTION_CALL.NUM_ARGS_MISMATCH."""
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """Add mh_0..mh_{n-1} min-hash columns: min over shingles of the
     k-th affine permutation of the base hash (``hs`` column required —
@@ -132,16 +142,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     Single projection, k array_min(transform) passes side by side; each
     pass is 3 integer ops per shingle over the cached base-hash array.
     """
+    if num_hashes > len(MINHASH_PERMS):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_PERMS)} "
+            "precomputed permutations (extend NUM_HASHES / MINHASH_PERMS)"
+        )
     return sh.select(
         "*",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("hs"),
-                    lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b))
-                    % F.lit(MINHASH_PRIME),
-                )
-            ).alias(f"mh_{k}")
+            F.array_min(F.transform(F.col("hs"), _affine(a, b))).alias(f"mh_{k}")
             for k, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
         ],
     )
