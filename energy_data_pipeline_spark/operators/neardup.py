@@ -16,8 +16,9 @@ md5-based so a SQL oracle can reproduce results bit-for-bit):
   stays exact); near-dups = Hamming distance <= threshold on
   pigeonhole-block-joined candidates.
 
-Spark-first: everything is built-in higher-order functions (transform /
-array_min / array_intersect) — no Python UDFs.
+Spark-first: everything is built-in JVM expressions — codegen'd
+explode/min aggregates for the minhash signatures, higher-order
+functions (transform / array_intersect) elsewhere — no Python UDFs.
 
 Execution note: the signature stages are persist()ed (MEMORY_AND_DISK)
 before any self-join. Two reasons, both structural:
@@ -112,47 +113,39 @@ def shingle_base_hash(s: Column) -> Column:
     )
 
 
-def doc_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """doc_shingles + ``hs``: the per-shingle base-hash array the k
-    affine permutations run over. Computed alongside the shingle set so
-    the md5 work is paid once and cached with the pin — the 96 mh
-    columns then only do integer arithmetic over the cached array."""
-    return doc_shingles(df, id_col, text_col, n).withColumn(
-        "hs", F.transform(F.col("shingle_set"), shingle_base_hash)
-    )
+    """(id, mh_0..mh_{n-1}) signature table: min over shingles of the
+    k-th affine permutation of the md5-derived base hash
+    (``shingle_set`` column required — see doc_shingles).
 
-
-def _affine(a: int, b: int):
-    """One-arg lambda for ``F.transform``: (a*h + b) mod P with the
-    constants bound in a closure. PySpark derives the higher-order
-    function's arity from the Python lambda's parameter count, so
-    binding via default args (``lambda h, a=a, b=b: ...``) builds a
-    3-arg HOF and fails analysis with
-    INVALID_LAMBDA_FUNCTION_CALL.NUM_ARGS_MISMATCH."""
-    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-
-def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Add mh_0..mh_{n-1} min-hash columns: min over shingles of the
-    k-th affine permutation of the base hash (``hs`` column required —
-    see doc_shingle_hashes).
-
-    Single projection, k array_min(transform) passes side by side; each
-    pass is 3 integer ops per shingle over the cached base-hash array.
+    Explode + k plain ``min`` aggregates rather than k
+    array_min(transform) passes: higher-order functions are interpreted
+    (no whole-stage codegen, no CSE), so k HOF passes cost k interpreted
+    walks of every shingle array, and even the per-shingle md5 would run
+    interpreted inside a ``transform``. The exploded form computes md5 +
+    base hash once per (doc, shingle) row inside whole-stage codegen and
+    keeps all k permutations inside one codegen'd aggregate with
+    map-side partial aggregation — the shuffle carries only the k
+    partial minima per doc per partition, and the doc-id clustering it
+    produces feeds the banding stage anyway.
     """
     if num_hashes > len(MINHASH_PERMS):
         raise ValueError(
             f"num_hashes={num_hashes} exceeds the {len(MINHASH_PERMS)} "
             "precomputed permutations (extend NUM_HASHES / MINHASH_PERMS)"
         )
-    return sh.select(
-        "*",
+    exploded = sh.select(F.col(id_col), F.explode("shingle_set").alias("_s")).select(
+        F.col(id_col), shingle_base_hash(F.col("_s")).alias("h")
+    )
+    return exploded.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("hs"), _affine(a, b))).alias(f"mh_{k}")
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"mh_{k}"
+            )
             for k, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
-        ],
+        ]
     )
 
 
@@ -226,8 +219,8 @@ def minhash_lsh_near_dups(
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """MinHash→LSH→verify pipeline; returns (id1, id2, jaccard) pairs."""
-    sh = _pin(doc_shingle_hashes(fan_out(df), id_col, text_col, n))
-    sigs = minhash_signatures(sh, num_hashes)
+    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n))
+    sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
     return jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 

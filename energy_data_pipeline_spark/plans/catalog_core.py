@@ -181,7 +181,7 @@ def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_STATS_SQL = """
 SELECT event_type,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        round(avg(value), 4) AS mean_value,
        round(stddev_samp(value), 4) AS std_value
 FROM events GROUP BY event_type

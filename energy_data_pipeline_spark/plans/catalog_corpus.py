@@ -113,16 +113,25 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pair_ctes() -> str:
     """CTE chain ending in ``pairs(id1, id2, jaccard)`` — shared by the
-    near-dup-pairs oracle and the dup-clusters oracle."""
+    near-dup-pairs oracle and the dup-clusters oracle.
+
+    The signature stage is the SAME affine family the Spark operator
+    uses (operators/neardup.py:minhash_signatures): base hash = first 8
+    md5 hex digits mod P, then min over shingles of (a_k*h + b_k) mod P
+    with (a_k, b_k) interpolated from MINHASH_PERMS — parity holds by
+    construction, not by mutual recall."""
     nh, br = neardup.NUM_HASHES, neardup.BAND_ROWS
+    p = neardup.MINHASH_PRIME
     sig_cols = ",\n         ".join(
-        f"list_min(list_transform(s, x -> md5('{k}:' || x))) AS mh_{k}"
-        for k in range(nh)
+        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % {p})) AS mh_{k}"
+        for k, (a, b) in enumerate(neardup.MINHASH_PERMS[:nh])
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_sig FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"mh_{i}" for i in range(b * br, (b + 1) * br)),
+            expr=" || '|' || ".join(
+                f"mh_{i}::VARCHAR" for i in range(b * br, (b + 1) * br)
+            ),
         )
         for b in range(nh // br)
     )
@@ -132,10 +141,16 @@ def _minhash_pair_ctes() -> str:
   SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
 ), sh AS (
   SELECT doc_id, s FROM shr WHERE len(s) > 0
+), hsx AS (
+  SELECT doc_id, s,
+         list_transform(
+           s, x -> CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % {p} AS BIGINT)
+         ) AS hl
+  FROM sh
 ), sig AS (
   SELECT doc_id, s,
          {sig_cols}
-  FROM sh
+  FROM hsx
 ), bands AS (
 {band_selects}
 ), cand AS (

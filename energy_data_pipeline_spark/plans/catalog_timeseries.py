@@ -202,8 +202,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

@@ -54,9 +54,21 @@ def compare(spark_df, con, sql: str) -> dict:
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.sql(sql)
     d_cols = res.columns
+    d_types = [str(t) for t in res.types]
     d_rows = res.fetchall()
 
     report = {"ok": True, "issues": []}
+    # The driver canonicalizes the oracle side via fetchdf(); DuckDB renders
+    # int128 (HUGEINT from sum() over integer input) as float64 there, while
+    # Spark emits int64 — row values match under fetchall() but the driver's
+    # dtype-sensitive hash differs. Force oracles to CAST such sums to BIGINT.
+    huge = [f"{c}:{t}" for c, t in zip(d_cols, d_types) if "HUGEINT" in t]
+    if huge:
+        report["ok"] = False
+        report["issues"].append(
+            f"oracle emits int128 columns (fetchdf-float64 hash hazard): {huge}; "
+            "CAST(... AS BIGINT) in the oracle SQL"
+        )
     if sorted(s_cols) != sorted(d_cols):
         report["ok"] = False
         report["issues"].append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
