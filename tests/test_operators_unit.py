@@ -678,3 +678,71 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
     )
     with pytest.raises(ConvergenceError):
         connected_components(pairs, "id1", "id2", max_iter=2)
+
+
+class TestMinHashRecall:
+    """Measured-recall regression for the 96-hash / 32x3-band LSH layout
+    (operators/neardup.py:NUM_HASHES/BAND_ROWS).
+
+    Seeded corpus: 60 base documents of 120 words each; 40 of them get a
+    mutated twin with a word-replacement rate swept over [0.02, 0.13],
+    which lands the twin-pair 3-gram Jaccard across ~[0.5, 0.9]. Ground
+    truth is the exact inverted-index baseline (ngram_jaccard_pairs,
+    uncapped). The banding S-curve gives P(candidate | j=0.5) ~= 98.6%
+    and ~100% above j=0.6, so >=95% measured recall is the regression
+    bar; the exact-verify stage makes every emitted pair true, so the
+    approximate set must also be a subset of the truth set.
+    """
+
+    @staticmethod
+    def _corpus():
+        import random
+
+        rng = random.Random(20260813)
+        vocab = [f"w{i:04d}" for i in range(4000)]
+        docs = []
+        n_base, n_twins, doc_len = 60, 40, 120
+        for i in range(n_base):
+            words = [rng.choice(vocab) for _ in range(doc_len)]
+            docs.append((i, " ".join(words)))
+            if i < n_twins:
+                # replacement rate swept low->high: twin jaccard ~0.9->0.5
+                rate = 0.02 + 0.11 * i / (n_twins - 1)
+                twin = [
+                    rng.choice(vocab) if rng.random() < rate else w
+                    for w in words
+                ]
+                docs.append((1000 + i, " ".join(twin)))
+        return docs
+
+    def test_recall_vs_exact_baseline(self, spark):
+        from energy_data_pipeline_spark.operators.neardup import (
+            minhash_lsh_near_dups,
+            ngram_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(self._corpus(), "doc_id long, text string")
+        truth = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=0.5, max_doc_freq=None
+            ).collect()
+        }
+        got = {
+            (r.id1, r.id2): r.jaccard
+            for r in minhash_lsh_near_dups(
+                df, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+
+        # the corpus must actually exercise the hard half of the S-curve
+        assert len(truth) >= 25
+        assert min(truth.values()) < 0.6 and max(truth.values()) > 0.85
+
+        # exact-verify stage => no false positives, identical jaccard
+        assert set(got) <= set(truth)
+        for pair, j in got.items():
+            assert j == truth[pair]
+
+        recall = len(got) / len(truth)
+        assert recall >= 0.95, f"minhash recall {recall:.3f} < 0.95"
