@@ -82,24 +82,34 @@ def main() -> None:
         F.regexp_extract("t", r"(\d+)", 1),
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: host contention adds multi-second noise to single shots;
-    # the min reflects the query's actual steady-state cost
+    # median-of-3 with min/median/max dispersion: host contention adds
+    # multi-second noise to single shots (r3-r5 artifacts disagreed 2-4x
+    # on identical code). The median is the headline per-query number;
+    # the spread makes noise visible in the artifact instead of needing
+    # a post-hoc quiet-host re-run.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     for name, (fn, _sql) in sorted(CATALOG.items()):
-        best = None
-        for _rep in range(2):
+        samples: list[float] = []
+        for _rep in range(reps):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                elapsed = round(time.perf_counter() - t0, 3)
+                samples.append(round(time.perf_counter() - t0, 3))
             except Exception as e:
                 print(f"bench error {name}: {e}", file=sys.stderr)
-                elapsed = -1.0
-                best = -1.0
+                samples = []
                 break
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = best
+        if not samples:
+            timings[name] = -1.0
+            dispersion[name] = {"min": -1.0, "med": -1.0, "max": -1.0}
+            continue
+        samples.sort()
+        med = samples[len(samples) // 2]
+        timings[name] = med
+        dispersion[name] = {"min": samples[0], "med": med, "max": samples[-1]}
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
@@ -109,6 +119,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
+                "reps": reps,
                 "sf": sf,
             }
         )

@@ -16,10 +16,11 @@ Scale posture:
 - One scan of the batch; the quality gate is pure JVM expressions.
 - In-batch dedup is a fingerprint groupBy (map-side combine), not a
   window over the whole corpus.
-- The against-corpus check is a shuffled ``left_anti`` on the
-  fingerprint hash — the corpus side is read fingerprint-column-only
-  (column pruning at the scan) and is NEVER broadcast: the admitted
-  corpus is the big side by definition.
+- The against-corpus check is a shuffled left join on the fingerprint
+  hash carrying a dup flag (same shuffle shape as a left_anti, but the
+  unique/admitted stats fall out of one aggregation) — the corpus side
+  is read fingerprint-column-only (column pruning at the scan) and is
+  NEVER broadcast: the admitted corpus is the big side by definition.
 - Append is an atomic-per-batch parquet append; re-running a FAILED
   batch is safe (the anti-join removes anything the partial append
   admitted), making the job idempotent under retry.
@@ -47,27 +48,62 @@ def corpus_ingest_job(
     dup_in_corpus / admitted.
     """
     spark = batch_df.sparkSession
-    n_arrived = batch_df.count()
 
-    passed = batch_df.filter(T.quality_keep("text"))
-    n_passed = passed.count()
+    # One scan of the batch: the quality-gate regex cascade runs once and
+    # is cached; arrived/passed come from a single aggregation instead of
+    # two counts that would each re-run the gate from the source.
+    gated = batch_df.withColumn("_q", T.quality_keep("text")).persist()
+    try:
+        row = gated.agg(
+            F.count(F.lit(1)).alias("arrived"),
+            F.sum(F.col("_q").cast("long")).alias("passed"),
+        ).collect()[0]
+        n_arrived = row["arrived"]
+        n_passed = row["passed"] or 0
 
-    fp = passed.withColumn("fp", T.fingerprint("text"))
-    in_batch = dedup_keep_first(fp, keys=["fp"], order_col="doc_id")
-    n_unique = in_batch.count()
+        fp = gated.filter("_q").withColumn("fp", T.fingerprint("text"))
+        in_batch = dedup_keep_first(fp, keys=["fp"], order_col="doc_id")
 
-    existing = _existing_fingerprints(spark, corpus_path)
-    fresh = (
-        in_batch.join(existing, "fp", "left_anti")
-        if existing is not None
-        else in_batch
-    )
-    admitted = fresh.select(
-        "doc_id", "source", "lang", "text", "fp", F.lit(batch_id).alias("batch_id")
-    )
-    n_admitted = admitted.count()
-    if n_admitted:
-        append(admitted, corpus_path)
+        # Annotate against-corpus dups instead of anti-joining, so
+        # unique/admitted fall out of ONE aggregation over ONE cached
+        # lineage (fingerprint + dedup shuffle + corpus join computed
+        # once); the admitted rows are then a cache-served filter. Same
+        # shuffle shape as left_anti; the corpus side is still never
+        # broadcast (left side of a left join can't be the build side).
+        existing = _existing_fingerprints(spark, corpus_path)
+        if existing is not None:
+            annotated = in_batch.join(
+                existing.withColumn("_dup_corpus", F.lit(True)), "fp", "left"
+            )
+        else:
+            annotated = in_batch.withColumn("_dup_corpus", F.lit(None).cast("boolean"))
+        annotated = annotated.persist()
+        try:
+            row = annotated.agg(
+                F.count(F.lit(1)).alias("unique"),
+                F.sum(
+                    F.coalesce("_dup_corpus", F.lit(False)).cast("long")
+                ).alias("dup_corpus"),
+            ).collect()[0]
+            n_unique = row["unique"]
+            n_admitted = n_unique - (row["dup_corpus"] or 0)
+
+            if n_admitted:
+                admitted = annotated.filter(
+                    ~F.coalesce("_dup_corpus", F.lit(False))
+                ).select(
+                    "doc_id",
+                    "source",
+                    "lang",
+                    "text",
+                    "fp",
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                append(admitted, corpus_path)
+        finally:
+            annotated.unpersist()
+    finally:
+        gated.unpersist()
     return {
         "arrived": n_arrived,
         "failed_quality": n_arrived - n_passed,
