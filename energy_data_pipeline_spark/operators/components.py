@@ -30,9 +30,12 @@ Scale notes (100 TB posture):
   Shiloach-Vishkin / the contraction idea behind large-star/small-star,
   Kiveris et al. "Connected Components in MapReduce"), so pointer
   distances double per round and convergence is O(log diameter):
-  ``max_iter=25`` covers astronomical diameters. The shortcut operates
-  on the round's CHECKPOINTED hook output — a self-join on live lineage
-  would recompute the hook aggregation on both branches.
+  ``max_iter=25`` covers astronomical diameters. The jump's parent map
+  is the previous round's checkpointed labels (not the in-round hook
+  values): one round staler, but labels only decrease and always name
+  same-component vertices, so the jump stays correct — and each round
+  then needs exactly one materialization (hook, jump, and convergence
+  flag all land in one checkpointed output).
 - Non-convergence is NEVER silent: if the budget exhausts with labels
   still changing, ``ConvergenceError`` is raised — wrong cluster labels
   flowing into a dedup purge (dropping the wrong documents from a
@@ -61,11 +64,12 @@ def connected_components(
     with cluster_id = the minimum vertex id reachable from ``vertex``.
 
     Deterministic for any id type with a total order (min/least).
-    Rounds < ``shortcut_after`` hook only (neighbor-min — one join +
-    aggregate, the cheap path shallow dedup graphs finish on); later
-    rounds also shortcut (pointer jump), making total rounds
-    O(log diameter). Raises :class:`ConvergenceError` if ``max_iter``
-    rounds still leave labels changing.
+    Every round applies the neighbor-min hook twice in one plan (one
+    scheduled action per round — propagation distance 2); rounds >=
+    ``shortcut_after`` also shortcut (pointer jump through the previous
+    round's labels), making total rounds O(log diameter). Raises
+    :class:`ConvergenceError` if ``max_iter`` rounds still leave labels
+    changing.
     """
     edges = (
         pairs.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
@@ -80,49 +84,71 @@ def connected_components(
         .withColumn("cluster_id", F.col("vertex"))
     )
 
-    for i in range(max_iter):
-        # hook: min label among each vertex's neighbours
+    def _hook(lab: DataFrame, label_col: str, out_col: str) -> DataFrame:
+        """Min label among self+neighbours: adds ``out_col`` =
+        least(label_col, min over neighbours), keeps all other columns."""
+        sub = lab.select(
+            F.col("vertex").alias("_v"), F.col(label_col).alias("_l")
+        )
         nbr_min = (
-            edges.join(labels, edges["_a"] == labels["vertex"])
+            edges.join(sub, edges["_a"] == sub["_v"])
             .groupBy(F.col("_b").alias("vertex"))
-            .agg(F.min("cluster_id").alias("_nbr_min"))
+            .agg(F.min("_l").alias("_nbr_min"))
         )
-        hooked = (
-            labels.join(nbr_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.col("cluster_id").alias("_old"),
+        return (
+            lab.join(nbr_min, "vertex", "left")
+            .withColumn(
+                out_col,
                 F.least(
-                    F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
-                ).alias("_hook"),
+                    F.col(label_col), F.coalesce("_nbr_min", F.col(label_col))
+                ),
             )
-            .localCheckpoint(eager=True)  # truncate lineage + materialize once
+            .drop("_nbr_min")
         )
+
+    for i in range(max_iter):
+        # two hook steps per round: each round is one scheduled action
+        # (checkpoint + cache-served convergence count), and action /
+        # plan-compile overhead dominates a round's cost long before the
+        # extra in-plan shuffle does — so propagate distance 2 per
+        # action and halve the round count for shallow dedup graphs.
+        h1 = _hook(
+            labels.select("vertex", F.col("cluster_id").alias("_old")),
+            "_old",
+            "_mid",
+        )
+        hooked = _hook(h1, "_mid", "_hook")
         if i < shortcut_after:
-            new_labels = hooked.select(
-                "vertex",
-                F.col("_hook").alias("cluster_id"),
-                (F.col("_hook") < F.col("_old")).alias("_changed"),
-            )
+            cand = hooked.select("vertex", "_old", F.col("_hook").alias("_new"))
         else:
             # shortcut: label(u) <- label(label(u)) — labels are always
             # ids of smaller same-component vertices, so pointer chains
-            # double-compress; self-join runs on the CHECKPOINTED hooked
-            parent = hooked.select(
-                F.col("vertex").alias("_pv"), F.col("_hook").alias("_pl")
+            # double-compress. The parent map is the PREVIOUS round's
+            # labels (already checkpointed): one round staler than the
+            # in-round hook values, but still ids of same-component
+            # vertices with monotonically non-increasing labels, so the
+            # jump stays correct and still compresses geometrically —
+            # and the round needs only ONE materialization instead of a
+            # mid-round checkpoint to protect a self-join on live
+            # lineage.
+            parent = labels.select(
+                F.col("vertex").alias("_pv"), F.col("cluster_id").alias("_pl")
             )
-            jumped = F.least(
-                F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook"))
+            cand = hooked.join(parent, hooked["_hook"] == parent["_pv"], "left").select(
+                "vertex",
+                "_old",
+                F.least(
+                    F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook"))
+                ).alias("_new"),
             )
-            new_labels = (
-                hooked.join(parent, hooked["_hook"] == parent["_pv"], "left")
-                .select(
-                    "vertex",
-                    jumped.alias("cluster_id"),
-                    (jumped < F.col("_old")).alias("_changed"),
-                )
-                .localCheckpoint(eager=True)
-            )
+        # one action per round: the convergence flag rides along in the
+        # checkpointed round output, so the changed-count is served from
+        # the just-materialized cache instead of re-running the round
+        new_labels = cand.select(
+            "vertex",
+            F.col("_new").alias("cluster_id"),
+            (F.col("_new") < F.col("_old")).alias("_changed"),
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
