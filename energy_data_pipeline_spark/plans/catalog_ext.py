@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 from ..operators import ivf, multimodal, similarity
+from ..operators.skew import salted_agg_sum
 from ..sources import fan_out, load_table
 from ..sources.tables import load_events_window
 
@@ -287,6 +288,128 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
                             ORDER BY {cos} DESC, neighbor_id ASC) AS rk
   FROM scored
 ) WHERE rk <= 5
+"""
+
+
+# --- ANN: IVF with a TRAINED coarse quantizer -----------------------------
+# Same search path as ann_ivf_topk, but the cells come from
+# kmeans_lloyd (operators/ivf.py) instead of the raw first-k seed. The
+# training is fully deterministic (first-k seed, fixed iteration count),
+# so the oracle UNROLLS the same Lloyd iterations in SQL — assignment =
+# argmin over a cross join, update = per-dim mean re-packed with
+# list(... ORDER BY), empty cells keep the previous centroid — and
+# parity holds at any scale factor, not just the one the oracle ran at.
+IVF_TRAIN_ITERS = 2
+EMB_DIM = 64  # embeddings.parquet vector width (constant across SFs)
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=ivf.N_CELLS, iterations=IVF_TRAIN_ITERS
+    )
+    return ivf.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < IVF_QUERY_MAX),
+        cents,
+        k=5,
+        nprobe=ivf.N_PROBE,
+    )
+
+
+def _ivf_trained_sql() -> str:
+    k, dim, iters = ivf.N_CELLS, EMB_DIM, IVF_TRAIN_ITERS
+    d2 = (
+        "list_sum(list_transform(range(1, len(e.v) + 1),"
+        " i -> ({c}[i] - e.v[i]) * ({c}[i] - e.v[i])))"
+    )
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    cur = "cents0"
+    for t in range(iters):
+        dd = d2.format(c=f"{cur}.c")
+        ctes.append(
+            f"""assign{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, {cur}.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, {cur}.cid ASC) AS rk
+    FROM e CROSS JOIN {cur}
+  ) WHERE rk = 1
+), pack{t} AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT a.cell, t.i, sum(e.v[t.i]) / count(*) AS m
+    FROM assign{t} a JOIN e ON e.vec_id = a.vec_id
+    CROSS JOIN range(1, {dim} + 1) t(i)
+    GROUP BY a.cell, t.i
+  ) GROUP BY cell
+), cents{t + 1} AS (
+  SELECT p.cid, coalesce(u.c, p.c) AS c
+  FROM {cur} p LEFT JOIN pack{t} u ON u.cell = p.cid
+)"""
+        )
+        cur = f"cents{t + 1}"
+    cos = (
+        "round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))"
+        " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)"
+    )
+    dd = d2.format(c=f"{cur}.c")
+    search = f"""ranked AS (
+  SELECT e.vec_id, {cur}.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dd} ASC, {cur}.cid ASC) AS rk
+  FROM e CROSS JOIN {cur}
+), assign AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM ranked
+  WHERE vec_id < {IVF_QUERY_MAX} AND rk <= {ivf.N_PROBE}
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, eq.v AS qv, ea.v AS cv
+  FROM qprobe q
+  JOIN assign a USING (cell)
+  JOIN e eq ON eq.vec_id = q.query_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos} DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + search
+
+
+# --- skew: salted two-stage aggregation over a hot-key column -------------
+# events.event_type has single-digit cardinality over the whole fact
+# table — the textbook hot-key aggregation where one reducer would
+# otherwise own a key's entire input. salted_agg_sum bounds final-stage
+# input to salt_factor partial rows per key; the result is bitwise
+# identical to the plain groupBy up to float summation order (absorbed
+# by the catalog's standard 4-dp rounding). Plan pin:
+# tests/test_plan_quality.py::test_salted_agg_has_two_stage_exchange.
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg_sum(
+        ev, ["event_type"], "value", salt_factor=16, out_name="total_value"
+    )
+    return out.select(
+        "event_type",
+        rnd("total_value", 4).alias("total_value"),
+    )
+
+
+SALTED_TOTALS_SQL = """
+SELECT event_type, round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type
 """
 
 
@@ -603,6 +726,8 @@ EXT_QUERIES = {
     "t8_accumulating_merge": (accumulating_merge, T8_SQL),
     "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
+    "ann_ivf_trained_topk": (ann_ivf_trained_topk, _ivf_trained_sql()),
+    "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
     "o1_recent_events_sorted": (recent_events_sorted, O1_SQL),
     "j6_purchases_asof_views": (purchases_asof_views, ASOF_SQL),
     "j7_clicks_in_purchase_spans": (clicks_in_purchase_spans, INTERVAL_JOIN_SQL),

@@ -88,6 +88,71 @@ class TestSplineFill:
         assert np.isnan(out).all()
 
 
+def _dense_not_a_knot_spline(x, y, xq):
+    """Independent oracle for the engine's O(n) Thomas-solve spline
+    kernel (operators/impute.py:_not_a_knot_spline): same mathematical
+    interpolant, deliberately different algebraic path — the full
+    tridiagonal-plus-boundary system is assembled as a DENSE n x n
+    matrix and solved with np.linalg.solve, and evaluation uses the
+    shifted-polynomial coefficient form (y + b*dx + c*dx^2 + d*dx^3)
+    instead of the symmetric Hermite form. Any drift in the production
+    kernel (index bug, boundary-fold mistake, evaluation typo) shows up
+    as divergence here."""
+    n = x.size
+    h = np.diff(x)
+    s = np.diff(y) / h
+    A = np.zeros((n, n))
+    rhs = np.zeros(n)
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2.0 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        rhs[i] = 6.0 * (s[i] - s[i - 1])
+    # not-a-knot: third-derivative continuity at x1 and x_{n-2}
+    A[0, 0] = -1.0 / h[0]
+    A[0, 1] = 1.0 / h[0] + 1.0 / h[1]
+    A[0, 2] = -1.0 / h[1]
+    A[-1, -3] = -1.0 / h[-2]
+    A[-1, -2] = 1.0 / h[-2] + 1.0 / h[-1]
+    A[-1, -1] = -1.0 / h[-1]
+    M = np.linalg.solve(A, rhs)
+    seg = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    dx = xq - x[seg]
+    b = s[seg] - h[seg] * (2.0 * M[seg] + M[seg + 1]) / 6.0
+    c = M[seg] / 2.0
+    d = (M[seg + 1] - M[seg]) / (6.0 * h[seg])
+    return y[seg] + b * dx + c * dx**2 + d * dx**3
+
+
+class TestSplineIndependentOracle:
+    """The production Thomas-solve kernel must agree with the dense
+    independent solve to float-noise levels on interpolation AND
+    nearest-piece extrapolation, across seeded irregular grids."""
+
+    def test_matches_dense_solve(self):
+        from energy_data_pipeline_spark.operators.impute import (
+            _not_a_knot_spline,
+        )
+
+        rng = np.random.default_rng(20260813)
+        for trial in range(20):
+            n = int(rng.integers(4, 40))
+            x = np.cumsum(rng.uniform(0.5, 3.0, size=n))
+            y = rng.normal(0.0, 10.0, size=n)
+            xq = np.concatenate(
+                [
+                    rng.uniform(x[0], x[-1], size=15),  # interior
+                    x[[0, -1]],  # knots
+                    [x[0] - 1.7, x[-1] + 2.3],  # extrapolation
+                ]
+            )
+            got = _not_a_knot_spline(x, y, xq)
+            want = _dense_not_a_knot_spline(x, y, xq)
+            scale = max(1.0, float(np.max(np.abs(want))))
+            diff = float(np.max(np.abs(got - want))) / scale
+            assert diff <= 1e-9, f"trial {trial}: divergence {diff:.2e}"
+
+
 # --- T5: pipeline equivalence fixture (test_refactoring.py:209-262) -------
 def test_impute_pipeline_fills_both_gap_classes(spark):
     rng = np.random.default_rng(123)

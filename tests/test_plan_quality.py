@@ -143,3 +143,21 @@ def test_day_partitioned_table_prunes_partitions(spark, tmp_path):
     # the day predicate must appear as a partition filter on the scan
     assert "PartitionFilters" in plan and "p_day" in plan
     assert q.count() > 0
+
+
+def test_salted_agg_has_two_stage_exchange(spark):
+    """sk_salted_event_totals must actually salt: the physical plan has a
+    partial aggregate keyed on (event_type, _salt) with its own exchange
+    BEFORE the final per-key aggregate — not a single-stage groupBy that
+    would hand a hot key's entire input to one reducer."""
+    fn, _ = CATALOG["sk_salted_event_totals"]
+    plan = plan_of(fn(spark, SF))
+    assert "_salt" in plan, plan[:2000]
+    # two shuffles: hashpartitioning on (event_type, _salt) then event_type
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [e for e in exchanges if "_salt" in e and "event_type" in e]
+    final = [e for e in exchanges if "_salt" not in e and "event_type" in e]
+    assert salted, f"no salted exchange in plan: {exchanges}"
+    assert final, f"no final per-key exchange in plan: {exchanges}"
