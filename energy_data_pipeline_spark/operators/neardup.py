@@ -155,31 +155,50 @@ def lsh_candidate_pairs(
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
-    """Band the signature, bucket-join to produce candidate (id1, id2)."""
+    """Band the signature, bucket-join to produce candidate (id1, id2).
+
+    The band signature is the raw tuple of its ``band_rows`` minhash
+    values, joined directly as equi-join keys — an md5/concat digest of
+    the tuple would add millions of string hashes per corpus pass purely
+    to rename a join key the engine hashes again anyway (and the SQL
+    oracle would have to reproduce the digest byte-for-byte). All keys
+    stay BIGINT inside whole-stage codegen.
+    """
     n_bands = num_hashes // band_rows
+    row_cols = [f"r{j}" for j in range(band_rows)]
     bands = []
     for b in range(n_bands):
-        cols = [
-            F.col(f"mh_{i}").cast("string")
-            for i in range(b * band_rows, (b + 1) * band_rows)
-        ]
         bands.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                *[
+                    F.col(f"mh_{b * band_rows + j}").alias(row_cols[j])
+                    for j in range(band_rows)
+                ],
+            )
         )
+    # Explicit repartition on the bucket key before the pin, for two
+    # reasons: (1) AQE coalesces the upstream signature aggregate to a
+    # handful of partitions (its output is tiny — k longs per doc), and
+    # without this the band explode, the cache build AND the self-join
+    # would all run at that crippled parallelism; (2) hash-partitioning
+    # by the join key makes the cached table co-partitioned with itself,
+    # so the bucket self-join needs no further exchange.
+    n_part = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     exploded = _pin(
-        sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("band")).select(
-            id_col, "band.band_idx", "band.band_sig"
-        )
+        sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.*")
+        .repartition(n_part, "band_idx", *row_cols)
     )
     a = exploded.alias("a")
     b_ = exploded.alias("b")
+    key_eq = (F.col("a.band_idx") == F.col("b.band_idx"))
+    for rc in row_cols:
+        key_eq = key_eq & (F.col(f"a.{rc}") == F.col(f"b.{rc}"))
     return (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b_, key_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
         )

@@ -127,10 +127,10 @@ def _minhash_pair_ctes() -> str:
         for k, (a, b) in enumerate(neardup.MINHASH_PERMS[:nh])
     )
     band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_sig FROM sig".format(
+        "  SELECT doc_id, {b} AS band_idx, {rows} FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(
-                f"mh_{i}::VARCHAR" for i in range(b * br, (b + 1) * br)
+            rows=", ".join(
+                f"mh_{b * br + j} AS r{j}" for j in range(br)
             ),
         )
         for b in range(nh // br)
@@ -156,7 +156,9 @@ def _minhash_pair_ctes() -> str:
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ON a.band_idx = b.band_idx
+   AND {" AND ".join(f"a.r{j} = b.r{j}" for j in range(br))}
+   AND a.doc_id < b.doc_id
 ), j AS (
   SELECT id1, id2,
          len(list_intersect(s1.s, s2.s)) AS c, len(s1.s) AS n1, len(s2.s) AS n2

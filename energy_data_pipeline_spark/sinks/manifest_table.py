@@ -1,0 +1,228 @@
+"""Manifest-committed parquet tables — atomic publish without Delta/Iceberg.
+
+The staging-swap upsert protocol (writers.py:upsert) is honest about its
+gap: two directory renames leave a crash window with no live table, and
+directory rename is not atomic on object stores at all. This module
+closes that gap the way every table format does — the LIVE STATE of the
+table is defined by a single small manifest file, and commit is one
+atomic single-file replace:
+
+  <table>/
+    data/<snapshot-uuid>/part-*.parquet   immutable once written
+    _manifests/manifest-<version>-<uuid>.json
+    _CURRENT                              names the live manifest
+
+- Writers stage data files under a fresh ``data/<uuid>/`` directory and
+  a new manifest listing exactly the referenced files, then publish by
+  writing ``_CURRENT`` via tmp-file + ``os.replace`` (atomic on POSIX;
+  the single-PUT equivalent on an object store). A crash before the
+  replace leaves orphan files that are invisible to readers — the old
+  version stays live, nothing is ever half-visible.
+- Readers resolve ``_CURRENT`` → manifest → explicit file list. A reader
+  holding a manifest is snapshot-isolated: its files are immutable and
+  never referenced-for-delete until ``vacuum``.
+- Version history is retained in ``_manifests/`` (time travel by passing
+  ``version=``); ``vacuum`` deletes data files no retained manifest
+  references.
+
+Single-writer-per-table is assumed (same as writers.py); multi-writer
+coordination needs a compare-and-swap on _CURRENT, which plain
+filesystems cannot give — that is exactly the feature a real lakehouse
+catalog adds on top of this same design.
+
+Reference parity: the reference gets real transactions from Postgres
+(daily_pv_automation.py:201-224 DELETE+INSERT in one transaction); this
+is the engine's scale-path equivalent for file-backed tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_CURRENT = "_CURRENT"
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(table: str, name: str) -> str:
+    return os.path.join(table, _MANIFEST_DIR, name)
+
+
+def _read_current_name(table: str) -> str | None:
+    try:
+        with open(os.path.join(table, _CURRENT), encoding="utf-8") as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(table: str, version: int | None = None) -> dict | None:
+    """The live (or ``version``-pinned) manifest dict, or None if the
+    table has never had a successful commit."""
+    if version is None:
+        name = _read_current_name(table)
+        if name is None:
+            return None
+    else:
+        mdir = os.path.join(table, _MANIFEST_DIR)
+        cands = [
+            e
+            for e in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+            if e.startswith(f"manifest-{version:08d}-")
+        ]
+        if not cands:
+            raise FileNotFoundError(f"no manifest for version {version} in {table}")
+        name = cands[0]
+    with open(_manifest_path(table, name), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _stage_data_files(df: DataFrame, table: str) -> list[str]:
+    """Write ``df`` as immutable parquet files under a fresh snapshot
+    directory; returns table-relative file paths. Nothing here is
+    visible to readers until a manifest referencing the files is
+    published."""
+    snap = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(table, _DATA_DIR, snap)
+    df.write.mode("error").parquet(out_dir)
+    rel = []
+    for root, _dirs, files in os.walk(out_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                rel.append(
+                    os.path.relpath(os.path.join(root, fn), table)
+                )
+    return sorted(rel)
+
+
+def _publish(table: str, files: list[str], parent: dict | None) -> dict:
+    """Write the next-version manifest, then atomically flip _CURRENT."""
+    version = (parent["version"] + 1) if parent else 0
+    manifest = {
+        "version": version,
+        "files": files,
+        "parent": parent["name"] if parent else None,
+    }
+    name = f"manifest-{version:08d}-{uuid.uuid4().hex[:8]}.json"
+    manifest["name"] = name
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    with open(_manifest_path(table, name), "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    # atomic commit: single-file replace of the pointer
+    tmp = os.path.join(table, f"._CURRENT.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(table, _CURRENT))
+    return manifest
+
+
+def manifest_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read of the live (or pinned) version."""
+    m = read_manifest(table, version)
+    if m is None or not m["files"]:
+        raise FileNotFoundError(f"manifest table {table} has no committed data")
+    return spark.read.parquet(*[os.path.join(table, p) for p in m["files"]])
+
+
+def manifest_overwrite(df: DataFrame, table: str) -> dict:
+    """Full-snapshot publish (K6 semantics with atomic visibility)."""
+    os.makedirs(table, exist_ok=True)
+    files = _stage_data_files(df, table)
+    return _publish(table, files, read_manifest(table))
+
+
+def manifest_append(df: DataFrame, table: str) -> dict:
+    """Append-commit (K1/K3): new files stage invisibly, then one
+    pointer flip makes the whole batch visible at once — a reader never
+    sees half a batch, unlike a plain directory append."""
+    os.makedirs(table, exist_ok=True)
+    parent = read_manifest(table)
+    files = _stage_data_files(df, table)
+    all_files = (parent["files"] if parent else []) + files
+    return _publish(table, all_files, parent)
+
+
+def manifest_upsert(
+    spark: SparkSession,
+    new_df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+) -> dict:
+    """K5 with a real atomic commit: merge against the live snapshot,
+    stage the merged result, flip the pointer. Readers see the old
+    version until the instant of ``os.replace`` — there is NO window
+    with no live table, closing the gap writers.py:upsert documents.
+
+    Batch-internal collisions keep one deterministic winner (max over
+    non-key columns), matching writers.py:upsert.
+    """
+    key_list = list(keys)
+    non_keys = [c for c in new_df.columns if c not in key_list]
+    if non_keys:
+        wdd = Window.partitionBy(*key_list).orderBy(
+            *[F.col(c).desc_nulls_last() for c in non_keys]
+        )
+        new_df = (
+            new_df.withColumn("_rk", F.row_number().over(wdd))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    else:
+        new_df = new_df.dropDuplicates(key_list)
+
+    parent = read_manifest(table)
+    if parent and parent["files"]:
+        old = manifest_read(spark, table)
+        kept = old.join(new_df.select(*key_list).distinct(), key_list, "left_anti")
+        merged = kept.unionByName(new_df.select(*old.columns))
+    else:
+        merged = new_df
+    os.makedirs(table, exist_ok=True)
+    files = _stage_data_files(merged, table)
+    return _publish(table, files, parent)
+
+
+def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained manifest (orphans
+    from crashed writers, and files only older versions reference once
+    history is trimmed to ``keep_versions``). Returns deleted paths.
+
+    Never touches the live version's files; with the default
+    ``keep_versions=1`` time travel is given up in exchange for space.
+    """
+    current = _read_current_name(table)
+    if current is None:
+        return []
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    manifests = sorted(os.listdir(mdir))  # version-prefixed → sorted = oldest first
+    keep = set(manifests[-keep_versions:]) if keep_versions else set()
+    keep.add(current)
+    referenced: set[str] = set()
+    for name in keep:
+        with open(_manifest_path(table, name), encoding="utf-8") as f:
+            referenced.update(json.load(f)["files"])
+    deleted = []
+    data_root = os.path.join(table, _DATA_DIR)
+    for root, _dirs, files in os.walk(data_root):
+        for fn in files:
+            full = os.path.join(root, fn)
+            rel = os.path.relpath(full, table)
+            if fn.endswith(".parquet") and rel not in referenced:
+                os.remove(full)
+                deleted.append(rel)
+    for name in manifests:
+        if name not in keep:
+            os.remove(_manifest_path(table, name))
+    # prune emptied snapshot dirs
+    for root, dirs, files in list(os.walk(data_root, topdown=False)):
+        if not dirs and not files and root != data_root:
+            os.rmdir(root)
+    return sorted(deleted)

@@ -811,3 +811,84 @@ class TestMinHashRecall:
 
         recall = len(got) / len(truth)
         assert recall >= 0.95, f"minhash recall {recall:.3f} < 0.95"
+
+
+class TestManifestTable:
+    """Manifest-committed tables: visibility is a single atomic pointer
+    flip — no crash point ever exposes a partial batch or an empty
+    table (sinks/manifest_table.py)."""
+
+    @staticmethod
+    def _rows(spark, table, version=None):
+        from energy_data_pipeline_spark.sinks.manifest_table import manifest_read
+
+        return {
+            (r["k"], r["v"]) for r in manifest_read(spark, table, version).collect()
+        }
+
+    def test_roundtrip_append_upsert_versions(self, spark, tmp_path):
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        table = str(tmp_path / "t")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        m0 = mt.manifest_overwrite(df1, table)
+        assert m0["version"] == 0
+        assert self._rows(spark, table) == {(1, "a"), (2, "b")}
+
+        df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+        m1 = mt.manifest_append(df2, table)
+        assert m1["version"] == 1
+        assert self._rows(spark, table) == {(1, "a"), (2, "b"), (3, "c")}
+
+        df3 = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+        m2 = mt.manifest_upsert(spark, df3, table, keys=["k"])
+        assert m2["version"] == 2
+        assert self._rows(spark, table) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+        # time travel: every prior version still readable as written
+        assert self._rows(spark, table, version=0) == {(1, "a"), (2, "b")}
+        assert self._rows(spark, table, version=1) == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_crashed_stage_is_invisible(self, spark, tmp_path):
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        table = str(tmp_path / "t")
+        df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+        mt.manifest_overwrite(df1, table)
+
+        # simulate a writer that staged data files and died before
+        # publishing: files exist on disk, no manifest references them
+        df2 = spark.createDataFrame([(9, "ghost")], "k long, v string")
+        mt._stage_data_files(df2, table)
+        assert self._rows(spark, table) == {(1, "a")}  # ghost invisible
+
+        # vacuum removes the orphans, live data untouched
+        deleted = mt.vacuum(table)
+        assert deleted, "orphaned staged files should be deleted"
+        assert self._rows(spark, table) == {(1, "a")}
+
+    def test_vacuum_trims_history_keeps_live(self, spark, tmp_path):
+        import os
+
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        table = str(tmp_path / "t")
+        for i in range(3):
+            df = spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            mt.manifest_overwrite(df, table)
+        assert self._rows(spark, table) == {(2, "v2")}
+        mt.vacuum(table, keep_versions=1)
+        assert self._rows(spark, table) == {(2, "v2")}
+        # old versions gone from history
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            mt.read_manifest(table, version=0)
+        # no unreferenced parquet left under data/
+        live = set(mt.read_manifest(table)["files"])
+        on_disk = set()
+        for root, _d, files in os.walk(os.path.join(table, "data")):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    on_disk.add(os.path.relpath(os.path.join(root, fn), table))
+        assert on_disk == live
