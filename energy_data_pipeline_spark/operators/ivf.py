@@ -56,6 +56,16 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
 
     One array expression: distances via zip_with folds against a single
     array<array<double>> literal, then an argsort by (distance, index).
+
+    Deliberately the interpreted-HOF form. A flat codegen expansion
+    (per-centroid arithmetic columns + least()/when() argmin chains) was
+    tried and reverted: duplicating the k distance trees inside the
+    selection chain blew the plan to tens of thousands of nodes, and
+    optimizer passes + janino compilation cost ~60 s per distinct plan —
+    two orders of magnitude more than the interpreted evaluation it
+    saved. At k=8 cells the HOF evaluation is a per-row cost of ~1k
+    lambda dispatches, which profiling puts well below the per-round
+    action overhead of the Lloyd loop.
     """
     cents = _centroid_lit(centroids)
     scored = F.transform(
@@ -131,15 +141,32 @@ def kmeans_lloyd(
 
     Per round: broadcast-centroid argmin assignment (narrow) → groupBy
     cell with element-wise vector sums (one shuffle of k×dim partials) →
-    collect k centroids. Empty cells keep their previous centroid."""
-    centroids = seed_centroids(corpus, id_col, vec_col, k)
-    if not centroids:
-        raise ValueError("kmeans_lloyd: empty corpus")
-    k = len(centroids)  # corpus may hold fewer than k vectors
-    dim = len(centroids[0])
+    collect k centroids. Empty cells keep their previous centroid.
+
+    The double-cast vector table is persisted for the duration of the
+    loop: every Lloyd round is a separate action, and without the cache
+    each round would re-scan the source and re-cast every vector — the
+    cache turns iterations into pure argmin+aggregate passes."""
+    from pyspark.storagelevel import StorageLevel
+
     vecs = corpus.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = vecs.orderBy(id_col).limit(k).collect()
+        if not seed_rows:
+            raise ValueError("kmeans_lloyd: empty corpus")
+        centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+        return _lloyd_rounds(vecs, centroids, iterations)
+    finally:
+        vecs.unpersist()
+
+
+def _lloyd_rounds(
+    vecs: DataFrame, centroids: list[list[float]], iterations: int
+) -> list[list[float]]:
+    k = len(centroids)  # corpus may hold fewer than k vectors
+    dim = len(centroids[0])
     for _ in range(iterations):
         assigned = vecs.withColumn(
             "cell", F.element_at(_nearest_cells(F.col("v"), centroids, 1), 1)
