@@ -1,0 +1,197 @@
+"""Real payload parsing for the PV generation API + portal CSV download.
+
+Closes the gap between the engine's transport-agnostic fetch plumbing
+(rest.py) and the reference's two live endpoints: everything except the
+actual HTTP socket is implemented and fixture-tested here.
+
+1. XML generation API (reference: fetch_data/pv/nambu_backfill.py:57-128)
+   — a day's generation record arrives as XML in ONE OF TWO SHAPES the
+   upstream service emits interchangeably:
+
+     a) ``<items><item><ymd>..</ymd><qhorgen01>..</qhorgen01>..</item>
+        <item>..</item></items>``         (list of item elements)
+     b) ``<items><ymd>..</ymd><qhorgen01>..</qhorgen01>..</items>``
+                                          (a single flattened item)
+
+   plus a ``resultCode``/``resultMsg`` header. ``parse_pv_payload``
+   normalizes both into a list of tag→text dicts; ``pv_records_df``
+   runs it Arrow-batched over a DataFrame of fetched bodies and emits
+   the typed record table (identity/daily columns + an ``hours`` map of
+   the hourly ``qhorgen*`` columns) that the engine's unpivot (R1/R2)
+   and hour-rollover expressions (P8-P10) consume directly.
+
+2. Portal CSV download (reference: fetch_data/pv/namdong_collect_pv.py:
+   181-262) — a two-step stateful handshake: GET the menu page so the
+   server sets session cookies, then POST the form (org/hoki/date range
+   + Referer header) to the csv endpoint; the response is accepted only
+   if it both claims CSV and sniffs as CSV (csv_flexible.is_probably_csv
+   — the portal returns HTML error pages with 200s). Ranges are split
+   per month because the portal truncates longer spans.
+   ``download_csv_months`` drives any transport with that protocol; the
+   transport (one callable) is the ONLY thing left environment-specific.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import xml.etree.ElementTree as ET
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..shipping import ensure_worker_imports
+from .csv_flexible import is_probably_csv
+
+# Identity + daily-stat tags of one generation record; every other tag
+# that starts with HOUR_PREFIX is an hourly value column (the upstream
+# column set varies — qhorgen01..24 with occasional gaps).
+ID_TAGS = ("ymd", "gencd", "hogi", "ipptnm")
+DAILY_TAGS = ("qvodgen", "qvodavg", "qvodmax", "qvodmin")
+HOUR_PREFIX = "qhorgen"
+
+PV_RECORD_SCHEMA = (
+    "ymd string, gencd string, hogi string, ipptnm string, "
+    "qvodgen string, qvodavg string, qvodmax string, qvodmin string, "
+    "hours map<string,string>"
+)
+
+
+def parse_pv_payload(xml_text: str) -> list[dict[str, str]]:
+    """Both live response shapes → list of tag→text dicts.
+
+    Returns [] for error payloads (non-00 resultCode with no items),
+    empty ``<items/>``, or bodies that are not XML at all — the fetch
+    layer treats an empty record list as "retry next run", never as a
+    stage failure (rest.run_fetch semantics)."""
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+    items = root.findall(".//item")
+    if items:
+        return [
+            {child.tag: (child.text or "").strip() for child in item}
+            for item in items
+        ]
+    items_node = root.find(".//items")
+    if items_node is not None and len(items_node):
+        return [
+            {child.tag: (child.text or "").strip() for child in items_node}
+        ]
+    return []
+
+
+def _record_row(rec: dict[str, str]) -> dict:
+    return {
+        **{t: rec.get(t) for t in ID_TAGS},
+        **{t: rec.get(t) for t in DAILY_TAGS},
+        "hours": {
+            k: v for k, v in rec.items() if k.startswith(HOUR_PREFIX)
+        },
+    }
+
+
+def pv_records_df(bodies: DataFrame, body_col: str = "body") -> DataFrame:
+    """(fetch-unit rows with an XML ``body_col``) → typed record table.
+
+    Arrow-batched mapInPandas: parsing stays on the executors next to
+    the fetch that produced the body — at backfill scale (years × plants
+    × units) the XML never moves to the driver."""
+    ensure_worker_imports(bodies.sparkSession)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from energy_data_pipeline_spark.sources.pv_api import (
+            _record_row,
+            parse_pv_payload,
+        )
+
+        for pdf in batches:
+            rows = []
+            for body in pdf[body_col]:
+                for rec in parse_pv_payload(body or ""):
+                    rows.append(_record_row(rec))
+            yield pd.DataFrame(
+                rows,
+                columns=[*ID_TAGS, *DAILY_TAGS, "hours"],
+            )
+
+    return bodies.mapInPandas(parse, schema=PV_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------- CSV portal
+
+# transport(method, url, *, data=None, headers=None)
+#   -> (status: int, content_type: str, body: bytes)
+# One callable carries the session state (cookies) across the two steps —
+# exactly what aiohttp.ClientSession / requests.Session provide.
+Transport = Callable[..., tuple[int, str, bytes]]
+
+
+def split_by_month(date_s: str, date_e: str) -> list[tuple[str, str]]:
+    """Inclusive YYYYMMDD range → per-calendar-month (start, end) spans,
+    clipped to the requested range."""
+    start = dt.date(int(date_s[:4]), int(date_s[4:6]), int(date_s[6:8]))
+    end = dt.date(int(date_e[:4]), int(date_e[4:6]), int(date_e[6:8]))
+    if start > end:
+        return []
+    spans = []
+    cur = start
+    while cur <= end:
+        if cur.month == 12:
+            month_end = dt.date(cur.year, 12, 31)
+        else:
+            month_end = dt.date(cur.year, cur.month + 1, 1) - dt.timedelta(days=1)
+        span_end = min(month_end, end)
+        spans.append((cur.strftime("%Y%m%d"), span_end.strftime("%Y%m%d")))
+        cur = span_end + dt.timedelta(days=1)
+    return spans
+
+
+def download_csv_months(
+    transport: Transport,
+    main_url_for: Callable[[str, str], str],
+    csv_url: str,
+    form_base: dict[str, str],
+    date_s: str,
+    date_e: str,
+) -> list[tuple[str, str, bytes]]:
+    """Drive the two-step cookie handshake once per month span.
+
+    Per span: GET ``main_url_for(ds, de)`` (the transport's session
+    collects the cookies), then POST ``csv_url`` with the form fields +
+    that URL as Referer. A span is kept only if the POST returns 200
+    AND the body both claims and sniffs as CSV; anything else is
+    skipped (the reference's behavior: log and continue — a failed
+    month is re-planned by the caller's completeness check, T7-style).
+
+    Returns [(date_s, date_e, csv_bytes), ...] for the accepted spans.
+    """
+    out: list[tuple[str, str, bytes]] = []
+    for ds, de in split_by_month(date_s, date_e):
+        main_url = main_url_for(ds, de)
+        try:
+            status, _ctype, _body = transport("GET", main_url)
+        except Exception:
+            continue
+        if status != 200:
+            continue
+        form = {**form_base, "strDateS": ds, "strDateE": de}
+        try:
+            status, ctype, body = transport(
+                "POST",
+                csv_url,
+                data=form,
+                headers={
+                    "Referer": main_url,
+                    "Content-Type": "application/x-www-form-urlencoded",
+                },
+            )
+        except Exception:
+            continue
+        if status != 200 or "csv" not in (ctype or "").lower():
+            continue
+        if not is_probably_csv(body):
+            continue
+        out.append((ds, de, body))
+    return out
