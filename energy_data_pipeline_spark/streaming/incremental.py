@@ -211,6 +211,38 @@ def upsert_stream(
     q.awaitTermination()
 
 
+def manifest_upsert_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+) -> None:
+    """K5 upsert with ATOMIC batch visibility: each micro-batch merges
+    through the manifest-committed table (sinks/manifest_table.py), so a
+    reader either sees the batch in full or not at all — and a crash
+    mid-merge leaves the previous version live, never a missing or
+    half-written table (the gap the plain directory-swap upsert
+    documents). Exactly-once end to end: the streaming checkpoint fences
+    re-delivery on the source side, the key-merge makes a replayed batch
+    a no-op on the sink side, and the pointer flip is the only commit
+    point."""
+    from ..sinks.manifest_table import manifest_upsert
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest_upsert(batch_df.sparkSession, batch_df, table_path, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- custom stateful operator: per-key running watermark (T6) -------------
 WATERMARK_STATE_SCHEMA = StructType(
     [StructField("max_ts", LongType(), True), StructField("n_rows", LongType(), True)]

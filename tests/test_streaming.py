@@ -217,3 +217,48 @@ def test_running_watermark_stream_accumulates_state(spark, dirs):
     rows2 = {r["user_id"]: r for r in collected}
     assert rows2[10]["n_rows"] == 3
     assert rows2[10]["last_ts"] == dt.datetime(2024, 1, 1, 5, 0)
+
+
+def test_manifest_upsert_stream_atomic_versions(spark, dirs):
+    """Streaming K5 through the manifest-committed table: redelivered
+    keys merge idempotently AND every micro-batch run leaves a complete
+    committed version — plus staged-but-uncommitted files from a crashed
+    writer stay invisible to readers."""
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+    from energy_data_pipeline_spark.streaming.incremental import (
+        manifest_upsert_stream,
+    )
+
+    table = dirs["table"]
+    b1 = _mk_batch(spark, [(1, 0, 10, "click", 1.0), (2, 30, 11, "view", 2.0)])
+    b1.write.mode("append").parquet(dirs["landing"])
+    manifest_upsert_stream(
+        read_event_stream(spark, dirs["landing"]),
+        table,
+        keys=["event_id"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    assert mt.manifest_read(spark, table).count() == 2
+    v_first = mt.read_manifest(table)["version"]
+
+    # redelivery of event 2 corrected + one new event
+    b2 = _mk_batch(spark, [(2, 30, 11, "view", 9.0), (3, 45, 12, "click", 3.0)])
+    b2.write.mode("append").parquet(dirs["landing"])
+    manifest_upsert_stream(
+        read_event_stream(spark, dirs["landing"]),
+        table,
+        keys=["event_id"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    out = mt.manifest_read(spark, table)
+    assert out.count() == 3
+    assert out.filter("event_id = 2").collect()[0]["value"] == 9.0
+    assert mt.read_manifest(table)["version"] > v_first
+
+    # the pre-merge version is still readable exactly as committed
+    assert mt.manifest_read(spark, table, version=v_first).count() == 2
+
+    # a crashed writer's staged files never surface
+    ghost = _mk_batch(spark, [(99, 0, 99, "ghost", 0.0)])
+    mt._stage_data_files(ghost, table)
+    assert mt.manifest_read(spark, table).count() == 3
