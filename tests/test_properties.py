@@ -181,3 +181,84 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(pairs, "id1", "id2").collect()
     }
     assert got == want
+
+
+@given(
+    start=st.dates(min_value=pd.Timestamp("2000-01-01").date(),
+                   max_value=pd.Timestamp("2030-12-31").date()),
+    span_days=st.integers(min_value=0, max_value=500),
+)
+@SETTINGS
+def test_split_by_month_partitions_range(start, span_days):
+    """Month spans must tile the requested range exactly: contiguous, no
+    overlap, every span inside one calendar month, ends clipped."""
+    import datetime as dt
+
+    from energy_data_pipeline_spark.sources.pv_api import split_by_month
+
+    end = start + dt.timedelta(days=span_days)
+    fmt = "%Y%m%d"
+    spans = split_by_month(start.strftime(fmt), end.strftime(fmt))
+    assert spans, "non-empty range must produce spans"
+    parsed = [
+        (dt.datetime.strptime(s, fmt).date(), dt.datetime.strptime(e, fmt).date())
+        for s, e in spans
+    ]
+    assert parsed[0][0] == start and parsed[-1][1] == end
+    for (s, e) in parsed:
+        assert s <= e
+        assert (s.year, s.month) == (e.year, e.month)  # within one month
+    for (_, e_prev), (s_next, _) in zip(parsed, parsed[1:]):
+        assert s_next == e_prev + dt.timedelta(days=1)  # contiguous, no gaps
+
+
+def test_minhash_perm_constants_well_formed():
+    """Every affine permutation (a, b) must satisfy 1 <= a < P and
+    0 <= b < P (a=0 would collapse a hash function to a constant), and
+    the (a, b) pairs must be distinct — 96 copies of one permutation
+    would silently degrade the LSH S-curve to 1 effective hash."""
+    from energy_data_pipeline_spark.operators.neardup import (
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        NUM_HASHES,
+    )
+
+    assert len(MINHASH_PERMS) == NUM_HASHES
+    for a, b in MINHASH_PERMS:
+        assert 1 <= a < MINHASH_PRIME
+        assert 0 <= b < MINHASH_PRIME
+    assert len(set(MINHASH_PERMS)) == NUM_HASHES
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 100)),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_upsert_equals_dict_semantics(spark, batches, tmp_path_factory):
+    """Any sequence of keyed upsert batches through the manifest table
+    must equal last-writer-wins dict application (with the writer's
+    in-batch winner rule: max non-key value), and version count must
+    equal commit count."""
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    table = str(tmp_path_factory.mktemp("mtab") / "t")
+    expect: dict[int, int] = {}
+    for batch in batches:
+        df = spark.createDataFrame(batch, "k long, v long")
+        mt.manifest_upsert(spark, df, table, keys=["k"])
+        winners: dict[int, int] = {}
+        for k, v in batch:
+            winners[k] = max(winners.get(k, v), v)  # in-batch max wins
+        expect.update(winners)
+    got = {r["k"]: r["v"] for r in mt.manifest_read(spark, table).collect()}
+    assert got == expect
+    assert mt.read_manifest(table)["version"] == len(batches) - 1
