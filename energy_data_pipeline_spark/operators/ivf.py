@@ -162,6 +162,20 @@ def kmeans_lloyd(
         vecs.unpersist()
 
 
+def _rnd9(x: float) -> float:
+    """Half-away-from-zero at 9 decimals on the binary double — the
+    Python twin of functions/rounding.rnd (= DuckDB ``round(x, 9)``),
+    so driver-side centroid rounding matches the SQL oracle exactly.
+    Python's built-in round() is banker's and would differ at exact
+    boundary values."""
+    import math
+
+    p = 1e9
+    if x >= 0:
+        return math.floor(x * p + 0.5) / p
+    return -(math.floor((-x) * p + 0.5) / p)
+
+
 def _lloyd_rounds(
     vecs: DataFrame, centroids: list[list[float]], iterations: int
 ) -> list[list[float]]:
@@ -175,8 +189,15 @@ def _lloyd_rounds(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.element_at("v", d + 1)).alias(f"s{d}") for d in range(dim)],
         )
+        # Round the updated coordinates: double summation order varies
+        # with partitioning, so raw means carry ~1e-13 relative jitter
+        # across core counts — enough to flip a near-tied argmin
+        # assignment and break run-to-run / oracle determinism. 9
+        # decimals is far below any real centroid separation and far
+        # above the jitter; half-away-from-zero on the binary value =
+        # DuckDB round() = functions/rounding.rnd semantics.
         new = {
-            r["cell"]: [r[f"s{d}"] / r["n"] for d in range(dim)]
+            r["cell"]: [_rnd9(r[f"s{d}"] / r["n"]) for d in range(dim)]
             for r in sums.collect()
         }
         centroids = [new.get(i, centroids[i]) for i in range(k)]

@@ -344,7 +344,7 @@ def _ivf_trained_sql() -> str:
   ) WHERE rk = 1
 ), pack{t} AS (
   SELECT cell, list(m ORDER BY i) AS c FROM (
-    SELECT a.cell, t.i, sum(e.v[t.i]) / count(*) AS m
+    SELECT a.cell, t.i, round(sum(e.v[t.i]) / count(*), 9) AS m
     FROM assign{t} a JOIN e ON e.vec_id = a.vec_id
     CROSS JOIN range(1, {dim} + 1) t(i)
     GROUP BY a.cell, t.i
