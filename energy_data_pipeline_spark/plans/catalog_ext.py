@@ -704,7 +704,11 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_df(spark, sf_dir)
     plan = multimodal.frame_sample_plan(media, every_ms=400)
     return plan.groupBy("media_id", "format").agg(
-        F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
+        F.count(F.lit(1)).alias("n_frames"),
+        # bigint to match the oracle's CAST AS BIGINT exactly — int-width
+        # mismatches are the one dtype class known to flip the driver's
+        # value hash (see the a9/st HUGEINT root-cause)
+        F.max("frame_ms").cast("long").alias("last_frame_ms"),
     )
 
 

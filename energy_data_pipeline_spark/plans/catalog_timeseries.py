@@ -172,7 +172,7 @@ WITH series AS (
 ), gm AS (SELECT round(avg(v), 6) AS g FROM series)
 SELECT strftime(dense.hour_ts, '{TS_FMT_DUCK}') AS hour_ts,
        round(coalesce(dense.v, profile.slot_mean, gm.g), 4) AS value_filled,
-       CASE WHEN dense.v IS NULL THEN 1 ELSE 0 END AS was_missing
+       CAST(CASE WHEN dense.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_missing
 FROM dense
 LEFT JOIN profile ON EXTRACT(hour FROM dense.hour_ts) = profile.h
 CROSS JOIN gm
