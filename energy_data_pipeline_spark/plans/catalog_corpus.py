@@ -724,6 +724,64 @@ WHERE e.split <> 'train'
 """
 
 
+# --- corpus mixture report ---
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) mixture table a pretraining run derives
+    its sampling weights from: document count, total token count, mean
+    quality score, and the stratum's share of the corpus tokens. One
+    aggregation pass + a broadcast-sized window for the share — the
+    stratum count is tiny regardless of corpus size, so the second
+    stage never shuffles meaningful data at 100 TB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.words(F.col("text")))).alias("n_tokens"),
+        rnd(F.avg(T.quality_score("text")), 4).alias("mean_quality"),
+    )
+    from pyspark.sql import Window
+
+    total = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+        "mean_quality",
+    )
+
+
+def _mix_report_sql() -> str:
+    stop = ", ".join(f"'{m}'" for m in T.LANG_MARKERS["en"])
+    return f"""
+WITH w AS (
+  SELECT source, lang, text, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), per_doc AS (
+  SELECT source, lang, len(wl) AS n_tok,
+         round(least(len(wl) / 50.0, 1.0) * 0.5
+               + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                   THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
+                   ELSE 0.0 END) * 5) * 0.25
+               + least((CASE WHEN len(wl) > 0
+                   THEN len(list_filter(wl, x -> lower(x) IN ({stop}))) * 1.0 / len(wl)
+                   ELSE 0.0 END) * 5, 1.0) * 0.25, 6) AS quality
+  FROM w
+), per AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         round(avg(quality), 4) AS mean_quality
+  FROM per_doc GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
+       mean_quality
+FROM per
+"""
+
+
 # --- fingerprints per doc ---
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -753,6 +811,7 @@ CORPUS_QUERIES = {
     "txt_repetition_scores": (repetition_scores, REPETITION_SQL),
     "txt_quality_filtered_corpus": (quality_filtered_corpus, _quality_filtered_sql()),
     "txt_vocab_topk": (vocab_topk, VOCAB_SQL),
+    "smp_corpus_mix_report": (corpus_mix_report, _mix_report_sql()),
     "smp_stratified_mix_sample": (stratified_mix_sample, _stratified_sql()),
     "smp_train_val_test_split": (split_assignment, _split_sql()),
     "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
