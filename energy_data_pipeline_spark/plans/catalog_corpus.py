@@ -676,6 +676,42 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+# --- hot n-gram table (boilerplate detection input) ---
+NGRAM_TOPK = 25
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top n-grams by document frequency — the corpus statistic behind
+    the hot-shingle cap (`NGRAM_MAX_DF`) and C4-style boilerplate line
+    removal: n-grams shared by an outsized share of documents ARE the
+    boilerplate. Same two-level aggregation shape as vocab_topk (the
+    per-doc distinct absorbs the explode before the shuffle); top-k
+    compiles to TakeOrderedAndProject. Tie-break df desc then ngram asc
+    so the cutoff is deterministic across engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = neardup.doc_shingles(docs, "doc_id", "text", n=3).select(
+        "doc_id", F.explode("shingle_set").alias("ngram")
+    )
+    per = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return per.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(NGRAM_TOPK)
+
+
+def _ngram_topk_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
+), g AS (
+  SELECT doc_id, unnest(s) AS ngram FROM sh WHERE len(s) > 0
+)
+SELECT ngram, count(*) AS doc_freq
+FROM g GROUP BY ngram
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+
 # --- train/eval decontamination scan ---
 def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: val/test documents whose order-insensitive
@@ -812,6 +848,7 @@ CORPUS_QUERIES = {
     "txt_quality_filtered_corpus": (quality_filtered_corpus, _quality_filtered_sql()),
     "txt_vocab_topk": (vocab_topk, VOCAB_SQL),
     "smp_corpus_mix_report": (corpus_mix_report, _mix_report_sql()),
+    "txt_ngram_topk": (ngram_topk, _ngram_topk_sql()),
     "smp_stratified_mix_sample": (stratified_mix_sample, _stratified_sql()),
     "smp_train_val_test_split": (split_assignment, _split_sql()),
     "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
