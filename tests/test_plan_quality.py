@@ -69,13 +69,13 @@ def test_scans_prune_columns(spark):
     assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
 
 
-def test_vocab_topk_avoids_global_sort(spark):
-    """txt_vocab_topk's top-k must compile to TakeOrderedAndProject
+@pytest.mark.parametrize("name", ["txt_vocab_topk", "txt_ngram_topk"])
+def test_corpus_topk_avoids_global_sort(spark, name):
+    """Corpus top-k queries must compile to TakeOrderedAndProject
     (per-partition heads + k-row merge) — a global Sort of the full
-    vocabulary would shuffle every token at 100 TB."""
-    from energy_data_pipeline_spark.plans.catalog_corpus import vocab_topk
-
-    plan = plan_of(vocab_topk(spark, SF))
+    vocabulary/n-gram table would shuffle every token at 100 TB."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "GlobalLimit" not in plan, plan
 
