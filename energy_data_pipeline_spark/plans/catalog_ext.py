@@ -388,6 +388,91 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
     return "WITH " + ",\n".join(ctes) + ",\n" + search
 
 
+# --- P17: geocoding cascade (name-dim -> city-regex -> default) -----------
+# Reference: pv_test/init_db.py:145-177 — the deterministic stages of
+# the coordinate-resolution cascade run engine-side as broadcast joins;
+# the live-API stage enters as an optional pre-resolved table
+# (operators/geocode.py). Demonstrated over supplier x nation.
+P17_NAME_DIM = (  # (prio, key, lat, lon) — first hit by prio wins
+    (0, "Supplier#000000001", 35.1796, 129.0756),
+    (1, "Supplier#000000002", 37.4563, 126.7052),
+    (2, "Supplier#00000001", 33.4996, 126.5312),  # fragment: names ...010-019
+)
+P17_CITY_DIM = (
+    ("JAPAN", 35.6762, 139.6503),
+    ("CHINA", 39.9042, 116.4074),
+    ("CANADA", 45.4215, -75.6972),
+    ("BRAZIL", -15.7975, -47.8919),
+)
+P17_CITY_PATTERN = "(JAPAN|CHINA|CANADA|BRAZIL)"
+
+
+def geocode_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geocode import geocode_cascade
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    src = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.concat_ws(" ", F.lit("plant site"), "n_name").alias("address"),
+    )
+    name_dim = spark.createDataFrame(
+        list(P17_NAME_DIM), "prio int, key string, lat double, lon double"
+    )
+    city_dim = spark.createDataFrame(
+        list(P17_CITY_DIM), "city string, lat double, lon double"
+    )
+    out = geocode_cascade(
+        src, "s_suppkey", "s_name", "address", name_dim, city_dim, P17_CITY_PATTERN
+    )
+    return out.select("s_suppkey", "s_name", "lat", "lon", "geocode_source")
+
+
+def _p17_sql() -> str:
+    from ..operators.geocode import DEFAULT_LAT, DEFAULT_LON
+
+    ndim = ", ".join(
+        f"({p}, '{k}', CAST({la} AS DOUBLE), CAST({lo} AS DOUBLE))"
+        for p, k, la, lo in P17_NAME_DIM
+    )
+    cdim = ", ".join(
+        f"('{c}', CAST({la} AS DOUBLE), CAST({lo} AS DOUBLE))"
+        for c, la, lo in P17_CITY_DIM
+    )
+    return f"""
+WITH name_dim(prio, key, lat, lon) AS (VALUES {ndim}),
+city_dim(city, lat, lon) AS (VALUES {cdim}),
+src AS (
+  SELECT s_suppkey, s_name, 'plant site ' || n_name AS address
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), nhit AS (
+  SELECT s_suppkey, lat, lon,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY prio) AS rk
+  FROM src CROSS JOIN name_dim
+  WHERE contains(s_name, key) OR contains(key, s_name)
+), n1 AS (
+  SELECT s_suppkey, lat AS nlat, lon AS nlon FROM nhit WHERE rk = 1
+), cext AS (
+  SELECT s_suppkey,
+         nullif(regexp_extract(address, '{P17_CITY_PATTERN}', 1), '') AS city
+  FROM src
+)
+SELECT s.s_suppkey, s.s_name,
+       coalesce(n1.nlat, cd.lat, CAST({DEFAULT_LAT} AS DOUBLE)) AS lat,
+       coalesce(n1.nlon, cd.lon, CAST({DEFAULT_LON} AS DOUBLE)) AS lon,
+       CASE WHEN n1.nlat IS NOT NULL THEN 'name'
+            WHEN cd.lat IS NOT NULL THEN 'city'
+            ELSE 'default' END AS geocode_source
+FROM src s
+LEFT JOIN n1 ON n1.s_suppkey = s.s_suppkey
+LEFT JOIN cext ON cext.s_suppkey = s.s_suppkey
+LEFT JOIN city_dim cd ON cext.city = cd.city
+"""
+
+
 # --- skew: salted two-stage aggregation over a hot-key column -------------
 # events.event_type has single-digit cardinality over the whole fact
 # table — the textbook hot-key aggregation where one reducer would
@@ -732,6 +817,7 @@ EXT_QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "ann_ivf_trained_topk": (ann_ivf_trained_topk, _ivf_trained_sql()),
     "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
+    "p17_geocode_cascade": (geocode_suppliers, _p17_sql()),
     "o1_recent_events_sorted": (recent_events_sorted, O1_SQL),
     "j6_purchases_asof_views": (purchases_asof_views, ASOF_SQL),
     "j7_clicks_in_purchase_spans": (clicks_in_purchase_spans, INTERVAL_JOIN_SQL),

@@ -892,3 +892,50 @@ class TestManifestTable:
                 if fn.endswith(".parquet"):
                     on_disk.add(os.path.relpath(os.path.join(root, fn), table))
         assert on_disk == live
+
+
+def test_geocode_cascade_stage_precedence(spark):
+    """Every stage of the P17 cascade plus precedence: name-dim beats
+    city, city beats external, external beats default — and the
+    provenance column reports the winning stage."""
+    from energy_data_pipeline_spark.operators.geocode import geocode_cascade
+
+    rows = spark.createDataFrame(
+        [
+            (1, "Alpha Plant", "somewhere in SEOUL"),   # name dim (exact-ish)
+            (2, "Beta #3", "near BUSAN harbor"),        # city regex
+            (3, "Gamma", "unit 7 TOKYO bay"),           # external resolver
+            (4, "Delta", "nowhere at all"),             # default
+            (5, "Alpha Plant East", "BUSAN"),           # name beats city
+        ],
+        "id long, name string, address string",
+    )
+    name_dim = spark.createDataFrame(
+        [(0, "Alpha Plant", 35.0, 129.0)],
+        "prio int, key string, lat double, lon double",
+    )
+    city_dim = spark.createDataFrame(
+        [("SEOUL", 37.5, 127.0), ("BUSAN", 35.1, 129.07)],
+        "city string, lat double, lon double",
+    )
+    resolved = spark.createDataFrame(
+        [("unit 7 TOKYO bay", 35.68, 139.65)], "address string, lat double, lon double"
+    )
+    out = geocode_cascade(
+        rows,
+        "id",
+        "name",
+        "address",
+        name_dim,
+        city_dim,
+        "(SEOUL|BUSAN)",
+        resolved=resolved,
+    )
+    got = {r["id"]: (r["lat"], r["lon"], r["geocode_source"]) for r in out.collect()}
+    assert got[1] == (35.0, 129.0, "name")
+    assert got[2] == (35.1, 129.07, "city")
+    assert got[3] == (35.68, 139.65, "external")
+    assert got[4] == (35.9078, 127.7669, "default")
+    # id 5: name containment (dim key inside the longer name) wins over
+    # the BUSAN city hit
+    assert got[5] == (35.0, 129.0, "name")
