@@ -112,19 +112,49 @@ def main() -> None:
         dispersion[name] = {"min": samples[0], "med": med, "max": samples[-1]}
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "dispersion": dispersion,
-                "reps": reps,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "dispersion": dispersion,
+        "reps": reps,
+        "sf": sf,
+    }
+    # The driver's artifact capture keeps only the tail (~2000 chars) of
+    # stdout; r06's single huge JSON line was truncated from the front and
+    # became unparseable ("parsed": null), losing the headline. Emit a
+    # compact headline line FIRST and LAST (so it survives either a head or
+    # a tail capture window intact), the full per-query line in between,
+    # and persist the complete result to BENCH_local.json in the repo.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
     )
+    compact = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_truncated_to_slowest_10": True,
+        "n_queries": len(timings),
+        "full_result_file": "BENCH_local.json",
+        "reps": reps,
+        "sf": sf,
+    }
+    compact_line = json.dumps(compact)
+    print(compact_line)
+    print(json.dumps(full))
+    print(compact_line)
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+        with open(out, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write BENCH_local.json: {e}", file=sys.stderr)
     spark.stop()
 
 

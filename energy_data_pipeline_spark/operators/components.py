@@ -44,7 +44,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -75,8 +75,19 @@ def connected_components(
         pairs.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
         .union(pairs.select(F.col(id2).alias("_a"), F.col(id1).alias("_b")))
         .distinct()
-        .localCheckpoint(eager=False)  # persists + cuts lineage to the pairs plan
+        # eager: the pair plan (often a full LSH chain) runs exactly once,
+        # here; every round reads the materialized edge list
+        .localCheckpoint(eager=True)
     )
+
+    # early-exit before entering the loop: no pairs -> no clusters. The
+    # take(1) is served from the just-checkpointed partitions (no
+    # recompute of the pair plan) and skips the per-round fixed cost for
+    # the common already-clean-corpus case.
+    if not edges.take(1):
+        return edges.select(
+            F.col("_a").alias("vertex"), F.col("_b").alias("cluster_id")
+        )
 
     labels = (
         edges.select(F.col("_a").alias("vertex"))
@@ -107,11 +118,12 @@ def connected_components(
         )
 
     for i in range(max_iter):
-        # two hook steps per round: each round is one scheduled action
-        # (checkpoint + cache-served convergence count), and action /
-        # plan-compile overhead dominates a round's cost long before the
-        # extra in-plan shuffle does — so propagate distance 2 per
-        # action and halve the round count for shallow dedup graphs.
+        # two hook steps per round: each round is exactly one scheduled
+        # action (the eager checkpoint, with the convergence flag
+        # collected as an observe() metric of that same action), and
+        # action / plan-compile overhead dominates a round's cost long
+        # before the extra in-plan shuffle does — so propagate distance 2
+        # per action and halve the round count for shallow dedup graphs.
         h1 = _hook(
             labels.select("vertex", F.col("cluster_id").alias("_old")),
             "_old",
@@ -141,17 +153,23 @@ def connected_components(
                     F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook"))
                 ).alias("_new"),
             )
-        # one action per round: the convergence flag rides along in the
-        # checkpointed round output, so the changed-count is served from
-        # the just-materialized cache instead of re-running the round
-        new_labels = cand.select(
-            "vertex",
-            F.col("_new").alias("cluster_id"),
-            (F.col("_new") < F.col("_old")).alias("_changed"),
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # ONE action per round: the convergence check is an observe()
+        # metric collected DURING the checkpoint materialization (no
+        # separate changed-count job at all — CollectMetrics fires on the
+        # localCheckpoint action's QueryExecution).
+        obs = Observation(f"cc_converge_{i}")
+        new_labels = (
+            cand.select(
+                "vertex",
+                F.col("_new").alias("cluster_id"),
+                (F.col("_new") < F.col("_old")).alias("_changed"),
+            )
+            .observe(obs, F.max(F.col("_changed").cast("int")).alias("any_changed"))
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["any_changed"]  # blocks until the action reports
         labels = new_labels.drop("_changed")
-        if changed == 0:
+        if not changed:  # 0, or None when the label table is empty
             break
     else:
         edges.unpersist()

@@ -51,11 +51,18 @@ def _centroid_lit(centroids: list[list[float]]) -> Column:
     return F.lit([[float(x) for x in c] for c in centroids])
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+def _nearest_cells(
+    vec: Column, centroids: list[list[float]] | Column, n: int
+) -> Column:
     """Indices (0-based) of the n nearest centroids by L2, ties by index.
 
-    One array expression: distances via zip_with folds against a single
-    array<array<double>> literal, then an argsort by (distance, index).
+    ``centroids`` is either a Python list (bound as an
+    array<array<double>> literal — the collect-based training loop) or a
+    Column of the same shape (e.g. a crossJoin'd broadcast centroid
+    column), which costs the same per row — measured equal A/B.
+
+    One array expression: distances via zip_with folds against the
+    centroid array, then an argsort by (distance, index).
 
     Deliberately the interpreted-HOF form. A flat codegen expansion
     (per-centroid arithmetic columns + least()/when() argmin chains) was
@@ -67,7 +74,7 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     lambda dispatches, which profiling puts well below the per-round
     action overhead of the Lloyd loop.
     """
-    cents = _centroid_lit(centroids)
+    cents = centroids if isinstance(centroids, Column) else _centroid_lit(centroids)
     scored = F.transform(
         cents,
         lambda c, i: F.struct(

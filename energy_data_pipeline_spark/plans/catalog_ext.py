@@ -292,13 +292,24 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 
 
 # --- ANN: IVF with a TRAINED coarse quantizer -----------------------------
-# Same search path as ann_ivf_topk, but the cells come from
-# kmeans_lloyd (operators/ivf.py) instead of the raw first-k seed. The
-# training is fully deterministic (first-k seed, fixed iteration count),
-# so the oracle UNROLLS the same Lloyd iterations in SQL — assignment =
-# argmin over a cross join, update = per-dim mean re-packed with
-# list(... ORDER BY), empty cells keep the previous centroid — and
-# parity holds at any scale factor, not just the one the oracle ran at.
+# Same search path as ann_ivf_topk, but the cells come from Lloyd
+# training instead of the raw first-k seed. The training is fully
+# deterministic (first-k seed, fixed iteration count), so the oracle
+# UNROLLS the same Lloyd iterations in SQL — assignment = argmin over a
+# cross join, update = per-dim mean re-packed with list(... ORDER BY),
+# empty cells keep the previous centroid — and parity holds at any scale
+# factor, not just the one the oracle ran at.
+#
+# Why the driver-side training loop (and not one fused lazy plan): a
+# fully-lazy variant — seed, both Lloyd rounds, index build and search
+# composed into ONE plan with centroids flowing as broadcast 1-row
+# columns, zero collects — was built and produced bit-identical rows,
+# but ran ~10x SLOWER: nesting the rounds multiplies plan size
+# (2 x 64-sum aggregates + argmin HOF trees inside broadcast subtrees),
+# and analyzer/optimizer passes plus AQE's per-stage re-optimization of
+# the huge plan cost tens of driver-side seconds. Four small actions
+# (seed + 2 round aggregates + search), each a compact plan over a
+# persisted vector cache, are the right trade; see SCALE.md.
 IVF_TRAIN_ITERS = 2
 EMB_DIM = 64  # embeddings.parquet vector width (constant across SFs)
 
