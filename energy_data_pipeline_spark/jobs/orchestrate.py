@@ -145,12 +145,15 @@ class Flow:
 # ---------------------------------------------------------------- schedules
 
 
-def _field_matches(spec: str, value: int) -> bool:
+def _field_matches(spec: str, value: int, range_start: int = 0) -> bool:
     if spec == "*":
         return True
     for part in spec.split(","):
         if part.startswith("*/"):
-            if value % int(part[2:]) == 0:
+            # step counts from the field's RANGE START, matching
+            # standard cron: '*/2' in day-of-month fires on 1,3,5,...
+            # (range starts at 1), not on even days
+            if (value - range_start) % int(part[2:]) == 0:
                 return True
         elif "-" in part:
             lo, hi = part.split("-", 1)
@@ -164,13 +167,14 @@ def _field_matches(spec: str, value: int) -> bool:
 def cron_matches(expr: str, ts: dt.datetime) -> bool:
     """5-field cron (minute hour day-of-month month day-of-week; dow
     0=Sunday) — the subset the reference's deployments use, plus lists,
-    ranges and steps."""
+    ranges and steps. Steps on the 1-based fields (day-of-month,
+    month) are relative to 1, per standard cron."""
     minute, hour, dom, month, dow = expr.split()
     return (
         _field_matches(minute, ts.minute)
         and _field_matches(hour, ts.hour)
-        and _field_matches(dom, ts.day)
-        and _field_matches(month, ts.month)
+        and _field_matches(dom, ts.day, range_start=1)
+        and _field_matches(month, ts.month, range_start=1)
         and _field_matches(dow, (ts.weekday() + 1) % 7)
     )
 

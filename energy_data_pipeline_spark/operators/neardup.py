@@ -89,11 +89,18 @@ SIMHASH_BITS_PER_BLOCK = SIMHASH_BITS // SIMHASH_BLOCKS
 NGRAM_MAX_DF = 256
 
 
-def _pin(df: DataFrame) -> DataFrame:
+def _pin(df: DataFrame, memory_only: bool = False) -> DataFrame:
     """Materialization barrier: stops CollapseProject from inlining the
     expensive expressions upstream of this point and makes the result
-    compute-once across self-join branches."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    compute-once across self-join branches.
+
+    ``memory_only`` for tables with a hard small-size guarantee (band
+    signatures: k BIGINTs per doc) — skips the spill-accounting path;
+    MEMORY_ONLY evicts instead of spilling, and recompute of a dropped
+    block is cheap for these."""
+    return df.persist(
+        StorageLevel.MEMORY_ONLY if memory_only else StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -184,13 +191,19 @@ def lsh_candidate_pairs(
     # would all run at that crippled parallelism; (2) hash-partitioning
     # by the join key makes the cached table co-partitioned with itself,
     # so the bucket self-join needs no further exchange.
-    n_part = int(
-        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        n_part = int(
+            sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        # platforms that set this to a non-numeric value (e.g. "auto"
+        # under auto-optimized shuffle) — fall back to cluster default
+        n_part = sigs.sparkSession.sparkContext.defaultParallelism
     exploded = _pin(
         sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
         .select(id_col, "band.*")
-        .repartition(n_part, "band_idx", *row_cols)
+        .repartition(n_part, "band_idx", *row_cols),
+        memory_only=True,  # k BIGINTs per doc — bounded tiny
     )
     a = exploded.alias("a")
     b_ = exploded.alias("b")
@@ -202,7 +215,15 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
         )
-        .distinct()
+        # Dedup pairs (a pair collides in up to n_bands bands) WITHOUT a
+        # dedicated (id1,id2) exchange: hash-partition by id1 alone —
+        # HashPartitioning(id1) satisfies the dropDuplicates aggregate's
+        # ClusteredDistribution(id1,id2) (same id1 → same partition), so
+        # EnsureRequirements inserts no further exchange, AND the output
+        # arrives already partitioned on id1 for the verify stage's
+        # first shingle join. One exchange now does the work of two.
+        .repartition(n_part, "id1")
+        .dropDuplicates(["id1", "id2"])
     )
 
 

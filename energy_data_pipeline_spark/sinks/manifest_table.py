@@ -25,10 +25,18 @@ atomic single-file replace:
   ``version=``); ``vacuum`` deletes data files no retained manifest
   references.
 
-Single-writer-per-table is assumed (same as writers.py); multi-writer
-coordination needs a compare-and-swap on _CURRENT, which plain
-filesystems cannot give — that is exactly the feature a real lakehouse
-catalog adds on top of this same design.
+Multi-writer coordination: commit goes through a pluggable
+``compare_and_swap`` callable (see ``_replace_if_unchanged``). The
+default is read-current + ``os.replace`` — it REJECTS any lost update
+it can see (writer A staged against version N, writer B committed N+1
+meanwhile → ``CommitConflictError``), but the check-then-replace pair
+is not itself atomic, so two writers racing inside that microsecond
+TOCTOU window can still both "win" on a plain filesystem. A real
+catalog's conditional primitive (object-store If-Match PUT, a database
+row CAS, a lock service) slots into the same callable and closes the
+window without changing the protocol; plain POSIX has no such
+primitive, which is exactly the feature a lakehouse catalog adds on
+top of this design.
 
 Reference parity: the reference gets real transactions from Postgres
 (daily_pv_automation.py:201-224 DELETE+INSERT in one transaction); this
@@ -40,7 +48,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,6 +56,55 @@ from pyspark.sql import functions as F
 _CURRENT = "_CURRENT"
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+# Commit CAS signature: (current_pointer_path, tmp_pointer_path,
+# expected_live_manifest_name_or_None) -> None; MUST either make
+# tmp_pointer the live pointer iff the live manifest name still equals
+# ``expected``, or raise CommitConflictError.
+CasFn = Callable[[str, str, "str | None"], None]
+
+
+class CommitConflictError(RuntimeError):
+    """The table's live version moved between this writer's snapshot
+    read and its commit — a lost update was prevented. Re-read the
+    table and retry the operation on the new version."""
+
+
+def _fsync_dir(path: str) -> None:
+    # directory fsync persists the entry rename itself; without it a
+    # power loss after os.replace can resurface the old pointer
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass  # not all filesystems support directory fsync
+    finally:
+        os.close(fd)
+
+
+def _replace_if_unchanged(current_path: str, tmp_path: str, expected: str | None) -> None:
+    """Default commit CAS: re-read the pointer, reject if it moved,
+    then atomically replace and fsync the directory entry.
+
+    The re-read catches every conflict longer than the check→replace
+    gap (i.e. any real concurrent job, which stages files for seconds);
+    the residual microsecond TOCTOU window is documented in the module
+    docstring and closed only by a genuinely conditional backend
+    primitive supplied via ``compare_and_swap``."""
+    try:
+        with open(current_path, encoding="utf-8") as f:
+            actual = f.read().strip() or None
+    except FileNotFoundError:
+        actual = None
+    if actual != expected:
+        os.remove(tmp_path)
+        raise CommitConflictError(
+            f"concurrent commit detected on {os.path.dirname(current_path)}: "
+            f"expected live manifest {expected!r}, found {actual!r}; "
+            "re-read and retry"
+        )
+    os.replace(tmp_path, current_path)
+    _fsync_dir(os.path.dirname(current_path))
 
 
 def _manifest_path(table: str, name: str) -> str:
@@ -101,8 +158,18 @@ def _stage_data_files(df: DataFrame, table: str) -> list[str]:
     return sorted(rel)
 
 
-def _publish(table: str, files: list[str], parent: dict | None) -> dict:
-    """Write the next-version manifest, then atomically flip _CURRENT."""
+def _publish(
+    table: str,
+    files: list[str],
+    parent: dict | None,
+    compare_and_swap: CasFn | None = None,
+) -> dict:
+    """Write the next-version manifest, then flip _CURRENT through the
+    commit CAS. Both the manifest and the tmp pointer are flushed +
+    fsynced BEFORE the pointer swap — os.replace alone is atomic
+    against process crash but on power loss could leave _CURRENT
+    naming a torn manifest."""
+    cas = compare_and_swap or _replace_if_unchanged
     version = (parent["version"] + 1) if parent else 0
     manifest = {
         "version": version,
@@ -114,11 +181,15 @@ def _publish(table: str, files: list[str], parent: dict | None) -> dict:
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     with open(_manifest_path(table, name), "w", encoding="utf-8") as f:
         json.dump(manifest, f)
-    # atomic commit: single-file replace of the pointer
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(os.path.join(table, _MANIFEST_DIR))
     tmp = os.path.join(table, f"._CURRENT.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(name)
-    os.replace(tmp, os.path.join(table, _CURRENT))
+        f.flush()
+        os.fsync(f.fileno())
+    cas(os.path.join(table, _CURRENT), tmp, parent["name"] if parent else None)
     return manifest
 
 
@@ -132,14 +203,19 @@ def manifest_read(
     return spark.read.parquet(*[os.path.join(table, p) for p in m["files"]])
 
 
-def manifest_overwrite(df: DataFrame, table: str) -> dict:
+def manifest_overwrite(
+    df: DataFrame, table: str, compare_and_swap: CasFn | None = None
+) -> dict:
     """Full-snapshot publish (K6 semantics with atomic visibility)."""
     os.makedirs(table, exist_ok=True)
+    parent = read_manifest(table)
     files = _stage_data_files(df, table)
-    return _publish(table, files, read_manifest(table))
+    return _publish(table, files, parent, compare_and_swap)
 
 
-def manifest_append(df: DataFrame, table: str) -> dict:
+def manifest_append(
+    df: DataFrame, table: str, compare_and_swap: CasFn | None = None
+) -> dict:
     """Append-commit (K1/K3): new files stage invisibly, then one
     pointer flip makes the whole batch visible at once — a reader never
     sees half a batch, unlike a plain directory append."""
@@ -147,7 +223,7 @@ def manifest_append(df: DataFrame, table: str) -> dict:
     parent = read_manifest(table)
     files = _stage_data_files(df, table)
     all_files = (parent["files"] if parent else []) + files
-    return _publish(table, all_files, parent)
+    return _publish(table, all_files, parent, compare_and_swap)
 
 
 def manifest_upsert(
@@ -155,6 +231,7 @@ def manifest_upsert(
     new_df: DataFrame,
     table: str,
     keys: Sequence[str],
+    compare_and_swap: CasFn | None = None,
 ) -> dict:
     """K5 with a real atomic commit: merge against the live snapshot,
     stage the merged result, flip the pointer. Readers see the old
@@ -187,7 +264,7 @@ def manifest_upsert(
         merged = new_df
     os.makedirs(table, exist_ok=True)
     files = _stage_data_files(merged, table)
-    return _publish(table, files, parent)
+    return _publish(table, files, parent, compare_and_swap)
 
 
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:

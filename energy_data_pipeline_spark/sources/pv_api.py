@@ -68,13 +68,16 @@ def parse_pv_payload(xml_text: str) -> list[dict[str, str]]:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
         return []
-    items = root.findall(".//item")
+    # iter() includes the ROOT element, unlike find(".//..."), which
+    # searches descendants only — a bare '<items><ymd>...</items>'
+    # document (root element IS items) must not be silently dropped
+    items = list(root.iter("item"))
     if items:
         return [
             {child.tag: (child.text or "").strip() for child in item}
             for item in items
         ]
-    items_node = root.find(".//items")
+    items_node = next(root.iter("items"), None)
     if items_node is not None and len(items_node):
         return [
             {child.tag: (child.text or "").strip() for child in items_node}

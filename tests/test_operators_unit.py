@@ -867,6 +867,51 @@ class TestManifestTable:
         assert deleted, "orphaned staged files should be deleted"
         assert self._rows(spark, table) == {(1, "a")}
 
+    def test_lost_update_race_rejected_by_cas(self, spark, tmp_path):
+        """Two writers both snapshot version 0; the second to commit
+        must get CommitConflictError from the default check-then-replace
+        CAS instead of silently clobbering the first writer's commit —
+        and a backend-supplied CAS callable slots into the same seam."""
+        import pytest as _pytest
+
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        table = str(tmp_path / "t")
+        mt.manifest_overwrite(
+            spark.createDataFrame([(1, "a")], "k long, v string"), table
+        )
+
+        # writer A snapshots the live version, stages its files...
+        parent_a = mt.read_manifest(table)
+        files_a = mt._stage_data_files(
+            spark.createDataFrame([(2, "A")], "k long, v string"), table
+        )
+        # ...writer B lands a full commit meanwhile...
+        mt.manifest_append(
+            spark.createDataFrame([(3, "B")], "k long, v string"), table
+        )
+        # ...writer A's publish against the stale parent must be refused
+        with _pytest.raises(mt.CommitConflictError):
+            mt._publish(table, files_a, parent_a)
+        # B's commit is the live one; A's staged rows never became visible
+        assert self._rows(spark, table) == {(1, "a"), (3, "B")}
+
+        # the seam: a custom CAS (e.g. catalog conditional-PUT) is used
+        # instead of the default when supplied
+        calls = []
+
+        def fake_cas(current_path, tmp_path_, expected):
+            calls.append(expected)
+            mt._replace_if_unchanged(current_path, tmp_path_, expected)
+
+        mt.manifest_append(
+            spark.createDataFrame([(4, "c")], "k long, v string"),
+            table,
+            compare_and_swap=fake_cas,
+        )
+        assert calls, "supplied compare_and_swap callable was not used"
+        assert self._rows(spark, table) == {(1, "a"), (3, "B"), (4, "c")}
+
     def test_vacuum_trims_history_keeps_live(self, spark, tmp_path):
         import os
 

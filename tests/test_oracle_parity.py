@@ -9,13 +9,47 @@ from energy_data_pipeline_spark.plans.catalog import CATALOG
 
 from .oracle_harness import compare, duck_connection
 
+# Queries the DRIVER's 50-query correctness sample has never hashed in
+# any round (rounds 1-6 audit, VERDICT.md r6) — their green status rests
+# entirely on this suite, so they carry the `parity_extended` marker:
+# `pytest -m parity_extended` re-runs exactly these after a refactor.
+NEVER_DRIVER_SAMPLED = {
+    "a12_multigrain_rollup",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "dd_cross_split_contamination",
+    "j6_purchases_asof_views",
+    "j7_clicks_in_purchase_spans",
+    "mm_feature_extract",
+    "mm_frame_plan",
+    "o1_recent_events_sorted",
+    "p12_numeric_extraction",
+    "p14_key_and_map_lookup",
+    "p16_month_chunks",
+    "p17_geocode_cascade",
+    "sk_salted_event_totals",
+}
+
+
+_unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
+assert not _unknown, f"parity_extended names drifted from catalog: {_unknown}"
+
+
+def _marked(name, *rest):
+    if name in NEVER_DRIVER_SAMPLED:
+        return pytest.param(name, *rest, marks=pytest.mark.parity_extended)
+    return pytest.param(name, *rest)
+
+
 # a callable oracle entry is resolved with the sf_dir inside the test
 # (generated expected-value tables are scale-specific)
 ORACLE_CASES = [
-    (name, fn, sql) for name, (fn, sql) in CATALOG.items() if sql is not None
+    _marked(name, fn, sql)
+    for name, (fn, sql) in CATALOG.items()
+    if sql is not None
 ]
 ROWS_ONLY_CASES = [
-    (name, fn) for name, (fn, sql) in CATALOG.items() if sql is None
+    _marked(name, fn) for name, (fn, sql) in CATALOG.items() if sql is None
 ]
 
 
@@ -27,7 +61,7 @@ def duck(sf_small):
 
 
 @pytest.mark.parametrize(
-    "name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES]
+    "name,fn,sql", ORACLE_CASES, ids=[c.values[0] for c in ORACLE_CASES]
 )
 def test_oracle_parity(spark, sf_small, duck, name, fn, sql):
     if callable(sql):
@@ -38,7 +72,9 @@ def test_oracle_parity(spark, sf_small, duck, name, fn, sql):
     assert report["ok"], f"{name}: {report['issues']}"
 
 
-@pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES, ids=[c[0] for c in ROWS_ONLY_CASES])
+@pytest.mark.parametrize(
+    "name,fn", ROWS_ONLY_CASES, ids=[c.values[0] for c in ROWS_ONLY_CASES]
+)
 def test_rows_only_queries_run(spark, sf_small, name, fn):
     df = fn(spark, sf_small)
     assert df.count() >= 0

@@ -85,6 +85,16 @@ def test_cron_matching_and_due_windows():
     assert cron_matches("30 3 1 * *", dt.datetime(2024, 2, 1, 3, 30))
     assert cron_matches("*/15 * * * *", dt.datetime(2024, 1, 5, 9, 45))
     assert cron_matches("0 8-10 * * 1-5", dt.datetime(2024, 1, 5, 9, 0))  # Friday
+    # steps on 1-based fields count from the range start (standard
+    # cron): '*/2' in day-of-month fires on 1,3,5,... not on even days
+    assert cron_matches("0 0 */2 * *", dt.datetime(2024, 1, 1, 0, 0))
+    assert cron_matches("0 0 */2 * *", dt.datetime(2024, 1, 3, 0, 0))
+    assert not cron_matches("0 0 */2 * *", dt.datetime(2024, 1, 2, 0, 0))
+    assert cron_matches("0 0 1 */3 *", dt.datetime(2024, 1, 1, 0, 0))  # Jan
+    assert cron_matches("0 0 1 */3 *", dt.datetime(2024, 4, 1, 0, 0))  # Apr
+    assert not cron_matches("0 0 1 */3 *", dt.datetime(2024, 3, 1, 0, 0))
+    # minute steps stay 0-based
+    assert cron_matches("*/15 * * * *", dt.datetime(2024, 1, 5, 9, 0))
 
     now = dt.datetime(2024, 1, 5, 9, 30)
     assert cron_due("0 9 * * *", now, last_run=dt.datetime(2024, 1, 5, 8, 0))

@@ -65,6 +65,17 @@ class TestParsePvPayload:
         assert parse_pv_payload("this is not xml <<<") == []
         assert parse_pv_payload("<response><body/></response>") == []
 
+    def test_bare_items_root_document(self):
+        # root element IS <items> (no <response> wrapper) — iter()
+        # includes the root, find('.//') would silently drop it
+        recs = parse_pv_payload(f"<items>{_ITEM_FIELDS}</items>")
+        assert len(recs) == 1
+        assert recs[0]["ymd"] == "20240105"
+        # and a bare <item> root likewise
+        recs = parse_pv_payload(f"<item>{_ITEM_FIELDS}</item>")
+        assert len(recs) == 1
+        assert recs[0]["qvodgen"] == "120.5"
+
 
 def test_pv_records_to_hourly_long(spark):
     """Fetched bodies → typed records → exploded hourly rows with the
