@@ -248,10 +248,16 @@ def impute_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same FP-order guard as t3: round the hourly mean inputs AND the
     # long-gap fill means to 6 so the oracle's independently-summed
     # averages feed the spline kernel bit-identical anchors
+    # persist: this tiny hourly table (hours × 2 series) is referenced
+    # four times downstream (the keys derivation, the densify join, and
+    # the impute operator's window + cascade-levels branches) — without
+    # the pin each reference re-runs the events scan + aggregate, 8
+    # parquet scans for one query at any scale
     series = (
         ev.filter(F.col("event_type").isin("view", "click"))
         .groupBy("event_type", _hour_bucket_ntz("ts").alias("hour_ts"))
         .agg(rnd(F.avg("value"), 6).alias("v"))
+        .persist()
     )
     cal = _calendar_hours(spark)
     keys = series.select("event_type").distinct()
