@@ -206,3 +206,34 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     per element_at reference.
     """
     return _let(words(col), lambda w: shingles_from_words(w, n))
+
+
+# ---------------------------------------------------------------- PII scrub
+# Patterns chosen from the regex subset Java (Spark) and RE2 (DuckDB,
+# Go/Rust scanners) interpret IDENTICALLY — char classes, bounded
+# quantifiers, \b word boundaries; no lookaround, no backrefs — so the
+# engine and any SQL oracle redact byte-for-byte the same. Order
+# matters and is part of the contract: emails are scrubbed before IPs
+# (an email's host part may itself look like an IPv4 literal).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrence count of one PII pattern (pre-redaction text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.regexp_count(c, F.lit(pat))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """All PII patterns replaced by their placeholder tags, applied in
+    PII_PATTERNS order. Pure JVM regexp_replace chain — codegen, no
+    UDF, linear single pass per pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _kind, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

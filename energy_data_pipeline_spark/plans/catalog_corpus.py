@@ -830,6 +830,207 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- n-gram overlap decontamination (GPT-3 §C / PaLM-style) ---------------
+# Stricter than dd_cross_split_contamination's whole-document
+# fingerprint match: an eval document is contaminated if ANY of its
+# word n-grams also occurs anywhere in the train split — catches
+# partial/quoted leakage that document-level hashing misses.
+DECON_NGRAM = 8
+
+
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval docs sharing ≥1 word 8-gram with the train split, with the
+    number of distinct shared 8-grams per doc.
+
+    Shape & scale: the split filter lands BEFORE shingling, so each
+    side shingles only its own documents (train ~80%, eval ~20% — one
+    column-pruned pass each, never the corpus twice). The join is
+    keyed on the n-gram; the train side is a distinct gram SET, so
+    output cardinality is bounded by the eval-side gram count — no
+    quadratic bucket risk (unlike a similarity self-join). At 100 TB
+    the train-gram set would ride as a bloom filter on the eval scan;
+    the exact set join here is the oracle-checkable reference
+    semantics and is linear either way."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tagged = sampling.train_val_test_split(
+        docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+    )
+    train_grams = (
+        tagged.filter(F.col("split") == "train")
+        .select(
+            F.explode(
+                F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    eval_grams = tagged.filter(F.col("split") != "train").select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))).alias(
+            "g"
+        ),
+    )
+    return (
+        eval_grams.join(train_grams, "g")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def _duck_ngrams(w: str, n: int) -> str:
+    # range() end is EXCLUSIVE: m = len-n+1 grams → end = len-(n-2)
+    terms = " || ' ' || ".join([f"{w}[i+{j}]" for j in range(n)])
+    return (
+        f"list_distinct(list_transform(range(1, len({w}) - {n - 2}), "
+        f"i -> {terms}))"
+    )
+
+
+def _ngram_decon_sql() -> str:
+    bucket = sampling.duck_hash_bucket_sql("doc_id", seed="split1")
+    m = sampling.HASH_MOD
+    n = DECON_NGRAM
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < {m - 2000} THEN 'train'
+              WHEN {bucket} < {m - 1000} THEN 'val'
+              ELSE 'test' END AS split,
+         {DUCK_WORDS.format(col='text')} AS wl
+  FROM documents
+), tg AS (
+  SELECT DISTINCT unnest({_duck_ngrams('wl', n)}) AS g
+  FROM tagged WHERE split = 'train' AND len(wl) >= {n}
+), eg AS (
+  SELECT doc_id, split, unnest({_duck_ngrams('wl', n)}) AS g
+  FROM tagged WHERE split <> 'train' AND len(wl) >= {n}
+)
+SELECT eg.doc_id, eg.split, count(*) AS n_shared_ngrams
+FROM eg JOIN tg ON eg.g = tg.g
+GROUP BY 1, 2
+"""
+
+
+# --- PII redaction -------------------------------------------------------
+# The synthetic corpus contains no real PII, so the query INJECTS
+# deterministic synthetic PII (per-doc email / IPv4 / phone fragments on
+# interleaved doc_id strides) and then scrubs it — exercising both the
+# match and no-match paths of every pattern, with byte-exact oracle
+# parity on the redacted text (returned as md5). Patterns and ordering:
+# functions/text.py PII_PATTERNS.
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" tel +1-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        T.pii_count("text", "email").cast("long").alias("n_emails"),
+        T.pii_count("text", "ip").cast("long").alias("n_ips"),
+        T.pii_count("text", "phone").cast("long").alias("n_phones"),
+        F.md5(T.redact_pii("text")).alias("redacted_hash"),
+        F.length(T.redact_pii("text")).cast("long").alias("redacted_len"),
+    )
+
+
+def _pii_sql() -> str:
+    pats = {k: p for k, p, _ in T.PII_PATTERNS}
+    # same injection, same scrub order, RE2 side
+    redact = "aug"
+    for _k, p, tag in T.PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{p}', '{tag}', 'g')"
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{pats["email"]}')) AS n_emails,
+       len(regexp_extract_all(aug, '{pats["ip"]}')) AS n_ips,
+       len(regexp_extract_all(aug, '{pats["phone"]}')) AS n_phones,
+       md5({redact}) AS redacted_hash,
+       len({redact}) AS redacted_len
+FROM a
+"""
+
+
+# --- sequence packing plan -----------------------------------------------
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan over the corpus (operators/
+    packing.py): per (source, lang, id-range shard), each document's
+    (seq_id, seq_offset) on the 2048-token training-sequence tape."""
+    from ..operators.packing import sequence_pack_plan
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return sequence_pack_plan(
+        docs,
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("long"),
+        shard_cols=["source", "lang"],
+    )
+
+
+def _pack_sql() -> str:
+    from ..operators.packing import SEQ_LEN, SHARD_DOCS
+
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH t AS (
+  SELECT source, lang, doc_id,
+         CAST(floor(doc_id / {SHARD_DOCS}) AS BIGINT) AS pack_shard,
+         len({words}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(sum(n_tokens) OVER (
+              PARTITION BY source, lang, pack_shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT source, lang, doc_id, pack_shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum / {SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(cum % {SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -852,4 +1053,7 @@ CORPUS_QUERIES = {
     "smp_stratified_mix_sample": (stratified_mix_sample, _stratified_sql()),
     "smp_train_val_test_split": (split_assignment, _split_sql()),
     "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
+    "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
+    "txt_pii_redaction": (pii_redaction, _pii_sql()),
+    "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
 }

@@ -984,3 +984,89 @@ def test_geocode_cascade_stage_precedence(spark):
     # id 5: name containment (dim key inside the longer name) wins over
     # the BUSAN city hit
     assert got[5] == (35.0, 129.0, "name")
+
+
+class TestPiiRedaction:
+    def test_patterns_and_order(self, spark):
+        from energy_data_pipeline_spark.functions import text as T
+        from pyspark.sql import functions as F
+
+        rows = [
+            (0, "write to alice.smith+x@mail.example.org today"),
+            (1, "server at 192.168.0.17 responded"),
+            (2, "call +1-555-0123-999 now"),
+            # host contains a dotted quad + TLD: email must be scrubbed
+            # FIRST (scrub order is part of the contract) or the ip
+            # pattern would tear the address apart
+            (3, "mail carol@1.2.3.4.com now"),
+            # bare-IP host has no alpha TLD -> not an email; ip wins
+            (4, "ping bob@10.0.0.99 asap"),
+            (5, "nothing sensitive here 1.2 3.4"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                T.pii_count("text", "email").alias("e"),
+                T.pii_count("text", "ip").alias("i"),
+                T.pii_count("text", "phone").alias("p"),
+                T.redact_pii("text").alias("red"),
+            ).collect()
+        }
+        assert (out[0]["e"], out[0]["red"]) == (1, "write to <EMAIL> today")
+        assert (out[1]["i"], out[1]["red"]) == (1, "server at <IP> responded")
+        assert (out[2]["p"], out[2]["red"]) == (1, "call <PHONE> now")
+        # email-over-ip precedence: no leftover partial IP text
+        assert out[3]["red"] == "mail <EMAIL> now"
+        assert out[4]["red"] == "ping bob@<IP> asap"
+        assert out[5]["red"] == "nothing sensitive here 1.2 3.4"
+
+
+class TestSequencePacking:
+    def test_concat_and_chunk_positions(self, spark):
+        from pyspark.sql import functions as F
+
+        from energy_data_pipeline_spark.operators.packing import (
+            sequence_pack_plan,
+        )
+
+        # shard A: 1500 + 1000 + 100 tokens with seq_len 1024:
+        # doc0 -> (0, 0); doc1 starts at 1500 -> (1, 476); doc2 at 2500
+        # -> (2, 452). shard B independent: doc3 -> (0, 0).
+        rows = [
+            (0, "A", 1500),
+            (1, "A", 1000),
+            (2, "A", 100),
+            (3, "B", 7),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+        out = {
+            r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in sequence_pack_plan(
+                df, "doc_id", F.col("n"), ["shard"], seq_len=1024
+            ).collect()
+        }
+        assert out == {0: (0, 0), 1: (1, 476), 2: (2, 452), 3: (0, 0)}
+
+    def test_shard_bucket_bounds_window(self, spark):
+        """Docs whose ids fall in different id-range buckets pack
+        independently even with identical shard columns — the bucket is
+        what caps the sequential unit at scale."""
+        from pyspark.sql import functions as F
+
+        from energy_data_pipeline_spark.operators.packing import (
+            sequence_pack_plan,
+        )
+
+        rows = [(0, "A", 10), (1, "A", 10), (100, "A", 10)]
+        df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+        out = {
+            r["doc_id"]: (r["pack_shard"], r["seq_id"], r["seq_offset"])
+            for r in sequence_pack_plan(
+                df, "doc_id", F.col("n"), ["shard"], seq_len=16, shard_docs=100
+            ).collect()
+        }
+        assert out[0] == (0, 0, 0)
+        assert out[1] == (0, 0, 10)  # cum 10 -> same 16-token sequence
+        assert out[100] == (1, 0, 0)  # new bucket restarts the tape
