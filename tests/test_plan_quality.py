@@ -161,3 +161,22 @@ def test_salted_agg_has_two_stage_exchange(spark):
     final = [e for e in exchanges if "_salt" not in e and "event_type" in e]
     assert salted, f"no salted exchange in plan: {exchanges}"
     assert final, f"no final per-key exchange in plan: {exchanges}"
+
+
+def test_pack_plan_window_is_shard_partitioned(spark):
+    """pk_sequence_pack_plan's cumsum window must be partitioned on the
+    FULL shard key (source, lang, pack_shard) — a window missing the
+    id-range bucket would serialize each (source, lang) stratum onto one
+    task, the classic global-window scale killer."""
+    import re
+
+    fn, _ = CATALOG["pk_sequence_pack_plan"]
+    plan = plan_of(fn(spark, SF))
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    sharded = [
+        e
+        for e in exchanges
+        if "source" in e and "lang" in e and "pack_shard" in e
+    ]
+    assert sharded, f"window not partitioned by full shard key: {exchanges}"
+    assert "SinglePartition" not in plan, "global single-partition window"
