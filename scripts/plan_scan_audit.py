@@ -40,20 +40,23 @@ def main() -> None:
     for name, (fn, _sql) in sorted(CATALOG.items()):
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = df._jdf.queryExecution().executedPlan()
+            # collectLeaves: InMemoryTableScan is itself a leaf, so a
+            # pinned subtree counts ONCE no matter how many times the
+            # plan string reprints its cached definition
+            leaves = plan.collectLeaves()
         except Exception as e:  # noqa: BLE001 — audit only
             print(f"{name}: PLAN ERROR {e}", file=sys.stderr)
             continue
         counts: dict[str, int] = {}
-        # table identity via the scan's file path in the plan string
-        for m in re.finditer(r"Location:.*?/([a-z]+)\.parquet", plan):
-            t = m.group(1)
-            counts[t] = counts.get(t, 0) + 1
-        if not counts:
-            # fall back: count bare scan nodes
-            n = plan.count("Scan parquet")
-            if n:
-                counts["<any>"] = n
+        n_leaves = leaves.size()
+        for i in range(n_leaves):
+            leaf = leaves.apply(i)
+            s = leaf.toString()
+            m = re.search(r"/([a-z]+)\.parquet", s)
+            if m and "InMemory" not in leaf.nodeName():
+                t = m.group(1)
+                counts[t] = counts.get(t, 0) + 1
         hot = {t: c for t, c in counts.items() if c >= THRESHOLD}
         if hot:
             flagged[name] = hot
