@@ -262,3 +262,84 @@ def test_manifest_upsert_equals_dict_semantics(spark, batches, tmp_path_factory)
     got = {r["k"]: r["v"] for r in mt.manifest_read(spark, table).collect()}
     assert got == expect
     assert mt.read_manifest(table)["version"] == len(batches) - 1
+
+
+# --- PII redaction: idempotent, and counts match redaction deltas ---------
+pii_text_strategy = st.lists(
+    st.sampled_from(
+        [
+            "hello world",
+            "a.b@c.io",
+            "x@example.com",
+            "10.0.0.1",
+            "256.1.2.3",
+            "+1-555-0100-42",
+            "+12345678901",
+            "not@ norpii",
+            "1.2.3",
+            "u_v%w+z@h-1.org",
+        ]
+    ),
+    min_size=0,
+    max_size=8,
+).map(" ".join)
+
+
+@given(text=pii_text_strategy)
+@SETTINGS
+def test_pii_redaction_idempotent(spark, text):
+    """redact(redact(x)) == redact(x): placeholder tags contain no
+    digits or '@', so a second pass can never match them — the scrub is
+    safe to re-run (retried jobs, overlapping backfills)."""
+    from energy_data_pipeline_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        redact_pii("text").alias("once"),
+        redact_pii(redact_pii("text")).alias("twice"),
+    ).collect()[0]
+    assert row["once"] == row["twice"]
+
+
+# --- sequence packing: offsets bounded, tape positions consistent ---------
+pack_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=250),  # doc_id
+        st.sampled_from(["a", "b"]),  # shard col
+        st.integers(min_value=0, max_value=5000),  # n_tokens
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=pack_rows_strategy)
+@SETTINGS
+def test_sequence_pack_plan_invariants(spark, rows):
+    """For every shard: offsets are in [0, seq_len); the tape position
+    seq_id*seq_len + seq_offset equals the running token sum in doc_id
+    order; seq_id is non-decreasing."""
+    from energy_data_pipeline_spark.operators.packing import (
+        sequence_pack_plan,
+    )
+
+    seq_len = 64
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+    out = sequence_pack_plan(
+        df, "doc_id", F.col("n"), ["shard"], seq_len=seq_len, shard_docs=100
+    ).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault((r["shard"], r["pack_shard"]), []).append(r)
+    n_by_id = {t[0]: t[2] for t in rows}
+    for key, members in by_shard.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_seq = -1
+        for r in members:
+            assert 0 <= r["seq_offset"] < seq_len
+            assert r["seq_id"] * seq_len + r["seq_offset"] == cum
+            assert r["seq_id"] >= prev_seq
+            prev_seq = r["seq_id"]
+            cum += n_by_id[r["doc_id"]]
