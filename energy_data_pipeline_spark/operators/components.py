@@ -130,8 +130,20 @@ def connected_components(
             "_mid",
         )
         hooked = _hook(h1, "_mid", "_hook")
+        # in-round fixpoint certificate: if the SECOND hook changed
+        # nothing relative to the first (_hook == _mid everywhere), then
+        # _mid is a fixpoint of the hook operator — which implies every
+        # edge has equal endpoint labels, i.e. components are uniformly
+        # labeled at their minimum id, the final answer. Observing this
+        # flag lets the loop STOP at the end of this round instead of
+        # paying a whole confirm round: near-clique dedup graphs (LSH
+        # emits most intra-cluster pairs directly) converge inside the
+        # first round's two hooks, so clustering costs ONE round.
+        late = (F.col("_hook") < F.col("_mid")).alias("_late")
         if i < shortcut_after:
-            cand = hooked.select("vertex", "_old", F.col("_hook").alias("_new"))
+            cand = hooked.select(
+                "vertex", "_old", F.col("_hook").alias("_new"), late
+            )
         else:
             # shortcut: label(u) <- label(label(u)) — labels are always
             # ids of smaller same-component vertices, so pointer chains
@@ -152,6 +164,7 @@ def connected_components(
                 F.least(
                     F.col("_hook"), F.coalesce(F.col("_pl"), F.col("_hook"))
                 ).alias("_new"),
+                late,
             )
         # ONE action per round: the convergence check is an observe()
         # metric collected DURING the checkpoint materialization (no
@@ -163,13 +176,21 @@ def connected_components(
                 "vertex",
                 F.col("_new").alias("cluster_id"),
                 (F.col("_new") < F.col("_old")).alias("_changed"),
+                "_late",
             )
-            .observe(obs, F.max(F.col("_changed").cast("int")).alias("any_changed"))
+            .observe(
+                obs,
+                F.max(F.col("_changed").cast("int")).alias("any_changed"),
+                F.max(F.col("_late").cast("int")).alias("late_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = obs.get["any_changed"]  # blocks until the action reports
-        labels = new_labels.drop("_changed")
-        if not changed:  # 0, or None when the label table is empty
+        metrics = obs.get  # blocks until the action reports
+        labels = new_labels.drop("_changed", "_late")
+        # converged if this round changed nothing (vs previous round) OR
+        # the in-round certificate held (second hook was a no-op) —
+        # either way `labels` is the fixpoint. None = empty label table.
+        if not metrics["any_changed"] or not metrics["late_changed"]:
             break
     else:
         edges.unpersist()
