@@ -110,6 +110,11 @@ def main() -> None:
         med = samples[len(samples) // 2]
         timings[name] = med
         dispersion[name] = {"min": samples[0], "med": med, "max": samples[-1]}
+        # drop this query's pinned tables before the next one: 70+
+        # queries' accumulated caches otherwise crowd the block manager
+        # and GC, inflating late-alphabet queries (reps of the SAME
+        # query still share cache — med stays a warm-cache number)
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     full = {

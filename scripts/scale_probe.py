@@ -173,7 +173,58 @@ def main():
         )
     )
 
+    # n-gram decontamination: gram-set join must scale ~linearly in docs
+    # (output bounded by the eval-side gram count; no quadratic bucket)
+    from energy_data_pipeline_spark.operators.sampling import train_val_test_split
+    from energy_data_pipeline_spark.functions.text import shingles
+
+    for label, n in [("5k", 5_000), ("100k", 100_000)]:
+        docs = synth_docs(spark, n)
+        tagged = train_val_test_split(docs, "doc_id", 10, 10, seed="probe")
+        tg = (
+            tagged.filter(F.col("split") == "train")
+            .select(F.explode(F.array_distinct(shingles(F.col("text"), 8))).alias("g"))
+            .distinct()
+        )
+        eg = tagged.filter(F.col("split") != "train").select(
+            "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 8))).alias("g")
+        )
+        results[f"ngram_decon_{label}"] = timed(
+            lambda: noop(
+                eg.join(tg, "g").groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+            )
+        )
+
+    # sequence packing: the id-range shard bound vs a single global
+    # window at the SAME size — the bound is what keeps the cumsum
+    # parallel when a (source, lang) stratum holds the whole corpus
+    from energy_data_pipeline_spark.operators.packing import sequence_pack_plan
+
+    pk = spark.range(0, 12_000_000, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), 500) + 1).cast("long").alias("n"),
+    )
+    results["pack_sharded_12M"] = timed(
+        lambda: noop(
+            sequence_pack_plan(pk, "doc_id", F.col("n"), ["source"], shard_docs=100_000)
+        )
+    )
+    results["pack_global_12M"] = timed(
+        lambda: noop(
+            sequence_pack_plan(
+                pk, "doc_id", F.col("n"), ["source"], shard_docs=100_000_000
+            )
+        )
+    )
+
     results["ratios"] = {
+        "ngram_decon_20x_docs": round(
+            results["ngram_decon_100k"] / results["ngram_decon_5k"], 2
+        ),
+        "pack_sharded_vs_global_12M": round(
+            results["pack_sharded_12M"] / results["pack_global_12M"], 2
+        ),
         "flagship_20x_data": round(results["flagship_12M"] / results["flagship_0.6M"], 2),
         "dedup_20x_data": round(
             results["dedup_keep_last_12M"] / results["dedup_keep_last_0.6M"], 2

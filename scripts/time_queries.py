@@ -78,6 +78,7 @@ def main() -> None:
         samples.sort()
         out[name] = {"min": samples[0], "med": samples[len(samples) // 2], "max": samples[-1]}
         print(f"{name}: {out[name]}", file=sys.stderr)
+        spark.catalog.clearCache()  # same hygiene as bench.py
     print(json.dumps(out))
     spark.stop()
 
