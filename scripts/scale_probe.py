@@ -59,10 +59,18 @@ def synth_docs(spark, n: int):
     )
 
 
-def timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 2)
+def timed(fn, reps: int = 3):
+    """Median of ``reps`` runs: this host shows bursty 10-30x CPU-steal
+    stalls that land on individual measurements; a single-shot probe
+    produced a bogus 142 s minhash_100k (real: ~15 s) in round 7. The
+    median absorbs one stalled rep per measurement."""
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(round(time.perf_counter() - t0, 2))
+    samples.sort()
+    return samples[len(samples) // 2]
 
 
 def main():
