@@ -712,6 +712,194 @@ LIMIT {NGRAM_TOPK}
 """
 
 
+# --- TF-IDF top terms per language ---
+TFIDF_TOPK = 5
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOPK`` terms per language by TF-IDF — the keyword
+    table a corpus-exploration UI or a topic-drift monitor reads
+    (tf = term occurrences within the language stratum, idf over the
+    whole corpus, no smoothing).
+
+    Scale shape: one explode feeds a (doc_id, lang, token) map-side
+    combine; every downstream statistic derives from that combined
+    table, which is scanned ONCE. Since each document has exactly one
+    lang, per-(lang, token) counts carry BOTH tf (sum of in-doc
+    counts) and the stratum's document frequency — the global df is a
+    window sum partitioned by token over the vocab-sized table, NOT a
+    second aggregation of the exploded stream (a join formulation
+    evaluates the explode subtree twice; the window costs one
+    token-keyed exchange of |vocab| x |langs| rows). The final
+    per-lang top-k is a window over the same bounded table. Ranking
+    uses the ROUNDED score in both engines so the k-row cutoff and
+    tie-breaks agree by construction."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "lang", F.explode(T.words("text")).alias("token"))
+    per_doc = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_lang = per_doc.groupBy("lang", "token").agg(
+        F.sum("_n").alias("tf"), F.count(F.lit(1)).alias("_df_lang")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    w_tok = Window.partitionBy("token")
+    scored = (
+        per_lang.withColumn("df", F.sum("_df_lang").over(w_tok))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            rnd(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= TFIDF_TOPK)
+        .drop("_rk")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({DUCK_WORDS.format(col='text')}) AS token
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, lang, token, count(*) AS n FROM toks GROUP BY 1, 2, 3
+), per_lang AS (
+  SELECT lang, token, sum(n) AS tf, count(*) AS df_lang
+  FROM per_doc GROUP BY 1, 2
+), with_df AS (
+  SELECT lang, token, tf,
+         sum(df_lang) OVER (PARTITION BY token) AS df
+  FROM per_lang
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT lang, token,
+         CAST(tf AS BIGINT) AS tf,
+         CAST(df AS BIGINT) AS df,
+         round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+  FROM with_df CROSS JOIN n
+)
+SELECT lang, token, tf, df, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY tfidf DESC, token ASC
+  ) AS rk FROM scored
+) WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+# --- per-source length distribution profile ---
+LENGTH_PCTS = (0.1, 0.5, 0.9, 0.99)
+
+
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (exact percentiles of
+    ``n_chars``) — the profile a curation pipeline uses to set length
+    cutoffs and to spot scrape regressions (a collapsing p90 usually
+    means truncated fetches).
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` both
+    compute the type-7 interpolated quantile (pos = p*(n-1), linear
+    between the two bracketing order statistics), so the oracle matches
+    by definition; rnd(.,4) absorbs last-ulp interpolation drift. The
+    aggregation is per-source, so memory is bounded by the stratum's
+    value multiset — at 100 TB swap in approx_percentile with a fixed
+    accuracy for a sketch-sized footprint (documented trade, the query
+    shape is identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        *[
+            rnd(F.percentile("n_chars", p), 4).alias(
+                f"p{str(p).replace('0.', '').ljust(2, '0')}_chars"
+            )
+            for p in LENGTH_PCTS
+        ],
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _length_pcts_sql() -> str:
+    cols = ",\n       ".join(
+        f"round(quantile_cont(n_chars, {p}), 4) AS "
+        f"p{str(p).replace('0.', '').ljust(2, '0')}_chars"
+        for p in LENGTH_PCTS
+    )
+    return f"""
+SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+       {cols},
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
+# --- temperature-weighted token-budget mixture plan ---
+MIX_ALPHA = 0.7  # sampling temperature: w_i = tokens_i ** alpha
+MIX_BUDGET = 1_000_000  # planned training tokens
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: given a token budget and a sampling
+    temperature alpha, allocate tokens per source by the standard
+    temperature-scaled weight w_i = tokens_i^alpha / sum_j tokens_j^alpha
+    (alpha < 1 up-weights small sources), and report the implied epoch
+    count per source (planned / available — the >1 rows are the ones a
+    data team scrutinizes for over-repetition).
+
+    One corpus aggregation; the weighting/window runs over the
+    source-count-sized table (tiny at any corpus scale). planned_tokens
+    and epochs derive from the ALREADY-6-ROUNDED share so cross-engine
+    pow() ulp drift cannot move them."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    weight = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    share = rnd(weight / F.sum(weight).over(w), 6)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("sample_weight"),
+        rnd(share * MIX_BUDGET, 2).alias("planned_tokens"),
+        rnd(share * MIX_BUDGET / F.col("n_tokens"), 4).alias("epochs"),
+    )
+
+
+def _budget_plan_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({DUCK_WORDS.format(col='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), shared AS (
+  SELECT *, round(pow(n_tokens, {MIX_ALPHA})
+                  / sum(pow(n_tokens, {MIX_ALPHA})) OVER (), 6) AS sample_weight
+  FROM per
+)
+SELECT source, n_docs, n_tokens, sample_weight,
+       round(sample_weight * {MIX_BUDGET}, 2) AS planned_tokens,
+       round(sample_weight * {MIX_BUDGET} / n_tokens, 4) AS epochs
+FROM shared
+"""
+
+
 # --- train/eval decontamination scan ---
 def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: val/test documents whose order-insensitive
@@ -1055,5 +1243,8 @@ CORPUS_QUERIES = {
     "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
     "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
+    "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),
+    "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),
+    "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
     "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
 }

@@ -180,3 +180,32 @@ def test_pack_plan_window_is_shard_partitioned(spark):
     ]
     assert sharded, f"window not partitioned by full shard key: {exchanges}"
     assert "SinglePartition" not in plan, "global single-partition window"
+
+
+def test_tfidf_explodes_token_stream_once(spark):
+    """txt_tfidf_topk must evaluate the exploded token stream exactly
+    once: the global document frequency comes from a window over the
+    vocab-sized per-(lang, token) table, not a join of two aggregations
+    that each re-run the explode (the exploded stream is the only
+    corpus-sized intermediate in the query)."""
+    import re
+
+    fn, _ = CATALOG["txt_tfidf_topk"]
+    plan = plan_of(fn(spark, SF))
+    explodes = re.findall(r"\(\d+\) Generate", plan)
+    assert len(explodes) == 1, f"explode evaluated {len(explodes)}x:\n{plan[:1500]}"
+    # the doc-count side joins in as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+
+
+def test_budget_plan_single_corpus_aggregation(spark):
+    """smp_token_budget_plan reads the corpus once: one aggregation to
+    per-source totals, then windows over the source-count-sized table.
+    A second corpus-sized subtree (e.g. recomputing totals for the
+    normalizer) would double the only expensive stage."""
+    import re
+
+    fn, _ = CATALOG["smp_token_budget_plan"]
+    plan = plan_of(fn(spark, SF))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, f"corpus scanned {len(scans)}x"
