@@ -51,3 +51,19 @@ def cosine_from_norms(
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def quantize_int8(a: Column | str, norm_col: Column) -> Column:
+    """Unit-normalize by a PRECOMPUTED L2 norm and quantize each element
+    to int8 range [-127, 127] — the storage format an ANN index keeps
+    vectors in (4x smaller than float32, dot products in integer SIMD).
+
+    Rounding is the explicit half-up ``floor(x + 0.5)`` so the DuckDB
+    oracle reproduces each quantized element bit-for-bit (both engines
+    evaluate (x / norm) * 127 + 0.5 in double, left-associated). The
+    norm is taken as a column so callers evaluate the O(dim) norm fold
+    once per row, not once per element."""
+    return F.transform(
+        _dbl(a),
+        lambda x: F.floor(x / norm_col * 127.0 + 0.5).cast("int"),
+    )

@@ -900,6 +900,82 @@ FROM shared
 """
 
 
+# --- document chunking (embedding/RAG preprocessing) ---
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunks per document (see
+    ``operators/chunking.py``) — a pure narrow plan (scan -> project ->
+    explode -> project), zero shuffles at any corpus size. Chunk
+    content is carried as md5 so the oracle proves byte-identical
+    chunking without shipping the text."""
+    from ..operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, "doc_id", "text")
+
+
+def _doc_chunks_sql() -> str:
+    from ..operators import chunking
+
+    cs, ov = chunking.CHUNK_SIZE, chunking.CHUNK_OVERLAP
+    stride = cs - ov
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= {cs} THEN 1
+              ELSE (length(text) - {cs} + {stride - 1}) // {stride} + 1
+         END AS n_chunks
+  FROM documents
+), fanned AS (
+  SELECT doc_id, text, n_chunks,
+         unnest(range(0, n_chunks)) AS chunk_idx
+  FROM base
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {stride} AS chunk_start,
+       CAST(length(substring(text, CAST(chunk_idx * {stride} + 1 AS INT), {cs})) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(chunk_idx * {stride} + 1 AS INT), {cs})) AS chunk_hash,
+       CAST(n_chunks AS BIGINT) AS n_chunks
+FROM fanned
+"""
+
+
+# --- embedding int8 quantization (ANN index storage format) ---
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalized int8 quantization of the embedding table — the
+    compaction step before building an ANN index (4x smaller vectors,
+    integer dot products). Narrow plan: one projection computes the
+    norm fold once per row, a second maps elements; no shuffle, no UDF.
+    Zero vectors quantize to NULL (undefined direction) instead of
+    dividing by zero."""
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", V.norm("embedding").alias("_n")
+    )
+    return with_norm.select(
+        "vec_id",
+        rnd(F.col("_n"), 6).alias("l2_norm"),
+        F.when(
+            F.col("_n") > 0, V.quantize_int8("embedding", F.col("_n"))
+        ).alias("q8"),
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH with_norm AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+  FROM embeddings
+)
+SELECT vec_id, round(n, 6) AS l2_norm,
+       CASE WHEN n > 0
+            THEN list_transform(v, x -> CAST(floor(x / n * 127.0 + 0.5) AS INT))
+       END AS q8
+FROM with_norm
+"""
+
+
 # --- train/eval decontamination scan ---
 def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: val/test documents whose order-insensitive
@@ -1246,5 +1322,7 @@ CORPUS_QUERIES = {
     "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),
     "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
+    "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),
     "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
 }

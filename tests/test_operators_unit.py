@@ -1070,3 +1070,48 @@ class TestSequencePacking:
         assert out[0] == (0, 0, 0)
         assert out[1] == (0, 0, 10)  # cum 10 -> same 16-token sequence
         assert out[100] == (1, 0, 0)  # new bucket restarts the tape
+
+
+class TestChunking:
+    def test_geometry_matches_python_reference(self, spark):
+        """For every length 0..520, the engine's chunk layout equals the
+        obvious single-machine reference: full coverage, stride spacing,
+        overlap between consecutive chunks, short final chunk."""
+        from energy_data_pipeline_spark.operators import chunking
+
+        cs, ov = 100, 30
+        stride = cs - ov
+        texts = [("x" * n, n) for n in range(0, 521, 7)]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _n) in enumerate(texts)], "doc_id long, text string"
+        )
+        out = chunking.chunk_documents(
+            df, "doc_id", "text", chunk_size=cs, overlap=ov
+        )
+        rows = {
+            (r.doc_id, r.chunk_idx): r
+            for r in out.collect()
+        }
+        for i, (t, n) in enumerate(texts):
+            exp_chunks = (
+                1 if n <= cs else (n - cs + stride - 1) // stride + 1
+            )
+            got = [rows[(i, j)] for j in range(exp_chunks)]
+            assert all(r.n_chunks == exp_chunks for r in got)
+            assert (i, exp_chunks) not in rows, "extra chunk emitted"
+            for j, r in enumerate(got):
+                assert r.chunk_start == j * stride
+                assert r.chunk_len == min(cs, max(n - j * stride, 0))
+            # coverage: last chunk reaches the end of the text
+            if n > 0:
+                last = got[-1]
+                assert last.chunk_start + last.chunk_len == n
+
+    def test_overlap_must_be_smaller_than_chunk(self, spark):
+        import pytest as _pytest
+
+        from energy_data_pipeline_spark.operators import chunking
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunking.chunk_documents(df, "doc_id", "text", chunk_size=10, overlap=10)

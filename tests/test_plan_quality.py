@@ -209,3 +209,15 @@ def test_budget_plan_single_corpus_aggregation(spark):
     plan = plan_of(fn(spark, SF))
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, f"corpus scanned {len(scans)}x"
+
+
+@pytest.mark.parametrize("name", ["txt_doc_chunks", "emb_quantize_int8"])
+def test_narrow_preprocessing_is_exchange_free(spark, name):
+    """Chunking and int8 quantization are narrow transformations — the
+    physical plan must contain NO exchange at all (scan -> project ->
+    [explode] -> project). Any shuffle appearing here is a regression
+    that would move the whole corpus for a per-row operation."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Scan parquet" in plan
