@@ -89,7 +89,11 @@ SIMHASH_BITS_PER_BLOCK = SIMHASH_BITS // SIMHASH_BLOCKS
 NGRAM_MAX_DF = 256
 
 
-def _pin(df: DataFrame, memory_only: bool = False) -> DataFrame:
+def _pin(
+    df: DataFrame,
+    memory_only: bool = False,
+    pins_out: list | None = None,
+) -> DataFrame:
     """Materialization barrier: stops CollapseProject from inlining the
     expensive expressions upstream of this point and makes the result
     compute-once across self-join branches.
@@ -97,10 +101,18 @@ def _pin(df: DataFrame, memory_only: bool = False) -> DataFrame:
     ``memory_only`` for tables with a hard small-size guarantee (band
     signatures: k BIGINTs per doc) — skips the spill-accounting path;
     MEMORY_ONLY evicts instead of spilling, and recompute of a dropped
-    block is cheap for these."""
-    return df.persist(
+    block is cheap for these.
+
+    ``pins_out`` (if given) collects (frame, level) so a caller that
+    memoizes the finished plan (plans/plan_cache.py) can re-register
+    the pins after a cache clear."""
+    level = (
         StorageLevel.MEMORY_ONLY if memory_only else StorageLevel.MEMORY_AND_DISK
     )
+    out = df.persist(level)
+    if pins_out is not None:
+        pins_out.append((out, level))
+    return out
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -161,6 +173,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    pins_out: list | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join to produce candidate (id1, id2).
 
@@ -204,6 +217,7 @@ def lsh_candidate_pairs(
         .select(id_col, "band.*")
         .repartition(n_part, "band_idx", *row_cols),
         memory_only=True,  # k BIGINTs per doc — bounded tiny
+        pins_out=pins_out,
     )
     a = exploded.alias("a")
     b_ = exploded.alias("b")
@@ -257,11 +271,17 @@ def minhash_lsh_near_dups(
     n: int = 3,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    pins_out: list | None = None,
 ) -> DataFrame:
-    """MinHash→LSH→verify pipeline; returns (id1, id2, jaccard) pairs."""
-    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n))
+    """MinHash→LSH→verify pipeline; returns (id1, id2, jaccard) pairs.
+
+    ``pins_out`` collects the internally persisted sub-frames (shingle
+    sets, band table) with their storage levels so the catalog layer
+    can memoize the finished plan and re-register the pins after a
+    cache clear (plans/plan_cache.py)."""
+    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n), pins_out=pins_out)
     sigs = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows, pins_out)
     return jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 

@@ -104,11 +104,34 @@ WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= {NGRAM_THRESHOLD}
 
 
 # --- MinHash + LSH near-dup pairs ---
-def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup.minhash_lsh_near_dups(
-        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (id1, id2, jaccard) near-dup pair chain, memoized as a
+    prepared plan: three catalog queries consume it (pairs view,
+    clusters, purge) and each rebuild costs ~1.5 s of driver-side
+    Catalyst analysis for the 96-aggregate signature stage. The chain
+    is purely declarative over an immutable parquet snapshot, so it is
+    safe to memoize; its internal pins are re-registered on reuse (see
+    plans/plan_cache.py for the rules)."""
+    from . import plan_cache
+
+    def build():
+        pins: plan_cache.PinList = []
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = neardup.minhash_lsh_near_dups(
+            docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3,
+            pins_out=pins,
+        )
+        return pairs, pins
+
+    return plan_cache.cached_plan(
+        spark,
+        ("minhash_pairs", sf_dir, JACCARD_THRESHOLD, 3),
+        build,
     )
+
+
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _minhash_pair_ctes() -> str:
@@ -179,10 +202,7 @@ def _minhash_sql() -> str:
 # iterative min-label propagation (operators/components.py); the oracle
 # computes the same fixpoint with a recursive CTE.
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup.minhash_lsh_near_dups(
-        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     return connected_components(pairs, "id1", "id2").select(
         F.col("vertex").alias("doc_id"), "cluster_id"
     )
@@ -200,9 +220,7 @@ def dedup_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join at runtime when the loser side measures small —
     size-gated by the engine instead of forced by a hint."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup.minhash_lsh_near_dups(
-        docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     losers = (
         connected_components(pairs, "id1", "id2")
         .filter(F.col("vertex") != F.col("cluster_id"))
