@@ -19,6 +19,12 @@ Scale notes (100 TB posture):
 - The edge list is the OUTPUT of LSH verification, i.e. orders of
   magnitude smaller than the corpus; it is cached once and reused
   every round.
+- Strategy is size-gated at RUNTIME (the AQE philosophy): an edge list
+  within ``SMALL_GRAPH_MAX_EDGES`` is solved exactly with union-find on
+  the driver — per-round scheduling overhead dominates tiny graphs —
+  while anything larger runs the distributed loop below. The gate reads
+  the materialized edge count, so the choice is driven by the actual
+  dup rate, not a planner guess.
 - ``localCheckpoint`` after each round truncates the lineage so the
   plan does not grow with iteration count (an un-checkpointed loop
   re-executes every prior round's shuffles on each action).
@@ -53,23 +59,76 @@ class ConvergenceError(RuntimeError):
     fixpoint — results would be wrong, so no result is returned."""
 
 
+# Size gate for the driver-local fast path: an edge list at or under
+# this bound (post-dedup, both directions) is solved with union-find on
+# the driver — exact same labels, zero iterative rounds. 2^20 edges is
+# ~32 MB of longs on the driver, far under any sane driver heap; above
+# the bound the distributed pointer-jump loop runs. Same philosophy as
+# AQE's broadcast conversion: pick the physical strategy from the
+# RUNTIME size of an intermediate, because the planner cannot know the
+# near-dup pair count in advance.
+SMALL_GRAPH_MAX_EDGES = 1 << 20
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact connected components on the driver (path-compressed
+    union-find, smaller root wins so each component's label is its
+    minimum id — identical to the distributed fixpoint)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row["_a"], row["_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    from pyspark.sql.types import StructField, StructType
+
+    vtype = edges.schema["_a"].dataType
+    schema = StructType(
+        [
+            StructField("vertex", vtype, True),
+            StructField("cluster_id", vtype, True),
+        ]
+    )
+    rows = [(v, find(v)) for v in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str,
     id2: str,
     max_iter: int = 25,
     shortcut_after: int = 2,
+    small_graph_max_edges: int | None = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Cluster the undirected pair graph; returns (vertex, cluster_id)
     with cluster_id = the minimum vertex id reachable from ``vertex``.
 
     Deterministic for any id type with a total order (min/least).
-    Every round applies the neighbor-min hook twice in one plan (one
-    scheduled action per round — propagation distance 2); rounds >=
+    Strategy is size-gated at runtime: an edge list at or under
+    ``small_graph_max_edges`` (None disables the gate) is solved with
+    driver-local union-find — per-round scheduling overhead dominates
+    tiny graphs, and the pair list is already the small output of LSH
+    verification. Larger graphs run the distributed loop: every round
+    applies the neighbor-min hook twice in one plan (one scheduled
+    action per round — propagation distance 2); rounds >=
     ``shortcut_after`` also shortcut (pointer jump through the previous
     round's labels), making total rounds O(log diameter). Raises
     :class:`ConvergenceError` if ``max_iter`` rounds still leave labels
-    changing.
+    changing. Both paths yield identical labels.
     """
     edges = (
         pairs.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
@@ -88,6 +147,16 @@ def connected_components(
         return edges.select(
             F.col("_a").alias("vertex"), F.col("_b").alias("cluster_id")
         )
+
+    # size gate on the materialized edge list (a count over checkpointed
+    # partitions — no recompute): small graphs skip the iterative loop
+    # entirely and solve exactly on the driver
+    if small_graph_max_edges is not None:
+        n_edges = edges.count()
+        if n_edges <= small_graph_max_edges:
+            result = _driver_union_find(edges)
+            edges.unpersist()
+            return result
 
     labels = (
         edges.select(F.col("_a").alias("vertex"))

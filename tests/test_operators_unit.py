@@ -684,7 +684,7 @@ def test_connected_components_chain_triangle_isolated(spark):
     )
     got = {
         r["vertex"]: r["cluster_id"]
-        for r in connected_components(pairs, "id1", "id2").collect()
+        for r in connected_components(pairs, "id1", "id2", small_graph_max_edges=0).collect()
     }
     assert got == {
         "a": "a", "b": "a", "c": "a",
@@ -705,7 +705,7 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {
         r["vertex"]: r["cluster_id"]
-        for r in connected_components(pairs, "id1", "id2").collect()
+        for r in connected_components(pairs, "id1", "id2", small_graph_max_edges=0).collect()
     }
     assert got == {v: "v00" for v in ids}
 
@@ -724,7 +724,7 @@ def test_connected_components_adversarial_diameter(spark):
     )
     got = {
         r["vertex"]: r["cluster_id"]
-        for r in connected_components(pairs, "id1", "id2", max_iter=8).collect()
+        for r in connected_components(pairs, "id1", "id2", max_iter=8, small_graph_max_edges=0).collect()
     }
     assert got == {v: "v00" for v in ids}
 
@@ -742,7 +742,7 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
         list(zip(ids[1:], ids[:-1])), "id1 string, id2 string"
     )
     with pytest.raises(ConvergenceError):
-        connected_components(pairs, "id1", "id2", max_iter=2)
+        connected_components(pairs, "id1", "id2", max_iter=2, small_graph_max_edges=0)
 
 
 class TestMinHashRecall:
@@ -1115,3 +1115,23 @@ class TestChunking:
         df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             chunking.chunk_documents(df, "doc_id", "text", chunk_size=10, overlap=10)
+
+
+def test_connected_components_paths_agree_and_gate_defaults_small(spark):
+    """The driver union-find fast path (default for small edge lists)
+    and the distributed hook+shortcut loop must label identically —
+    same (vertex, cluster_id) rows, same schema."""
+    from energy_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21), (5, 5)],
+        "id1 long, id2 long",
+    )
+    fast = connected_components(pairs, "id1", "id2")
+    slow = connected_components(pairs, "id1", "id2", small_graph_max_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )

@@ -178,7 +178,7 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id1 long, id2 long")
     got = {
         r["vertex"]: r["cluster_id"]
-        for r in connected_components(pairs, "id1", "id2").collect()
+        for r in connected_components(pairs, "id1", "id2", small_graph_max_edges=0).collect()
     }
     assert got == want
 
