@@ -70,6 +70,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = N_PLANES,
     dim: int = 64,
+    pins_out: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH sign-bucket the corpus
     once (persisted — compute-once across the self-join branches), join
@@ -85,6 +86,8 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("_v"),
         _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if pins_out is not None:
+        pins_out.append((e, StorageLevel.MEMORY_AND_DISK))
     a = e.alias("a")
     b = e.alias("b")
     return (

@@ -15,6 +15,11 @@ Rules for what may be memoized — the caller's responsibility:
   by checkpointing or that embed run-specific state (the connected-
   components OUTPUT is iterative/checkpointed and must be rebuilt per
   run; its INPUT pair frame is declarative and memoizable).
+- DETERMINISTIC literals are fine: a plan may embed values collected
+  from the snapshot (IVF seed / Lloyd-trained centroids) when the
+  computation is a pure deterministic function of the immutable data —
+  that is model/index caching, standard for any vector store. A value
+  that depends on run order, time, or RNG state must not be embedded.
 - Source data must be immutable for the lifetime of the memo (true for
   the engine's parquet snapshot tables; a mutating-table catalog would
   key on a snapshot/version id — see sinks/manifest_table.py).
