@@ -292,6 +292,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     max_doc_freq: int | None = NGRAM_MAX_DF,
+    pins_out: list | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle inverted index.
 
@@ -307,7 +308,7 @@ def ngram_jaccard_pairs(
     The df filter is a count window partitioned by shingle: one shuffle
     that also pre-partitions both self-join sides on the join key.
     """
-    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n))
+    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n), pins_out=pins_out)
     inv = sh.select(id_col, F.explode("shingle_set").alias("sh"))
     if max_doc_freq is not None:
         wdf = Window.partitionBy("sh")

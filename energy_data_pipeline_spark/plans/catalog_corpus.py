@@ -73,9 +73,21 @@ FROM fps GROUP BY fp HAVING count(*) > 1
 
 # --- n-gram Jaccard near-dup pairs (exact, inverted index) ---
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=NGRAM_THRESHOLD, n=3
+    """Prepared-plan memoized; the pinned shingle table is
+    re-registered on reuse (plans/plan_cache.py)."""
+    from . import plan_cache
+
+    def build():
+        pins: plan_cache.PinList = []
+        docs = load_table(spark, sf_dir, "documents")
+        df = neardup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=NGRAM_THRESHOLD, n=3,
+            pins_out=pins,
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(
+        spark, ("ngram_jaccard", sf_dir, NGRAM_THRESHOLD, 3), build
     )
 
 
