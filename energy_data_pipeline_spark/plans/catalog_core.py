@@ -374,6 +374,63 @@ ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
 """
 
 
+# --- Q5-shape: six-table join, revenue per nation in a region/year ---
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the planner's join-breadth exercise: two
+    fact-to-fact shuffle joins (customer⋈orders⋈lineitem), a
+    same-nation co-location predicate on the supplier join, and two
+    broadcast dims (nation, region) with the region filter pushed into
+    the broadcast side. Revenue sums are rounded to 4 so cross-engine
+    summation order cannot move the result (q1 convention)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    y0 = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 # --- O3: dedup keep-first on key with explicit ordering ---
 # Parity: initial_db_ingestion.py:99 (+ SURVEY §7.1 determinism fix).
 def dedup_keep_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +674,7 @@ CORE_QUERIES = {
     "j2_supplier_window_activity": (supplier_window_activity, SUPPLIER_WINDOW_SQL),
     "j3_customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "q3_top_urgent_orders": (top_urgent_orders, TOP_URGENT_SQL),
+    "q5_local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "o3_dedup_keep_first": (dedup_keep_first_events, DEDUP_FIRST_SQL),
     "o4_dedup_keep_last": (dedup_keep_last_events, DEDUP_LAST_SQL),
     "o5_union_slices": (union_slices, UNION_SLICES_SQL),

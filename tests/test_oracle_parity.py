@@ -28,6 +28,17 @@ NEVER_DRIVER_SAMPLED = {
     "p16_month_chunks",
     "p17_geocode_cascade",
     "sk_salted_event_totals",
+    # round-7 additions — new queries are unsampled by definition until
+    # a driver round hashes them; remove from this list once one does
+    "dd_ngram_decontamination",
+    "txt_pii_redaction",
+    "pk_sequence_pack_plan",
+    "txt_tfidf_topk",
+    "txt_length_percentiles",
+    "smp_token_budget_plan",
+    "txt_doc_chunks",
+    "emb_quantize_int8",
+    "q5_local_supplier_volume",
 }
 
 
