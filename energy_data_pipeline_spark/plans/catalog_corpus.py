@@ -1018,16 +1018,36 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     being shipped) with the T-style content fingerprint. The train side
     is matched with a ``left_semi`` equi-join on the fingerprint hash —
     a plain shuffled join, NOT a broadcast: train is ~80% of the corpus
-    at any scale."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    tagged = sampling.train_val_test_split(
-        docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
-    ).withColumn("fp", T.fingerprint("text"))
-    train_fps = tagged.filter(F.col("split") == "train").select("fp")
-    return (
-        tagged.filter(F.col("split") != "train")
-        .join(train_fps, "fp", "left_semi")
-        .select("doc_id", "split", "fp")
+    at any scale.
+
+    The tagged (split, fp) frame feeds BOTH join sides, so it is
+    persisted — without the pin each side re-runs the fingerprint
+    (md5 over the sorted distinct word set) over the whole corpus.
+    Prepared-plan memoized with the pin re-registered on reuse."""
+    from pyspark.storagelevel import StorageLevel
+
+    from . import plan_cache
+
+    def build():
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        tagged = (
+            sampling.train_val_test_split(
+                docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+            )
+            .withColumn("fp", T.fingerprint("text"))
+            .select("doc_id", "split", "fp")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        train_fps = tagged.filter(F.col("split") == "train").select("fp")
+        df = (
+            tagged.filter(F.col("split") != "train")
+            .join(train_fps, "fp", "left_semi")
+            .select("doc_id", "split", "fp")
+        )
+        return df, [(tagged, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("cross_split_contamination", sf_dir), build
     )
 
 

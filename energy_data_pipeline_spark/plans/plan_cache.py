@@ -35,6 +35,7 @@ recompute; the memoized PLAN is immutable.
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 from collections.abc import Callable, Hashable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,7 +44,15 @@ from pyspark.storagelevel import StorageLevel
 # pinned sub-frame + the level it must be re-registered at
 PinList = list[tuple[DataFrame, StorageLevel]]
 
-_MEMO: dict[tuple, tuple[DataFrame, PinList]] = {}
+# LRU-bounded: a long-lived service touching many snapshot directories
+# must not accumulate plan objects (each holds its analyzed tree and
+# pinned-frame references) without bound. 64 (plan, pins) entries is a
+# few MB of driver heap; eviction only drops the PLAN — any data cached
+# for its pins is governed by Spark's own block manager, and a rebuilt
+# plan re-registers identical pins (same canonicalized subtrees), so an
+# evicted-and-rebuilt entry even re-hits the existing data cache.
+_MAX_ENTRIES = 64
+_MEMO: OrderedDict[tuple, tuple[DataFrame, PinList]] = OrderedDict()
 _LOCK = threading.Lock()
 
 
@@ -58,9 +67,15 @@ def cached_plan(
     full_key = (id(spark.sparkContext),) + key
     with _LOCK:
         ent = _MEMO.get(full_key)
-        if ent is None:
-            ent = builder()
-            _MEMO[full_key] = ent
+        if ent is not None:
+            _MEMO.move_to_end(full_key)
+    if ent is None:
+        built = builder()  # outside the lock: builders may run Spark jobs
+        with _LOCK:
+            ent = _MEMO.setdefault(full_key, built)
+            _MEMO.move_to_end(full_key)
+            while len(_MEMO) > _MAX_ENTRIES:
+                _MEMO.popitem(last=False)
     df, pins = ent
     for frame, level in pins:
         if not frame.is_cached:

@@ -84,20 +84,27 @@ def test_contamination_join_is_not_broadcast(spark):
     """dd_cross_split_contamination must not broadcast the train-side
     fingerprint set — train is ~80% of the corpus at any scale. The
     semi-join must be shuffle-shaped (SortMerge or ShuffledHash)."""
+    from energy_data_pipeline_spark.plans import plan_cache
     from energy_data_pipeline_spark.plans.catalog_corpus import (
         cross_split_contamination,
     )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     # production posture: planner must not DEPEND on the train side
-    # fitting a broadcast (at sf0.001 it happens to, which AQE may use)
+    # fitting a broadcast (at sf0.001 it happens to, which AQE may use).
+    # The entry is prepared-plan memoized and a memoized frame FREEZES
+    # its physical plan, so clear the memo around the conf flip to force
+    # a fresh plan under the no-broadcast conf (and again after, so
+    # later tests don't inherit the conf-crippled plan).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plan_cache.clear()
     try:
         plan = plan_of(cross_split_contamination(spark, SF))
         assert "BroadcastHashJoin" not in plan, plan
         assert "LeftSemi" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        plan_cache.clear()
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):

@@ -343,3 +343,68 @@ def test_sequence_pack_plan_invariants(spark, rows):
             assert r["seq_id"] >= prev_seq
             prev_seq = r["seq_id"]
             cum += n_by_id[r["doc_id"]]
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=4,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(vecs=vec_strategy)
+@SETTINGS
+def test_quantize_int8_bounds_and_error(spark, vecs):
+    """For any finite vector: quantized elements stay in [-127, 127],
+    the zero vector maps to NULL, and dequantized elements (q/127) are
+    within half a quantization step of the true unit-norm coordinate."""
+    import math
+
+    from energy_data_pipeline_spark.functions.vectors import (
+        norm,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        df.select("vec_id", "embedding", norm("embedding").alias("_n"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.when(
+                F.col("_n") > 0, quantize_int8("embedding", F.col("_n"))
+            ).alias("q8"),
+        )
+        .collect()
+    )
+    for r in out:
+        # float32 storage: recompute the norm from the ROUND-TRIPPED
+        # values the engine actually saw
+        stored = [float(np_f32(x)) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in stored))
+        if n == 0:
+            assert r["q8"] is None
+            continue
+        assert r["q8"] is not None and len(r["q8"]) == len(stored)
+        for x, q in zip(stored, r["q8"]):
+            assert -127 <= q <= 127
+            assert abs(q / 127.0 - x / n) <= 0.5 / 127.0 + 1e-9
+
+
+def np_f32(x: float) -> float:
+    import numpy as np
+
+    return float(np.float32(x))
