@@ -930,6 +930,57 @@ FROM shared
 """
 
 
+# --- C4-style line-level dedup ---
+def line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document line-dedup result (operators/linededup.py): line
+    counts before/after global first-occurrence dedup of >=5-word
+    lines, plus the md5 of the reassembled text (proves byte-identical
+    split/filter/reassemble across engines). The synthetic corpus is
+    single-line-per-doc, so only exact-duplicate documents lose their
+    line here; the multi-line semantics are pinned by
+    tests/test_operators_unit.py::TestLineDedup. Prepared-plan
+    memoized; the exploded line pin re-registers on reuse."""
+    from ..operators import linededup
+    from . import plan_cache
+
+    def build():
+        pins: plan_cache.PinList = []
+        docs = load_table(spark, sf_dir, "documents")
+        df = linededup.dedup_lines(
+            docs, "doc_id", "text", pins_out=pins
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(spark, ("line_dedup", sf_dir), build)
+
+
+def _line_dedup_sql() -> str:
+    from ..operators.linededup import LINE_DEDUP_MIN_WORDS as MW
+
+    w = DUCK_WORDS.format(col="ls[i]")
+    return f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+), lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS idx, ls[i] AS line,
+         len({w}) >= {MW} AS elig
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM split)
+), elig_ranked AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM lines WHERE elig
+), keepers AS (
+  SELECT doc_id, idx, line, rn = 1 AS keep FROM elig_ranked
+  UNION ALL
+  SELECT doc_id, idx, line, TRUE FROM lines WHERE NOT elig
+)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '')) AS text_hash
+FROM keepers GROUP BY doc_id
+"""
+
+
 # --- document chunking (embedding/RAG preprocessing) ---
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping character-window chunks per document (see
@@ -1373,6 +1424,7 @@ CORPUS_QUERIES = {
     "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
     "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),
     "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
 }

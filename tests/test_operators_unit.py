@@ -1135,3 +1135,52 @@ def test_connected_components_paths_agree_and_gate_defaults_small(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+
+
+class TestLineDedup:
+    def test_boilerplate_line_kept_once_short_lines_always_kept(self, spark):
+        """Crafted multi-line docs: the 6-word boilerplate line repeats
+        in all three docs and survives only at its first occurrence
+        (min (doc_id, idx)); short lines repeat freely; a doc that is
+        ALL boilerplate keeps a row with n_lines_kept = 0."""
+        import hashlib
+
+        from energy_data_pipeline_spark.operators.linededup import (
+            dedup_lines,
+        )
+
+        boiler = "all rights reserved by the site"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique alpha text one two\n{boiler}\nhi"),
+                (2, f"{boiler}\nunique beta text three four\nhi"),
+                (3, boiler),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in dedup_lines(docs, "doc_id", "text").collect()}
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        # doc 1: first occurrence of boiler (doc 1, idx 1) survives
+        assert (rows[1].n_lines, rows[1].n_lines_kept) == (3, 3)
+        assert rows[1].text_hash == md5(
+            f"unique alpha text one two\n{boiler}\nhi"
+        )
+        # doc 2: its boiler copy drops; short "hi" stays
+        assert (rows[2].n_lines, rows[2].n_lines_kept) == (3, 2)
+        assert rows[2].text_hash == md5("unique beta text three four\nhi")
+        # doc 3: fully boilerplate -> empty reassembly
+        assert (rows[3].n_lines, rows[3].n_lines_kept) == (1, 0)
+        assert rows[3].text_hash == md5("")
+
+    def test_within_doc_duplicate_line_deduped(self, spark):
+        from energy_data_pipeline_spark.operators.linededup import (
+            dedup_lines,
+        )
+
+        line = "repeat me five whole words here"
+        docs = spark.createDataFrame(
+            [(1, f"{line}\nmiddle bit stays right here ok\n{line}")],
+            "doc_id long, text string",
+        )
+        r = dedup_lines(docs, "doc_id", "text").collect()[0]
+        assert (r.n_lines, r.n_lines_kept) == (3, 2)

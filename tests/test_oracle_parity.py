@@ -39,6 +39,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_doc_chunks",
     "emb_quantize_int8",
     "q5_local_supplier_volume",
+    "txt_line_dedup",
 }
 
 
