@@ -1277,6 +1277,67 @@ GROUP BY 1, 2
 """
 
 
+# --- Bloom-prefiltered n-gram decontamination ----------------------------
+def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``dd_ngram_decontamination`` — eval docs sharing
+    a word 8-gram with train, with distinct shared-gram counts — but
+    through the 100 TB execution shape that query's docstring promises:
+    the train gram set is compacted into a 1 Mbit Bloom BITMAP
+    (operators/bloom.py; built with one bit_or aggregate into at most
+    16 K (word, bits) rows), eval grams are prefiltered by broadcast bitmap
+    membership, and only the surviving minority reaches the exact
+    verify join that removes Bloom false positives. False negatives
+    are impossible, so the final result is EXACT — the oracle is the
+    same SQL as the exact query, which is precisely the point: the
+    scale path is a pure execution-strategy change, not a semantics
+    change. Prepared-plan memoized (the bitmap is a deterministic
+    snapshot-derived index; the gram pins re-register on reuse)."""
+    from ..operators import bloom
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        pins: plan_cache.PinList = []
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        tagged = sampling.train_val_test_split(
+            docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+        )
+        train_grams = (
+            tagged.filter(F.col("split") == "train")
+            .select(
+                F.explode(
+                    F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+                ).alias("g")
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins.append((train_grams, StorageLevel.MEMORY_AND_DISK))
+        bitmap = bloom.build_bitmap(train_grams, "g")
+        eval_grams = tagged.filter(F.col("split") != "train").select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+            ).alias("g"),
+        )
+        survivors = bloom.might_contain(eval_grams, "g", bitmap).filter(
+            F.col("_bloom_hit")
+        )
+        df = (
+            survivors.drop("_bloom_hit")
+            .join(train_grams, "g")  # exact verify: removes Bloom FPs
+            .groupBy("doc_id", "split")
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(
+        spark, ("bloom_decon", sf_dir, DECON_NGRAM), build
+    )
+
+
 # --- PII redaction -------------------------------------------------------
 # The synthetic corpus contains no real PII, so the query INJECTS
 # deterministic synthetic PII (per-doc email / IPv4 / phone fragments on
@@ -1419,6 +1480,7 @@ CORPUS_QUERIES = {
     "smp_train_val_test_split": (split_assignment, _split_sql()),
     "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
     "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
+    "dd_bloom_decontamination": (bloom_ngram_decontamination, _ngram_decon_sql()),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
     "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),
     "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),

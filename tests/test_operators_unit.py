@@ -1184,3 +1184,29 @@ class TestLineDedup:
         )
         r = dedup_lines(docs, "doc_id", "text").collect()[0]
         assert (r.n_lines, r.n_lines_kept) == (3, 2)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self, spark):
+        """Every inserted key tests positive; FP rate on disjoint keys
+        stays near the analytic expectation (0.1% at this load — assert
+        a generous 1% bound)."""
+        from energy_data_pipeline_spark.operators import bloom
+
+        keys = spark.createDataFrame(
+            [(f"member {i} key",) for i in range(2000)], "g string"
+        )
+        others = spark.createDataFrame(
+            [(f"absent {i} key",) for i in range(2000)], "g string"
+        )
+        bitmap = bloom.build_bitmap(keys, "g")
+        hits_in = bloom.might_contain(keys, "g", bitmap)
+        assert hits_in.filter("NOT _bloom_hit").count() == 0
+        fp = bloom.might_contain(others, "g", bitmap).filter("_bloom_hit").count()
+        assert fp <= 20, f"{fp} false positives in 2000 (expected ~{2000 * bloom.false_positive_rate(2000):.1f})"
+
+    def test_bitmap_is_index_sized(self, spark):
+        from energy_data_pipeline_spark.operators import bloom
+
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "g string")
+        assert bloom.build_bitmap(keys, "g").count() <= bloom.BLOOM_M_BITS // 64

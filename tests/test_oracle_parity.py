@@ -40,6 +40,7 @@ NEVER_DRIVER_SAMPLED = {
     "emb_quantize_int8",
     "q5_local_supplier_volume",
     "txt_line_dedup",
+    "dd_bloom_decontamination",
 }
 
 
