@@ -1057,6 +1057,55 @@ FROM with_norm
 """
 
 
+# --- per-label embedding centroids (class prototypes) ---
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the class-prototype table behind
+    nearest-centroid classification, cluster drift monitoring, and
+    hard-negative mining.
+
+    Element-wise aggregation at scale: posexplode to (label, dim, x),
+    ONE avg aggregate grouped by (label, dim) with map-side combine
+    (shuffle volume = |labels| x dim partials per partition, never the
+    vector count), then repack each centroid with an order-pinned
+    collect over the labels x dim result (tiny at any corpus size).
+    Per-dim means are rounded to 6 BEFORE packing so cross-engine
+    summation order cannot move an element."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    pos = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("d", "x"),
+    )
+    per = pos.groupBy("label", "d").agg(
+        rnd(F.avg("x"), 6).alias("m"), F.count(F.lit(1)).alias("_n")
+    )
+    return per.groupBy("label").agg(
+        F.max("_n").cast("bigint").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH base AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), fanned AS (
+  SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM base
+), pos AS (
+  SELECT label, i - 1 AS d, v[i] AS x FROM fanned
+), per AS (
+  SELECT label, d, round(avg(x), 6) AS m, count(*) AS n
+  FROM pos GROUP BY 1, 2
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       list(m ORDER BY d) AS centroid
+FROM per GROUP BY label
+"""
+
+
 # --- train/eval decontamination scan ---
 def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: val/test documents whose order-insensitive
@@ -1481,6 +1530,7 @@ CORPUS_QUERIES = {
     "dd_cross_split_contamination": (cross_split_contamination, _contamination_sql()),
     "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
     "dd_bloom_decontamination": (bloom_ngram_decontamination, _ngram_decon_sql()),
+    "emb_label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
     "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),
     "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),

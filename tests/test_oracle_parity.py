@@ -41,6 +41,7 @@ NEVER_DRIVER_SAMPLED = {
     "q5_local_supplier_volume",
     "txt_line_dedup",
     "dd_bloom_decontamination",
+    "emb_label_centroids",
 }
 
 
