@@ -203,6 +203,68 @@ def main():
             )
         )
 
+    # line-level dedup: multi-line docs, 30% carry one of three shared
+    # boilerplate lines — scaling must stay ~linear in docs (the
+    # min-struct first-occurrence aggregate, not a per-line window sort)
+    from energy_data_pipeline_spark.operators.linededup import dedup_lines
+
+    boilers = F.array(
+        F.lit("all rights reserved by this very site"),
+        F.lit("subscribe to our newsletter for daily updates"),
+        F.lit("cookie consent is required to continue browsing"),
+    )
+    for label, n in [("5k", 5_000), ("100k", 100_000)]:
+        uniq = lambda tag: F.concat_ws(  # noqa: E731
+            " ", *[F.concat(F.lit(f"{tag}{j}x"), F.col("id")) for j in range(6)]
+        )
+        ml = spark.range(0, n, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                uniq("a"),
+                F.when(
+                    F.pmod("id", 10) < 3,
+                    F.element_at(boilers, (F.pmod("id", 3) + 1).cast("int")),
+                ).otherwise(uniq("b")),
+                uniq("c"),
+            ).alias("text"),
+        )
+        results[f"line_dedup_{label}"] = timed(
+            lambda: noop(dedup_lines(ml, "doc_id", "text"))
+        )
+
+    # bloom-prefiltered vs exact decontamination at 100k docs: same
+    # answer by construction; record the wall-clock trade honestly (the
+    # bitmap build is overhead at probe scale — the win arrives when the
+    # train gram set dwarfs executor memory and the eval stream is
+    # mostly clean, which a local probe cannot reproduce)
+    from energy_data_pipeline_spark.operators import bloom as bloom_op
+
+    docs = synth_docs(spark, 100_000)
+    tagged = train_val_test_split(docs, "doc_id", 10, 10, seed="probe")
+    tg = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.explode(F.array_distinct(shingles(F.col("text"), 8))).alias("g"))
+        .distinct()
+    )
+    eg = tagged.filter(F.col("split") != "train").select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 8))).alias("g")
+    )
+    results["decon_exact_100k"] = timed(
+        lambda: noop(eg.join(tg, "g").groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")))
+    )
+    bitmap = bloom_op.build_bitmap(tg, "g")
+    results["decon_bloom_100k"] = timed(
+        lambda: noop(
+            bloom_op.might_contain(eg, "g", bitmap)
+            .filter(F.col("_bloom_hit"))
+            .drop("_bloom_hit")
+            .join(tg, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    )
+
     # sequence packing: the id-range shard bound vs a single global
     # window at the SAME size — the bound is what keeps the cumsum
     # parallel when a (source, lang) stratum holds the whole corpus
@@ -245,6 +307,12 @@ def main():
         ),
         "ngram_capped_vs_uncapped_viral": round(
             results["ngram_viral_capped_6k"] / results["ngram_viral_uncapped_6k"], 2
+        ),
+        "line_dedup_20x_docs": round(
+            results["line_dedup_100k"] / results["line_dedup_5k"], 2
+        ),
+        "bloom_vs_exact_decon_100k": round(
+            results["decon_bloom_100k"] / results["decon_exact_100k"], 2
         ),
     }
     print(json.dumps(results, indent=2))
