@@ -1,5 +1,6 @@
 from .analytics import dashboard_queries, serve_dashboard
 from .corpus_ingest import corpus_ingest_job
+from .corpus_refresh import corpus_refresh_flow
 from .orchestrate import Flow, FlowRegistry, cron_due, reference_deployments
 from .pv_ingest import daily_pv_job
 from .wind_ingest import add_unit_suffix, wind_ingest_job
@@ -10,6 +11,7 @@ __all__ = [
     "FlowRegistry",
     "add_unit_suffix",
     "corpus_ingest_job",
+    "corpus_refresh_flow",
     "cron_due",
     "daily_pv_job",
     "dashboard_queries",

@@ -176,3 +176,56 @@ def test_reference_deployments_end_to_end(spark, tmp_path):
     assert full["status"] == "OK"
     assert full["results"]["load_pv"]["rows_in_table"] == 24
     assert full["results"]["etl_weather"]["rows_in_table"] == 24
+
+
+def test_corpus_refresh_flow_end_to_end(spark, tmp_path):
+    """The full corpus pipeline as one flow: a crafted source with a
+    quality failure, an exact dup, and a near-dup pair flows through
+    gate -> purge -> {mixture, pack_plan}; every stage lands as parquet
+    and the final corpus keeps exactly the canonical survivors.
+    Re-running the flow converges on identical outputs (idempotent
+    truncate-reload refresh)."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs.corpus_refresh import (
+        corpus_refresh_flow,
+    )
+
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(12))
+    near = base.replace("tok3", "changed3")  # high-jaccard near-dup
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),          # exact dup of 1 -> gate drops
+        (3, near, "en", "web"),          # near-dup of 1 -> purge drops
+        (4, "short", "en", "web"),       # fails min-token quality gate
+        (5, " ".join(f"u{i} v{i} w{i}" for i in range(20)), "de", "api"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    flow = corpus_refresh_flow(spark, src, out)
+    rep = flow.run()
+    assert rep["status"] == "OK", rep
+
+    clean_ids = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    assert clean_ids == {1, 3, 5}  # 2 exact-dup dropped, 4 failed gate
+    purged_ids = {r.doc_id for r in spark.read.parquet(f"{out}/purged").collect()}
+    assert purged_ids == {1, 5}  # 3 purged as near-dup loser of 1
+    mix = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(f"{out}/mixture").collect()
+    }
+    assert mix[("web", "en")][0] == 1 and mix[("api", "de")][0] == 1
+    plan = spark.read.parquet(f"{out}/pack_plan")
+    assert plan.count() == 2
+    assert plan.filter(F.col("seq_offset") >= 2048).count() == 0
+
+    # idempotent refresh: re-run converges byte-for-byte on row content
+    before = sorted(map(tuple, spark.read.parquet(f"{out}/purged").collect()))
+    rep2 = flow.run()
+    assert rep2["status"] == "OK"
+    after = sorted(map(tuple, spark.read.parquet(f"{out}/purged").collect()))
+    assert before == after
