@@ -168,6 +168,50 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    sigs: DataFrame, id_col: str, num_hashes: int, band_rows: int
+) -> DataFrame:
+    """(id, band_idx, r0..r{band_rows-1}) band rows for a signature
+    table — the LSH INDEX representation: persist/write this table and
+    new batches can probe it without re-minhashing the corpus
+    (``band_signature_table`` / ``probe_index_near_dups``)."""
+    n_bands = num_hashes // band_rows
+    row_cols = [f"r{j}" for j in range(band_rows)]
+    bands = []
+    for b in range(n_bands):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                *[
+                    F.col(f"mh_{b * band_rows + j}").alias(row_cols[j])
+                    for j in range(band_rows)
+                ],
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.*")
+
+
+def band_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """The writable LSH index for a corpus: one row per (doc, band)
+    with the band's minhash tuple as plain BIGINT columns. Maintaining
+    this table is what makes near-dup detection INCREMENTAL at 100 TB —
+    a new batch minhashes only itself and equi-joins the index on
+    (band_idx, r*), instead of re-signaturing the whole corpus per
+    ingest. Write it partitioned/bucketed by (band_idx, r0) so probe
+    joins co-locate."""
+    sh = doc_shingles(fan_out(df), id_col, text_col, n)
+    return _banded(minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, band_rows)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -184,19 +228,7 @@ def lsh_candidate_pairs(
     oracle would have to reproduce the digest byte-for-byte). All keys
     stay BIGINT inside whole-stage codegen.
     """
-    n_bands = num_hashes // band_rows
     row_cols = [f"r{j}" for j in range(band_rows)]
-    bands = []
-    for b in range(n_bands):
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                *[
-                    F.col(f"mh_{b * band_rows + j}").alias(row_cols[j])
-                    for j in range(band_rows)
-                ],
-            )
-        )
     # Explicit repartition on the bucket key before the pin, for two
     # reasons: (1) AQE coalesces the upstream signature aggregate to a
     # handful of partitions (its output is tiny — k longs per doc), and
@@ -213,9 +245,9 @@ def lsh_candidate_pairs(
         # under auto-optimized shuffle) — fall back to cluster default
         n_part = sigs.sparkSession.sparkContext.defaultParallelism
     exploded = _pin(
-        sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
-        .select(id_col, "band.*")
-        .repartition(n_part, "band_idx", *row_cols),
+        _banded(sigs, id_col, num_hashes, band_rows).repartition(
+            n_part, "band_idx", *row_cols
+        ),
         memory_only=True,  # k BIGINTs per doc — bounded tiny
         pins_out=pins_out,
     )
@@ -283,6 +315,66 @@ def minhash_lsh_near_dups(
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_rows, pins_out)
     return jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def probe_index_near_dups(
+    batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an already-indexed corpus
+    — the incremental ingest path: the batch is shingled/minhashed
+    (batch-sized work), its band rows equi-join the persisted
+    ``band_signature_table`` index on (band_idx, r*), and the exact
+    Jaccard verify re-shingles ONLY the corpus docs that surfaced as
+    candidates (semi-join before shingling — the corpus text is never
+    scanned beyond the candidate set's rows at any corpus size).
+    Returns (batch_id, corpus_id, jaccard) with jaccard >= threshold.
+    """
+    row_cols = [f"r{j}" for j in range(band_rows)]
+    sh_batch = _pin(doc_shingles(fan_out(batch), id_col, text_col, n))
+    bands_batch = _banded(
+        minhash_signatures(sh_batch, id_col, num_hashes), id_col, num_hashes, band_rows
+    )
+    cand = (
+        bands_batch.withColumnRenamed(id_col, "batch_id")
+        .join(index.withColumnRenamed(id_col, "corpus_id"), ["band_idx", *row_cols])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    cand_corpus = corpus.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_corpus = doc_shingles(cand_corpus, id_col, text_col, n)
+    s1 = sh_batch.select(
+        F.col(id_col).alias("batch_id"), F.col("shingle_set").alias("_s1")
+    )
+    s2 = sh_corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingle_set").alias("_s2")
+    )
+    return (
+        cand.join(s1, "batch_id")
+        .join(s2, "corpus_id")
+        .withColumn("n_common", F.size(F.array_intersect("_s1", "_s2")))
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("n_common")
+                / (F.size("_s1") + F.size("_s2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -267,3 +267,51 @@ def test_corpus_ingest_admission_cascade(spark, tmp_path):
     stats3 = corpus_ingest_job(b2, path, batch_id="b2-retry")
     assert stats3["admitted"] == 0
     assert spark.read.parquet(path).count() == 3
+
+
+class TestNearDupIngest:
+    def test_incremental_admission_with_index(self, spark, tmp_path):
+        """Three ingests against a growing index: batch 1 seeds the
+        corpus (with an in-batch near-dup resolved); batch 2's
+        near-dup of a CORPUS doc is rejected via the index probe
+        without re-minhashing the corpus; replaying batch 2 is a
+        no-op (identical docs probe out at jaccard 1.0)."""
+        from energy_data_pipeline_spark.jobs.neardup_ingest import (
+            near_dup_ingest_job,
+        )
+
+        corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+        base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+        near = base.replace("alpha3", "zzz3")
+        other = " ".join(f"k{i} l{i} m{i}" for i in range(15))
+
+        b1 = spark.createDataFrame(
+            [(1, base), (2, near), (3, other)], "doc_id long, text string"
+        )
+        s1 = near_dup_ingest_job(b1, corpus, index)
+        assert s1 == {
+            "arrived": 3,
+            "dup_in_batch": 1,  # 2 is a near-dup cluster loser of 1
+            "near_dup_of_corpus": 0,
+            "admitted": 2,
+        }
+
+        fresh = " ".join(f"x{i} y{i} z{i}" for i in range(14))
+        b2 = spark.createDataFrame(
+            [(10, base.replace("alpha5", "qqq5")), (11, fresh)],
+            "doc_id long, text string",
+        )
+        s2 = near_dup_ingest_job(b2, corpus, index)
+        assert s2 == {
+            "arrived": 2,
+            "dup_in_batch": 0,
+            "near_dup_of_corpus": 1,  # 10 ~ corpus doc 1 via the index
+            "admitted": 1,
+        }
+
+        # replay of batch 2: doc 11 now probes out against ITSELF
+        s3 = near_dup_ingest_job(b2, corpus, index)
+        assert s3["admitted"] == 0 and s3["near_dup_of_corpus"] == 2
+
+        ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        assert ids == {1, 3, 11}
