@@ -243,6 +243,61 @@ def manifest_upsert_stream(
     q.awaitTermination()
 
 
+def corpus_admission_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+    stats_out: list | None = None,
+) -> None:
+    """Continuous corpus admission — the streaming twin of
+    ``jobs/corpus_ingest.corpus_ingest_job``: documents land in a
+    stream, the quality gate and a within-watermark CONTENT-fingerprint
+    dedup run in-stream (state bounded by the watermark horizon, keyed
+    on the fingerprint so a redelivered or re-crawled identical text
+    dedups even under a new doc_id), and each micro-batch then goes
+    through the batch admission job, which settles exact dups against
+    the EXISTING corpus and appends idempotently. Exactly-once
+    composition: checkpoint fences source redelivery, the in-stream fp
+    dedup drops intra-horizon repeats, and the admission job's
+    corpus-side anti-join makes anything older a no-op.
+
+    ``stats_out`` (if given) collects each micro-batch's admission
+    stats dict — observability for tests and monitors."""
+    from ..functions import text as T
+    from ..jobs.corpus_ingest import corpus_ingest_job
+
+    gated = (
+        stream_df.filter(T.quality_keep("text"))
+        .withColumn("_fp", T.fingerprint("text"))
+        .withColumn("_wts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp", "_wts")
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = corpus_ingest_job(
+            batch_df.select("doc_id", "source", "lang", "text"),
+            corpus_path,
+            batch_id=str(batch_id),
+        )
+        if stats_out is not None:
+            stats_out.append(stats)
+
+    q = (
+        gated.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- custom stateful operator: per-key running watermark (T6) -------------
 WATERMARK_STATE_SCHEMA = StructType(
     [StructField("max_ts", LongType(), True), StructField("n_rows", LongType(), True)]

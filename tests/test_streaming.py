@@ -262,3 +262,57 @@ def test_manifest_upsert_stream_atomic_versions(spark, dirs):
     ghost = _mk_batch(spark, [(99, 0, 99, "ghost", 0.0)])
     mt._stage_data_files(ghost, table)
     assert mt.manifest_read(spark, table).count() == 3
+
+
+def test_corpus_admission_stream_end_to_end(spark, tmp_path):
+    """Documents land in a stream; the gate drops junk, the in-stream
+    fingerprint dedup drops an identical re-crawl under a NEW doc_id,
+    and a second drain (new landing file, same checkpoint) admits only
+    genuinely new content — the corpus never holds a duplicate text."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        corpus_admission_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " ingest_ts timestamp"
+    )
+    good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(10))
+    other = " ".join(f"k{i} l{i} m{i}" for i in range(12))
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        (1, good, "en", "web", t0),
+        (2, good, "en", "web", t0),   # identical re-crawl, new id
+        (3, "short", "en", "web", t0),  # fails the quality gate
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        corpus_admission_stream(stream, corpus, ckpt, stats_out=stats)
+
+    drain()
+    texts = [r.text for r in spark.read.parquet(corpus).collect()]
+    assert texts == [good]
+    assert stats[-1]["admitted"] == 1
+
+    rows2 = [
+        (10, good, "en", "web", t0),   # same content again, next drain
+        (11, other, "de", "api", t0),
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(landing)
+    drain()
+    out = spark.read.parquet(corpus)
+    assert sorted(r.text for r in out.collect()) == sorted([good, other])
+    # doc 10 never reached the batch job: the fp-dedup STATE persists
+    # in the checkpoint across drains, so the re-crawled content was
+    # dropped in-stream (the corpus-side anti-join remains the backstop
+    # for content older than the watermark horizon)
+    assert stats[-1]["arrived"] == 1 and stats[-1]["admitted"] == 1
+    assert stats[-1]["dup_in_corpus"] == 0
