@@ -105,3 +105,22 @@ def corpus_refresh_flow(
     flow.task("mixture", depends_on=["purge"])(mixture)
     flow.task("pack_plan", depends_on=["purge"])(pack_plan)
     return flow
+
+
+def corpus_deployments(
+    spark: SparkSession, source_path: str, base_dir: str
+):
+    """The corpus pipeline as a scheduled deployment (same registry
+    machinery as the reference's Prefect deployments): a weekly refresh
+    at Monday 03:00 — off-peak, and idempotent so a missed tick's
+    catch-up or a double tick converges."""
+    from .orchestrate import FlowRegistry
+
+    reg = FlowRegistry()
+    reg.register(
+        "weekly-corpus-refresh",
+        corpus_refresh_flow(spark, source_path, base_dir),
+        cron="0 3 * * 1",
+        tags=["corpus", "weekly"],
+    )
+    return reg

@@ -225,6 +225,51 @@ WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE))
 """
 
 
+# --- A13: calendar-true trailing moving average (RANGE frame) ---
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily totals per event type —
+    the dashboard smoothing the reference serves from Grafana
+    time-series panels, expressed with a calendar-true RANGE frame:
+    the frame is keyed on the DAY INDEX, so a missing day shrinks the
+    window (ROWS BETWEEN 6 PRECEDING would silently reach 7 calendar
+    days back across gaps). The window runs over the per-(type, day)
+    aggregate — |types| x |days| rows, never event-sized. Inputs to
+    the average are the ALREADY-4-ROUNDED daily totals, so the frame
+    average is an average of identical doubles in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(rnd(F.sum("value"), 4).alias("day_total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        rnd(F.avg("day_total").over(w), 4).alias("ma_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_window"),
+    )
+
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS day_total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_total,
+       round(avg(day_total) OVER w, 4) AS ma_7d,
+       CAST(count(*) OVER w AS BIGINT) AS n_days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- TPC-H Q1 shape: pricing summary (scan + filter + wide agg) ---
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -660,6 +705,7 @@ FROM last l JOIN per_day p
 CORE_QUERIES = {
     "a1_hourly_sum_by_type": (hourly_sum_by_type, HOURLY_SUM_SQL),
     "a2_window_total": (window_total, WINDOW_TOTAL_SQL),
+    "a13_moving_avg_7d": (moving_avg_7d, MOVING_AVG_SQL),
     "a3_count_distinct_users": (count_distinct_users, COUNT_DISTINCT_SQL),
     "a4_topk_users_by_value": (topk_users_by_value, TOPK_USERS_SQL),
     "a5_watermark_per_user": (watermark_per_user, WATERMARK_SQL),

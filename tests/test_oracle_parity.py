@@ -42,6 +42,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_line_dedup",
     "dd_bloom_decontamination",
     "emb_label_centroids",
+    "a13_moving_avg_7d",
 }
 
 

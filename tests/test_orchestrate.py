@@ -229,3 +229,30 @@ def test_corpus_refresh_flow_end_to_end(spark, tmp_path):
     assert rep2["status"] == "OK"
     after = sorted(map(tuple, spark.read.parquet(f"{out}/purged").collect()))
     assert before == after
+
+
+def test_corpus_deployment_runs_on_weekly_tick(spark, tmp_path):
+    """The weekly-corpus-refresh deployment fires on its cron tick
+    (Monday 03:00) and not on other ticks; the due run refreshes all
+    four tables."""
+    import datetime as dt
+
+    from energy_data_pipeline_spark.jobs.corpus_refresh import (
+        corpus_deployments,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, " ".join(f"a{i} b{i} c{i}" for i in range(12)), "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    reg = corpus_deployments(spark, src, out)
+
+    # Tuesday 03:00 — not due
+    assert reg.run_due(dt.datetime(2024, 1, 2, 3, 0), {}) == {}
+    # Monday 03:00 — due
+    reports = reg.run_due(dt.datetime(2024, 1, 1, 3, 0), {})
+    assert set(reports) == {"weekly-corpus-refresh"}
+    assert reports["weekly-corpus-refresh"]["status"] == "OK"
+    assert spark.read.parquet(f"{out}/purged").count() == 1
