@@ -552,6 +552,24 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+# --- O7: set intersection (completes the union/except/intersect family) ---
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users present in BOTH behavior sets — native INTERSECT; Catalyst
+    rewrites it to a left-semi join on the deduplicated sides, the same
+    shuffle shape as o6's except/anti."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 # --- R1: unpivot wide→long ---
 # Parity: pd.melt sites (nambu_merge_pv_data.py:71-81 et al.); here the
 # wide shape is lineitem's four measure columns.
@@ -725,6 +743,7 @@ CORE_QUERIES = {
     "o4_dedup_keep_last": (dedup_keep_last_events, DEDUP_LAST_SQL),
     "o5_union_slices": (union_slices, UNION_SLICES_SQL),
     "o6_users_click_not_purchase": (users_click_not_purchase, EXCEPT_SQL),
+    "o7_users_click_and_purchase": (users_click_and_purchase, INTERSECT_SQL),
     "r1_unpivot_measures": (unpivot_measures, UNPIVOT_SQL),
     "p9_hour24_rollover": (hour24_rollover, HOUR24_SQL),
     "p_part_expressions": (part_expressions, PART_EXPR_SQL),

@@ -43,6 +43,7 @@ NEVER_DRIVER_SAMPLED = {
     "dd_bloom_decontamination",
     "emb_label_centroids",
     "a13_moving_avg_7d",
+    "o7_users_click_and_purchase",
 }
 
 
