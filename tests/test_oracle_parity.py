@@ -44,6 +44,7 @@ NEVER_DRIVER_SAMPLED = {
     "emb_label_centroids",
     "a13_moving_avg_7d",
     "o7_users_click_and_purchase",
+    "ann_quantized_topk",
 }
 
 
