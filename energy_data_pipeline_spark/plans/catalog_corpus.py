@@ -947,8 +947,19 @@ def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero floating-point ambiguity. Zero vectors (NULL codes) are
     excluded from both sides. Ranking is score desc, neighbor asc."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    base = quantize_embeddings(spark, sf_dir).filter(F.col("q8").isNotNull())
+    # pin the quantized table: without the materialization barrier,
+    # CollapseProject inlines the quantization transform (norm fold +
+    # per-element floor) into BOTH join branches and the per-PAIR dot
+    # evaluation re-derives the codes — the interpreted-HOF inlining
+    # trap (see operators/neardup.py module docstring). The pinned
+    # table is |corpus| x (dim ints + a double): index-sized.
+    base = (
+        quantize_embeddings(spark, sf_dir)
+        .filter(F.col("q8").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     q = base.filter(F.col("vec_id") < ANN_Q_QUERY_MAX).select(
         F.col("vec_id").alias("query_id"), F.col("q8").alias("_qv")
     )
