@@ -829,6 +829,70 @@ FROM (
 """
 
 
+# --- unigram log-probability score (perplexity-proxy quality) ---
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the CCNet-style perplexity proxy: documents
+    of improbable token soup score low, fluent text scores high; a
+    filter threshold on this column is the classic LM-quality gate when
+    no external LM is available.
+
+    One explode feeds a (doc, token) map-side combine; BOTH the corpus
+    unigram counts and the per-doc score derive from that combined
+    table (pinned — two consumers), so the token stream is evaluated
+    once. The count join is keyed on the token over the doc x
+    distinct-token table; the normalizer rides in as a broadcast 1-row
+    aggregate. Score = sum(n * ln(c/total)) / sum(n), rounded to 4 —
+    the weighted mean absorbs cross-engine summation-order ulps."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(T.words("text")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = per_doc.groupBy("w").agg(F.sum("n").alias("c"))
+    total = counts.agg(F.sum("c").alias("_total"))
+    return (
+        per_doc.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            rnd(
+                F.sum(F.col("n") * F.log(F.col("c") / F.col("_total")))
+                / F.sum("n"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH per_doc AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+), counts AS (
+  SELECT w, sum(n) AS c FROM per_doc GROUP BY 1
+), total AS (
+  SELECT sum(c) AS t FROM counts
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(sum(n * ln(c * 1.0 / t)) / sum(n), 4) AS avg_logprob
+FROM per_doc JOIN counts USING (w) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 # --- per-source length distribution profile ---
 LENGTH_PCTS = (0.1, 0.5, 0.9, 0.99)
 
@@ -1623,6 +1687,7 @@ CORPUS_QUERIES = {
     "ann_quantized_topk": (quantized_topk, _quantized_topk_sql()),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
     "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),
+    "txt_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),

@@ -45,6 +45,7 @@ NEVER_DRIVER_SAMPLED = {
     "a13_moving_avg_7d",
     "o7_users_click_and_purchase",
     "ann_quantized_topk",
+    "txt_unigram_logprob",
 }
 
 
