@@ -1210,3 +1210,39 @@ class TestBloom:
 
         keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "g string")
         assert bloom.build_bitmap(keys, "g").count() <= bloom.BLOOM_M_BITS // 64
+
+
+def test_plan_cache_builds_once_under_racing_threads(spark):
+    """Two threads requesting the same key concurrently must converge
+    on ONE memo entry (setdefault under the lock): both may race the
+    builder — it runs outside the lock because builders run Spark jobs
+    — but only one result is ever registered and returned, so pins are
+    re-registered against a single canonical frame."""
+    import threading
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    builds = []
+    gate = threading.Barrier(2)
+    results = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5), []
+
+    def worker():
+        gate.wait()
+        results.append(
+            plan_cache.cached_plan(spark, ("race-test",), build)
+        )
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # setdefault under the lock keeps one entry even if both built
+    assert results[0] is results[1]
+    assert results[0].count() == 5
+    plan_cache.clear()
