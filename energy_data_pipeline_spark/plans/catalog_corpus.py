@@ -1210,6 +1210,79 @@ FROM with_norm
 """
 
 
+# --- embedding-norm outlier scan (vector pipeline health check) ---
+NORM_OUTLIER_K = 3.0  # flag norms beyond k robust sigmas of the median
+
+
+def norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors whose L2 norm sits more than k robust standard
+    deviations (1.4826 x MAD) from the corpus median — the standard
+    embedding-pipeline health check: a batch of near-zero or exploding
+    norms means a broken encoder run or a dtype bug upstream, caught
+    before the vectors poison an ANN index.
+
+    Two tiny aggregations over the norm column (median, then MAD), both
+    exact percentiles; the final pass scores every row against the
+    broadcast 1-row threshold frame. The full scored table is returned
+    (flag column rather than a filter): the monitor reads the flags,
+    and the oracle then value-checks every vector's robust z instead of
+    trivially matching an empty outlier set on healthy corpora. Norms
+    and z-scores round to 6 so the flag boundary is engine-identical."""
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", rnd(V.norm("embedding"), 6).alias("l2_norm")
+    )
+    med = norms.agg(F.percentile("l2_norm", 0.5).alias("_med"))
+    mad = (
+        norms.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("l2_norm") - F.col("_med")).alias("_dev"))
+        .agg(F.percentile("_dev", 0.5).alias("_mad"))
+    )
+    stats = med.crossJoin(F.broadcast(mad))
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "robust_z",
+            # a degenerate corpus (>=50% identical norms) has MAD 0 —
+            # NULL z instead of division by zero; NULL never flags
+            F.when(
+                F.col("_mad") > 0,
+                rnd(
+                    (F.col("l2_norm") - F.col("_med"))
+                    / (F.lit(1.4826) * F.col("_mad")),
+                    6,
+                ),
+            ),
+        )
+        .select(
+            "vec_id",
+            "l2_norm",
+            "robust_z",
+            (F.abs(F.col("robust_z")) > NORM_OUTLIER_K).alias("is_outlier"),
+        )
+    )
+
+
+NORM_OUTLIERS_SQL = f"""
+WITH norms AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+  FROM embeddings
+), med AS (
+  SELECT quantile_cont(l2_norm, 0.5) AS m FROM norms
+), mad AS (
+  SELECT quantile_cont(abs(l2_norm - m), 0.5) AS d FROM norms CROSS JOIN med
+)
+SELECT vec_id, l2_norm,
+       CASE WHEN d > 0 THEN round((l2_norm - m) / (1.4826 * d), 6) END AS robust_z,
+       abs(CASE WHEN d > 0 THEN round((l2_norm - m) / (1.4826 * d), 6) END)
+         > {NORM_OUTLIER_K} AS is_outlier
+FROM norms CROSS JOIN med CROSS JOIN mad
+"""
+
+
 # --- per-label embedding centroids (class prototypes) ---
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding — the class-prototype table behind
@@ -1684,6 +1757,7 @@ CORPUS_QUERIES = {
     "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
     "dd_bloom_decontamination": (bloom_ngram_decontamination, _ngram_decon_sql()),
     "emb_label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+    "emb_norm_outliers": (norm_outliers, NORM_OUTLIERS_SQL),
     "ann_quantized_topk": (quantized_topk, _quantized_topk_sql()),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
     "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),

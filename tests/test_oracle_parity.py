@@ -46,6 +46,7 @@ NEVER_DRIVER_SAMPLED = {
     "o7_users_click_and_purchase",
     "ann_quantized_topk",
     "txt_unigram_logprob",
+    "emb_norm_outliers",
 }
 
 
