@@ -22,9 +22,11 @@ Scale notes (100 TB posture):
 - Strategy is size-gated at RUNTIME (the AQE philosophy): an edge list
   within ``SMALL_GRAPH_MAX_EDGES`` is solved exactly with union-find on
   the driver — per-round scheduling overhead dominates tiny graphs —
-  while anything larger runs the distributed loop below. The gate reads
-  the materialized edge count, so the choice is driven by the actual
-  dup rate, not a planner guess.
+  while anything larger runs the distributed loop below. The gate is a
+  ``limit(gate+1).collect()`` probe: ONE execution of the pair plan
+  that doubles as the full edge list when the limit is not hit, so the
+  small path costs a single action total; the choice is driven by the
+  actual dup rate, not a planner guess.
 - ``localCheckpoint`` after each round truncates the lineage so the
   plan does not grow with iteration count (an un-checkpointed loop
   re-executes every prior round's shuffles on each action).
@@ -70,10 +72,11 @@ class ConvergenceError(RuntimeError):
 SMALL_GRAPH_MAX_EDGES = 1 << 20
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(rows, spark, vtype) -> DataFrame:
     """Exact connected components on the driver (path-compressed
     union-find, smaller root wins so each component's label is its
-    minimum id — identical to the distributed fixpoint)."""
+    minimum id — identical to the distributed fixpoint). ``rows`` is
+    the collected edge list ((_a, _b) rows)."""
     parent: dict = {}
 
     def find(x):
@@ -84,7 +87,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in rows:
         a, b = row["_a"], row["_b"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -95,15 +98,14 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
     from pyspark.sql.types import StructField, StructType
 
-    vtype = edges.schema["_a"].dataType
     schema = StructType(
         [
             StructField("vertex", vtype, True),
             StructField("cluster_id", vtype, True),
         ]
     )
-    rows = [(v, find(v)) for v in parent]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    out = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -130,33 +132,43 @@ def connected_components(
     :class:`ConvergenceError` if ``max_iter`` rounds still leave labels
     changing. Both paths yield identical labels.
     """
-    edges = (
+    edges_plan = (
         pairs.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
         .union(pairs.select(F.col(id2).alias("_a"), F.col(id1).alias("_b")))
         .distinct()
-        # eager: the pair plan (often a full LSH chain) runs exactly once,
-        # here; every round reads the materialized edge list
-        .localCheckpoint(eager=True)
     )
+    spark = pairs.sparkSession
+    vtype = edges_plan.schema["_a"].dataType
 
-    # early-exit before entering the loop: no pairs -> no clusters. The
-    # take(1) is served from the just-checkpointed partitions (no
-    # recompute of the pair plan) and skips the per-round fixed cost for
-    # the common already-clean-corpus case.
+    # size gate, probed with ONE execution of the pair plan: collect up
+    # to gate+1 edges via limit. If the limit was not hit, that single
+    # collect IS the complete edge list — union-find it directly, with
+    # no checkpoint write, no separate emptiness probe, no count, no
+    # second collect (the pre-probe scheme cost 4 actions; per-action
+    # fixed cost dominates tiny graphs). If gate+1 rows come back, the
+    # graph is big: fall through to the checkpointed distributed loop
+    # (which re-runs the pair plan once — acceptable on the rare big
+    # path, and the loop's checkpoint amortizes it over its rounds).
+    if small_graph_max_edges is not None:
+        probe = edges_plan.limit(small_graph_max_edges + 1).collect()
+        if not probe:
+            return edges_plan.select(
+                F.col("_a").alias("vertex"), F.col("_b").alias("cluster_id")
+            )
+        if len(probe) <= small_graph_max_edges:
+            return _driver_union_find(probe, spark, vtype)
+
+    # distributed path: eager checkpoint — the pair plan (often a full
+    # LSH chain) runs exactly once here; every round reads the
+    # materialized edge list
+    edges = edges_plan.localCheckpoint(eager=True)
+
+    # early-exit before entering the loop: no pairs -> no clusters
+    # (reachable only when the gate is disabled)
     if not edges.take(1):
         return edges.select(
             F.col("_a").alias("vertex"), F.col("_b").alias("cluster_id")
         )
-
-    # size gate on the materialized edge list (a count over checkpointed
-    # partitions — no recompute): small graphs skip the iterative loop
-    # entirely and solve exactly on the driver
-    if small_graph_max_edges is not None:
-        n_edges = edges.count()
-        if n_edges <= small_graph_max_edges:
-            result = _driver_union_find(edges)
-            edges.unpersist()
-            return result
 
     labels = (
         edges.select(F.col("_a").alias("vertex"))
