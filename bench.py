@@ -82,39 +82,74 @@ def main() -> None:
         F.regexp_extract("t", r"(\d+)", 1),
     ).write.format("noop").mode("overwrite").save()
 
-    # median-of-3 with min/median/max dispersion: host contention adds
+    # Median-of-N with min/median/max dispersion: host contention adds
     # multi-second noise to single shots (r3-r5 artifacts disagreed 2-4x
-    # on identical code). The median is the headline per-query number;
-    # the spread makes noise visible in the artifact instead of needing
-    # a post-hoc quiet-host re-run.
+    # on identical code). Reps are INTERLEAVED — the whole catalog runs
+    # round-robin N times rather than N back-to-back shots per query —
+    # so a multi-second CPU-steal burst lands on at most one rep of many
+    # queries instead of owning every rep of one query (r7's artifact
+    # showed dd_minhash med 5.19 vs min 1.73 from exactly that failure
+    # mode). After the base rounds, any query whose max/min dispersion
+    # still exceeds 2x gets extra rounds (median-of-5) so one noisy
+    # window cannot decide its headline number.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    dispersion: dict[str, dict[str, float]] = {}
-    for name, (fn, _sql) in sorted(CATALOG.items()):
-        samples: list[float] = []
-        for _rep in range(reps):
+    order = sorted(CATALOG)
+    samples: dict[str, list[float]] = {name: [] for name in order}
+    failed: set[str] = set()
+
+    def _run_round(names) -> None:
+        for name in names:
+            if name in failed:
+                continue
+            fn, _sql = CATALOG[name]
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(round(time.perf_counter() - t0, 3))
+                samples[name].append(round(time.perf_counter() - t0, 3))
             except Exception as e:
                 print(f"bench error {name}: {e}", file=sys.stderr)
-                samples = []
-                break
-        if not samples:
-            timings[name] = -1.0
-            dispersion[name] = {"min": -1.0, "med": -1.0, "max": -1.0}
-            continue
-        samples.sort()
-        med = samples[len(samples) // 2]
-        timings[name] = med
-        dispersion[name] = {"min": samples[0], "med": med, "max": samples[-1]}
-        # drop this query's pinned tables before the next one: 70+
-        # queries' accumulated caches otherwise crowd the block manager
-        # and GC, inflating late-alphabet queries (reps of the SAME
-        # query still share cache — med stays a warm-cache number)
+                failed.add(name)
+        # drop cached tables once per ROUND: pins accumulated by all
+        # queries would otherwise crowd the block manager across rounds,
+        # and clearing per-query would make every rep pay its pinned
+        # tables' re-materialization (the old per-query scheme cleared
+        # after all reps, so reps 2+ were warm; per-round clearing keeps
+        # each rep's cost comparable to that scheme's first rep)
         spark.catalog.clearCache()
+
+    for _rep in range(reps):
+        _run_round(order)
+
+    def _disp_ratio(vals: list[float]) -> float:
+        lo = min(vals)
+        return max(vals) / lo if lo > 0 else 1.0
+
+    escalated = [
+        n
+        for n in order
+        if n not in failed and samples[n] and _disp_ratio(samples[n]) > 2.0
+    ]
+    for _rep in range(2):
+        if escalated:
+            _run_round(escalated)
+
+    timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
+    for name in order:
+        vals = sorted(samples[name])
+        if not vals:
+            timings[name] = -1.0
+            dispersion[name] = {"min": -1.0, "med": -1.0, "max": -1.0, "n": 0}
+            continue
+        med = vals[len(vals) // 2]
+        timings[name] = med
+        dispersion[name] = {
+            "min": vals[0],
+            "med": med,
+            "max": vals[-1],
+            "n": len(vals),
+        }
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     full = {
@@ -124,6 +159,8 @@ def main() -> None:
         "queries": timings,
         "dispersion": dispersion,
         "reps": reps,
+        "interleaved": True,
+        "escalated": escalated,
         "sf": sf,
     }
     # The driver's artifact capture keeps only the tail (~2000 chars) of

@@ -12,9 +12,20 @@ Crash/retry safety: re-delivered documents are byte-identical to their
 already-admitted copies, so they probe out at jaccard 1.0 and are
 rejected — a replayed batch converges to a no-op (same admission
 invariant as jobs/corpus_ingest's exact-fingerprint path, extended to
-near-dups). The append of corpus+index rows for ADMITTED docs is the
-one non-atomic step; for a manifest-committed variant, route both
-writes through sinks/manifest_table in one staged commit.
+near-dups). Two write modes:
+
+- Plain-parquet (``near_dup_ingest_job``): the INDEX rows are appended
+  BEFORE the corpus rows, which makes every crash window self-healing:
+  an index-only orphan (crash between the two appends) merely creates
+  candidate probes that find no corpus row to verify against — the
+  replayed batch re-admits, and the duplicate index rows it leaves are
+  collapsed by the probe's candidate dedup. The REVERSE order would be
+  unrecoverable: corpus rows invisible to the index re-admit forever as
+  duplicate corpus rows. (Round-7 advice finding, fixed round 8.)
+- Manifest-committed (``near_dup_ingest_job_atomic``): corpus + index
+  live as sub-tables of one sinks/manifest_table commit GROUP; both
+  appends publish with a single atomic pointer flip — both-or-neither,
+  no orphan states at all, and readers are snapshot-isolated.
 """
 
 from __future__ import annotations
@@ -26,8 +37,74 @@ from pyspark.sql import functions as F
 
 from ..operators import neardup
 from ..operators.components import connected_components
+from ..sinks import manifest_table
 
 NEAR_DUP_THRESHOLD = 0.5
+
+CORPUS_SUB = "corpus"
+INDEX_SUB = "band_index"
+
+
+def _admission_counts(
+    batch_df: DataFrame,
+    index: DataFrame | None,
+    corpus: DataFrame | None,
+    threshold: float,
+    pins: list,
+) -> tuple[DataFrame, dict]:
+    """Shared admission dataflow: reject in-batch near-dup losers, then
+    probe the corpus index. Returns (persisted admitted frame, stats);
+    the admitted frame's pin is registered in ``pins`` for release."""
+    from pyspark.storagelevel import StorageLevel
+
+    n_arrived = batch_df.count()
+
+    # in-batch near-dup clusters: keeper = min doc_id per component
+    batch_pairs = neardup.minhash_lsh_near_dups(
+        batch_df, "doc_id", "text", threshold=threshold, n=3, pins_out=pins
+    )
+    batch_losers = (
+        connected_components(batch_pairs, "id1", "id2")
+        .filter(F.col("vertex") != F.col("cluster_id"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    batch_keep = batch_df.join(batch_losers, "doc_id", "left_anti")
+
+    if corpus is not None and index is not None:
+        hits = neardup.probe_index_near_dups(
+            batch_keep,
+            index,
+            corpus,
+            "doc_id",
+            "text",
+            threshold=threshold,
+            pins_out=pins,
+        )
+        rejected = hits.select(F.col("batch_id").alias("doc_id")).distinct()
+        admit = batch_keep.join(rejected, "doc_id", "left_anti")
+    else:
+        admit = batch_keep
+
+    # one pass over the admitted set serves both appends; count it once
+    admit = admit.persist(StorageLevel.MEMORY_AND_DISK)
+    pins.append((admit, StorageLevel.MEMORY_AND_DISK))
+    n_admitted = admit.count()
+    n_in_batch = n_arrived - batch_keep.count()
+    stats = {
+        "arrived": n_arrived,
+        "dup_in_batch": n_in_batch,
+        "near_dup_of_corpus": n_arrived - n_in_batch - n_admitted,
+        "admitted": n_admitted,
+    }
+    return admit, stats
+
+
+def _release(pins: list) -> None:
+    for frame, _level in pins:
+        try:
+            frame.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def near_dup_ingest_job(
@@ -41,49 +118,51 @@ def near_dup_ingest_job(
     batch itself and the indexed corpus. Returns admission stats:
     arrived / dup_in_batch / near_dup_of_corpus / admitted."""
     spark = batch_df.sparkSession
-    n_arrived = batch_df.count()
-
-    # in-batch near-dup clusters: keeper = min doc_id per component
-    batch_pairs = neardup.minhash_lsh_near_dups(
-        batch_df, "doc_id", "text", threshold=threshold, n=3
-    )
-    batch_losers = (
-        connected_components(batch_pairs, "id1", "id2")
-        .filter(F.col("vertex") != F.col("cluster_id"))
-        .select(F.col("vertex").alias("doc_id"))
-    )
-    batch_keep = batch_df.join(batch_losers, "doc_id", "left_anti")
-
+    pins: list = []
     corpus_exists = os.path.exists(corpus_path)
-    if corpus_exists:
-        index = spark.read.parquet(index_path)
-        corpus = spark.read.parquet(corpus_path)
-        hits = neardup.probe_index_near_dups(
-            batch_keep, index, corpus, "doc_id", "text", threshold=threshold
-        )
-        rejected = hits.select(
-            F.col("batch_id").alias("doc_id")
-        ).distinct()
-        admit = batch_keep.join(rejected, "doc_id", "left_anti")
-    else:
-        admit = batch_keep
-
-    # one pass over the admitted set serves both appends; count it once
-    admit = admit.persist()
+    index = spark.read.parquet(index_path) if corpus_exists else None
+    corpus = spark.read.parquet(corpus_path) if corpus_exists else None
     try:
-        n_admitted = admit.count()
-        n_in_batch = n_arrived - batch_keep.count()
-        if n_admitted:
-            admit.write.mode("append").parquet(corpus_path)
+        admit, stats = _admission_counts(batch_df, index, corpus, threshold, pins)
+        if stats["admitted"]:
+            # INDEX FIRST (see module docstring): an index-only orphan
+            # self-heals; a corpus-only orphan re-admits forever
             neardup.band_signature_table(admit, "doc_id", "text").write.mode(
                 "append"
             ).parquet(index_path)
-        n_vs_corpus = n_arrived - n_in_batch - n_admitted
-        return {
-            "arrived": n_arrived,
-            "dup_in_batch": n_in_batch,
-            "near_dup_of_corpus": n_vs_corpus,
-            "admitted": n_admitted,
-        }
+            admit.write.mode("append").parquet(corpus_path)
+        return stats
     finally:
-        admit.unpersist()
+        _release(pins)
+
+
+def near_dup_ingest_job_atomic(
+    batch_df: DataFrame,
+    group_root: str,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> dict:
+    """Same admission semantics as :func:`near_dup_ingest_job`, but the
+    corpus and its band index are sub-tables of one manifest commit
+    GROUP at ``group_root`` — the two appends publish with a single
+    atomic pointer flip (sinks/manifest_table.group_append), so a crash
+    at ANY point leaves either both appends visible or neither. This is
+    the mode a deployment with concurrent readers should run."""
+    spark = batch_df.sparkSession
+    pins: list = []
+    index = manifest_table.group_read(spark, group_root, INDEX_SUB)
+    corpus = manifest_table.group_read(spark, group_root, CORPUS_SUB)
+    try:
+        admit, stats = _admission_counts(batch_df, index, corpus, threshold, pins)
+        if stats["admitted"]:
+            manifest_table.group_append(
+                {
+                    CORPUS_SUB: admit,
+                    INDEX_SUB: neardup.band_signature_table(
+                        admit, "doc_id", "text"
+                    ),
+                },
+                group_root,
+            )
+        return stats
+    finally:
+        _release(pins)

@@ -13,8 +13,10 @@ Build is fully distributed: explode each key to its k bit positions,
 reduce to a (word_idx, 64-bit word) table with a map-side-combining
 ``bit_or`` aggregate, and collect the m/64-word bitmap to the driver
 (1 Mbit default = 16 K longs = 128 KB — index-sized, not data-sized).
-Membership tests join the exploded positions against the broadcast
-bitmap table and require all k bits set — JVM-side end to end, no UDF.
+Membership tests densify the bitmap into one broadcast array<boolean>
+row and evaluate ``forall`` over each key's position array — a pure
+expression with O(1) lookups, no explode, no shuffle, JVM-side end to
+end, no UDF.
 
 A Bloom test admits false positives (never false negatives), so
 callers that need exact semantics re-verify the survivors against the
@@ -105,34 +107,48 @@ def might_contain(
 ) -> DataFrame:
     """Adds ``flag_col``: True iff all k bits for ``key_col`` are set.
 
-    The bitmap joins in as a broadcast (it is index-sized); a position
-    whose word is absent from the bitmap table is an unset bit. The
-    k-way explode is folded back by an all-bits aggregate grouped on
-    the ORIGINAL columns — input rows must therefore be distinct
-    (duplicate rows would collapse to one), which holds for the gram
-    streams this serves (array_distinct upstream)."""
-    exploded = df.select(
-        "*", F.explode(bit_positions(F.col(key_col), m_bits, k)).alias("_p")
+    Pure-expression membership test: the (word_idx, bits) bitmap table
+    is collected (it is index-sized by construction — at most m_bits/64
+    rows) and densified into ONE row holding an array<boolean> of all
+    m_bits bits; that row rides in on a broadcast nested-loop cross
+    join, and the flag is ``forall`` over the key's position array with
+    an O(1) array index per position. No explode, no re-group, no
+    shuffle — so duplicate input rows pass through unchanged (the old
+    explode+regroup silently collapsed them), arbitrary payload columns
+    cost nothing, and a NULL key yields NULL positions → flag False
+    (a NULL gram is a member of no set). The only reserved name is
+    ``flag_col`` itself plus one internal column, both asserted free."""
+    bits_col = "_bloom_bits_arr"
+    for reserved in (flag_col, bits_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"might_contain: input already has a {reserved!r} column"
+            )
+    dense = [False] * m_bits
+    for row in bitmap.collect():
+        base = int(row["word_idx"]) * 64
+        # bits is a SIGNED 64-bit long; mask to unsigned so a set bit 63
+        # (negative value) cannot make the arithmetic right-shift loop
+        # spin on -1 forever
+        word = int(row["bits"]) & ((1 << 64) - 1)
+        j = 0
+        while word:
+            if word & 1:
+                dense[base + j] = True
+            word >>= 1
+            j += 1
+    spark = df.sparkSession
+    bits_row = spark.createDataFrame(
+        [(dense,)], schema=f"{bits_col} array<boolean>"
     )
-    hit = (
-        exploded.withColumn("_widx", (F.col("_p") / 64).cast("long"))
-        .join(
-            F.broadcast(bitmap.withColumnRenamed("word_idx", "_widx")),
-            "_widx",
-            "left",
-        )
-        .withColumn(
-            flag_col,
-            F.coalesce(
-                F.expr("shiftright(bits, CAST(_p % 64 AS INT)) & 1") == 1,
-                F.lit(False),
-            ),
-        )
+    member = F.forall(
+        bit_positions(F.col(key_col), m_bits, k),
+        lambda p: F.coalesce(F.get(bits_col, p.cast("int")), F.lit(False)),
     )
-    group_cols = [c for c in df.columns]
     return (
-        hit.groupBy(*group_cols)
-        .agg(F.min(flag_col).alias(flag_col))
+        df.crossJoin(F.broadcast(bits_row))
+        .withColumn(flag_col, F.coalesce(member, F.lit(False)))
+        .drop(bits_col)
     )
 
 

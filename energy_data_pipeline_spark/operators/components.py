@@ -63,20 +63,27 @@ class ConvergenceError(RuntimeError):
 
 # Size gate for the driver-local fast path: an edge list at or under
 # this bound (post-dedup, both directions) is solved with union-find on
-# the driver — exact same labels, zero iterative rounds. 2^20 edges is
-# ~32 MB of longs on the driver, far under any sane driver heap; above
-# the bound the distributed pointer-jump loop runs. Same philosophy as
-# AQE's broadcast conversion: pick the physical strategy from the
-# RUNTIME size of an intermediate, because the planner cannot know the
+# the driver — exact same labels, zero iterative rounds. The real
+# driver cost at the gate is NOT raw longs: collected PySpark Rows,
+# the union-find parent dict, and the createDataFrame round-trip of
+# the result tuples together run to roughly 1 KB per edge of transient
+# Python heap, so 2^17 edges ≈ a few hundred MB worst case — bounded
+# and GC-friendly, where the previous 2^20 gate could spike to
+# multi-GB driver RSS on graphs near the boundary. Above the bound the
+# distributed pointer-jump loop runs. Same philosophy as AQE's
+# broadcast conversion: pick the physical strategy from the RUNTIME
+# size of an intermediate, because the planner cannot know the
 # near-dup pair count in advance.
-SMALL_GRAPH_MAX_EDGES = 1 << 20
+SMALL_GRAPH_MAX_EDGES = 1 << 17
 
 
-def _driver_union_find(rows, spark, vtype) -> DataFrame:
+def _driver_union_find(edges, spark, vtype) -> DataFrame:
     """Exact connected components on the driver (path-compressed
     union-find, smaller root wins so each component's label is its
-    minimum id — identical to the distributed fixpoint). ``rows`` is
-    the collected edge list ((_a, _b) rows)."""
+    minimum id — identical to the distributed fixpoint). ``edges`` is
+    an iterable of (a, b) tuples — plain tuples, not Rows: the caller
+    converts and releases the collected Row objects first so only the
+    parent dict and result tuples are live here."""
     parent: dict = {}
 
     def find(x):
@@ -87,8 +94,7 @@ def _driver_union_find(rows, spark, vtype) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in rows:
-        a, b = row["_a"], row["_b"]
+    for a, b in edges:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -156,7 +162,12 @@ def connected_components(
                 F.col("_a").alias("vertex"), F.col("_b").alias("cluster_id")
             )
         if len(probe) <= small_graph_max_edges:
-            return _driver_union_find(probe, spark, vtype)
+            # shed the Row objects immediately — plain 2-tuples cost a
+            # fraction of a Row, and the probe list is the peak of the
+            # small path's driver footprint
+            edge_tuples = [(r[0], r[1]) for r in probe]
+            del probe
+            return _driver_union_find(edge_tuples, spark, vtype)
 
     # distributed path: eager checkpoint — the pair plan (often a full
     # LSH chain) runs exactly once here; every round reads the

@@ -15,6 +15,9 @@ selected per-row by payload magic. ``fake=True`` pins the fake kernel
 features exactly, which a decode-dependent path could not guarantee);
 ``fake=False`` demands a real kernel and raises
 ``MissingMediaLibrary`` where neither a library nor a builtin applies.
+Builtin (no-library) kernels: WAV audio, binary PNM images, and — the
+one COMPRESSED format — PNG images via stdlib zlib + per-scanline
+filter reconstruction (``_parse_png``).
 
 At scale: binary payloads ride in parquet; ``spark.sql.files.
 maxPartitionBytes`` bounds batch memory; metadata predicates (width,
@@ -97,6 +100,12 @@ def media_capabilities() -> dict[str, bool]:
             or importlib.util.find_spec("librosa") is not None
         ),
         "video": importlib.util.find_spec("av") is not None,
+        # builtin (stdlib/numpy) kernels — always available, reported so
+        # an operator can tell "no library but this format still
+        # decodes for real" from "fake only"
+        "builtin:png": True,
+        "builtin:pnm": True,
+        "builtin:wav": True,
     }
 
 
@@ -123,6 +132,8 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "wav"
     if kind == "image" and payload[:2] in (b"P5", b"P6"):
         return "pnm"
+    if kind == "image" and payload[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -172,6 +183,120 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     return arr.astype("float64") / float(maxval)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(
+    ft: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one PNG scanline from its filtered bytes (spec
+    filters 0-4). None and Up vectorize; Sub/Average/Paeth carry a
+    left-byte dependency, so they run as per-byte loops — fine for the
+    builtin kernel's job (real decode without image libraries), not a
+    throughput path."""
+    if ft == 0:
+        return line
+    if ft == 2:
+        return ((line.astype("u2") + prev) & 0xFF).astype("u1")
+    cur = bytearray(line.tobytes())
+    n = len(cur)
+    if ft == 1:  # Sub
+        for i in range(bpp, n):
+            cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+    elif ft == 3:  # Average
+        for i in range(n):
+            left = cur[i - bpp] if i >= bpp else 0
+            cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+    elif ft == 4:  # Paeth
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[i] = (cur[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {ft}")
+    return np.frombuffer(bytes(cur), dtype="u1")
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """Stdlib-only PNG decode (zlib inflate + per-scanline filter
+    reconstruction) → float array in [0,1], shape (h, w) or (h, w, 3).
+
+    Supports the common compressed web-image shape: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Alpha is dropped (features are intensity-based);
+    palette indices resolve through PLTE. Anything outside that profile
+    raises ValueError and auto mode degrades to the fake kernel."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # header + data + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"builtin PNG kernel needs 8-bit depth, got {bit_depth}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported by the builtin kernel")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype="u1").reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+    rows = np.empty((height, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="u1")
+    for y in range(height):
+        off = y * (stride + 1)
+        line = np.frombuffer(raw, dtype="u1", count=stride, offset=off + 1)
+        prev = _png_unfilter_row(raw[off], line, prev, channels)
+        rows[y] = prev
+    px = rows.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    elif color_type == 4:
+        px = px[:, :, :1]  # drop alpha
+    elif color_type == 6:
+        px = px[:, :, :3]  # drop alpha
+    arr = px.astype("float64") / 255.0
+    return arr[:, :, 0] if arr.shape[2] == 1 else arr
+
+
+def _decode_png_features(payload: bytes, dim: int) -> np.ndarray:
+    """PNG builtin kernel: decode → grayscale → dim×dim area resample →
+    per-column mean intensity (identical feature contract to the PNM
+    and PIL paths)."""
+    arr = _parse_png(payload)
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _decode_pnm_features(payload: bytes, dim: int) -> np.ndarray:
     """PNM builtin kernel: decode → grayscale → dim×dim area resample →
     per-column mean intensity (the same feature contract as the PIL
@@ -215,10 +340,10 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
     builtin (stdlib/numpy) path where the payload's format allows.
 
     Image: PIL (any format) → grayscale → dim×dim → per-column mean
-    intensity in [0,1]; without PIL, binary PNM (P5/P6) decodes via the
-    pure-numpy builtin with the same feature contract. Audio: WAV
-    decodes via stdlib ``wave`` into per-block RMS energy — no library
-    needed. Raises :class:`MissingMediaLibrary` when neither a library
+    intensity in [0,1]; without PIL, binary PNM (P5/P6) and PNG (8-bit,
+    stdlib zlib + filter reconstruction) decode via pure-numpy builtins
+    with the same feature contract. Audio: WAV decodes via stdlib
+    ``wave`` into per-block RMS energy — no library needed. Raises :class:`MissingMediaLibrary` when neither a library
     nor a builtin can handle the payload, :class:`NotImplementedError`
     when the kind's library is present but no kernel is written for it
     (non-WAV audio, video today).
@@ -235,6 +360,8 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
         return arr.mean(axis=0)
     if builtin == "pnm":
         return _decode_pnm_features(payload, dim)
+    if builtin == "png":
+        return _decode_png_features(payload, dim)
     if builtin == "wav":
         return _decode_wav_features(payload, dim)
     if caps.get(kind, False):

