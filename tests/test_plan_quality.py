@@ -228,3 +228,22 @@ def test_narrow_preprocessing_is_exchange_free(spark, name):
     plan = plan_of(fn(spark, SF))
     assert "Exchange" not in plan, plan[:1500]
     assert "Scan parquet" in plan
+
+
+def test_bloom_membership_is_shuffle_free_expression(spark):
+    """The Bloom membership test is a pure expression riding a one-row
+    broadcast (dense bitmap array + forall over positions) — the plan
+    must show a BroadcastNestedLoopJoin and NO shuffle exchange, and no
+    aggregate: the round-7 explode+regroup shape shuffled every payload
+    column k times."""
+    from energy_data_pipeline_spark.operators import bloom
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "g string")
+    bitmap = bloom.build_bitmap(keys, "g")
+    probe = spark.createDataFrame(
+        [(f"k{i}", f"payload {i}")  for i in range(20)], "g string, text string"
+    )
+    plan = plan_of(bloom.might_contain(probe, "g", bitmap))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "HashAggregate" not in plan, plan[:1500]
