@@ -57,6 +57,7 @@ _SAMPLE_PRIORITY = [
     "emb_label_centroids",
     "emb_norm_outliers",
     "smp_token_budget_plan",
+    "smp_dsir_weights",
     "a12_multigrain_rollup",
     "j6_purchases_asof_views",
     "j7_clicks_in_purchase_spans",

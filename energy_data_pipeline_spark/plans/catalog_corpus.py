@@ -1087,6 +1087,137 @@ FROM shared
 """
 
 
+# --- DSIR-style importance weights (domain-targeted data selection) ---
+DSIR_BUCKETS = 4096  # hashed n-gram feature space
+DSIR_TARGET_SOURCE = "src0"  # the target-domain exemplar slice
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram importance-resampling weights (the DSIR recipe:
+    Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    features are under a TARGET domain's bag-of-hashed-ngrams
+    distribution than under the raw corpus's, then sample
+    proportionally to exp(weight) to tilt a crawl toward the target.
+    Here the target exemplars are the ``src0`` slice standing in for
+    "high-quality domain docs"; features are word unigrams + bigrams
+    hashed into {buckets} buckets (the same first-8-md5-hex-digits
+    convention every other operator uses, so the oracle reproduces
+    bucket ids exactly); both distributions are add-one smoothed, and
+    the returned ``avg_log_ratio`` is the per-occurrence mean of
+    log p_target(b) - log p_raw(b) (mean, not sum — magnitude is
+    length-independent and the division absorbs cross-engine
+    summation-order ulps before rounding).
+
+    Shape & scale: ONE explode pass over the corpus feeds a pinned
+    (doc, bucket, n) combine; target and raw bucket counts both derive
+    from it (the target side is a filter, not a second scan), the
+    weight table is at most {buckets} rows — an index, broadcast into
+    the per-doc join — and the final score is a map-side-combining
+    aggregate. At 100 TB: identical plan, the weight table is still
+    {buckets} rows. Prepared-plan memoized with the combine pinned.
+    """
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        wl = T.words(F.col("text"))
+        feats = F.concat(wl, T.shingles_from_words(wl, 2))
+        bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast(
+            "long"
+        ) % F.lit(DSIR_BUCKETS)
+        per_doc = (
+            docs.select("doc_id", "source", F.explode(feats).alias("f"))
+            .select("doc_id", "source", bucket.alias("b"))
+            .groupBy("doc_id", "source", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins: plan_cache.PinList = [(per_doc, StorageLevel.MEMORY_AND_DISK)]
+        raw = per_doc.groupBy("b").agg(F.sum("n").alias("c_r"))
+        tgt = (
+            per_doc.filter(F.col("source") == DSIR_TARGET_SOURCE)
+            .groupBy("b")
+            .agg(F.sum("n").alias("c_t"))
+        )
+        totals = (
+            raw.agg(F.sum("c_r").alias("_nr"))
+            .crossJoin(tgt.agg(F.sum("c_t").alias("_nt")))
+        )
+        weight = (
+            raw.join(tgt, "b", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "b",
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                        / (F.col("_nt") + DSIR_BUCKETS)
+                    )
+                    - F.log((F.col("c_r") + 1) / (F.col("_nr") + DSIR_BUCKETS))
+                ).alias("w"),
+            )
+        )
+        df = (
+            per_doc.join(F.broadcast(weight), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_feats"),
+                rnd(F.sum(F.col("n") * F.col("w")) / F.sum("n"), 4).alias(
+                    "avg_log_ratio"
+                ),
+            )
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(
+        spark, ("dsir", sf_dir, DSIR_BUCKETS, DSIR_TARGET_SOURCE), build
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
+    buckets=DSIR_BUCKETS
+)
+
+
+DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), feats AS (
+  SELECT doc_id, source,
+         unnest(list_concat(
+           wl,
+           list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1])
+         )) AS f
+  FROM w
+), per_doc AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % {DSIR_BUCKETS} AS BIGINT) AS b,
+         count(*) AS n
+  FROM feats GROUP BY 1, 2, 3
+), raw AS (
+  SELECT b, sum(n) AS c_r FROM per_doc GROUP BY 1
+), tgt AS (
+  SELECT b, sum(n) AS c_t FROM per_doc
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1
+), totals AS (
+  SELECT (SELECT sum(c_r) FROM raw) AS nr, (SELECT sum(c_t) FROM tgt) AS nt
+), weight AS (
+  SELECT raw.b,
+         ln((COALESCE(tgt.c_t, 0) + 1) * 1.0 / (totals.nt + {DSIR_BUCKETS}))
+         - ln((raw.c_r + 1) * 1.0 / (totals.nr + {DSIR_BUCKETS})) AS w
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_feats,
+       round(sum(n * w) / sum(n), 4) AS avg_log_ratio
+FROM per_doc JOIN weight USING (b)
+GROUP BY doc_id
+"""
+
+
 # --- ANN over the quantized vectors (integer dot products) ---
 ANN_Q_QUERY_MAX = 8
 ANN_Q_K = 5
@@ -1877,6 +2008,7 @@ CORPUS_QUERIES = {
         _length_pcts_approx_sql(),
     ),
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
+    "smp_dsir_weights": (dsir_importance_weights, DSIR_SQL),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
     "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),

@@ -298,6 +298,65 @@ def corpus_admission_stream(
     q.awaitTermination()
 
 
+def neardup_admission_stream(
+    stream_df: DataFrame,
+    group_root: str,
+    checkpoint_dir: str,
+    ts_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+    threshold: float = 0.5,
+    stats_out: list | None = None,
+) -> None:
+    """Continuous NEAR-DUP-aware corpus admission — the streaming twin
+    of ``jobs/neardup_ingest.near_dup_ingest_job_atomic``: documents
+    land in a stream, a within-watermark exact-content dedup drops
+    intra-horizon redeliveries cheaply in-stream (bounded state), and
+    each micro-batch then runs the full incremental LSH admission —
+    in-batch near-dup clustering, band-index probe against the corpus,
+    and a single manifest-group commit of corpus + index (one pointer
+    flip per micro-batch, both-or-neither).
+
+    Exactly-once composition: the checkpoint fences source redelivery
+    across restarts; within the horizon the content fingerprint dedup
+    absorbs repeats before they cost minhash work; anything older
+    probes out against the indexed corpus at jaccard 1.0 inside the
+    admission job. A crash mid-batch replays the whole micro-batch,
+    which converges to a no-op — the atomic group commit guarantees
+    the corpus and its index never diverge, so the replay's probes see
+    exactly what the crashed attempt published (or nothing at all).
+
+    ``stats_out`` (if given) collects each micro-batch's admission
+    stats dict."""
+    from ..functions import text as T
+    from ..jobs.neardup_ingest import near_dup_ingest_job_atomic
+
+    gated = (
+        stream_df.withColumn("_fp", T.fingerprint("text"))
+        .withColumn("_wts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp", "_wts")
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = near_dup_ingest_job_atomic(
+            batch_df.drop(ts_col), group_root, threshold=threshold
+        )
+        if stats_out is not None:
+            stats_out.append({"batch_id": batch_id, **stats})
+
+    q = (
+        gated.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- custom stateful operator: per-key running watermark (T6) -------------
 WATERMARK_STATE_SCHEMA = StructType(
     [StructField("max_ts", LongType(), True), StructField("n_rows", LongType(), True)]

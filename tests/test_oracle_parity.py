@@ -42,6 +42,7 @@ NEVER_DRIVER_SAMPLED = {
     # round-8 addition — unsampled by definition until a driver round
     # hashes it
     "txt_length_percentiles_approx",
+    "smp_dsir_weights",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",

@@ -316,3 +316,65 @@ def test_corpus_admission_stream_end_to_end(spark, tmp_path):
     # for content older than the watermark horizon)
     assert stats[-1]["arrived"] == 1 and stats[-1]["admitted"] == 1
     assert stats[-1]["dup_in_corpus"] == 0
+
+
+def test_neardup_admission_stream_end_to_end(spark, tmp_path):
+    """Streaming twin of the ATOMIC near-dup ingest: batch 1 seeds the
+    corpus through a manifest-group commit (in-batch near-dup resolved);
+    a second drain's NEAR-dup of corpus content (not byte-identical, so
+    the in-stream fp dedup cannot catch it) is rejected via the band
+    index probe, and the corpus + index versions stay consistent —
+    one pointer flip per micro-batch."""
+    from energy_data_pipeline_spark.jobs.neardup_ingest import (
+        CORPUS_SUB,
+        INDEX_SUB,
+    )
+    from energy_data_pipeline_spark.sinks import manifest_table
+    from energy_data_pipeline_spark.streaming.incremental import (
+        neardup_admission_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "group")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    near = base.replace("alpha3", "zzz3")
+    other = " ".join(f"k{i} l{i} m{i}" for i in range(15))
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        (1, base, t0),
+        (2, near, t0),  # in-batch near-dup cluster loser of 1
+        (3, other, t0),
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        neardup_admission_stream(stream, root, ckpt, stats_out=stats)
+
+    drain()
+    assert stats[-1]["admitted"] == 2 and stats[-1]["dup_in_batch"] == 1
+    corpus = manifest_table.group_read(spark, root, CORPUS_SUB)
+    assert {r.doc_id for r in corpus.collect()} == {1, 3}
+
+    rows2 = [
+        (10, base.replace("alpha5", "qqq5"), t0),  # NEAR-dup of corpus 1
+        (11, base, t0),  # exact re-crawl: in-stream fp dedup drops it
+        (12, " ".join(f"x{i} y{i} z{i}" for i in range(14)), t0),
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(landing)
+    drain()
+    assert stats[-1]["arrived"] == 2  # doc 11 never reached the job
+    assert stats[-1]["near_dup_of_corpus"] == 1 and stats[-1]["admitted"] == 1
+    corpus = manifest_table.group_read(spark, root, CORPUS_SUB)
+    assert {r.doc_id for r in corpus.collect()} == {1, 3, 12}
+    # the group stays consistent: every corpus doc has band rows
+    idx_ids = {
+        r.doc_id
+        for r in manifest_table.group_read(spark, root, INDEX_SUB).collect()
+    }
+    assert {1, 3, 12} <= idx_ids
