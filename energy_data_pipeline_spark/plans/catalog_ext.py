@@ -438,6 +438,145 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
     return "WITH " + ",\n".join(ctes) + ",\n" + search
 
 
+# --- Semantic dedup (SemDeDup) --------------------------------------------
+# Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication": k-means cluster the embedding space,
+# compare pairs only WITHIN a cluster, and drop all but one member of
+# every semantic-duplicate group. The clustering is what makes it
+# tractable — pair comparison is quadratic per CELL, never per corpus.
+SEMDEDUP_EPS = 0.35  # aggressive for the synthetic corpus (max pair
+# cosine ~0.5); real text embeddings use 0.93-0.97
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: Lloyd-trained k-means cells
+    (same deterministic training as ``ann_ivf_trained_topk`` — first-k
+    seed, fixed rounds, 9-decimal centroid rounding), within-cell
+    cosine pairs at >= {eps}, and the HIGHER vec_id of every flagged
+    pair is dropped (deterministic keeper rule; the paper keeps the
+    point farthest from the centroid — id order is the engine's
+    reproducibility-first variant). Returns the kept vectors with
+    their cell — the full surviving table, so the oracle value-checks
+    every row AND the cluster assignment.
+
+    Scale: the pair join is keyed on the cell (quadratic per cell, the
+    SemDeDup trick), the centroid argmin is a broadcast expression, and
+    at 100 TB the cell is the partition key — co-located comparisons,
+    no corpus-level shuffle beyond the one assignment pass. Memoized
+    with the assigned table pinned (two consumers: pair join sides)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        from ..functions.vectors import cosine
+
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        cents = ivf.kmeans_lloyd(
+            emb, "vec_id", "embedding", k=ivf.N_CELLS,
+            iterations=IVF_TRAIN_ITERS,
+        )
+        assigned = (
+            ivf.ivf_assign(emb, cents)
+            .select("vec_id", F.col("embedding").alias("_v"), "cell")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins: plan_cache.PinList = [(assigned, StorageLevel.MEMORY_AND_DISK)]
+        a = assigned.select(
+            F.col("vec_id").alias("id1"), F.col("_v").alias("_v1"), "cell"
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("id2"), F.col("_v").alias("_v2"), "cell"
+        )
+        losers = (
+            a.join(b, "cell")
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(rnd(cosine("_v1", "_v2"), 6) >= SEMDEDUP_EPS)
+            .select(F.col("id2").alias("vec_id"))
+            .distinct()
+        )
+        kept = assigned.join(losers, "vec_id", "left_anti").select(
+            "vec_id", F.col("cell").cast("bigint").alias("cell")
+        )
+        return kept, pins
+
+    return plan_cache.cached_plan(
+        spark,
+        ("semdedup", sf_dir, ivf.N_CELLS, IVF_TRAIN_ITERS, SEMDEDUP_EPS),
+        build,
+    )
+
+
+semantic_dedup.__doc__ = semantic_dedup.__doc__.format(eps=SEMDEDUP_EPS)
+
+
+def _semdedup_sql() -> str:
+    """Oracle: unrolls the SAME Lloyd training the Spark side runs
+    (shared CTE chain with the trained-IVF oracle), then within-cell
+    pairs + keep-lowest-id."""
+    k, dim, iters = ivf.N_CELLS, EMB_DIM, IVF_TRAIN_ITERS
+    d2 = (
+        "list_sum(list_transform(range(1, len(e.v) + 1),"
+        " i -> ({c}[i] - e.v[i]) * ({c}[i] - e.v[i])))"
+    )
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    cur = "cents0"
+    for t in range(iters):
+        dd = d2.format(c=f"{cur}.c")
+        ctes.append(
+            f"""assign{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, {cur}.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, {cur}.cid ASC) AS rk
+    FROM e CROSS JOIN {cur}
+  ) WHERE rk = 1
+), pack{t} AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT a.cell, t.i, round(sum(e.v[t.i]) / count(*), 9) AS m
+    FROM assign{t} a JOIN e ON e.vec_id = a.vec_id
+    CROSS JOIN range(1, {dim} + 1) t(i)
+    GROUP BY a.cell, t.i
+  ) GROUP BY cell
+), cents{t + 1} AS (
+  SELECT p.cid, coalesce(u.c, p.c) AS c
+  FROM {cur} p LEFT JOIN pack{t} u ON u.cell = p.cid
+)"""
+        )
+        cur = f"cents{t + 1}"
+    dd = d2.format(c=f"{cur}.c")
+    cos = (
+        "round(list_sum(list_transform(range(1, len(v1) + 1), i -> v1[i] * v2[i]))"
+        " / (sqrt(list_sum(list_transform(v1, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(v2, x -> x * x)))), 6)"
+    )
+    tail = f"""assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, {cur}.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, {cur}.cid ASC) AS rk
+    FROM e CROSS JOIN {cur}
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, ea.v AS v1, eb.v AS v2
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+), losers AS (
+  SELECT DISTINCT id2 AS vec_id FROM pairs WHERE {cos} >= {SEMDEDUP_EPS}
+)
+SELECT vec_id, cell FROM assign
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + tail
+
+
 # --- P17: geocoding cascade (name-dim -> city-regex -> default) -----------
 # Reference: pv_test/init_db.py:145-177 — the deterministic stages of
 # the coordinate-resolution cascade run engine-side as broadcast joins;
@@ -866,6 +1005,7 @@ EXT_QUERIES = {
     "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "ann_ivf_trained_topk": (ann_ivf_trained_topk, _ivf_trained_sql()),
+    "dd_semantic_dedup": (semantic_dedup, _semdedup_sql()),
     "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
     "p17_geocode_cascade": (geocode_suppliers, _p17_sql()),
     "o1_recent_events_sorted": (recent_events_sorted, O1_SQL),

@@ -401,6 +401,45 @@ def group_read(
     )
 
 
+def group_vacuum(root: str, keep_versions: int = 1) -> list[str]:
+    """``vacuum`` for a multi-table commit group: delete data files (in
+    any sub-table) referenced by NO retained manifest — crashed
+    writers' orphans and files only trimmed history references. Never
+    touches the live version's files. Returns deleted root-relative
+    paths."""
+    current = _read_current_name(root)
+    if current is None:
+        return []
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    manifests = sorted(os.listdir(mdir))
+    keep = set(manifests[-keep_versions:]) if keep_versions else set()
+    keep.add(current)
+    referenced: set[str] = set()
+    for name in keep:
+        with open(_manifest_path(root, name), encoding="utf-8") as f:
+            for files in json.load(f)["tables"].values():
+                referenced.update(files)
+    deleted = []
+    for entry in os.listdir(root):
+        data_root = os.path.join(root, entry, _DATA_DIR)
+        if entry in (_MANIFEST_DIR,) or not os.path.isdir(data_root):
+            continue
+        for r, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(r, fn)
+                rel = os.path.relpath(full, root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    deleted.append(rel)
+        for r, dirs, files in list(os.walk(data_root, topdown=False)):
+            if not dirs and not files and r != data_root:
+                os.rmdir(r)
+    for name in manifests:
+        if name not in keep:
+            os.remove(_manifest_path(root, name))
+    return sorted(deleted)
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (orphans
     from crashed writers, and files only older versions reference once

@@ -1026,6 +1026,46 @@ class TestManifestTable:
         assert calls, "supplied compare_and_swap callable was not used"
         assert self._rows(spark, table) == {(1, "a"), (3, "B"), (4, "c")}
 
+    def test_group_commit_roundtrip_and_vacuum(self, spark, tmp_path):
+        """Multi-table commit group: both sub-tables publish under one
+        pointer flip; a crashed writer's staged files in EITHER
+        sub-table are invisible and group_vacuum removes them while the
+        live version's files survive."""
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        root = str(tmp_path / "g")
+        mt.group_append(
+            {
+                "corpus": spark.createDataFrame([(1, "a")], "k long, v string"),
+                "index": spark.createDataFrame([(1, 7)], "k long, band int"),
+            },
+            root,
+        )
+        mt.group_append(
+            {
+                "corpus": spark.createDataFrame([(2, "b")], "k long, v string"),
+                "index": spark.createDataFrame([(2, 9)], "k long, band int"),
+            },
+            root,
+        )
+        assert mt.group_read(spark, root, "corpus").count() == 2
+        assert mt.group_read(spark, root, "index").count() == 2
+        # version 0 still readable (time travel) before vacuum trims it
+        assert mt.group_read(spark, root, "corpus", version=0).count() == 1
+
+        # a writer stages into one sub-table and dies before publishing
+        mt._stage_group_files(
+            spark.createDataFrame([(9, "ghost")], "k long, v string"),
+            root,
+            "corpus",
+        )
+        assert mt.group_read(spark, root, "corpus").count() == 2  # invisible
+
+        deleted = mt.group_vacuum(root)
+        assert deleted, "orphans and trimmed-history files should be deleted"
+        assert mt.group_read(spark, root, "corpus").count() == 2
+        assert mt.group_read(spark, root, "index").count() == 2
+
     def test_default_cas_serializes_simultaneous_commits(self, spark, tmp_path):
         """The round-8 default CAS (O_CREAT|O_EXCL lock around the
         check->replace pair) must survive genuinely simultaneous

@@ -43,6 +43,7 @@ NEVER_DRIVER_SAMPLED = {
     # hashes it
     "txt_length_percentiles_approx",
     "smp_dsir_weights",
+    "dd_semantic_dedup",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",
