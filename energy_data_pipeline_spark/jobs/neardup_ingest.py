@@ -136,6 +136,59 @@ def near_dup_ingest_job(
         _release(pins)
 
 
+def compact_band_index_job(spark, group_root: str) -> dict:
+    """Rewrite the band index dropping duplicate rows, in one atomic
+    group commit. The self-healing replay path deliberately tolerates
+    duplicate (doc, band) index rows (extra candidate probes, no wrong
+    answers) — this job is the periodic hygiene pass that reclaims the
+    probe cost: distinct over the full index, staged as a fresh file
+    set, one pointer flip. Readers mid-probe keep their snapshot.
+    Returns {rows_before, rows_after}."""
+    index = manifest_table.group_read(spark, group_root, INDEX_SUB)
+    if index is None:
+        return {"rows_before": 0, "rows_after": 0}
+    before = index.count()
+    compacted = index.distinct()
+    after = compacted.count()
+    if after < before:
+        manifest_table.group_overwrite({INDEX_SUB: compacted}, group_root)
+    return {"rows_before": before, "rows_after": after}
+
+
+def corpus_forget_job(spark, group_root: str, doc_ids: DataFrame) -> dict:
+    """Atomic removal of documents from the corpus AND the band index —
+    the retention / right-to-be-forgotten primitive a production corpus
+    needs: both sub-tables are rewritten minus the requested ids and
+    publish under ONE pointer flip, so no reader or ingest probe ever
+    sees a corpus doc whose index rows are gone (or vice versa).
+    ``doc_ids`` is a one-column (doc_id) frame; the anti-join is
+    shuffled (the forget set is data-dependent — never forced
+    broadcast, AQE size-gates it). Old versions still reference the
+    forgotten rows until ``group_vacuum`` trims history — run it after
+    the commit when deletion must be physical. At 100 TB the rewrite
+    would prune to only the files whose min/max doc_id range intersects
+    the forget set (the manifest's file list is the natural place to
+    carry those stats); the commit protocol is unchanged by that
+    optimization. Returns {corpus_removed, index_removed}."""
+    ids = doc_ids.select("doc_id").distinct()
+    corpus = manifest_table.group_read(spark, group_root, CORPUS_SUB)
+    index = manifest_table.group_read(spark, group_root, INDEX_SUB)
+    if corpus is None or index is None:
+        return {"corpus_removed": 0, "index_removed": 0}
+    c_before, i_before = corpus.count(), index.count()
+    corpus_kept = corpus.join(ids, "doc_id", "left_anti")
+    index_kept = index.join(ids, "doc_id", "left_anti")
+    c_after, i_after = corpus_kept.count(), index_kept.count()
+    if c_after < c_before or i_after < i_before:
+        manifest_table.group_overwrite(
+            {CORPUS_SUB: corpus_kept, INDEX_SUB: index_kept}, group_root
+        )
+    return {
+        "corpus_removed": c_before - c_after,
+        "index_removed": i_before - i_after,
+    }
+
+
 def near_dup_ingest_job_atomic(
     batch_df: DataFrame,
     group_root: str,

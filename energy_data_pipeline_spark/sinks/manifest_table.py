@@ -348,23 +348,17 @@ def _stage_group_files(df: DataFrame, root: str, sub: str) -> list[str]:
     return sorted(rel)
 
 
-def group_append(
-    frames: dict[str, DataFrame],
+def _publish_group(
     root: str,
-    compare_and_swap: CasFn | None = None,
+    tables: dict[str, list[str]],
+    parent: dict | None,
+    compare_and_swap: CasFn | None,
 ) -> dict:
-    """Append ``frames[sub]`` to each sub-table of the group at
-    ``root`` in ONE commit: all sub-tables' new files stage invisibly,
-    then a single pointer flip makes every append visible atomically.
-    A crash anywhere before the flip leaves only orphan files — no
-    sub-table ever sees the batch without the others."""
+    """Write the group's next-version manifest and flip the pointer —
+    shared commit tail of group_append / group_overwrite (same
+    durability order as _publish: manifest and tmp pointer fsynced
+    before the swap)."""
     cas = compare_and_swap or _locked_replace_if_unchanged
-    os.makedirs(root, exist_ok=True)
-    parent = read_manifest(root)
-    tables: dict[str, list[str]] = dict(parent["tables"]) if parent else {}
-    for sub, df in frames.items():
-        staged = _stage_group_files(df, root, sub)
-        tables[sub] = tables.get(sub, []) + staged
     version = (parent["version"] + 1) if parent else 0
     manifest = {
         "version": version,
@@ -386,6 +380,43 @@ def group_append(
         os.fsync(f.fileno())
     cas(os.path.join(root, _CURRENT), tmp, parent["name"] if parent else None)
     return manifest
+
+
+def group_append(
+    frames: dict[str, DataFrame],
+    root: str,
+    compare_and_swap: CasFn | None = None,
+) -> dict:
+    """Append ``frames[sub]`` to each sub-table of the group at
+    ``root`` in ONE commit: all sub-tables' new files stage invisibly,
+    then a single pointer flip makes every append visible atomically.
+    A crash anywhere before the flip leaves only orphan files — no
+    sub-table ever sees the batch without the others."""
+    os.makedirs(root, exist_ok=True)
+    parent = read_manifest(root)
+    tables: dict[str, list[str]] = dict(parent["tables"]) if parent else {}
+    for sub, df in frames.items():
+        staged = _stage_group_files(df, root, sub)
+        tables[sub] = tables.get(sub, []) + staged
+    return _publish_group(root, tables, parent, compare_and_swap)
+
+
+def group_overwrite(
+    frames: dict[str, DataFrame],
+    root: str,
+    compare_and_swap: CasFn | None = None,
+) -> dict:
+    """Replace the NAMED sub-tables' contents in one commit (sub-tables
+    not named keep their current files). The compaction / retention
+    primitive: stage full replacement file sets, one pointer flip —
+    readers see the old group until the instant of commit, and a crash
+    leaves only orphans for ``group_vacuum``."""
+    os.makedirs(root, exist_ok=True)
+    parent = read_manifest(root)
+    tables: dict[str, list[str]] = dict(parent["tables"]) if parent else {}
+    for sub, df in frames.items():
+        tables[sub] = _stage_group_files(df, root, sub)
+    return _publish_group(root, tables, parent, compare_and_swap)
 
 
 def group_read(

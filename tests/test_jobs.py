@@ -414,3 +414,61 @@ class TestNearDupIngest:
         assert s2["admitted"] == 1
         assert manifest_table.group_read(spark, root, CORPUS_SUB).count() == 2
         assert manifest_table.group_read(spark, root, INDEX_SUB).count() > idx_before
+
+    def test_compact_and_forget_maintain_group_invariants(self, spark, tmp_path):
+        """Operational hygiene over the commit group: compaction drops
+        the duplicate index rows a self-healed replay leaves behind
+        (admission results unchanged), and the forget job removes a
+        document from corpus AND index in one commit — a subsequent
+        re-ingest of the forgotten text is admitted again, proving no
+        stale index rows survived to reject it."""
+        from energy_data_pipeline_spark.jobs.neardup_ingest import (
+            CORPUS_SUB,
+            INDEX_SUB,
+            compact_band_index_job,
+            corpus_forget_job,
+            near_dup_ingest_job_atomic,
+        )
+        from energy_data_pipeline_spark.sinks import manifest_table
+
+        root = str(tmp_path / "group")
+        base = " ".join(f"a{i} b{i} c{i}" for i in range(12))
+        other = " ".join(f"k{i} l{i} m{i}" for i in range(15))
+        b1 = spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id long, text string"
+        )
+        near_dup_ingest_job_atomic(b1, root)
+
+        # simulate the self-healing replay's duplicate index rows
+        idx = manifest_table.group_read(spark, root, INDEX_SUB)
+        manifest_table.group_append(
+            {INDEX_SUB: idx.filter("doc_id = 1")}, root
+        )
+        dup_count = manifest_table.group_read(spark, root, INDEX_SUB).count()
+        stats = compact_band_index_job(spark, root)
+        assert stats["rows_before"] == dup_count
+        assert stats["rows_after"] < dup_count
+        # admission behavior unchanged: near-dup of doc 1 still rejected
+        probe = spark.createDataFrame(
+            [(10, base.replace("a3", "z3"))], "doc_id long, text string"
+        )
+        assert near_dup_ingest_job_atomic(probe, root)["admitted"] == 0
+
+        # forget doc 1 everywhere, atomically
+        stats = corpus_forget_job(
+            spark, root, spark.createDataFrame([(1,)], "doc_id long")
+        )
+        assert stats["corpus_removed"] == 1 and stats["index_removed"] > 0
+        assert manifest_table.group_read(spark, root, CORPUS_SUB).filter(
+            "doc_id = 1"
+        ).count() == 0
+        assert manifest_table.group_read(spark, root, INDEX_SUB).filter(
+            "doc_id = 1"
+        ).count() == 0
+        # physical deletion after history trim
+        deleted = manifest_table.group_vacuum(root)
+        assert deleted
+
+        # the forgotten content is admittable again — no ghost index rows
+        again = spark.createDataFrame([(20, base)], "doc_id long, text string")
+        assert near_dup_ingest_job_atomic(again, root)["admitted"] == 1
