@@ -288,7 +288,95 @@ def main():
         )
     )
 
+    # DSIR importance weights at 20x docs: one explode -> (doc, bucket)
+    # combine; the weight table stays 4096 rows at any size, so scaling
+    # should track the token volume, not the pair count
+    from energy_data_pipeline_spark.functions.text import words as _words
+    from energy_data_pipeline_spark.functions.text import (
+        shingles_from_words as _sfw,
+    )
+
+    def dsir_shape(docs_df):
+        wl = _words(F.col("text"))
+        feats = F.concat(wl, _sfw(wl, 2))
+        bkt = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast(
+            "long"
+        ) % F.lit(4096)
+        per_doc = (
+            docs_df.withColumn(
+                "source", (F.col("doc_id") % 20).cast("string")
+            )
+            .select("doc_id", "source", F.explode(feats).alias("f"))
+            .select("doc_id", "source", bkt.alias("b"))
+            .groupBy("doc_id", "source", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        raw = per_doc.groupBy("b").agg(F.sum("n").alias("c_r"))
+        tgt = (
+            per_doc.filter(F.col("source") == "0")
+            .groupBy("b")
+            .agg(F.sum("n").alias("c_t"))
+        )
+        totals = raw.agg(F.sum("c_r").alias("_nr")).crossJoin(
+            tgt.agg(F.sum("c_t").alias("_nt"))
+        )
+        weight = (
+            raw.join(tgt, "b", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "b",
+                (
+                    F.log((F.coalesce("c_t", F.lit(0)) + 1) / (F.col("_nt") + 4096))
+                    - F.log((F.col("c_r") + 1) / (F.col("_nr") + 4096))
+                ).alias("w"),
+            )
+        )
+        return (
+            per_doc.join(F.broadcast(weight), "b")
+            .groupBy("doc_id")
+            .agg((F.sum(F.col("n") * F.col("w")) / F.sum("n")).alias("s"))
+        )
+
+    for n, label in ((5_000, "5k"), (100_000, "100k")):
+        docs = synth_docs(spark, n)
+        results[f"dsir_{label}"] = timed(lambda d=docs: noop(dsir_shape(d)))
+
+    # SemDeDup within-cell pair join at 20x vectors: pair work is
+    # quadratic per CELL — with cells tracking corpus size / k, 20x
+    # vectors is ~20x cells of similar size, so the probe should show
+    # near-linear wall, not the 400x a corpus-wide pair join would cost
+    from energy_data_pipeline_spark.functions.vectors import cosine as _cos
+
+    def semdedup_shape(n):
+        emb = spark.range(0, n, 1, 64).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda d: (F.pmod(F.xxhash64("id", d), 1000) / 1000.0),
+            ).alias("v"),
+            # synthetic "cell": 64 vectors per cell, the density a
+            # trained k = n/64 quantizer would produce
+            (F.col("id") / 64).cast("long").alias("cell"),
+        )
+        a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "cell")
+        b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "cell")
+        losers = (
+            a.join(b, "cell")
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(_cos("v1", "v2") >= 0.999)
+            .select(F.col("id2").alias("vec_id"))
+            .distinct()
+        )
+        return emb.join(losers, "vec_id", "left_anti").select("vec_id", "cell")
+
+    for n, label in ((10_000, "10k"), (200_000, "200k")):
+        results[f"semdedup_{label}"] = timed(lambda k=n: noop(semdedup_shape(k)))
+
     results["ratios"] = {
+        "dsir_20x_docs": round(results["dsir_100k"] / results["dsir_5k"], 2),
+        "semdedup_20x_vecs": round(
+            results["semdedup_200k"] / results["semdedup_10k"], 2
+        ),
         "ngram_decon_20x_docs": round(
             results["ngram_decon_100k"] / results["ngram_decon_5k"], 2
         ),
