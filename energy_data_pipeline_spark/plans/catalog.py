@@ -47,6 +47,7 @@ _SAMPLE_PRIORITY = [
     "dd_ngram_decontamination",
     "dd_cross_split_contamination",
     "dd_semantic_dedup",
+    "txt_dup_span_fraction",
     "txt_line_dedup",
     "txt_pii_redaction",
     "txt_tfidf_topk",

@@ -1087,6 +1087,97 @@ FROM shared
 """
 
 
+# --- duplicate-span fraction (ExactSubstr-style dedup signal) -------------
+SPAN_N = 8  # tokens per span; Lee et al. use 50 on web text — the
+# synthetic docs are ~20-40 words, so 8 keeps the signal non-trivial
+
+
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage — the gram-wise
+    approximation of ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": substrings of >= N
+    tokens appearing verbatim in another document are memorization
+    fuel and should be trimmed). For every POSITION in a document, the
+    {n}-token gram starting there is checked for presence in at least
+    one OTHER document (distinct-doc frequency >= 2 — within-doc
+    repetition deliberately does not count); the output is each doc's
+    span count, duplicated-span count, and duplicated fraction — the
+    per-doc statistic a trimming pass thresholds on. Docs shorter than
+    {n} tokens carry no spans and are absent, matching the oracle's
+    inner semantics.
+
+    Shape & scale: ONE positional-gram explode feeds a pinned
+    (doc, idx, gram) table; the gram's distinct-doc frequency is an
+    AGGREGATE over it (linear in occurrences — no self-join, so a
+    viral boilerplate gram costs its occurrence count, never a
+    quadratic bucket), joined back keyed on the gram, then one per-doc
+    combine. Prepared-plan memoized with the position table pinned."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        pos = (
+            docs.select(
+                "doc_id",
+                F.posexplode(T.shingles(F.col("text"), SPAN_N)).alias(
+                    "idx", "g"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins: plan_cache.PinList = [(pos, StorageLevel.MEMORY_AND_DISK)]
+        gram_df = pos.groupBy("g").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        df = (
+            pos.join(gram_df, "g")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+                F.sum((F.col("_df") >= 2).cast("long"))
+                .cast("bigint")
+                .alias("n_dup_spans"),
+            )
+            .withColumn(
+                "dup_fraction",
+                rnd(F.col("n_dup_spans") / F.col("n_spans"), 4),
+            )
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(
+        spark, ("dup_spans", sf_dir, SPAN_N), build
+    )
+
+
+dup_span_fraction.__doc__ = dup_span_fraction.__doc__.format(n=SPAN_N)
+
+
+def _dup_span_sql() -> str:
+    n = SPAN_N
+    terms = " || ' ' || ".join([f"wl[i+{j}]" for j in range(n)])
+    return f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(wl) - {n - 2}),
+                                       i -> {terms})) AS g
+  FROM w WHERE len(wl) >= {n}
+), gdf AS (
+  SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_fraction
+FROM pos JOIN gdf USING (g)
+GROUP BY doc_id
+"""
+
+
 # --- DSIR-style importance weights (domain-targeted data selection) ---
 DSIR_BUCKETS = 4096  # hashed n-gram feature space
 DSIR_TARGET_SOURCE = "src0"  # the target-domain exemplar slice
@@ -2009,6 +2100,7 @@ CORPUS_QUERIES = {
     ),
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
     "smp_dsir_weights": (dsir_importance_weights, DSIR_SQL),
+    "txt_dup_span_fraction": (dup_span_fraction, _dup_span_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
     "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),

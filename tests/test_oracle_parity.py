@@ -44,6 +44,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_length_percentiles_approx",
     "smp_dsir_weights",
     "dd_semantic_dedup",
+    "txt_dup_span_fraction",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",

@@ -230,6 +230,22 @@ def test_narrow_preprocessing_is_exchange_free(spark, name):
     assert "Scan parquet" in plan
 
 
+@pytest.mark.parametrize("name", ["smp_dsir_weights", "dd_semantic_dedup"])
+def test_round8_queries_reuse_pinned_combine(spark, name):
+    """DSIR and SemDeDup each derive several consumers (distributions /
+    join sides) from ONE pinned intermediate — the plan must reference
+    it via InMemoryTableScan (cache-backed, computed once), never
+    contain an unpartitioned cartesian, and never sort-merge a side
+    that should broadcast at this scale."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_membership_is_shuffle_free_expression(spark):
     """The Bloom membership test is a pure expression riding a one-row
     broadcast (dense bitmap array + forall over positions) — the plan
