@@ -408,3 +408,94 @@ def np_f32(x: float) -> float:
     import numpy as np
 
     return float(np.float32(x))
+
+
+def test_semdedup_kept_set_has_no_within_cell_dups(spark, sf_small):
+    """SemDeDup postcondition on real output: among KEPT vectors, no
+    two sharing a cell have cosine >= eps (every such pair must have
+    lost its higher-id member), and every dropped vector has a kept
+    lower-id witness in its cell at >= eps. Checked exhaustively by a
+    driver-side recomputation over the sf0.001 embeddings."""
+    import math
+
+    from energy_data_pipeline_spark.plans.catalog_ext import (
+        SEMDEDUP_EPS,
+        semantic_dedup,
+    )
+    from energy_data_pipeline_spark.sources import load_table
+
+    kept_rows = semantic_dedup(spark, sf_small).collect()
+    kept = {r["vec_id"]: r["cell"] for r in kept_rows}
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    by_cell: dict = {}
+    for vid, cell in kept.items():
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, ids in by_cell.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert cos(emb[a], emb[b]) < SEMDEDUP_EPS, (
+                    f"kept near-dup pair ({a}, {b}) in cell {cell}"
+                )
+    # dropped vectors: must have a lower-id kept witness in-cell...
+    # a dropped vector's witness may itself be any LOWER-id vector
+    # (kept or since-dropped) — the rule is pairwise, not transitive,
+    # so assert the weaker (and exact) condition: some lower-id vector
+    # in the same cell is >= eps
+    from energy_data_pipeline_spark.operators import ivf
+    from energy_data_pipeline_spark.plans.catalog_ext import IVF_TRAIN_ITERS
+    from energy_data_pipeline_spark.sources import fan_out
+
+    emb_df = fan_out(load_table(spark, sf_small, "embeddings"))
+    cents = ivf.kmeans_lloyd(
+        emb_df, "vec_id", "embedding", k=ivf.N_CELLS, iterations=IVF_TRAIN_ITERS
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf.ivf_assign(emb_df, cents).select("vec_id", "cell").collect()
+    }
+    dropped = set(emb) - set(kept)
+    assert dropped, "threshold should drop something at sf0.001"
+    for vid in dropped:
+        witnesses = [
+            o
+            for o, c in cells.items()
+            if c == cells[vid] and o < vid and cos(emb[o], emb[vid]) >= SEMDEDUP_EPS
+        ]
+        assert witnesses, f"vector {vid} was dropped with no in-cell witness"
+
+
+def test_dsir_weights_favor_target_source(spark, sf_small):
+    """DSIR sanity: documents FROM the target exemplar slice must score
+    a higher mean importance weight than the rest of the corpus — the
+    defining property of importance resampling toward a target domain
+    (each target doc's features are, in aggregate, more likely under
+    the target distribution they helped define)."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance_weights,
+    )
+    from energy_data_pipeline_spark.sources import load_table
+
+    w = dsir_importance_weights(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "source")
+    means = {
+        r["is_target"]: r["m"]
+        for r in w.join(docs, "doc_id")
+        .groupBy((F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"))
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
