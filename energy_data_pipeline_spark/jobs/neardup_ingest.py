@@ -158,34 +158,59 @@ def compact_band_index_job(spark, group_root: str) -> dict:
 def corpus_forget_job(spark, group_root: str, doc_ids: DataFrame) -> dict:
     """Atomic removal of documents from the corpus AND the band index —
     the retention / right-to-be-forgotten primitive a production corpus
-    needs: both sub-tables are rewritten minus the requested ids and
-    publish under ONE pointer flip, so no reader or ingest probe ever
-    sees a corpus doc whose index rows are gone (or vice versa).
-    ``doc_ids`` is a one-column (doc_id) frame; the anti-join is
-    shuffled (the forget set is data-dependent — never forced
-    broadcast, AQE size-gates it). Old versions still reference the
-    forgotten rows until ``group_vacuum`` trims history — run it after
-    the commit when deletion must be physical. At 100 TB the rewrite
-    would prune to only the files whose min/max doc_id range intersects
-    the forget set (the manifest's file list is the natural place to
-    carry those stats); the commit protocol is unchanged by that
-    optimization. Returns {corpus_removed, index_removed}."""
-    ids = doc_ids.select("doc_id").distinct()
+    needs: both sub-tables lose the requested ids and publish under ONE
+    pointer flip, so no reader or ingest probe ever sees a corpus doc
+    whose index rows are gone (or vice versa).
+
+    FILE-PRUNED: the rewrite goes through
+    ``manifest_table.group_prune_rewrite`` — only the parquet files
+    whose footer [min, max] doc_id range intersects the forget set are
+    read and rewritten; every other file carries over into the new
+    version untouched (same path, no read, no copy). At 100 TB that is
+    the difference between rewriting the corpus and rewriting the
+    handful of files the ids live in. The forget set is collected to
+    the driver (retention requests are human-scale — ids, not
+    predicates); the per-file anti-join stays a DataFrame op. Old
+    versions still reference the forgotten rows until ``group_vacuum``
+    trims history — run it after the commit when deletion must be
+    physical. Returns {corpus_removed, index_removed, files_touched,
+    files_carried}."""
+    ids = {
+        r["doc_id"] for r in doc_ids.select("doc_id").distinct().collect()
+    }
     corpus = manifest_table.group_read(spark, group_root, CORPUS_SUB)
     index = manifest_table.group_read(spark, group_root, INDEX_SUB)
-    if corpus is None or index is None:
-        return {"corpus_removed": 0, "index_removed": 0}
+    if corpus is None or index is None or not ids:
+        return {
+            "corpus_removed": 0,
+            "index_removed": 0,
+            "files_touched": 0,
+            "files_carried": 0,
+        }
     c_before, i_before = corpus.count(), index.count()
-    corpus_kept = corpus.join(ids, "doc_id", "left_anti")
-    index_kept = index.join(ids, "doc_id", "left_anti")
-    c_after, i_after = corpus_kept.count(), index_kept.count()
-    if c_after < c_before or i_after < i_before:
-        manifest_table.group_overwrite(
-            {CORPUS_SUB: corpus_kept, INDEX_SUB: index_kept}, group_root
-        )
+    ids_df = spark.createDataFrame(
+        [(i,) for i in sorted(ids)], "doc_id long"
+    )
+
+    def drop_ids(df: DataFrame) -> DataFrame:
+        return df.join(ids_df, "doc_id", "left_anti")
+
+    res = manifest_table.group_prune_rewrite(
+        spark,
+        group_root,
+        {
+            CORPUS_SUB: ("doc_id", drop_ids),
+            INDEX_SUB: ("doc_id", drop_ids),
+        },
+        prune_values={CORPUS_SUB: ids, INDEX_SUB: ids},
+    )
+    c_after = manifest_table.group_read(spark, group_root, CORPUS_SUB).count()
+    i_after = manifest_table.group_read(spark, group_root, INDEX_SUB).count()
     return {
         "corpus_removed": c_before - c_after,
         "index_removed": i_before - i_after,
+        "files_touched": sum(res["touched"].values()),
+        "files_carried": sum(res["carried"].values()),
     }
 
 

@@ -348,6 +348,86 @@ def _stage_group_files(df: DataFrame, root: str, sub: str) -> list[str]:
     return sorted(rel)
 
 
+def file_column_range(root: str, rel_path: str, column: str) -> tuple | None:
+    """(min, max) of ``column`` over one staged parquet file, read from
+    the file's OWN footer statistics (pyarrow metadata — a local
+    metadata read, no Spark job, no data scan). This is the per-file
+    pruning statistic every table format keeps in its manifests; here
+    it is derived on demand from the footer rather than duplicated into
+    the manifest, so it can never drift from the data. Returns None if
+    the column has no usable stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(root, rel_path)).metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            if col.path_in_schema != column:
+                continue
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            lo = stats.min if lo is None else min(lo, stats.min)
+            hi = stats.max if hi is None else max(hi, stats.max)
+    if lo is None:
+        return None
+    return (lo, hi)
+
+
+def group_prune_rewrite(
+    spark: SparkSession,
+    root: str,
+    rewrites: dict[str, tuple[str, "Callable[[DataFrame], DataFrame]"]],
+    prune_values: "dict[str, set] | None" = None,
+    compare_and_swap: CasFn | None = None,
+) -> dict:
+    """File-pruned rewrite of group sub-tables in ONE commit — the
+    scale-correct shape of a retention/compaction pass: for each sub in
+    ``rewrites`` (mapping sub -> (prune_column, transform)), only the
+    files whose footer [min, max] range on ``prune_column`` intersects
+    ``prune_values[sub]`` are read and rewritten through ``transform``;
+    every other file carries over into the new manifest UNTOUCHED (no
+    read, no copy — the same file path appears in the new version).
+    With None prune_values (or a file lacking stats) every file of that
+    sub is rewritten — graceful degradation to the full rewrite.
+    Returns {"manifest": ..., "touched": {sub: n_files_rewritten},
+    "carried": {sub: n_files_untouched}}.
+
+    At 100 TB this is the difference between rewriting the corpus and
+    rewriting the handful of files a forget-request's ids actually
+    live in."""
+    parent = read_manifest(root)
+    if parent is None:
+        raise FileNotFoundError(f"commit group {root} has no committed data")
+    tables: dict[str, list[str]] = dict(parent["tables"])
+    touched_n: dict[str, int] = {}
+    carried_n: dict[str, int] = {}
+    for sub, (prune_col, transform) in rewrites.items():
+        files = tables.get(sub, [])
+        values = (prune_values or {}).get(sub)
+        touched, carried = [], []
+        for f in files:
+            if values is None:
+                touched.append(f)
+                continue
+            rng = file_column_range(root, f, prune_col)
+            if rng is None or any(rng[0] <= v <= rng[1] for v in values):
+                touched.append(f)
+            else:
+                carried.append(f)
+        staged: list[str] = []
+        if touched:
+            df = spark.read.parquet(*[os.path.join(root, p) for p in touched])
+            staged = _stage_group_files(transform(df), root, sub)
+        tables[sub] = sorted(carried) + staged
+        touched_n[sub] = len(touched)
+        carried_n[sub] = len(carried)
+    manifest = _publish_group(root, tables, parent, compare_and_swap)
+    return {"manifest": manifest, "touched": touched_n, "carried": carried_n}
+
+
 def _publish_group(
     root: str,
     tables: dict[str, list[str]],

@@ -472,3 +472,45 @@ class TestNearDupIngest:
         # the forgotten content is admittable again — no ghost index rows
         again = spark.createDataFrame([(20, base)], "doc_id long, text string")
         assert near_dup_ingest_job_atomic(again, root)["admitted"] == 1
+
+    def test_forget_job_rewrites_only_intersecting_files(self, spark, tmp_path):
+        """The forget job is FILE-PRUNED: with three appended batches
+        (three disjoint doc_id ranges → three file sets), forgetting an
+        id from the middle range must rewrite only that range's files —
+        the other batches' parquet paths appear IDENTICAL in the new
+        manifest version (no read, no copy), while the data still loses
+        exactly the forgotten rows."""
+        from energy_data_pipeline_spark.jobs.neardup_ingest import (
+            CORPUS_SUB,
+            INDEX_SUB,
+            corpus_forget_job,
+        )
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        root = str(tmp_path / "group")
+        for lo in (0, 100, 200):
+            docs = spark.createDataFrame(
+                [(lo + i, f"text {lo + i}") for i in range(10)],
+                "doc_id long, text string",
+            ).coalesce(1)
+            idx = spark.createDataFrame(
+                [(lo + i, 7) for i in range(10)], "doc_id long, band int"
+            ).coalesce(1)
+            mt.group_append({CORPUS_SUB: docs, INDEX_SUB: idx}, root)
+
+        before = mt.read_manifest(root)["tables"]
+        stats = corpus_forget_job(
+            spark, root, spark.createDataFrame([(105,)], "doc_id long")
+        )
+        assert stats["corpus_removed"] == 1 and stats["index_removed"] == 1
+        assert stats["files_carried"] >= 4  # 2 untouched batches x 2 subs
+        assert stats["files_touched"] <= 2  # only the middle batch's files
+
+        after = mt.read_manifest(root)["tables"]
+        for sub in (CORPUS_SUB, INDEX_SUB):
+            carried = set(before[sub]) & set(after[sub])
+            # both non-intersecting batches' files survive by PATH
+            assert len(carried) >= 2, (sub, before[sub], after[sub])
+        corpus = mt.group_read(spark, root, CORPUS_SUB)
+        assert corpus.count() == 29
+        assert corpus.filter("doc_id = 105").count() == 0
