@@ -43,6 +43,7 @@ _SAMPLE_PRIORITY = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_quantized_topk",
+    "ann_lsh_multiprobe_topk",
     "dd_bloom_decontamination",
     "dd_ngram_decontamination",
     "dd_cross_split_contamination",

@@ -1461,6 +1461,44 @@ class TestBloom:
         assert out[0]["_bloom_hit"] is True
 
 
+class TestAnnRecall:
+    """Measured-recall regression for the ANN variants vs the exact
+    brute-force baseline at sf0.001 (deterministic data → deterministic
+    recall). IVF with nprobe=2/8 cells holds ~0.95 here; single-bucket
+    sign-LSH collapses to ~0.05 on this near-uniform corpus (per-plane
+    collision ~0.65 at cos~0.45 → 0.65^6) — which is exactly why the
+    radius-1 multiprobe variant exists: same index, ~5-8x the recall
+    for (n_planes+1)x the probed buckets."""
+
+    @staticmethod
+    def _pairs(spark, sf, name):
+        from energy_data_pipeline_spark.plans.catalog import CATALOG
+
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in CATALOG[name][0](spark, sf).collect()
+        }
+
+    def test_ivf_recall_floor(self, spark, sf_small):
+        truth = self._pairs(spark, sf_small, "ann_brute_force_topk")
+        for name in ("ann_ivf_topk", "ann_ivf_trained_topk"):
+            got = self._pairs(spark, sf_small, name)
+            recall = len(got & truth) / len(truth)
+            assert recall >= 0.85, f"{name} recall {recall:.3f} < 0.85"
+
+    def test_multiprobe_beats_single_bucket(self, spark, sf_small):
+        truth = self._pairs(spark, sf_small, "ann_brute_force_topk")
+        single = self._pairs(spark, sf_small, "ann_lsh_topk")
+        multi = self._pairs(spark, sf_small, "ann_lsh_multiprobe_topk")
+        r_single = len(single & truth) / len(truth)
+        r_multi = len(multi & truth) / len(truth)
+        assert r_multi > r_single, (r_multi, r_single)
+        # measured: 0.20 at sf0.001 vs 0.05 single-bucket (4x); the
+        # floor leaves headroom for data regeneration, the RELATIVE
+        # assertion above is the real invariant
+        assert r_multi >= 0.15, f"multiprobe recall {r_multi:.3f} < 0.15"
+
+
 class TestApproxPercentiles:
     def test_exact_while_group_fits_accuracy(self, spark, sf_small):
         """The sketch retains every value while n <= accuracy, so the

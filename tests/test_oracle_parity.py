@@ -45,6 +45,7 @@ NEVER_DRIVER_SAMPLED = {
     "smp_dsir_weights",
     "dd_semantic_dedup",
     "txt_dup_span_fraction",
+    "ann_lsh_multiprobe_topk",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",
