@@ -56,6 +56,7 @@ _SAMPLE_PRIORITY = [
     "txt_length_percentiles_approx",
     "txt_unigram_logprob",
     "pk_sequence_pack_plan",
+    "pk_packed_sequences",
     "emb_quantize_int8",
     "emb_label_centroids",
     "emb_norm_outliers",

@@ -2124,6 +2124,86 @@ FROM c
 """
 
 
+# --- materialized packed sequences ----------------------------------------
+PACK_MAT_SEQ_LEN = 256  # short enough that docs split across sequence
+# boundaries at every tested scale (docs are ~20-40 words; a 2048 tape
+# would leave the split path unexercised below sf1)
+
+
+def packed_sequences_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer feed itself (operators/packing.packed_sequences):
+    per (source, lang, shard) the token tape chunked into
+    {seq_len}-token sequences, each row carrying the packed token
+    stream — returned as its md5 so the oracle value-checks the EXACT
+    byte content and order of every sequence without hauling token
+    arrays through the compare. Every sequence except a shard's last
+    is exactly {seq_len} tokens; documents split across boundaries by
+    construction (concat-and-chunk)."""
+    from ..operators.packing import packed_sequences
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    seqs = packed_sequences(
+        docs,
+        "doc_id",
+        T.words(F.col("text")),
+        shard_cols=["source", "lang"],
+        seq_len=PACK_MAT_SEQ_LEN,
+    )
+    return seqs.select(
+        "source",
+        "lang",
+        F.col("pack_shard").cast("bigint").alias("pack_shard"),
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("seq_hash"),
+    )
+
+
+packed_sequences_table.__doc__ = packed_sequences_table.__doc__.format(
+    seq_len=PACK_MAT_SEQ_LEN
+)
+
+
+def _packed_seqs_sql() -> str:
+    from ..operators.packing import SHARD_DOCS
+
+    L = PACK_MAT_SEQ_LEN
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH t AS (
+  SELECT source, lang, doc_id,
+         CAST(floor(doc_id / {SHARD_DOCS}) AS BIGINT) AS pack_shard,
+         {words} AS toks
+  FROM documents
+), tn AS (
+  SELECT *, len(toks) AS n FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT *, CAST(COALESCE(sum(n) OVER (
+              PARTITION BY source, lang, pack_shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum
+  FROM tn
+), spans AS (
+  SELECT source, lang, pack_shard, doc_id, toks, n, cum,
+         unnest(range(cum // {L}, (cum + n - 1) // {L} + 1)) AS seq_id
+  FROM c
+), pieces AS (
+  SELECT source, lang, pack_shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         list_slice(toks,
+                    CAST(greatest(0, seq_id * {L} - cum) + 1 AS BIGINT),
+                    CAST(least(n, (seq_id + 1) * {L} - cum) AS BIGINT)) AS piece
+  FROM spans
+)
+SELECT source, lang, pack_shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')) AS seq_hash
+FROM pieces
+GROUP BY 1, 2, 3, 4
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -2167,4 +2247,5 @@ CORPUS_QUERIES = {
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
     "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),
     "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
+    "pk_packed_sequences": (packed_sequences_table, _packed_seqs_sql()),
 }

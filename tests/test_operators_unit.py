@@ -1227,6 +1227,53 @@ class TestPiiRedaction:
 
 
 class TestSequencePacking:
+    def test_packed_sequences_match_python_packer(self, spark):
+        """The materializer vs a pure-Python concat-and-chunk reference:
+        same tape content per sequence (including a doc spanning THREE
+        sequence boundaries), every non-final sequence exactly seq_len
+        tokens, zero tokens lost or duplicated."""
+        from pyspark.sql import functions as F
+
+        from energy_data_pipeline_spark.operators.packing import (
+            packed_sequences,
+        )
+
+        L = 8
+        docs = {
+            1: [f"a{i}" for i in range(5)],
+            2: [f"b{i}" for i in range(20)],  # spans 3+ boundaries
+            3: [f"c{i}" for i in range(3)],
+            4: [],  # empty doc contributes nothing
+            5: [f"d{i}" for i in range(7)],
+        }
+        df = spark.createDataFrame(
+            [(k, "web", " ".join(v)) for k, v in docs.items()],
+            "doc_id long, source string, text string",
+        )
+        out = packed_sequences(
+            df,
+            "doc_id",
+            F.filter(F.split("text", r"\s+"), lambda w: w != ""),
+            shard_cols=["source"],
+            seq_len=L,
+            shard_docs=1000,
+        ).collect()
+
+        # python reference: concatenate in id order, chunk by L
+        tape = [t for k in sorted(docs) for t in docs[k]]
+        expected = {
+            i: tape[i * L : (i + 1) * L]
+            for i in range((len(tape) + L - 1) // L)
+        }
+        got = {r["seq_id"]: r["tokens"] for r in out}
+        assert got == expected
+        for r in out:
+            if r["seq_id"] < max(got):
+                assert r["n_tokens"] == L, r
+        # n_docs counts contributors: seq 0 = docs 1 + 2
+        n_docs = {r["seq_id"]: r["n_docs"] for r in out}
+        assert n_docs[0] == 2
+
     def test_concat_and_chunk_positions(self, spark):
         from pyspark.sql import functions as F
 

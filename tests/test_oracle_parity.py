@@ -46,6 +46,7 @@ NEVER_DRIVER_SAMPLED = {
     "dd_semantic_dedup",
     "txt_dup_span_fraction",
     "ann_lsh_multiprobe_topk",
+    "pk_packed_sequences",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",
