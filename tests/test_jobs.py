@@ -473,6 +473,41 @@ class TestNearDupIngest:
         again = spark.createDataFrame([(20, base)], "doc_id long, text string")
         assert near_dup_ingest_job_atomic(again, root)["admitted"] == 1
 
+    def test_corpus_drift_report_across_versions(self, spark, tmp_path):
+        """Drift report over manifest time travel: identical versions
+        report zero divergence; after an append that shifts the token
+        mix, the per-source deltas are exact and the JS divergence is
+        strictly positive and bounded by ln(2)."""
+        import math
+
+        from energy_data_pipeline_spark.jobs.corpus_drift import (
+            corpus_drift_report,
+        )
+        from energy_data_pipeline_spark.jobs.neardup_ingest import CORPUS_SUB
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        root = str(tmp_path / "group")
+        b0 = spark.createDataFrame(
+            [(i, "web", f"alpha beta gamma tok{i}") for i in range(10)],
+            "doc_id long, source string, text string",
+        )
+        mt.group_append({CORPUS_SUB: b0}, root)  # version 0
+        b1 = spark.createDataFrame(
+            [(100 + i, "api", "zzz yyy xxx www") for i in range(5)],
+            "doc_id long, source string, text string",
+        )
+        mt.group_append({CORPUS_SUB: b1}, root)  # version 1
+
+        same = corpus_drift_report(spark, root, 0, 0)
+        assert same["token_js_divergence"] == 0.0
+        assert same["docs_old"] == same["docs_new"] == 10
+
+        rep = corpus_drift_report(spark, root, 0)  # 0 -> live
+        assert rep["docs_old"] == 10 and rep["docs_new"] == 15
+        deltas = {s: d for s, _o, _n, d in rep["per_source"]}
+        assert deltas == {"web": 0, "api": 5}
+        assert 0 < rep["token_js_divergence"] <= math.log(2) + 1e-9
+
     def test_forget_job_rewrites_only_intersecting_files(self, spark, tmp_path):
         """The forget job is FILE-PRUNED: with three appended batches
         (three disjoint doc_id ranges → three file sets), forgetting an
