@@ -1298,6 +1298,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw.agg(F.sum("c_r").alias("_nr"))
             .crossJoin(tgt.agg(F.sum("c_t").alias("_nt")))
         )
+        # the weight table is pinned too: it is bucket-count-sized
+        # (4096 rows) but sits under a broadcast exchange that
+        # re-executes its raw/tgt/totals aggregations on EVERY action
+        # — caching it turns repeat invocations into one cached-read
+        # broadcast + the final combine
         weight = (
             raw.join(tgt, "b", "left")
             .crossJoin(F.broadcast(totals))
@@ -1311,7 +1316,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.log((F.col("c_r") + 1) / (F.col("_nr") + DSIR_BUCKETS))
                 ).alias("w"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pins.append((weight, StorageLevel.MEMORY_AND_DISK))
         df = (
             per_doc.join(F.broadcast(weight), "b")
             .groupBy("doc_id")
@@ -1982,13 +1989,24 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pins.append((train_grams, StorageLevel.MEMORY_AND_DISK))
         bitmap = bloom.build_bitmap(train_grams, "g")
-        eval_grams = tagged.filter(F.col("split") != "train").select(
-            "doc_id",
-            "split",
-            F.explode(
-                F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
-            ).alias("g"),
+        # the eval-side gram stream is ALSO pinned: it feeds both the
+        # membership test and (through the survivors) the exact verify
+        # join, and re-shingling the eval split dominated repeat
+        # invocations (~1.5 s/rep at sf0.1) once everything else was
+        # memoized — same deterministic-projection caching as the
+        # train side
+        eval_grams = (
+            tagged.filter(F.col("split") != "train")
+            .select(
+                "doc_id",
+                "split",
+                F.explode(
+                    F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+                ).alias("g"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pins.append((eval_grams, StorageLevel.MEMORY_AND_DISK))
         survivors = bloom.might_contain(eval_grams, "g", bitmap).filter(
             F.col("_bloom_hit")
         )
