@@ -372,7 +372,34 @@ def main():
     for n, label in ((10_000, "10k"), (200_000, "200k")):
         results[f"semdedup_{label}"] = timed(lambda k=n: noop(semdedup_shape(k)))
 
+    # materialized sequence packing at 20x docs: explode to touched
+    # sequences + per-sequence sorted assembly — the shuffle is one row
+    # per (doc, touched seq), so scaling should track token volume
+    from energy_data_pipeline_spark.operators.packing import packed_sequences
+
+    def pack_mat_shape(n):
+        d = spark.range(0, n, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.lit("web").alias("source"),
+            F.transform(
+                F.sequence(F.lit(1), (F.pmod(F.xxhash64("id"), 60) + 5).cast("int")),
+                lambda i: F.concat(F.lit("t"), i.cast("string")),
+            ).alias("toks"),
+        )
+        return packed_sequences(
+            d, "doc_id", F.col("toks"), ["source"], seq_len=512,
+            shard_docs=50_000,
+        ).select("seq_id", "n_tokens")
+
+    for n, label in ((25_000, "25k"), (500_000, "500k")):
+        results[f"pack_materialize_{label}"] = timed(
+            lambda k=n: noop(pack_mat_shape(k))
+        )
+
     results["ratios"] = {
+        "pack_materialize_20x_docs": round(
+            results["pack_materialize_500k"] / results["pack_materialize_25k"], 2
+        ),
         "dsir_20x_docs": round(results["dsir_100k"] / results["dsir_5k"], 2),
         "semdedup_20x_vecs": round(
             results["semdedup_200k"] / results["semdedup_10k"], 2
