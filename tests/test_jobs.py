@@ -549,3 +549,84 @@ class TestNearDupIngest:
         corpus = mt.group_read(spark, root, CORPUS_SUB)
         assert corpus.count() == 29
         assert corpus.filter("doc_id = 105").count() == 0
+
+
+class TestCorpusLifecycle:
+    def test_full_operational_story_composes(self, spark, tmp_path):
+        """Capstone: the whole corpus-operations surface in one flow —
+        streaming near-dup admission over two drains, index compaction,
+        a drift report between the resulting versions, an atomic
+        file-pruned forget, and a physical vacuum — each step observing
+        exactly the state the previous one committed."""
+        import math
+
+        from energy_data_pipeline_spark.jobs.corpus_drift import (
+            corpus_drift_report,
+        )
+        from energy_data_pipeline_spark.jobs.neardup_ingest import (
+            CORPUS_SUB,
+            INDEX_SUB,
+            compact_band_index_job,
+            corpus_forget_job,
+        )
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+        from energy_data_pipeline_spark.streaming.incremental import (
+            neardup_admission_stream,
+        )
+
+        landing = str(tmp_path / "landing")
+        root = str(tmp_path / "group")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "doc_id long, text string, ingest_ts timestamp"
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        texts = {
+            1: " ".join(f"a{i} b{i} c{i}" for i in range(12)),
+            2: " ".join(f"k{i} l{i} m{i}" for i in range(15)),
+            10: " ".join(f"x{i} y{i} z{i}" for i in range(14)),
+        }
+        stats: list = []
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(landing)
+            neardup_admission_stream(stream, root, ckpt, stats_out=stats)
+
+        # drain 1: two distinct docs admitted
+        spark.createDataFrame(
+            [(1, texts[1], t0), (2, texts[2], t0)], schema
+        ).write.mode("append").parquet(landing)
+        drain()
+        v_after_first = mt.read_manifest(root)["version"]
+
+        # drain 2: one near-dup (rejected via index), one new doc
+        spark.createDataFrame(
+            [(9, texts[1].replace("a3", "q3"), t0), (10, texts[10], t0)],
+            schema,
+        ).write.mode("append").parquet(landing)
+        drain()
+        assert stats[-1]["near_dup_of_corpus"] == 1
+        assert stats[-1]["admitted"] == 1
+
+        # compaction: duplicate index rows (none here) → no-op commit
+        comp = compact_band_index_job(spark, root)
+        assert comp["rows_after"] <= comp["rows_before"]
+
+        # drift between the first admission and live: doc 10 arrived
+        rep = corpus_drift_report(spark, root, v_after_first)
+        assert rep["docs_new"] - rep["docs_old"] == 1
+        assert 0 < rep["token_js_divergence"] < math.log(2)
+
+        # forget doc 1 atomically; its near-dup content re-admits after
+        fg = corpus_forget_job(
+            spark, root, spark.createDataFrame([(1,)], "doc_id long")
+        )
+        assert fg["corpus_removed"] == 1 and fg["index_removed"] > 0
+        deleted = mt.group_vacuum(root)
+        assert deleted  # old versions' files physically reclaimed
+        corpus = mt.group_read(spark, root, CORPUS_SUB)
+        assert {r.doc_id for r in corpus.collect()} == {2, 10}
+        idx_docs = {
+            r.doc_id for r in mt.group_read(spark, root, INDEX_SUB).collect()
+        }
+        assert idx_docs == {2, 10}  # group invariant: corpus == index docs
