@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY = [
     "emb_norm_outliers",
     "smp_token_budget_plan",
     "smp_dsir_weights",
+    "smp_exact_k_sample",
     "a12_multigrain_rollup",
     "j6_purchases_asof_views",
     "j7_clicks_in_purchase_spans",

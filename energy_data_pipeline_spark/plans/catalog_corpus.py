@@ -2142,6 +2142,42 @@ FROM c
 """
 
 
+# --- exact-size deterministic sample --------------------------------------
+EXACT_SAMPLE_K = 200
+EXACT_SAMPLE_SEED = "evalset-v1"
+
+
+def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K deterministic sample — the eval-set cut: rank every
+    document by md5(seed || doc_id) and keep the K smallest. Hash-rank
+    sampling is uniform (the hash is independent of any doc property),
+    EXACT in size (hash-mod thresholds like the stratified sampler's
+    only approximate it — a 500-doc eval set must be 500 docs), and
+    reproducible across engines, reruns, and repartitions, which
+    seeded rand() sampling is not. Ties are impossible (the digest of
+    a unique id is unique at md5 width for any real corpus).
+
+    Scale: global top-K by hash = ``TakeOrderedAndProject`` — each
+    partition keeps its local K, the driver merges K-sized heaps;
+    no global sort, no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.md5(F.concat(F.lit(EXACT_SAMPLE_SEED), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", "lang", rk.alias("sample_rank"))
+        .orderBy("sample_rank")
+        .limit(EXACT_SAMPLE_K)
+    )
+
+
+EXACT_K_SQL = f"""
+SELECT doc_id, source, lang,
+       md5('{EXACT_SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)) AS sample_rank
+FROM documents
+ORDER BY sample_rank
+LIMIT {EXACT_SAMPLE_K}
+"""
+
+
 # --- materialized packed sequences ----------------------------------------
 PACK_MAT_SEQ_LEN = 256  # short enough that docs split across sequence
 # boundaries at every tested scale (docs are ~20-40 words; a 2048 tape
@@ -2260,6 +2296,7 @@ CORPUS_QUERIES = {
     ),
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
     "smp_dsir_weights": (dsir_importance_weights, DSIR_SQL),
+    "smp_exact_k_sample": (exact_k_sample, EXACT_K_SQL),
     "txt_dup_span_fraction": (dup_span_fraction, _dup_span_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),

@@ -47,6 +47,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_dup_span_fraction",
     "ann_lsh_multiprobe_topk",
     "pk_packed_sequences",
+    "smp_exact_k_sample",
     "smp_token_budget_plan",
     "txt_doc_chunks",
     "emb_quantize_int8",
