@@ -3,8 +3,10 @@
 ``entry(spark)`` — flagship dashboard query at sf0.001 (smoke check).
 ``queries()`` — every implemented operator from SURVEY.md §2 plus the
 training-data surface, as (spark, sf_dir) → DataFrame callables.
-``oracle_sql()`` — matching DuckDB SQL (omitted only for the scipy
-spline / full-impute pipeline, which are not SQL-expressible).
+``oracle_sql()`` — matching DuckDB SQL for EVERY query; the two
+spline-based queries (whose solve is not SQL-expressible) carry
+GENERATED oracles — expected-value tables computed at oracle_sql()
+time by the reference-parity kernel and embedded as literals.
 
 Implementation lives in ``energy_data_pipeline_spark`` (plans/catalog.py).
 """
