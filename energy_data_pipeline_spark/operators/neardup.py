@@ -385,6 +385,44 @@ def probe_index_near_dups(
     )
 
 
+def _pair_overlap_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    pins_out: list | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared skeleton of the exact set-overlap scorers: shingle
+    inverted index → df-capped self-join → per-pair overlap counts.
+
+    Returns ``(common, sizes)`` where ``common`` is (id1, id2,
+    n_common) over id1 < id2 and ``sizes`` is (id_col, n_sh) — the
+    FULL shingle-set sizes (the df cap thins the index, not the
+    denominators, so capped pairs get a score lower bound).
+    """
+    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n), pins_out=pins_out)
+    inv = sh.select(id_col, F.explode("shingle_set").alias("sh"))
+    if max_doc_freq is not None:
+        wdf = Window.partitionBy("sh")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sizes = sh.select(id_col, F.size("shingle_set").alias("n_sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -408,24 +446,8 @@ def ngram_jaccard_pairs(
     The df filter is a count window partitioned by shingle: one shuffle
     that also pre-partitions both self-join sides on the join key.
     """
-    sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n), pins_out=pins_out)
-    inv = sh.select(id_col, F.explode("shingle_set").alias("sh"))
-    if max_doc_freq is not None:
-        wdf = Window.partitionBy("sh")
-        inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
-    sizes = sh.select(id_col, F.size("shingle_set").alias("n_sh"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    common, sizes = _pair_overlap_counts(
+        df, id_col, text_col, n, max_doc_freq, pins_out
     )
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
@@ -438,6 +460,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_doc_freq: int | None = NGRAM_MAX_DF,
+    pins_out: list | None = None,
+) -> DataFrame:
+    """Broder set CONTAINMENT on shingle sets: |A∩B| / min(|A|, |B|).
+
+    Jaccard misses the quote/superset case — a short document wholly
+    embedded in a much longer one scores |A|/|B| ≈ 0 on Jaccard but
+    1.0 on containment of the smaller side. This is the signal web
+    dedup uses to catch boilerplate-wrapped reposts and doc-in-doc
+    inclusion (Broder 1997's "containment", AltaVista dedup). Output is
+    (id1, id2, containment) over id1 < id2; the score is symmetric in
+    the pair because the denominator is the SMALLER set.
+
+    Same inverted-index skeleton (and hot-shingle df cap, hence the
+    same lower-bound caveat) as :func:`ngram_jaccard_pairs`; cost is
+    identical — only the final scalar differs.
+    """
+    common, sizes = _pair_overlap_counts(
+        df, id_col, text_col, n, max_doc_freq, pins_out
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .withColumn(
+            "containment",
+            rnd(F.col("n_common") / F.least("n1", "n2"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
     )
 
 

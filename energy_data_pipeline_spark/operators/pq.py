@@ -1,0 +1,246 @@
+"""Product quantization (PQ) — the compressed-index ANN path next to
+IVF (operators/ivf.py) and hyperplane LSH (operators/similarity.py).
+
+PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) splits each vector into M contiguous subvectors
+and vector-quantizes each subspace independently with a small k-means
+codebook: a 64-dim float vector becomes M small integer codes, and
+query-time search uses ASYMMETRIC DISTANCE COMPUTATION (ADC) — the
+query stays full-precision, per-(subspace, centroid) squared distances
+are table-looked-up and summed over codes. The corpus side of the
+search never touches raw vectors: at 100 TB the codes table is ~M bytes
+per vector instead of 4·dim, and the ADC join is keyed on (subspace,
+code) against a lookup table of |queries|·M·k rows — broadcast-sized by
+construction.
+
+Spark shape, deliberately mirroring ``ivf.kmeans_lloyd``'s discipline:
+
+- Training runs ALL M subspaces in ONE distributed pass per Lloyd
+  round: the per-vector subvector explode feeds a (m, cell) argmin
+  assignment (broadcast codebook literal), then one groupBy computes
+  every subspace's centroid sums — M·k rows collected per round,
+  nothing else leaves the executors.
+- Seeding is deterministic (subvectors of the k lowest-id vectors) and
+  centroid means are rounded half-away-from-zero at 9 decimals
+  (``ivf._rnd9``), so codes, reconstruction errors and ADC rankings are
+  reproducible and have an exact SQL oracle — same contract as the
+  trained-IVF entry.
+- Assignment/search are pure array expressions (zip_with fold argmin)
+  — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from .ivf import _rnd9
+
+PQ_M = 4  # subspaces
+PQ_K = 4  # centroids per subspace
+PQ_ITERS = 1  # deterministic Lloyd refinement rounds
+
+
+def _d2(c: Column, v: Column) -> Column:
+    """Squared L2 between two equal-length double arrays (left fold in
+    index order — both engines sum the same sequence)."""
+    return F.aggregate(
+        F.zip_with(c, v, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cell(sub: Column, cents_m: Column) -> Column:
+    """struct(d2, idx) of the nearest centroid in ``cents_m``
+    (array<array<double>>), ties by index — array_sort on the struct
+    orders by d2 then idx."""
+    scored = F.array_sort(
+        F.transform(
+            cents_m,
+            lambda c, i: F.struct(_d2(c, sub).alias("d2"), i.alias("idx")),
+        )
+    )
+    return F.element_at(scored, 1)
+
+
+def _doubled(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _sub_explode(vecs: DataFrame, id_col: str, m: int, subdim: int) -> DataFrame:
+    """(id, m, sv): each vector exploded into its M subvectors."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("m"),
+                F.slice("v", mi * subdim + 1, subdim).alias("sv"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return vecs.select(id_col, F.explode(parts).alias("_x")).select(
+        id_col, F.col("_x.m").alias("m"), F.col("_x.sv").alias("sv")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Train the M codebooks; returns cents[m][cid] = subdim doubles.
+
+    One collect of k seed vectors, then per Lloyd round one distributed
+    assignment+aggregate pass covering every subspace (M·k centroid
+    rows collected per round)."""
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = _doubled(corpus, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = vecs.orderBy(id_col).limit(k).collect()
+        if not seed_rows:
+            raise ValueError("pq_train: empty corpus")
+        dim = len(seed_rows[0]["v"])
+        if dim % m:
+            raise ValueError(f"pq_train: dim {dim} not divisible by M={m}")
+        subdim = dim // m
+        cents = [
+            [
+                [float(x) for x in r["v"][mi * subdim : (mi + 1) * subdim]]
+                for r in seed_rows
+            ]
+            for mi in range(m)
+        ]
+        subs = _sub_explode(vecs, id_col, m, subdim)
+        for _ in range(iterations):
+            cents_lit = F.lit(cents)
+            assigned = subs.withColumn(
+                "cell",
+                _argmin_cell(
+                    F.col("sv"), F.element_at(cents_lit, F.col("m") + 1)
+                )["idx"],
+            )
+            sums = assigned.groupBy("m", "cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sv", d + 1)).alias(f"s{d}")
+                    for d in range(subdim)
+                ],
+            )
+            new = {
+                (r["m"], r["cell"]): [
+                    _rnd9(r[f"s{d}"] / r["n"]) for d in range(subdim)
+                ]
+                for r in sums.collect()
+            }
+            cents = [
+                [new.get((mi, ci), cents[mi][ci]) for ci in range(k)]
+                for mi in range(m)
+            ]
+        return cents
+    finally:
+        vecs.unpersist()
+
+
+def pq_assign(
+    corpus: DataFrame,
+    cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codes table: (id, code0..code{M-1}, recon_err).
+
+    One narrow pass — per row, M argmins against the broadcast codebook
+    literal; recon_err = sqrt of the summed per-subspace squared
+    quantization errors (the L2 distance to the PQ reconstruction),
+    rounded to 6. The codes table is the PERSISTED INDEX at scale: M
+    small ints per vector."""
+    m = len(cents)
+    subdim = len(cents[0][0])
+    vecs = _doubled(corpus, id_col, vec_col)
+    picks = [
+        _argmin_cell(
+            F.slice("v", mi * subdim + 1, subdim), F.lit(cents[mi])
+        )
+        for mi in range(m)
+    ]
+    return vecs.select(
+        id_col,
+        *[p["idx"].cast("int").alias(f"code{mi}") for mi, p in enumerate(picks)],
+        rnd(
+            F.sqrt(sum((p["d2"] for p in picks), F.lit(0.0))), 6
+        ).alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC search: full-precision queries against the codes table.
+
+    The lookup table (query × M × K squared distances) is computed on
+    the tiny query side and broadcast; the corpus side contributes ONLY
+    its exploded codes — (id, m, code) — so the join is
+    broadcast-hash on (m, code) and the per-query distance is one
+    map-side-combinable sum of M looked-up terms. Raw vectors of the
+    corpus are never touched at search time: this is the path that
+    holds when the corpus is 100 TB and the codes are gigabytes.
+    Ranking uses the ROUNDED distance (ascending, ties by neighbor id)
+    so both engines cut identical top-k sets."""
+    m = len(cents)
+    codes = pq_assign(corpus, cents, id_col, vec_col)
+    code_stream = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.col(f"code{mi}").alias("code"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("_x"),
+    ).select("neighbor_id", F.col("_x.m").alias("m"), F.col("_x.code").alias("code"))
+    subdim = len(cents[0][0])
+    qsubs = _sub_explode(
+        _doubled(queries, id_col, vec_col), id_col, m, subdim
+    ).withColumnRenamed(id_col, "query_id")
+    lut = qsubs.select(
+        "query_id",
+        "m",
+        F.posexplode(
+            F.transform(
+                F.element_at(F.lit(cents), F.col("m") + 1),
+                lambda c: _d2(c, F.col("sv")),
+            )
+        ).alias("code", "d2"),
+    )
+    scored = (
+        code_stream.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(rnd(F.sum("d2"), 6).alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

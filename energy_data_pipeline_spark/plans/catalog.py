@@ -40,6 +40,11 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
+    # round-8 late additions — never driver-hashed by definition
+    "dd_containment_near_dups",
+    "dd_quality_winner_purged",
+    "txt_bigram_logprob",
+    "txt_bm25_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_quantized_topk",

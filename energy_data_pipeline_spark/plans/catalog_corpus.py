@@ -115,6 +115,62 @@ WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= {NGRAM_THRESHOLD}
 """
 
 
+# --- shingle containment (Broder doc-in-doc / superset detection) ---
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs whose SMALLER shingle set is ≥{thr} contained in the other
+    — the quote-inclusion / boilerplate-wrapped-repost signal Jaccard
+    structurally misses (a doc embedded in one 10× longer has Jaccard
+    ≤ 0.1 but containment 1.0). Same inverted-index skeleton and
+    hot-shingle cap as ``dd_ngram_jaccard_near_dups``; prepared-plan
+    memoized, pinned shingle table re-registered on reuse."""
+    from . import plan_cache
+
+    def build():
+        pins: plan_cache.PinList = []
+        docs = load_table(spark, sf_dir, "documents")
+        df = neardup.containment_pairs(
+            docs, "doc_id", "text", threshold=CONTAINMENT_THRESHOLD, n=3,
+            pins_out=pins,
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(
+        spark, ("containment", sf_dir, CONTAINMENT_THRESHOLD, 3), build
+    )
+
+
+containment_near_dups.__doc__ = containment_near_dups.__doc__.format(
+    thr=CONTAINMENT_THRESHOLD
+)
+
+
+CONTAINMENT_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
+), shn AS (
+  SELECT doc_id, s FROM sh WHERE len(s) > 0
+), inv0 AS (
+  SELECT doc_id, unnest(s) AS g FROM shn
+), inv AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv0
+  ) WHERE df <= {neardup.NGRAM_MAX_DF}
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(s) AS n FROM shn)
+SELECT id1, id2, round(c * 1.0 / least(s1.n, s2.n), 6) AS containment
+FROM common JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE round(c * 1.0 / least(s1.n, s2.n), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- MinHash + LSH near-dup pairs ---
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (id1, id2, jaccard) near-dup pair chain, memoized as a
@@ -305,6 +361,85 @@ edges AS (
   SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
 )
 SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+# --- quality-aware dedup purge (keep the BEST cluster member) ---
+def quality_winner_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup purge keeping the HIGHEST-QUALITY member of each
+    cluster instead of the smallest id — the policy production corpora
+    actually ship (near-dup groups mix clean originals with mangled
+    scrapes; min-id keeps whichever crawled first, quality-argmax keeps
+    the best copy). Winner = max rounded quality_score, ties broken by
+    min doc_id; ranking uses the ROUNDED score so both engines cut the
+    same winner.
+
+    Scale shape: cluster labels come from the memoized ``_cc_labels``
+    index (membership-sized, not corpus-sized); quality is computed
+    ONLY for cluster members via a doc_id equi-join (AQE broadcasts the
+    label side when it measures small, shuffles when the dup share is
+    crawl-scale); the winner cut is a row_number window over
+    cluster-sized groups; the final anti-join is un-hinted for the same
+    reason as ``dd_dedup_purged_corpus`` — the loser set is a constant
+    fraction of the corpus at 100 TB, never broadcast-able."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = _cc_labels(spark, sf_dir).select(
+        F.col("vertex").alias("doc_id"), "cluster_id"
+    )
+    mq = docs.join(members, "doc_id").select(
+        "doc_id", "cluster_id", T.quality_score("text").alias("_q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    losers = (
+        mq.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def _quality_winner_purged_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), reach(v, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
+), clusters AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+), qw AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl, text FROM documents
+), q AS (
+  SELECT doc_id,
+         round(least(len(wl) / 50.0, 1.0) * 0.5
+               + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                   THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
+                   ELSE 0.0 END) * 5) * 0.25
+               + least((CASE WHEN len(wl) > 0
+                   THEN len(list_filter(wl, x -> lower(x) IN ({", ".join(f"'{m}'" for m in T.LANG_MARKERS["en"])}))) * 1.0 / len(wl)
+                   ELSE 0.0 END) * 5, 1.0) * 0.25, 6) AS q
+  FROM qw
+), ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY q.q DESC, c.doc_id ASC
+         ) AS rk
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+), losers AS (
+  SELECT doc_id FROM ranked WHERE rk > 1
+)
+SELECT doc_id, source, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
@@ -920,6 +1055,103 @@ FROM (
 """
 
 
+# --- BM25 ad-hoc retrieval over the corpus ---
+BM25_QUERY = ("spark", "query", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOPK`` documents for a fixed term query under BM25
+    (Robertson-Spärck Jones; Lucene's non-negative idf variant
+    ln(1 + (N-df+0.5)/(df+0.5))) — the retrieval scorer a corpus-search
+    or RAG-indexing pass runs, distinct from ``txt_tfidf_topk``'s
+    keyword profile: tf saturates at k1+1 and length-normalizes by
+    dl/avgdl, so stuffing repeats or padding length cannot dominate.
+
+    Scale shape: the token stream is FILTERED TO QUERY TERMS before any
+    aggregation — the explode's output is (query-hit)-sized, not
+    corpus-token-sized, and Catalyst pushes the isin filter into the
+    generate. Per-term df and the (N, avgdl) corpus stats are
+    broadcast 1-row/|q|-row aggregates; the doc-length join is the only
+    doc-keyed shuffle. Ranking uses the ROUNDED score in both engines;
+    the final cut is a TakeOrderedAndProject, never a global sort."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "doc_id", T.token_count_ws("text").cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    hits = docs.select(
+        "doc_id", F.explode(T.words("text")).alias("token")
+    ).filter(F.col("token").isin(*BM25_QUERY))
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_term_score",
+            F.col("_idf")
+            * F.col("tf")
+            * (BM25_K1 + 1)
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(rnd(F.sum("_term_score"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({DUCK_WORDS.format(col='text')}) AS DOUBLE) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+), hits AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest({DUCK_WORDS.format(col='text')}) AS token
+    FROM documents
+  ) WHERE token IN ({terms})
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY 1, 2
+), df_t AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+         ), 4) AS bm25
+  FROM tf
+  JOIN df_t USING (token)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 # --- unigram log-probability score (perplexity-proxy quality) ---
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
@@ -991,6 +1223,92 @@ SELECT doc_id,
        CAST(sum(n) AS BIGINT) AS n_tokens,
        round(sum(n * ln(c * 1.0 / t)) / sum(n), 4) AS avg_logprob
 FROM per_doc JOIN counts USING (w) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+# --- bigram conditional log-probability (fluency-proxy quality) ---
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-probability
+    ln p(w2|w1) = ln(c(w1 w2) / c(w1 ·)) under the corpus's own bigram
+    counts — the step up from ``txt_unigram_logprob`` toward a real LM
+    quality gate (CCNet uses a 5-gram KenLM; a self-trained bigram is
+    the engine-internal proxy): word-salad orderings of plausible
+    tokens score low here even when their unigram score is fine.
+    No smoothing needed — every document bigram is in the corpus counts
+    by construction. Documents with < 2 words have no bigrams and drop
+    out (same inner-join semantics in both engines).
+
+    One explode of the (non-distinct) 2-shingle stream feeds a
+    (doc_id, bigram) map-side combine, pinned — corpus bigram counts
+    AND the per-doc score both derive from it, so the token stream is
+    evaluated once. Head totals c(w1 ·) derive from the BIGRAM-VOCAB
+    table (bounded by vocab², far smaller than the doc×bigram stream),
+    not from a second pass. Joins are keyed bigram then head; the final
+    score is a weighted mean rounded to 4, absorbing summation-order
+    ulps."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        per_doc = (
+            docs.select(
+                "doc_id", F.explode(T.shingles(F.col("text"), 2)).alias("bg")
+            )
+            .groupBy("doc_id", "bg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins: plan_cache.PinList = [(per_doc, StorageLevel.MEMORY_AND_DISK)]
+        cb = per_doc.groupBy("bg").agg(F.sum("n").alias("cb"))
+        heads = (
+            cb.withColumn("_h", F.substring_index("bg", " ", 1))
+            .groupBy("_h")
+            .agg(F.sum("cb").alias("ch"))
+        )
+        df = (
+            per_doc.join(cb, "bg")
+            .withColumn("_h", F.substring_index("bg", " ", 1))
+            .join(heads, "_h")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_bigrams"),
+                rnd(
+                    F.sum(F.col("n") * F.log(F.col("cb") / F.col("ch")))
+                    / F.sum("n"),
+                    4,
+                ).alias("avg_bigram_logprob"),
+            )
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(spark, ("bigram_logprob", sf_dir), build)
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), per_doc AS (
+  SELECT doc_id, bg, count(*) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(wl)),
+                                 i -> wl[i] || ' ' || wl[i+1])) AS bg
+    FROM w WHERE len(wl) >= 2
+  ) GROUP BY 1, 2
+), cb AS (
+  SELECT bg, sum(n) AS cb FROM per_doc GROUP BY 1
+), heads AS (
+  SELECT split_part(bg, ' ', 1) AS h, sum(cb) AS ch FROM cb GROUP BY 1
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(sum(n * ln(cb * 1.0 / ch)) / sum(n), 4) AS avg_bigram_logprob
+FROM per_doc
+JOIN cb USING (bg)
+JOIN heads ON split_part(bg, ' ', 1) = h
 GROUP BY doc_id
 """
 
@@ -2262,6 +2580,11 @@ CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
     "dd_ngram_jaccard_near_dups": (ngram_jaccard_near_dups, NGRAM_JACCARD_SQL),
+    "dd_containment_near_dups": (containment_near_dups, CONTAINMENT_SQL),
+    "dd_quality_winner_purged": (
+        quality_winner_purged_corpus,
+        _quality_winner_purged_sql(),
+    ),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
     "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),
     "dd_dedup_purged_corpus": (dedup_purged_corpus, _dedup_purged_sql()),
@@ -2289,6 +2612,8 @@ CORPUS_QUERIES = {
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
     "txt_tfidf_topk": (tfidf_topk, _tfidf_sql()),
     "txt_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "txt_bigram_logprob": (bigram_logprob, BIGRAM_LOGPROB_SQL),
+    "txt_bm25_topk": (bm25_topk, _bm25_sql()),
     "txt_length_percentiles": (length_percentiles, _length_pcts_sql()),
     "txt_length_percentiles_approx": (
         length_percentiles_approx,

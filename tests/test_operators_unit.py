@@ -1727,3 +1727,105 @@ def test_plan_cache_builds_once_under_racing_threads(spark):
     assert results[0] is results[1]
     assert results[0].count() == 5
     plan_cache.clear()
+
+
+# --- containment vs jaccard: the superset case ---
+def test_containment_catches_superset_jaccard_misses(spark):
+    from energy_data_pipeline_spark.operators.neardup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(45))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " " + filler)], "doc_id long, text string"
+    )
+    # doc 1 has 3 shingles, all contained in doc 2's 48 → containment
+    # 1.0, jaccard 3/48 = 0.0625: the doc-in-doc pair only containment
+    # surfaces.
+    got = containment_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["id1"], r["id2"], r["containment"]) for r in got] == [(1, 2, 1.0)]
+    assert (
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count() == 0
+    )
+
+
+def test_containment_respects_hot_shingle_cap(spark):
+    from energy_data_pipeline_spark.operators.neardup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    assert (
+        containment_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_doc_freq=5
+        ).count()
+        == 0
+    )
+    assert (
+        containment_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_doc_freq=None
+        ).count()
+        == 45
+    )
+
+
+# --- quality-aware dedup winner: argmax policy, not min-id ---
+def test_quality_winner_purged_keeps_argmax_quality(spark, sf_small):
+    import collections
+
+    from energy_data_pipeline_spark.plans import catalog_corpus as cc
+
+    labels = cc._cc_labels(spark, sf_small).collect()
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in cc.quality_scores(spark, sf_small).collect()
+    }
+    survivors = {
+        r["doc_id"]
+        for r in cc.quality_winner_purged_corpus(spark, sf_small).collect()
+    }
+    clusters = collections.defaultdict(list)
+    for r in labels:
+        clusters[r["cluster_id"]].append(r["vertex"])
+    assert clusters, "fixture should contain near-dup clusters"
+    for members in clusters.values():
+        best = min(members, key=lambda d: (-quality[d], d))
+        assert [d for d in members if d in survivors] == [best]
+    # exactly one survivor per cluster; every non-member survives
+    member_set = {r["vertex"] for r in labels}
+    total = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert len(survivors) == total - (len(member_set) - len(clusters))
+
+
+# --- BM25: ranking shape + saturation sanity ---
+def test_bm25_topk_ranks_and_saturates(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        BM25_K1,
+        BM25_TOPK,
+        bm25_topk,
+    )
+
+    rows = bm25_topk(spark, sf_small).collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    keys = [(-r["bm25"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["bm25"] > 0 for r in rows)
+    # per-term contribution is bounded by idf * (k1 + 1): tf saturation
+    # means a term-stuffed doc cannot score past that asymptote
+    import math
+
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    max_idf = math.log(1 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    assert all(r["bm25"] <= 3 * max_idf * (BM25_K1 + 1) for r in rows)
+
+
+# --- bigram LM score: conditional log-probs are non-positive ---
+def test_bigram_logprob_bounds(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_corpus import bigram_logprob
+
+    rows = bigram_logprob(spark, sf_small).collect()
+    assert rows
+    assert all(r["avg_bigram_logprob"] <= 0.0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)

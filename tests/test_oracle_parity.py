@@ -57,6 +57,12 @@ NEVER_DRIVER_SAMPLED = {
     "ann_quantized_topk",
     "txt_unigram_logprob",
     "emb_norm_outliers",
+    # round-8 late additions — unsampled by definition until a driver
+    # round hashes them
+    "dd_containment_near_dups",
+    "dd_quality_winner_purged",
+    "txt_bigram_logprob",
+    "txt_bm25_topk",
 }
 
 
