@@ -41,6 +41,8 @@ _ALL_QUERIES: dict[
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
     # round-8 late additions — never driver-hashed by definition
+    "emb_pq_codes",
+    "ann_pq_adc_topk",
     "dd_containment_near_dups",
     "dd_quality_winner_purged",
     "txt_bigram_logprob",

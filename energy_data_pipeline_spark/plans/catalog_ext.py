@@ -438,6 +438,183 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
     return "WITH " + ",\n".join(ctes) + ",\n" + search
 
 
+# --- ANN: product quantization (PQ codes + ADC search) --------------------
+# Jégou et al. 2011: M per-subspace codebooks compress each vector to M
+# small ints; search is asymmetric distance computation against a
+# broadcast lookup table. Training is deterministic (first-k subvector
+# seed, fixed rounds, 9-decimal centroid rounding — operators/pq.py),
+# so the oracle unrolls the same training per subspace in SQL, exactly
+# like the trained-IVF entry.
+PQ_QUERY_MAX = IVF_QUERY_MAX
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index build: (vec_id, code0..code3, recon_err) — the
+    compressed representation an ADC search or a storage-budgeted
+    vector store keeps (M bytes/vector instead of 4·dim). Prepared-plan
+    memoized: the trained codebooks are a pure function of the
+    immutable snapshot (model caching), repeat invocations skip
+    training; the assignment pass itself re-executes per invocation."""
+    from ..operators import pq
+    from . import plan_cache
+
+    def build():
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        cents = pq.pq_train(emb, "vec_id", "embedding")
+        return pq.pq_assign(emb, cents, "vec_id", "embedding"), []
+
+    return plan_cache.cached_plan(
+        spark, ("pq_codes", sf_dir, pq.PQ_M, pq.PQ_K, pq.PQ_ITERS), build
+    )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k for the first ``PQ_QUERY_MAX`` vectors: queries stay
+    full-precision, the corpus contributes only exploded codes, and the
+    per-(query, subspace, centroid) distance lookup table — |q|·M·K
+    rows — is built on the query side and broadcast. The only corpus
+    pass is the code assignment; at 100 TB the codes table is the
+    persisted index and search never rereads raw vectors. Memoized as
+    model+plan cache, same contract as ``ann_ivf_trained_topk``."""
+    from ..operators import pq
+    from . import plan_cache
+
+    def build():
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        cents = pq.pq_train(emb, "vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        return pq.pq_adc_topk(emb, queries, cents, "vec_id", "embedding", k=5), []
+
+    return plan_cache.cached_plan(
+        spark, ("pq_adc", sf_dir, pq.PQ_M, pq.PQ_K, pq.PQ_ITERS, PQ_QUERY_MAX),
+        build,
+    )
+
+
+def _pq_sql_parts() -> tuple[list[str], int, int]:
+    """Shared CTE prefix for both PQ oracles: per-subspace subvector
+    tables, unrolled Lloyd training, and final code assignment (with
+    the squared quantization error carried for recon_err / ADC)."""
+    from ..operators import pq
+
+    m, k, iters = pq.PQ_M, pq.PQ_K, pq.PQ_ITERS
+    subdim = EMB_DIM // m
+    d2 = (
+        "list_sum(list_transform(range(1, {sd} + 1),"
+        " i -> ({c}[i] - s.sv[i]) * ({c}[i] - s.sv[i])))"
+    )
+    ctes = [
+        "e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)"
+    ]
+    for mi in range(m):
+        lo, hi = mi * subdim + 1, (mi + 1) * subdim
+        ctes.append(
+            f"""s{mi} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS sv FROM e
+), c{mi}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS c
+  FROM (SELECT vec_id, sv FROM s{mi} ORDER BY vec_id LIMIT {k})
+)"""
+        )
+        cur = f"c{mi}_0"
+        for t in range(iters):
+            dd = d2.format(sd=subdim, c="cc.c")
+            ctes.append(
+                f"""a{mi}_{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, cc.cid AS cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {dd} ASC, cc.cid ASC) AS rk
+    FROM s{mi} s CROSS JOIN {cur} cc
+  ) WHERE rk = 1
+), p{mi}_{t} AS (
+  SELECT cell, list(mv ORDER BY i) AS c FROM (
+    SELECT a.cell, t.i, round(sum(s.sv[t.i]) / count(*), 9) AS mv
+    FROM a{mi}_{t} a JOIN s{mi} s ON s.vec_id = a.vec_id
+    CROSS JOIN range(1, {subdim} + 1) t(i)
+    GROUP BY a.cell, t.i
+  ) GROUP BY cell
+), c{mi}_{t + 1} AS (
+  SELECT p.cid, coalesce(u.c, p.c) AS c
+  FROM {cur} p LEFT JOIN p{mi}_{t} u ON u.cell = p.cid
+)"""
+            )
+            cur = f"c{mi}_{t + 1}"
+        dd = d2.format(sd=subdim, c="cc.c")
+        ctes.append(
+            f"""code{mi} AS (
+  SELECT vec_id, cell AS code, d2 FROM (
+    SELECT s.vec_id, cc.cid AS cell, {dd} AS d2,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {dd} ASC, cc.cid ASC) AS rk
+    FROM s{mi} s CROSS JOIN {cur} cc
+  ) WHERE rk = 1
+)"""
+        )
+    return ctes, m, subdim
+
+
+def _pq_codes_sql() -> str:
+    ctes, m, _ = _pq_sql_parts()
+    code_cols = ",\n       ".join(
+        f"CAST(code{mi}.code AS INTEGER) AS code{mi}" for mi in range(m)
+    )
+    err_sum = " + ".join(f"code{mi}.d2" for mi in range(m))
+    joins = "\n".join(f"JOIN code{mi} USING (vec_id)" for mi in range(m))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id,
+       {code_cols},
+       round(sqrt({err_sum}), 6) AS recon_err
+FROM e
+{joins}
+"""
+    )
+
+
+def _pq_adc_sql() -> str:
+    from ..operators import pq
+
+    ctes, m, subdim = _pq_sql_parts()
+    iters = pq.PQ_ITERS
+    d2q = (
+        "list_sum(list_transform(range(1, {sd} + 1),"
+        " i -> (cc.c[i] - q.sv[i]) * (cc.c[i] - q.sv[i])))"
+    )
+    lut_parts = "\n  UNION ALL\n".join(
+        f"""  SELECT q.vec_id AS query_id, {mi} AS m, cc.cid AS code,
+         {d2q.format(sd=subdim)} AS d2
+  FROM s{mi} q CROSS JOIN c{mi}_{iters} cc
+  WHERE q.vec_id < {PQ_QUERY_MAX}"""
+        for mi in range(m)
+    )
+    code_parts = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id AS neighbor_id, {mi} AS m, code FROM code{mi}"
+        for mi in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+lut AS (
+{lut_parts}
+), cstream AS (
+{code_parts}
+), scored AS (
+  SELECT l.query_id, c.neighbor_id, round(sum(l.d2), 6) AS adc_dist
+  FROM cstream c
+  JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+    )
+
+
 # --- Semantic dedup (SemDeDup) --------------------------------------------
 # Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
 # through semantic deduplication": k-means cluster the embedding space,
@@ -1005,6 +1182,8 @@ EXT_QUERIES = {
     "dd_embedding_near_dups": (embedding_near_dups, _emb_dup_sql()),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_sql()),
     "ann_ivf_trained_topk": (ann_ivf_trained_topk, _ivf_trained_sql()),
+    "emb_pq_codes": (emb_pq_codes, _pq_codes_sql()),
+    "ann_pq_adc_topk": (ann_pq_adc_topk, _pq_adc_sql()),
     "dd_semantic_dedup": (semantic_dedup, _semdedup_sql()),
     "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
     "p17_geocode_cascade": (geocode_suppliers, _p17_sql()),

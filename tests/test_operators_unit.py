@@ -1829,3 +1829,61 @@ def test_bigram_logprob_bounds(spark, sf_small):
     assert rows
     assert all(r["avg_bigram_logprob"] <= 0.0 for r in rows)
     assert all(r["n_bigrams"] >= 1 for r in rows)
+
+
+class TestProductQuantization:
+    """PQ codes + ADC search (operators/pq.py). The synthetic
+    near-uniform corpus is PQ's adversarial case (no cluster structure
+    — same reason single-bucket sign-LSH collapses on it), so the
+    recall floor is calibrated to the measured 8x16 figure (~0.25),
+    with the random baseline at topk/(n-1) ~ 0.01."""
+
+    def test_training_reduces_recon_err(self, spark, sf_small):
+        from pyspark.sql import functions as F
+
+        from energy_data_pipeline_spark.operators import pq
+        from energy_data_pipeline_spark.sources import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        seed = pq.pq_train(emb, iterations=0)
+        trained = pq.pq_train(emb, iterations=pq.PQ_ITERS)
+        e_seed = pq.pq_assign(emb, seed).agg(F.avg("recon_err")).first()[0]
+        e_tr = pq.pq_assign(emb, trained).agg(F.avg("recon_err")).first()[0]
+        assert e_tr < e_seed, (e_tr, e_seed)
+
+    def test_codes_bounded_and_errs_nonnegative(self, spark, sf_small):
+        from energy_data_pipeline_spark.plans.catalog_ext import emb_pq_codes
+        from energy_data_pipeline_spark.operators import pq
+
+        rows = emb_pq_codes(spark, sf_small).collect()
+        assert rows
+        for r in rows:
+            assert r["recon_err"] >= 0
+            for mi in range(pq.PQ_M):
+                assert 0 <= r[f"code{mi}"] < pq.PQ_K
+
+    def test_adc_recall_floor_vs_exact_l2(self, spark, sf_small):
+        import numpy as np
+
+        from energy_data_pipeline_spark.plans.catalog import CATALOG
+        from energy_data_pipeline_spark.plans.catalog_ext import PQ_QUERY_MAX
+        from energy_data_pipeline_spark.sources import load_table
+
+        rows = load_table(spark, sf_small, "embeddings").select(
+            "vec_id", "embedding"
+        ).collect()
+        ids = np.array([r[0] for r in rows])
+        V = np.array([r[1] for r in rows], dtype=float)
+        truth = set()
+        for q in range(PQ_QUERY_MAX):
+            qv = V[ids == q][0]
+            d = ((V - qv) ** 2).sum(1)
+            d[ids == q] = np.inf
+            top = ids[np.lexsort((ids, d))[:5]]
+            truth |= {(q, int(i)) for i in top}
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in CATALOG["ann_pq_adc_topk"][0](spark, sf_small).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.15, f"PQ-ADC recall {recall:.3f} < 0.15"

@@ -63,6 +63,8 @@ NEVER_DRIVER_SAMPLED = {
     "dd_quality_winner_purged",
     "txt_bigram_logprob",
     "txt_bm25_topk",
+    "emb_pq_codes",
+    "ann_pq_adc_topk",
 }
 
 
