@@ -251,3 +251,157 @@ def pq_adc_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist")
     )
+
+
+# --- IVF-PQ (IVFADC): coarse cells + PQ on residuals ----------------------
+def _residuals(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, rv): nearest coarse cell and the residual vector
+    v - centroid[cell] — what IVFADC quantizes instead of raw vectors
+    (residual energy << vector energy once the coarse quantizer has
+    soaked up the cluster structure, so the same codebook bits buy a
+    finer quantization)."""
+    vecs = _doubled(corpus, id_col, vec_col)
+    cents = F.lit(coarse)
+    pick = _argmin_cell(F.col("v"), cents)
+    return vecs.select(
+        id_col,
+        pick["idx"].cast("int").alias("cell"),
+        F.zip_with(
+            "v",
+            F.element_at(cents, pick["idx"] + 1),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 8,
+    coarse_iters: int = 1,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = PQ_ITERS,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFADC index (Jégou et al. 2011 §IV): a Lloyd coarse
+    quantizer over raw vectors, then ONE shared PQ codebook set over
+    the residuals of every cell — the canonical billion-scale layout
+    (FAISS ``IVFx,PQy``). Both stages reuse the engine's deterministic
+    trainers, so the composed index has an exact SQL oracle."""
+    from .ivf import kmeans_lloyd
+
+    coarse = kmeans_lloyd(
+        corpus, id_col, vec_col, k=coarse_k, iterations=coarse_iters
+    )
+    resid = _residuals(corpus, coarse, id_col, vec_col)
+    pq_cents = pq_train(resid, id_col, "rv", m=m, k=k, iterations=iterations)
+    return coarse, pq_cents
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    pq_cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVFADC search: probe the query's ``nprobe`` nearest coarse
+    cells; within each probed cell, ADC over residual codes with a
+    per-(query, cell) residual lookup table (the residual depends on
+    the cell, hence the cell-keyed LUT — |q|·nprobe·M·K rows,
+    broadcast). The corpus contributes one assignment pass producing
+    (cell, codes); search touches codes only, and only nprobe/k of
+    them per query — the IVF pruning and the PQ compression compose."""
+    from .ivf import _nearest_cells
+
+    m = len(pq_cents)
+    subdim = len(pq_cents[0][0])
+    resid = _residuals(corpus, coarse, id_col, vec_col)
+    picks = [
+        _argmin_cell(F.slice("rv", mi * subdim + 1, subdim), F.lit(pq_cents[mi]))
+        for mi in range(m)
+    ]
+    code_stream = resid.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"), p["idx"].alias("code")
+                    )
+                    for mi, p in enumerate(picks)
+                ]
+            )
+        ).alias("_x"),
+    ).select(
+        "neighbor_id", "cell", F.col("_x.m").alias("m"), F.col("_x.code").alias("code")
+    )
+    cents_lit = F.lit(coarse)
+    qr = (
+        _doubled(queries, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "v",
+            F.explode(
+                _nearest_cells(F.col("v"), cents_lit, nprobe)
+            ).alias("cell"),
+        )
+        .withColumn(
+            "qrv",
+            F.zip_with(
+                "v",
+                F.element_at(cents_lit, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+    qsubs = qr.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.slice("qrv", mi * subdim + 1, subdim).alias("sv"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("_x"),
+    ).select("query_id", "cell", F.col("_x.m").alias("m"), F.col("_x.sv").alias("sv"))
+    lut = qsubs.select(
+        "query_id",
+        "cell",
+        "m",
+        F.posexplode(
+            F.transform(
+                F.element_at(F.lit(pq_cents), F.col("m") + 1),
+                lambda c: _d2(c, F.col("sv")),
+            )
+        ).alias("code", "d2"),
+    )
+    scored = (
+        code_stream.join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(rnd(F.sum("d2"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

@@ -43,6 +43,7 @@ _SAMPLE_PRIORITY = [
     # round-8 late additions — never driver-hashed by definition
     "emb_pq_codes",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "dd_containment_near_dups",
     "dd_quality_winner_purged",
     "txt_bigram_logprob",

@@ -491,10 +491,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql_parts() -> tuple[list[str], int, int]:
-    """Shared CTE prefix for both PQ oracles: per-subspace subvector
+def _pq_sql_parts(src: str = "e", vexpr: str = "v") -> tuple[list[str], int, int]:
+    """Shared CTE prefix for the PQ oracles: per-subspace subvector
     tables, unrolled Lloyd training, and final code assignment (with
-    the squared quantization error carried for recon_err / ADC)."""
+    the squared quantization error carried for recon_err / ADC).
+    ``src``/``vexpr`` select the vector table — ``e.v`` for raw-vector
+    PQ, the residual CTE for IVF-PQ."""
     from ..operators import pq
 
     m, k, iters = pq.PQ_M, pq.PQ_K, pq.PQ_ITERS
@@ -503,14 +505,16 @@ def _pq_sql_parts() -> tuple[list[str], int, int]:
         "list_sum(list_transform(range(1, {sd} + 1),"
         " i -> ({c}[i] - s.sv[i]) * ({c}[i] - s.sv[i])))"
     )
-    ctes = [
-        "e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)"
-    ]
+    ctes = []
+    if src == "e":
+        ctes.append(
+            "e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)"
+        )
     for mi in range(m):
         lo, hi = mi * subdim + 1, (mi + 1) * subdim
         ctes.append(
             f"""s{mi} AS (
-  SELECT vec_id, v[{lo}:{hi}] AS sv FROM e
+  SELECT vec_id, {vexpr}[{lo}:{hi}] AS sv FROM {src}
 ), c{mi}_0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS c
   FROM (SELECT vec_id, sv FROM s{mi} ORDER BY vec_id LIMIT {k})
@@ -602,6 +606,156 @@ lut AS (
   SELECT l.query_id, c.neighbor_id, round(sum(l.d2), 6) AS adc_dist
   FROM cstream c
   JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+    )
+
+
+# --- ANN: IVF-PQ (IVFADC — coarse cells + PQ on residuals) ----------------
+IVFPQ_COARSE_K = ivf.N_CELLS
+IVFPQ_COARSE_ITERS = 1
+IVFPQ_NPROBE = ivf.N_PROBE
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV — FAISS's ``IVFx,PQy`` workhorse):
+    a Lloyd coarse quantizer prunes the search to ``nprobe`` cells, ONE
+    shared PQ codebook over cell residuals compresses the vectors, and
+    search is cell-keyed ADC against a broadcast per-(query, cell)
+    residual lookup table. The two pruning axes compose: a query
+    touches nprobe/k of the corpus, and what it touches is codes, not
+    vectors. Both trainers are the engine's deterministic ones, so the
+    composed index has an exact SQL oracle that unrolls coarse
+    training, residual computation, per-subspace PQ training, and the
+    probed ADC search. Memoized as model+plan cache."""
+    from ..operators import pq
+    from . import plan_cache
+
+    def build():
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        coarse, pq_cents = pq.ivfpq_train(
+            emb, "vec_id", "embedding",
+            coarse_k=IVFPQ_COARSE_K, coarse_iters=IVFPQ_COARSE_ITERS,
+        )
+        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        return (
+            pq.ivfpq_topk(
+                emb, queries, coarse, pq_cents,
+                "vec_id", "embedding", k=5, nprobe=IVFPQ_NPROBE,
+            ),
+            [],
+        )
+
+    return plan_cache.cached_plan(
+        spark,
+        ("ann_ivfpq", sf_dir, IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE),
+        build,
+    )
+
+
+def _ivfpq_sql() -> str:
+    from ..operators import pq
+
+    ck, citers, nprobe = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE
+    m, iters = pq.PQ_M, pq.PQ_ITERS
+    subdim = EMB_DIM // m
+    cd2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+        " i -> ({c}[i] - e.v[i]) * ({c}[i] - e.v[i])))"
+    )
+    # coarse training: seed + unrolled Lloyd rounds over full vectors
+    ctes = [
+        "e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)",
+        f"""cg_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {ck})
+)""",
+    ]
+    cur = "cg_0"
+    for t in range(citers):
+        dd = cd2.format(c="cc.c")
+        ctes.append(
+            f"""ag_{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cc.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, cc.cid ASC) AS rk
+    FROM e CROSS JOIN {cur} cc
+  ) WHERE rk = 1
+), pg_{t} AS (
+  SELECT cell, list(mv ORDER BY i) AS c FROM (
+    SELECT a.cell, t.i, round(sum(e.v[t.i]) / count(*), 9) AS mv
+    FROM ag_{t} a JOIN e ON e.vec_id = a.vec_id
+    CROSS JOIN range(1, {EMB_DIM} + 1) t(i)
+    GROUP BY a.cell, t.i
+  ) GROUP BY cell
+), cg_{t + 1} AS (
+  SELECT p.cid, coalesce(u.c, p.c) AS c
+  FROM {cur} p LEFT JOIN pg_{t} u ON u.cell = p.cid
+)"""
+        )
+        cur = f"cg_{t + 1}"
+    dd = cd2.format(c="cc.c")
+    # residuals (index side) and probed query residuals
+    ctes.append(
+        f"""r AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, {EMB_DIM} + 1), i -> v[i] - c[i]) AS rv
+  FROM (
+    SELECT e.vec_id, cc.cid AS cell, e.v AS v, cc.c AS c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, cc.cid ASC) AS rk
+    FROM e CROSS JOIN {cur} cc
+  ) WHERE rk = 1
+)"""
+    )
+    # PQ training + final codes over the residual table
+    pq_ctes, _, _ = _pq_sql_parts(src="r", vexpr="rv")
+    ctes.extend(pq_ctes)
+    ctes.append(
+        f"""qp AS (
+  SELECT vec_id AS query_id, cell,
+         list_transform(range(1, {EMB_DIM} + 1), i -> v[i] - c[i]) AS qrv
+  FROM (
+    SELECT e.vec_id, cc.cid AS cell, e.v AS v, cc.c AS c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, cc.cid ASC) AS rk
+    FROM e CROSS JOIN {cur} cc
+    WHERE e.vec_id < {PQ_QUERY_MAX}
+  ) WHERE rk <= {nprobe}
+)"""
+    )
+    lut_parts = "\n  UNION ALL\n".join(
+        f"""  SELECT q.query_id, q.cell, {mi} AS m, cc.cid AS code,
+         list_sum(list_transform(range(1, {subdim} + 1),
+           i -> (cc.c[i] - q.qrv[i + {mi * subdim}])
+              * (cc.c[i] - q.qrv[i + {mi * subdim}]))) AS d2
+  FROM qp q CROSS JOIN c{mi}_{iters} cc"""
+        for mi in range(m)
+    )
+    code_parts = "\n  UNION ALL\n".join(
+        f"""  SELECT r.vec_id AS neighbor_id, r.cell, {mi} AS m, code
+  FROM code{mi} JOIN r USING (vec_id)"""
+        for mi in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+lut AS (
+{lut_parts}
+), cstream AS (
+{code_parts}
+), scored AS (
+  SELECT l.query_id, c.neighbor_id, round(sum(l.d2), 6) AS adc_dist
+  FROM cstream c
+  JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
   WHERE l.query_id <> c.neighbor_id
   GROUP BY 1, 2
 )
@@ -1184,6 +1338,7 @@ EXT_QUERIES = {
     "ann_ivf_trained_topk": (ann_ivf_trained_topk, _ivf_trained_sql()),
     "emb_pq_codes": (emb_pq_codes, _pq_codes_sql()),
     "ann_pq_adc_topk": (ann_pq_adc_topk, _pq_adc_sql()),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dd_semantic_dedup": (semantic_dedup, _semdedup_sql()),
     "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
     "p17_geocode_cascade": (geocode_suppliers, _p17_sql()),

@@ -65,6 +65,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_bm25_topk",
     "emb_pq_codes",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 }
 
 
