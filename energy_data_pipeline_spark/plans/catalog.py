@@ -46,6 +46,7 @@ _SAMPLE_PRIORITY = [
     "ann_ivfpq_topk",
     "dd_containment_near_dups",
     "dd_quality_winner_purged",
+    "dd_cluster_size_histogram",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

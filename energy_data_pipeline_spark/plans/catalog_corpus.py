@@ -364,6 +364,48 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+# --- dup-cluster size histogram (dedup audit report) ---
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How duplicate mass is distributed: (cluster_size, n_clusters,
+    n_docs) — the first table a dedup audit reads (a few giant
+    boilerplate clusters vs a long tail of pairs changes which purge
+    policy is safe, and cluster-size distribution is the standard
+    figure in dedup papers). Derives from the memoized CC label index:
+    two aggregations over the membership-sized table, nothing
+    corpus-sized."""
+    sizes = (
+        _cc_labels(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+def _cluster_histogram_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), reach(v, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
+), clusters AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 # --- quality-aware dedup purge (keep the BEST cluster member) ---
 def quality_winner_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup purge keeping the HIGHEST-QUALITY member of each
@@ -2584,6 +2626,10 @@ CORPUS_QUERIES = {
     "dd_quality_winner_purged": (
         quality_winner_purged_corpus,
         _quality_winner_purged_sql(),
+    ),
+    "dd_cluster_size_histogram": (
+        dup_cluster_size_histogram,
+        _cluster_histogram_sql(),
     ),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
     "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),

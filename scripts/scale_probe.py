@@ -396,7 +396,42 @@ def main():
             lambda k=n: noop(pack_mat_shape(k))
         )
 
+    # PQ codes + ADC search at 20x vectors: assignment is a narrow
+    # per-row argmin (linear), ADC joins exploded codes against a
+    # broadcast LUT (linear in codes) — neither should bend at 20x.
+    # Codebooks train ONCE on the small set and are reused, as a real
+    # index does: training is k-bounded, not corpus-bound.
+    from energy_data_pipeline_spark.operators import pq as pqop
+
+    def synth_vecs(n):
+        return spark.range(0, n, 1, 64).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: (F.pmod(F.xxhash64("id", d), 1000) / 1000.0),
+            ).alias("embedding"),
+        )
+
+    pq_cents = pqop.pq_train(synth_vecs(25_000))
+    pq_queries = synth_vecs(8)
+    for n, label in ((25_000, "25k"), (500_000, "500k")):
+        vecs = synth_vecs(n)
+        results[f"pq_assign_{label}"] = timed(
+            lambda v=vecs: noop(pqop.pq_assign(v, pq_cents))
+        )
+        results[f"pq_adc_{label}"] = timed(
+            lambda v=vecs: noop(
+                pqop.pq_adc_topk(v, pq_queries, pq_cents, k=5)
+            )
+        )
+
     results["ratios"] = {
+        "pq_assign_20x_vecs": round(
+            results["pq_assign_500k"] / results["pq_assign_25k"], 2
+        ),
+        "pq_adc_20x_vecs": round(
+            results["pq_adc_500k"] / results["pq_adc_25k"], 2
+        ),
         "pack_materialize_20x_docs": round(
             results["pack_materialize_500k"] / results["pack_materialize_25k"], 2
         ),

@@ -66,6 +66,7 @@ NEVER_DRIVER_SAMPLED = {
     "emb_pq_codes",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "dd_cluster_size_histogram",
 }
 
 
