@@ -69,7 +69,9 @@ def test_scans_prune_columns(spark):
     assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
 
 
-@pytest.mark.parametrize("name", ["txt_vocab_topk", "txt_ngram_topk"])
+@pytest.mark.parametrize(
+    "name", ["txt_vocab_topk", "txt_ngram_topk", "txt_bm25_topk"]
+)
 def test_corpus_topk_avoids_global_sort(spark, name):
     """Corpus top-k queries must compile to TakeOrderedAndProject
     (per-partition heads + k-row merge) — a global Sort of the full
@@ -263,3 +265,51 @@ def test_bloom_membership_is_shuffle_free_expression(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     assert "HashAggregate" not in plan, plan[:1500]
+
+
+def test_bm25_scans_prune_and_filter_before_aggregate(spark):
+    """BM25 must read only (doc_id, text) — the scorer never touches
+    lang/source/n_chars — and the query-term filter must appear in the
+    plan so the aggregated stream is hit-sized, not corpus-token-sized."""
+    fn, _ = CATALOG["txt_bm25_topk"]
+    plan = plan_of(fn(spark, SF))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all(
+        "lang" not in ln and "source" not in ln and "n_chars" not in ln
+        for ln in reads
+    ), reads
+    assert "Filter" in plan
+
+
+def test_pq_codes_is_narrow_single_scan(spark):
+    """PQ code assignment is a per-row argmin over a broadcast codebook
+    literal — one scan, no key-partitioned exchange, no join, no
+    aggregate (the only allowed exchange is fan_out's round-robin on
+    the under-parallel local test file)."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    import re
+
+    plan_cache.clear()
+    fn, _ = CATALOG["emb_pq_codes"]
+    plan = plan_of(fn(spark, SF))
+    # formatted plans list each scan in the tree AND the detail section
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "HashAggregate" not in plan, plan[:1500]
+
+
+@pytest.mark.parametrize("name", ["ann_pq_adc_topk", "ann_ivfpq_topk"])
+def test_pq_search_broadcasts_lut_no_sort_merge(spark, name):
+    """ADC search joins the corpus's exploded codes against the
+    query-side lookup table — the LUT side must broadcast (it is
+    |q|·M·K rows by construction) and nothing may fall back to a
+    sort-merge join, which would shuffle the codes stream at 100 TB."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
