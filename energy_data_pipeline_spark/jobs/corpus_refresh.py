@@ -35,18 +35,53 @@ NEAR_DUP_THRESHOLD = 0.5
 PACK_SEQ_LEN = 2048
 
 
+def _cluster_losers(
+    clean: DataFrame, labels: DataFrame, keeper: str
+) -> DataFrame:
+    """Non-keeper cluster members under the chosen policy: ``min_id``
+    (keep whichever crawled first — cheapest, no second corpus touch)
+    or ``best_quality`` (rounded quality-score argmax, min-id tiebreak
+    — the keep-the-best-copy policy of ``dd_quality_winner_purged``;
+    quality is computed only for cluster members via a doc_id
+    equi-join, so the extra cost is membership-sized)."""
+    if keeper == "min_id":
+        return labels.filter(F.col("vertex") != F.col("cluster_id")).select(
+            F.col("vertex").alias("doc_id")
+        )
+    if keeper == "best_quality":
+        from pyspark.sql import Window
+
+        members = labels.select(
+            F.col("vertex").alias("doc_id"), "cluster_id"
+        )
+        mq = clean.join(members, "doc_id").select(
+            "doc_id", "cluster_id", T.quality_score("text").alias("_q")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("_q"), F.asc("doc_id")
+        )
+        return (
+            mq.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select("doc_id")
+        )
+    raise ValueError(f"unknown keeper policy: {keeper!r}")
+
+
 def corpus_refresh_flow(
     spark: SparkSession,
     source_path: str,
     base_dir: str,
     near_dup_threshold: float = NEAR_DUP_THRESHOLD,
+    keeper: str = "min_id",
 ) -> Flow:
     """Build the refresh flow over the documents parquet at
     ``source_path``. Outputs under ``base_dir``:
 
     - ``clean/``     quality-gated, exact-deduped (fingerprint
                      keep-first) documents
-    - ``purged/``    near-dup purged corpus (cluster keeper = min id)
+    - ``purged/``    near-dup purged corpus (cluster keeper per
+                     ``keeper``: "min_id" or "best_quality")
     - ``mixture/``   per-(source, lang) doc/token mixture table
     - ``pack_plan/`` (doc_id, pack_shard, seq_id, seq_offset) trainer
                      tape plan
@@ -69,11 +104,8 @@ def corpus_refresh_flow(
         pairs = neardup.minhash_lsh_near_dups(
             clean, "doc_id", "text", threshold=near_dup_threshold, n=3
         )
-        losers = (
-            connected_components(pairs, "id1", "id2")
-            .filter(F.col("vertex") != F.col("cluster_id"))
-            .select(F.col("vertex").alias("doc_id"))
-        )
+        labels = connected_components(pairs, "id1", "id2")
+        losers = _cluster_losers(clean, labels, keeper)
         purged = clean.join(losers, "doc_id", "left_anti")
         purged.write.mode("overwrite").parquet(f"{base_dir}/purged")
         return f"{base_dir}/purged"

@@ -256,3 +256,56 @@ def test_corpus_deployment_runs_on_weekly_tick(spark, tmp_path):
     assert set(reports) == {"weekly-corpus-refresh"}
     assert reports["weekly-corpus-refresh"]["status"] == "OK"
     assert spark.read.parquet(f"{out}/purged").count() == 1
+
+
+def test_corpus_refresh_best_quality_keeper(spark, tmp_path):
+    """keeper="best_quality" keeps the higher-quality near-dup cluster
+    member where the default min_id policy keeps whichever crawled
+    first — the two policies disagree on a crafted pair whose LATER doc
+    is longer and stopword-richer (higher quality score)."""
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(12))
+    better = base + " the and of is in to"  # near-dup, higher quality
+    rows = [
+        (10, base, "en", "web"),
+        (11, better, "en", "web"),
+        (12, " ".join(f"u{i} v{i} w{i}" for i in range(20)), "de", "api"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+
+    from energy_data_pipeline_spark.jobs.corpus_refresh import (
+        corpus_refresh_flow,
+    )
+
+    out_min = str(tmp_path / "out_min")
+    rep = corpus_refresh_flow(spark, src, out_min).run()
+    assert rep["status"] == "OK", rep
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out_min}/purged").collect()
+    } == {10, 12}
+
+    out_q = str(tmp_path / "out_q")
+    rep = corpus_refresh_flow(
+        spark, src, out_q, keeper="best_quality"
+    ).run()
+    assert rep["status"] == "OK", rep
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out_q}/purged").collect()
+    } == {11, 12}
+
+    import pytest as _pytest
+
+    from energy_data_pipeline_spark.jobs.corpus_refresh import (
+        _cluster_losers,
+    )
+
+    with _pytest.raises(ValueError, match="keeper"):
+        _cluster_losers(
+            spark.read.parquet(src),
+            spark.createDataFrame(
+                [(1, 1)], "vertex long, cluster_id long"
+            ),
+            "nope",
+        )
