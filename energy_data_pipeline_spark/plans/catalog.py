@@ -47,6 +47,7 @@ _SAMPLE_PRIORITY = [
     "dd_containment_near_dups",
     "dd_quality_winner_purged",
     "dd_cluster_size_histogram",
+    "dd_nearest_train_doc",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

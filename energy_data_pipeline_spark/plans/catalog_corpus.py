@@ -364,6 +364,111 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+# --- contamination forensics: nearest train doc per test doc ---
+def nearest_train_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every test-split document, its most shingle-overlapping
+    TRAIN document — the forensics table behind a contamination
+    report: a decontamination pass says *that* a test doc leaks, this
+    says *which* training doc it leaks from and how hard
+    (n_common shingles). Top-1 by (overlap desc, train id asc) on the
+    rounded-free integer count, so both engines cut the same winner.
+
+    Scale shape: the split tag is the engine's deterministic hash
+    bucket (a document's split never changes), the shingle inverted
+    index is built ONCE (pinned) with the same hot-shingle df cap as
+    the Jaccard path, and the join is test-side (10% of the corpus)
+    against train-side keyed on the shingle — bucket-bounded like
+    every other inverted-index join here. The top-1 cut is a window
+    over per-test-doc candidate groups."""
+    from pyspark.sql import Window
+
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        tagged = sampling.train_val_test_split(
+            docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+        )
+        inv = tagged.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(T.shingles(F.col("text"), 3))
+            ).alias("sh"),
+        )
+        wdf = Window.partitionBy("sh")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= neardup.NGRAM_MAX_DF)
+            .drop("_df")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins: plan_cache.PinList = [(inv, StorageLevel.MEMORY_AND_DISK)]
+        t = inv.filter(F.col("split") == "test").select(
+            F.col("doc_id").alias("test_id"), "sh"
+        )
+        tr = inv.filter(F.col("split") == "train").select(
+            F.col("doc_id").alias("train_id"), "sh"
+        )
+        common = t.join(tr, "sh").groupBy("test_id", "train_id").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+        w = Window.partitionBy("test_id").orderBy(
+            F.desc("n_common"), F.asc("train_id")
+        )
+        df = (
+            common.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("test_id", "train_id", "n_common")
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(
+        spark, ("nearest_train_doc", sf_dir, 3), build
+    )
+
+
+def _nearest_train_sql() -> str:
+    bucket = sampling.duck_hash_bucket_sql("doc_id", seed="split1")
+    m = sampling.HASH_MOD
+    return f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
+), shn AS (
+  SELECT doc_id, s FROM sh WHERE len(s) > 0
+), split AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < {m - 2000} THEN 'train'
+              WHEN {bucket} < {m - 1000} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), inv0 AS (
+  SELECT doc_id, unnest(s) AS g FROM shn
+), inv AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv0
+  ) WHERE df <= {neardup.NGRAM_MAX_DF}
+), tg AS (
+  SELECT i.doc_id, i.g, s.split FROM inv i JOIN split s USING (doc_id)
+), common AS (
+  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_common
+  FROM tg t JOIN tg tr ON t.g = tr.g
+  WHERE t.split = 'test' AND tr.split = 'train'
+  GROUP BY 1, 2
+)
+SELECT test_id, train_id, CAST(n_common AS BIGINT) AS n_common FROM (
+  SELECT test_id, train_id, n_common,
+         row_number() OVER (PARTITION BY test_id
+                            ORDER BY n_common DESC, train_id ASC) AS rk
+  FROM common
+) WHERE rk = 1
+"""
+
+
 # --- dup-cluster size histogram (dedup audit report) ---
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How duplicate mass is distributed: (cluster_size, n_clusters,
@@ -2631,6 +2736,7 @@ CORPUS_QUERIES = {
         dup_cluster_size_histogram,
         _cluster_histogram_sql(),
     ),
+    "dd_nearest_train_doc": (nearest_train_doc, _nearest_train_sql()),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
     "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),
     "dd_dedup_purged_corpus": (dedup_purged_corpus, _dedup_purged_sql()),

@@ -67,6 +67,7 @@ NEVER_DRIVER_SAMPLED = {
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "dd_cluster_size_histogram",
+    "dd_nearest_train_doc",
 }
 
 
