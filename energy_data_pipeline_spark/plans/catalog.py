@@ -48,6 +48,8 @@ _SAMPLE_PRIORITY = [
     "dd_quality_winner_purged",
     "dd_cluster_size_histogram",
     "dd_nearest_train_doc",
+    "txt_lang_id_confusion",
+    "ann_pq_recall_report",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

@@ -844,6 +844,30 @@ FROM scored
 """
 
 
+# --- lang-id confusion matrix (classifier self-audit) ---
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, pred_lang, n_docs) — the confusion matrix of the engine's
+    n-gram/stopword lang-id against the corpus's labeled lang column:
+    the self-audit a filtering pipeline runs before trusting a
+    heuristic classifier to route documents (which languages bleed
+    into which, how much lands in 'und'). One scan, one map-side
+    combine over a |langs|² key space."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("lang", T.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_lang_id_sql()})
+GROUP BY lang, pred_lang
+"""
+
+
 # --- text analysis: quality scoring ---
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -2746,6 +2770,7 @@ CORPUS_QUERIES = {
     "ann_lsh_multiprobe_topk": (ann_lsh_multiprobe, _ann_lsh_multiprobe_sql()),
     "txt_token_stats": (token_stats, TOKEN_STATS_SQL),
     "txt_lang_id": (lang_id_pred, _lang_id_sql()),
+    "txt_lang_id_confusion": (lang_id_confusion, _lang_confusion_sql()),
     "txt_quality_scores": (quality_scores, _quality_sql()),
     "txt_doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
     "txt_repetition_scores": (repetition_scores, REPETITION_SQL),

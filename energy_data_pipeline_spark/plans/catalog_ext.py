@@ -619,6 +619,98 @@ SELECT query_id, neighbor_id, adc_dist FROM (
     )
 
 
+# --- PQ index self-audit: measured recall vs exact L2 ---------------------
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall) — measured recall@5 of the PQ-ADC
+    index against exact L2 top-5, as a QUERY: the self-audit an index
+    owner runs after (re)training before routing traffic to the
+    compressed path ('measure, don't guess' made queryable). Composes
+    the memoized ``ann_pq_adc_topk`` chain with an inline exact-L2
+    baseline (queries broadcast against the corpus — the same
+    brute-force shape as ``ann_brute_force_topk``, fine exactly
+    because the query set is tiny)."""
+    from ..operators import pq as pqop
+    from ..operators.pq import _d2
+    from . import plan_cache
+
+    def build():
+        adc = ann_pq_adc_topk(spark, sf_dir)
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        vecs = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        q = vecs.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        c = vecs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("_d2", _d2(F.col("qv"), F.col("cv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_d2").asc(), F.col("neighbor_id").asc()
+        )
+        exact = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(
+            adc.select("query_id", "neighbor_id", F.lit(1).alias("_hit")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        df = hits.groupBy("query_id").agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            rnd(
+                F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall"),
+        )
+        return df, []
+
+    return plan_cache.cached_plan(
+        spark,
+        ("pq_recall", sf_dir, pqop.PQ_M, pqop.PQ_K, pqop.PQ_ITERS, PQ_QUERY_MAX),
+        build,
+    )
+
+
+def _pq_recall_sql() -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+        " i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))"
+    )
+    return f"""
+WITH adc AS (
+  SELECT * FROM ({_pq_adc_sql()})
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2} ASC, c.vec_id ASC) AS rk
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {PQ_QUERY_MAX}
+  ) WHERE rk <= 5
+)
+SELECT x.query_id,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 5.0, 6) AS recall
+FROM exact x
+LEFT JOIN adc a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
 # --- ANN: IVF-PQ (IVFADC — coarse cells + PQ on residuals) ----------------
 IVFPQ_COARSE_K = ivf.N_CELLS
 IVFPQ_COARSE_ITERS = 1
@@ -1339,6 +1431,7 @@ EXT_QUERIES = {
     "emb_pq_codes": (emb_pq_codes, _pq_codes_sql()),
     "ann_pq_adc_topk": (ann_pq_adc_topk, _pq_adc_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
+    "ann_pq_recall_report": (ann_pq_recall_report, _pq_recall_sql()),
     "dd_semantic_dedup": (semantic_dedup, _semdedup_sql()),
     "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
     "p17_geocode_cascade": (geocode_suppliers, _p17_sql()),

@@ -68,6 +68,8 @@ NEVER_DRIVER_SAMPLED = {
     "ann_ivfpq_topk",
     "dd_cluster_size_histogram",
     "dd_nearest_train_doc",
+    "txt_lang_id_confusion",
+    "ann_pq_recall_report",
 }
 
 
