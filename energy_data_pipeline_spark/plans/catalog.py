@@ -50,6 +50,7 @@ _SAMPLE_PRIORITY = [
     "dd_nearest_train_doc",
     "txt_lang_id_confusion",
     "ann_pq_recall_report",
+    "smp_split_leakage_report",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

@@ -364,6 +364,62 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+# --- split-leakage audit: near-dup pairs crossing splits ---
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_a, split_b, n_pairs) — how many near-dup pairs land
+    within vs ACROSS the train/val/test splits. Hash-random splits
+    leak: a near-dup of a training doc sitting in test inflates eval
+    (the reason dedup-aware splitting exists); this report quantifies
+    the leak before anyone trusts the eval number. Derives from the
+    memoized minhash pair chain (pair-count-sized work) joined twice
+    against the deterministic split tags; the pair key is
+    order-normalized (least/greatest) so (train, test) and
+    (test, train) are one row."""
+    pairs = _minhash_pairs(spark, sf_dir).select("id1", "id2")
+    splits = sampling.train_val_test_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", val_pct=10, test_pct=10, seed="split1",
+    ).select("doc_id", "split")
+    s1 = splits.select(
+        F.col("doc_id").alias("id1"), F.col("split").alias("_s1")
+    )
+    s2 = splits.select(
+        F.col("doc_id").alias("id2"), F.col("split").alias("_s2")
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            F.least("_s1", "_s2").alias("split_a"),
+            F.greatest("_s1", "_s2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _split_leakage_sql() -> str:
+    bucket = sampling.duck_hash_bucket_sql("doc_id", seed="split1")
+    m = sampling.HASH_MOD
+    return f"""
+WITH {_minhash_pair_ctes()},
+split AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < {m - 2000} THEN 'train'
+              WHEN {bucket} < {m - 1000} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(s1.split, s2.split) AS split_a,
+       greatest(s1.split, s2.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN split s1 ON s1.doc_id = p.id1
+JOIN split s2 ON s2.doc_id = p.id2
+GROUP BY 1, 2
+"""
+
+
 # --- contamination forensics: nearest train doc per test doc ---
 def nearest_train_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every test-split document, its most shingle-overlapping
@@ -2761,6 +2817,7 @@ CORPUS_QUERIES = {
         _cluster_histogram_sql(),
     ),
     "dd_nearest_train_doc": (nearest_train_doc, _nearest_train_sql()),
+    "smp_split_leakage_report": (split_leakage_report, _split_leakage_sql()),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
     "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),
     "dd_dedup_purged_corpus": (dedup_purged_corpus, _dedup_purged_sql()),

@@ -70,6 +70,7 @@ NEVER_DRIVER_SAMPLED = {
     "dd_nearest_train_doc",
     "txt_lang_id_confusion",
     "ann_pq_recall_report",
+    "smp_split_leakage_report",
 }
 
 
