@@ -51,6 +51,8 @@ _SAMPLE_PRIORITY = [
     "txt_lang_id_confusion",
     "ann_pq_recall_report",
     "smp_split_leakage_report",
+    "txt_quality_filter_funnel",
+    "pk_pack_efficiency_report",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

@@ -1071,6 +1071,80 @@ WHERE n_tok >= {MIN_TOKENS}
 """
 
 
+# --- quality-filter funnel (cascade stage attrition report) ---
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row attrition funnel for the C4/Gopher keep/drop cascade:
+    how many documents survive each successive gate (min tokens →
+    punctuation density → composite quality → duplicate-word ratio).
+    The dashboard that tells a corpus owner WHICH gate is eating their
+    data before they re-tune thresholds. Same rounded-value predicates
+    as ``txt_quality_filtered_corpus``/``T.quality_keep``, so the
+    funnel's last stage equals that query's row count by construction.
+    One scan, one aggregate — conditional sums are map-side partials."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    c1 = T.token_count_ws("text") >= T.MIN_TOKENS
+    c2 = c1 & (rnd(T.punct_ratio("text"), 6) <= T.MAX_PUNCT_RATIO)
+    c3 = c2 & (T.quality_score("text") >= T.MIN_QUALITY)
+    c4 = c3 & (rnd(T.dup_word_ratio("text"), 6) <= T.MAX_DUP_WORD_RATIO)
+
+    def n(cond, name):
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+        )
+
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        n(c1, "n_after_min_tokens"),
+        n(c2, "n_after_punct"),
+        n(c3, "n_after_quality"),
+        n(c4, "n_kept"),
+    )
+
+
+def _quality_funnel_sql() -> str:
+    stop = ", ".join(f"'{m}'" for m in T.LANG_MARKERS["en"])
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), scored AS (
+  SELECT len(wl) AS n_tok,
+         round(CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END, 6) AS punct_r,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(wl) > 0
+              THEN len(list_filter(wl, x -> lower(x) IN ({stop}))) * 1.0 / len(wl)
+              ELSE 0.0 END AS sraw,
+         round(CASE WHEN len(wl) > 0
+              THEN 1.0 - len(list_distinct(wl)) * 1.0 / len(wl)
+              ELSE 0.0 END, 6) AS dup_r
+  FROM w
+), q AS (
+  SELECT n_tok, punct_r, dup_r,
+         round(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.5
+               + greatest(0.0, 1.0 - praw * 5) * 0.25
+               + least(sraw * 5, 1.0) * 0.25, 6) AS quality
+  FROM scored
+), flags AS (
+  SELECT n_tok >= {MIN_TOKENS} AS c1,
+         n_tok >= {MIN_TOKENS} AND punct_r <= {MAX_PUNCT_RATIO} AS c2,
+         n_tok >= {MIN_TOKENS} AND punct_r <= {MAX_PUNCT_RATIO}
+           AND quality >= {MIN_QUALITY} AS c3,
+         n_tok >= {MIN_TOKENS} AND punct_r <= {MAX_PUNCT_RATIO}
+           AND quality >= {MIN_QUALITY} AND dup_r <= {MAX_DUP_WORD_RATIO} AS c4
+  FROM q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_min_tokens,
+       CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_punct,
+       CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flags
+"""
+
+
 # --- deterministic sampling: training-mix strata + splits ---
 MIX_RATES = {"en": 0.6, "zh": 0.4, "es": 0.3, "de": 0.3}  # fr deliberately absent
 
@@ -2687,6 +2761,49 @@ FROM c
 """
 
 
+# --- pack-plan efficiency report (fill-rate audit) ------------------------
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, n_docs, n_seqs, n_tokens, fill_ratio) — how full
+    the planned training sequences run per stratum: fill_ratio =
+    tokens / (sequences × seq_len). The packing audit that decides
+    whether greedy offset packing is wasting trainer FLOPs on padding
+    (low fill → re-shard or sort by length before packing). A pure
+    aggregation over the pack-plan query's output — stratum-sized
+    result, map-side-combinable counts."""
+    from ..operators.packing import SEQ_LEN
+
+    plan = sequence_pack(spark, sf_dir)
+    return plan.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.struct("pack_shard", "seq_id")).alias("n_seqs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        rnd(
+            F.sum("n_tokens")
+            / (F.countDistinct(F.struct("pack_shard", "seq_id")) * SEQ_LEN),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+def _pack_efficiency_sql() -> str:
+    from ..operators.packing import SEQ_LEN
+
+    return f"""
+WITH plan AS (
+  SELECT * FROM ({_pack_sql()})
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT (pack_shard, seq_id)) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) * 1.0
+             / (count(DISTINCT (pack_shard, seq_id)) * {SEQ_LEN}), 6)
+         AS fill_ratio
+FROM plan
+GROUP BY source, lang
+"""
+
+
 # --- exact-size deterministic sample --------------------------------------
 EXACT_SAMPLE_K = 200
 EXACT_SAMPLE_SEED = "evalset-v1"
@@ -2861,5 +2978,7 @@ CORPUS_QUERIES = {
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
     "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),
     "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
+    "pk_pack_efficiency_report": (pack_efficiency_report, _pack_efficiency_sql()),
+    "txt_quality_filter_funnel": (quality_filter_funnel, _quality_funnel_sql()),
     "pk_packed_sequences": (packed_sequences_table, _packed_seqs_sql()),
 }

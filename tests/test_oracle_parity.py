@@ -71,6 +71,8 @@ NEVER_DRIVER_SAMPLED = {
     "txt_lang_id_confusion",
     "ann_pq_recall_report",
     "smp_split_leakage_report",
+    "txt_quality_filter_funnel",
+    "pk_pack_efficiency_report",
 }
 
 
