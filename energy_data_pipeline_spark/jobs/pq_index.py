@@ -1,0 +1,112 @@
+"""PQ vector-index lifecycle as manifest-committed jobs.
+
+The catalog's ``emb_pq_codes`` / ``ann_pq_adc_topk`` verify the PQ
+math; this module is the OPERATIONAL surface a vector store runs:
+
+- ``pq_index_build``: train the codebooks on a corpus snapshot and
+  publish codebook + codes as ONE commit group (two sub-tables, one
+  pointer flip — a crash stages orphans, never a codes table whose
+  codebook is missing or mismatched).
+- ``pq_index_append``: assign NEW vectors with the COMMITTED codebook
+  (no retrain — the standard grow path; codes stay comparable because
+  the quantizer is frozen) and append them in one group commit.
+- ``pq_index_topk``: ADC search served entirely from the committed
+  index — the plan reads codes + a collected codebook; the corpus's
+  raw vectors are not touched, which is the point of the index at
+  100 TB (gigabytes of codes for terabytes of vectors).
+
+Same atomicity machinery as the near-dup ingest
+(``sinks/manifest_table.group_*``): snapshot-isolated reads, versioned
+manifests, vacuum for orphans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import pq
+from ..sinks import manifest_table
+
+CODEBOOK_SUB = "codebook"
+CODES_SUB = "codes"
+
+
+def _codebook_frame(
+    spark: SparkSession, cents: list[list[list[float]]]
+) -> DataFrame:
+    rows = [
+        (mi, ci, cents[mi][ci])
+        for mi in range(len(cents))
+        for ci in range(len(cents[mi]))
+    ]
+    return spark.createDataFrame(
+        rows, "m int, cid int, centroid array<double>"
+    )
+
+
+def _codebook_from_frame(df: DataFrame) -> list[list[list[float]]]:
+    rows = df.collect()  # M*K rows — codebook-sized, never corpus-sized
+    by_key = {(r["m"], r["cid"]): [float(x) for x in r["centroid"]] for r in rows}
+    m = 1 + max(k[0] for k in by_key)
+    k = 1 + max(k[1] for k in by_key)
+    return [[by_key[(mi, ci)] for ci in range(k)] for mi in range(m)]
+
+
+def pq_index_build(
+    spark: SparkSession,
+    vectors: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train on the snapshot and publish (codebook, codes) atomically.
+    Overwrites any previous index version (retrain = new epoch; old
+    versions stay readable until vacuumed)."""
+    cents = pq.pq_train(vectors, id_col, vec_col)
+    codes = pq.pq_assign(vectors, cents, id_col, vec_col)
+    manifest = manifest_table.group_overwrite(
+        {CODEBOOK_SUB: _codebook_frame(spark, cents), CODES_SUB: codes},
+        root,
+    )
+    return {
+        "version": manifest["version"],
+        "m": len(cents),
+        "k": len(cents[0]),
+    }
+
+
+def pq_index_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assign new vectors with the committed codebook and append their
+    codes in one commit — no retrain, so existing codes stay valid and
+    the append's cost is batch-sized."""
+    cb = manifest_table.group_read(spark, root, CODEBOOK_SUB)
+    if cb is None:
+        raise ValueError(f"pq_index_append: no committed index at {root}")
+    cents = _codebook_from_frame(cb)
+    codes = pq.pq_assign(new_vectors, cents, id_col, vec_col)
+    manifest = manifest_table.group_append({CODES_SUB: codes}, root)
+    return {"version": manifest["version"]}
+
+
+def pq_index_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k served from the committed index: collected codebook
+    (M·K rows) + codes scan — raw corpus vectors never enter the plan."""
+    cb = manifest_table.group_read(spark, root, CODEBOOK_SUB)
+    codes = manifest_table.group_read(spark, root, CODES_SUB)
+    if cb is None or codes is None:
+        raise ValueError(f"pq_index_topk: no committed index at {root}")
+    cents = _codebook_from_frame(cb)
+    return pq.adc_topk_from_codes(codes, queries, cents, id_col, vec_col, k)

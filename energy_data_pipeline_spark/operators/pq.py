@@ -207,8 +207,23 @@ def pq_adc_topk(
     holds when the corpus is 100 TB and the codes are gigabytes.
     Ranking uses the ROUNDED distance (ascending, ties by neighbor id)
     so both engines cut identical top-k sets."""
-    m = len(cents)
     codes = pq_assign(corpus, cents, id_col, vec_col)
+    return adc_topk_from_codes(codes, queries, cents, id_col, vec_col, k)
+
+
+def adc_topk_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC search against an ALREADY-MATERIALIZED codes table (columns
+    ``id_col, code0..code{M-1}``) — the persisted-index path a vector
+    store actually serves from: the corpus's raw vectors are not in the
+    plan at all (see ``jobs/pq_index``)."""
+    m = len(cents)
     code_stream = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(

@@ -630,3 +630,78 @@ class TestCorpusLifecycle:
             r.doc_id for r in mt.group_read(spark, root, INDEX_SUB).collect()
         }
         assert idx_docs == {2, 10}  # group invariant: corpus == index docs
+
+
+def test_pq_index_build_query_append_lifecycle(spark, tmp_path, sf_small):
+    """The PQ index lifecycle: build publishes codebook+codes as one
+    commit group; search from the committed index equals the operator
+    path with the same codebook; append assigns with the FROZEN
+    codebook (no retrain) and the next search sees the new vectors."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs import pq_index
+    from energy_data_pipeline_spark.operators import pq
+    from energy_data_pipeline_spark.sinks import manifest_table
+    from energy_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    root = str(tmp_path / "pqidx")
+
+    stats = pq_index.pq_index_build(spark, first, root)
+    assert stats["version"] == 0 and stats["m"] == pq.PQ_M
+
+    q = first.filter(F.col("vec_id") < 8)
+    got = {
+        tuple(r) for r in pq_index.pq_index_topk(spark, q, root).collect()
+    }
+    cents = pq.pq_train(first)
+    expect = {
+        tuple(r) for r in pq.pq_adc_topk(first, q, cents).collect()
+    }
+    assert got == expect
+
+    # the CORPUS side of the search must read committed codes, not raw
+    # vectors: the only embeddings scan is the tiny query side
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq_index.pq_index_topk(spark, q, root).explain("formatted")
+    plan = buf.getvalue()
+    assert f"{root}" in plan, plan[:1500]
+    emb_scans = [
+        ln for ln in plan.splitlines()
+        if "Location" in ln and "embeddings.parquet" in ln
+    ]
+    assert len(emb_scans) == 1, emb_scans
+
+    # append with the frozen codebook: codes grow, codebook unchanged
+    rep = pq_index.pq_index_append(spark, rest, root)
+    assert rep["version"] == 1
+    codes = manifest_table.group_read(spark, root, pq_index.CODES_SUB)
+    assert codes.count() == emb.count()
+    cb_after = pq_index._codebook_from_frame(
+        manifest_table.group_read(spark, root, pq_index.CODEBOOK_SUB)
+    )
+    assert cb_after == cents
+
+    got2 = {
+        tuple(r) for r in pq_index.pq_index_topk(spark, q, root).collect()
+    }
+    expect2 = {
+        tuple(r)
+        for r in pq.adc_topk_from_codes(
+            pq.pq_assign(emb, cents), q, cents
+        ).collect()
+    }
+    assert got2 == expect2
+
+    # append before build fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed index"):
+        pq_index.pq_index_append(spark, rest, str(tmp_path / "nope"))
