@@ -53,6 +53,8 @@ _SAMPLE_PRIORITY = [
     "smp_split_leakage_report",
     "txt_quality_filter_funnel",
     "pk_pack_efficiency_report",
+    "emb_ivf_cell_histogram",
+    "q10_returned_item_topk",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

@@ -476,6 +476,56 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+# --- TPC-H Q10 shape: top customers by returned-item revenue ---
+def returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — the returned-item report: which customers
+    returned the most revenue in a quarter. Two fact-to-fact shuffle
+    joins with the date window pushed to the orders scan and the
+    returnflag filter pushed to the lineitem scan (both prune BEFORE
+    the joins), one broadcast dim, and a rounded-revenue
+    TakeOrderedAndProject top-20 (rank on the rounded value, q1
+    convention, so both engines cut identical rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    q0 = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    q1 = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter((F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1))
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --- O3: dedup keep-first on key with explicit ordering ---
 # Parity: initial_db_ingestion.py:99 (+ SURVEY §7.1 determinism fix).
 def dedup_keep_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +789,7 @@ CORE_QUERIES = {
     "j3_customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "q3_top_urgent_orders": (top_urgent_orders, TOP_URGENT_SQL),
     "q5_local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
+    "q10_returned_item_topk": (returned_item_topk, RETURNED_ITEM_SQL),
     "o3_dedup_keep_first": (dedup_keep_first_events, DEDUP_FIRST_SQL),
     "o4_dedup_keep_last": (dedup_keep_last_events, DEDUP_LAST_SQL),
     "o5_union_slices": (union_slices, UNION_SLICES_SQL),

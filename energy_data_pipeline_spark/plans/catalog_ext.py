@@ -753,17 +753,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql() -> str:
-    from ..operators import pq
-
-    ck, citers, nprobe = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE
-    m, iters = pq.PQ_M, pq.PQ_ITERS
-    subdim = EMB_DIM // m
+def _coarse_ctes() -> tuple[list[str], str, str]:
+    """Shared SQL prefix for the IVFADC-family oracles: the raw-vector
+    table, the first-k seed, and the unrolled coarse Lloyd rounds.
+    Returns (ctes, final_centroid_cte, d2_expr_against_e)."""
+    ck, citers = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS
     cd2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM} + 1),"
         " i -> ({c}[i] - e.v[i]) * ({c}[i] - e.v[i])))"
     )
-    # coarse training: seed + unrolled Lloyd rounds over full vectors
     ctes = [
         "e AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n)",
         f"""cg_0 AS (
@@ -795,6 +793,16 @@ def _ivfpq_sql() -> str:
 )"""
         )
         cur = f"cg_{t + 1}"
+    return ctes, cur, cd2
+
+
+def _ivfpq_sql() -> str:
+    from ..operators import pq
+
+    nprobe = IVFPQ_NPROBE
+    m, iters = pq.PQ_M, pq.PQ_ITERS
+    subdim = EMB_DIM // m
+    ctes, cur, cd2 = _coarse_ctes()
     dd = cd2.format(c="cc.c")
     # residuals (index side) and probed query residuals
     ctes.append(
@@ -857,6 +865,58 @@ SELECT query_id, neighbor_id, adc_dist FROM (
                             ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
   FROM scored
 ) WHERE rk <= 5
+"""
+    )
+
+
+# --- IVF cell-occupancy histogram (partition-skew audit) ------------------
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, n_vectors) — occupancy of the trained coarse quantizer's
+    cells. At scale the cell IS the partition/bucketing key of the
+    vector index (IVF search, SemDeDup pair joins), so a skewed
+    histogram here is tomorrow's hot partition: this is the audit that
+    decides whether to retrain with more cells or split the heavy one.
+    Same deterministic coarse training as ``ann_ivfpq_topk``; one
+    assignment pass, 8-row result."""
+    from ..operators import ivf as ivf_op
+    from . import plan_cache
+
+    def build():
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        coarse = ivf_op.kmeans_lloyd(
+            emb, "vec_id", "embedding",
+            k=IVFPQ_COARSE_K, iterations=IVFPQ_COARSE_ITERS,
+        )
+        assigned = ivf_op.ivf_assign(emb, coarse, "vec_id", "embedding")
+        return (
+            assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_vectors")
+            ),
+            [],
+        )
+
+    return plan_cache.cached_plan(
+        spark,
+        ("ivf_cell_hist", sf_dir, IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS),
+        build,
+    )
+
+
+def _cell_histogram_sql() -> str:
+    ctes, cur, cd2 = _coarse_ctes()
+    dd = cd2.format(c="cc.c")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cc.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dd} ASC, cc.cid ASC) AS rk
+    FROM e CROSS JOIN {cur} cc
+  ) WHERE rk = 1
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+FROM assign GROUP BY cell
 """
     )
 
@@ -1432,6 +1492,7 @@ EXT_QUERIES = {
     "ann_pq_adc_topk": (ann_pq_adc_topk, _pq_adc_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "ann_pq_recall_report": (ann_pq_recall_report, _pq_recall_sql()),
+    "emb_ivf_cell_histogram": (ivf_cell_histogram, _cell_histogram_sql()),
     "dd_semantic_dedup": (semantic_dedup, _semdedup_sql()),
     "sk_salted_event_totals": (salted_event_totals, SALTED_TOTALS_SQL),
     "p17_geocode_cascade": (geocode_suppliers, _p17_sql()),

@@ -73,6 +73,8 @@ NEVER_DRIVER_SAMPLED = {
     "smp_split_leakage_report",
     "txt_quality_filter_funnel",
     "pk_pack_efficiency_report",
+    "emb_ivf_cell_histogram",
+    "q10_returned_item_topk",
 }
 
 

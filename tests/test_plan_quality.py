@@ -50,7 +50,13 @@ def test_flagship_pushes_down_and_limits(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["j1_dim_join_agg", "j2_supplier_window_activity", "q3_top_urgent_orders"]
+    "name",
+    [
+        "j1_dim_join_agg",
+        "j2_supplier_window_activity",
+        "q3_top_urgent_orders",
+        "q10_returned_item_topk",
+    ],
 )
 def test_dim_joins_broadcast(spark, name):
     """Fact-dim joins must broadcast the dim, never sort-merge it."""
@@ -313,3 +319,15 @@ def test_pq_search_broadcasts_lut_no_sort_merge(spark, name):
     plan = plan_of(fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_q10_pushes_both_fact_filters_and_takes_ordered(spark):
+    """Q10's date window must reach the orders scan and the returnflag
+    filter the lineitem scan (both prune BEFORE the fact-to-fact
+    joins); the top-20 must be a TakeOrderedAndProject, not a global
+    sort of the customer aggregate."""
+    fn, _ = CATALOG["q10_returned_item_topk"]
+    plan = plan_of(fn(spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate," in plan, plan[:2000]
+    assert "EqualTo(l_returnflag,R)" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
