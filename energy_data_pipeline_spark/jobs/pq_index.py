@@ -84,14 +84,32 @@ def pq_index_append(
 ) -> dict:
     """Assign new vectors with the committed codebook and append their
     codes in one commit — no retrain, so existing codes stay valid and
-    the append's cost is batch-sized."""
+    the append's cost is batch-sized.
+
+    Idempotent under replay: ids already in the committed codes table
+    are anti-joined out of the batch (a retried/overlapping append must
+    NOT double a vector's code rows — duplicated codes would double its
+    ADC distance terms and corrupt every ranking it appears in), and an
+    all-duplicate batch commits nothing."""
     cb = manifest_table.group_read(spark, root, CODEBOOK_SUB)
     if cb is None:
         raise ValueError(f"pq_index_append: no committed index at {root}")
     cents = _codebook_from_frame(cb)
-    codes = pq.pq_assign(new_vectors, cents, id_col, vec_col)
+    fresh = new_vectors
+    existing = manifest_table.group_read(spark, root, CODES_SUB)
+    if existing is not None:
+        from pyspark.sql import functions as F
+
+        fresh = new_vectors.join(
+            existing.select(F.col(id_col)), id_col, "left_anti"
+        )
+    codes = pq.pq_assign(fresh, cents, id_col, vec_col)
+    n_new = codes.count()
+    if n_new == 0:
+        current = manifest_table.read_manifest(root)
+        return {"version": current["version"], "appended": 0}
     manifest = manifest_table.group_append({CODES_SUB: codes}, root)
-    return {"version": manifest["version"]}
+    return {"version": manifest["version"], "appended": n_new}
 
 
 def pq_index_topk(

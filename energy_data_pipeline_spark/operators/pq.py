@@ -115,6 +115,7 @@ def pq_train(
         seed_rows = vecs.orderBy(id_col).limit(k).collect()
         if not seed_rows:
             raise ValueError("pq_train: empty corpus")
+        k = min(k, len(seed_rows))  # corpus may hold fewer than k vectors
         dim = len(seed_rows[0]["v"])
         if dim % m:
             raise ValueError(f"pq_train: dim {dim} not divisible by M={m}")
@@ -303,17 +304,21 @@ def ivfpq_train(
     m: int = PQ_M,
     k: int = PQ_K,
     iterations: int = PQ_ITERS,
+    coarse: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Train the IVFADC index (Jégou et al. 2011 §IV): a Lloyd coarse
     quantizer over raw vectors, then ONE shared PQ codebook set over
     the residuals of every cell — the canonical billion-scale layout
     (FAISS ``IVFx,PQy``). Both stages reuse the engine's deterministic
-    trainers, so the composed index has an exact SQL oracle."""
+    trainers, so the composed index has an exact SQL oracle. Pass a
+    pre-trained ``coarse`` to skip the first stage (model reuse across
+    consumers)."""
     from .ivf import kmeans_lloyd
 
-    coarse = kmeans_lloyd(
-        corpus, id_col, vec_col, k=coarse_k, iterations=coarse_iters
-    )
+    if coarse is None:
+        coarse = kmeans_lloyd(
+            corpus, id_col, vec_col, k=coarse_k, iterations=coarse_iters
+        )
     resid = _residuals(corpus, coarse, id_col, vec_col)
     pq_cents = pq_train(resid, id_col, "rv", m=m, k=k, iterations=iterations)
     return coarse, pq_cents

@@ -2767,19 +2767,35 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planned training sequences run per stratum: fill_ratio =
     tokens / (sequences × seq_len). The packing audit that decides
     whether greedy offset packing is wasting trainer FLOPs on padding
-    (low fill → re-shard or sort by length before packing). A pure
-    aggregation over the pack-plan query's output — stratum-sized
-    result, map-side-combinable counts."""
+    (low fill → re-shard or sort by length before packing).
+
+    Sequences per SHARD = ceil(shard_tokens / seq_len) — counting the
+    plan's distinct starting seq_ids would miss every sequence a
+    boundary-spanning document flows into (a 5000-token doc starts in
+    one sequence but fills three) and inflate fill past 1.0; the ceil
+    over contiguous concatenation is exactly the materializer's
+    sequence count. Integer arithmetic end-to-end so both engines
+    agree at any token volume. Two aggregations over the pack plan —
+    shard-sized then stratum-sized, map-side-combinable."""
     from ..operators.packing import SEQ_LEN
 
     plan = sequence_pack(spark, sf_dir)
-    return plan.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.struct("pack_shard", "seq_id")).alias("n_seqs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    shards = plan.groupBy("source", "lang", "pack_shard").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum("n_tokens").alias("_toks"),
+    )
+    return shards.groupBy("source", "lang").agg(
+        F.sum("_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"(_toks + {SEQ_LEN - 1}) div {SEQ_LEN}"))
+        .cast("bigint")
+        .alias("n_seqs"),
+        F.sum("_toks").cast("bigint").alias("n_tokens"),
         rnd(
-            F.sum("n_tokens")
-            / (F.countDistinct(F.struct("pack_shard", "seq_id")) * SEQ_LEN),
+            F.sum("_toks")
+            / (
+                F.sum(F.expr(f"(_toks + {SEQ_LEN - 1}) div {SEQ_LEN}"))
+                * SEQ_LEN
+            ),
             6,
         ).alias("fill_ratio"),
     )
@@ -2791,15 +2807,20 @@ def _pack_efficiency_sql() -> str:
     return f"""
 WITH plan AS (
   SELECT * FROM ({_pack_sql()})
+), shards AS (
+  SELECT source, lang, pack_shard,
+         count(*) AS docs,
+         sum(n_tokens) AS toks,
+         (sum(n_tokens) + {SEQ_LEN - 1}) // {SEQ_LEN} AS seqs
+  FROM plan
+  GROUP BY 1, 2, 3
 )
 SELECT source, lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT (pack_shard, seq_id)) AS BIGINT) AS n_seqs,
-       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       round(sum(n_tokens) * 1.0
-             / (count(DISTINCT (pack_shard, seq_id)) * {SEQ_LEN}), 6)
-         AS fill_ratio
-FROM plan
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(seqs) AS BIGINT) AS n_seqs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       round(sum(toks) * 1.0 / (sum(seqs) * {SEQ_LEN}), 6) AS fill_ratio
+FROM shards
 GROUP BY source, lang
 """
 

@@ -447,9 +447,48 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 # like the trained-IVF entry.
 PQ_QUERY_MAX = IVF_QUERY_MAX
 
+# Trained models (centroid lists) memoized per (application, snapshot,
+# config) — several catalog entries consume the SAME deterministic
+# codebooks/coarse cells, and without this each entry's first
+# invocation re-ran identical corpus-scale training (model caching per
+# the plan_cache rules: pure snapshot-derived state, never time/RNG).
+_MODEL_MEMO: dict[tuple, object] = {}
+
+
+def _memo_model(spark: SparkSession, key: tuple, train):
+    full = (spark.sparkContext.applicationId,) + key
+    if full not in _MODEL_MEMO:
+        _MODEL_MEMO[full] = train()
+    return _MODEL_MEMO[full]
+
+
+def _pq_cents(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators import pq
+
+    return _memo_model(
+        spark,
+        ("pq_cents", sf_dir, pq.PQ_M, pq.PQ_K, pq.PQ_ITERS),
+        lambda: pq.pq_train(
+            fan_out(load_table(spark, sf_dir, "embeddings")),
+            "vec_id", "embedding",
+        ),
+    )
+
+
+def _coarse_cents(spark: SparkSession, sf_dir: str) -> list:
+    return _memo_model(
+        spark,
+        ("coarse_cents", sf_dir, IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS),
+        lambda: ivf.kmeans_lloyd(
+            fan_out(load_table(spark, sf_dir, "embeddings")),
+            "vec_id", "embedding",
+            k=IVFPQ_COARSE_K, iterations=IVFPQ_COARSE_ITERS,
+        ),
+    )
+
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ index build: (vec_id, code0..code3, recon_err) — the
+    """PQ index build: (vec_id, code0..code{M-1}, recon_err) — the
     compressed representation an ADC search or a storage-budgeted
     vector store keeps (M bytes/vector instead of 4·dim). Prepared-plan
     memoized: the trained codebooks are a pure function of the
@@ -460,7 +499,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        cents = pq.pq_train(emb, "vec_id", "embedding")
+        cents = _pq_cents(spark, sf_dir)
         return pq.pq_assign(emb, cents, "vec_id", "embedding"), []
 
     return plan_cache.cached_plan(
@@ -481,7 +520,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        cents = pq.pq_train(emb, "vec_id", "embedding")
+        cents = _pq_cents(spark, sf_dir)
         queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
         return pq.pq_adc_topk(emb, queries, cents, "vec_id", "embedding", k=5), []
 
@@ -736,6 +775,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse, pq_cents = pq.ivfpq_train(
             emb, "vec_id", "embedding",
             coarse_k=IVFPQ_COARSE_K, coarse_iters=IVFPQ_COARSE_ITERS,
+            coarse=_coarse_cents(spark, sf_dir),
         )
         queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
         return (
@@ -883,10 +923,7 @@ def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        coarse = ivf_op.kmeans_lloyd(
-            emb, "vec_id", "embedding",
-            k=IVFPQ_COARSE_K, iterations=IVFPQ_COARSE_ITERS,
-        )
+        coarse = _coarse_cents(spark, sf_dir)
         assigned = ivf_op.ivf_assign(emb, coarse, "vec_id", "embedding")
         return (
             assigned.groupBy("cell").agg(

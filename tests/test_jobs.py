@@ -700,6 +700,18 @@ def test_pq_index_build_query_append_lifecycle(spark, tmp_path, sf_small):
     }
     assert got2 == expect2
 
+    # replayed append is a no-op: duplicated code rows would double a
+    # vector's ADC distance terms and corrupt its rankings
+    rep_replay = pq_index.pq_index_append(spark, rest, root)
+    assert rep_replay["appended"] == 0 and rep_replay["version"] == 1
+    assert (
+        manifest_table.group_read(spark, root, pq_index.CODES_SUB).count()
+        == emb.count()
+    )
+    assert {
+        tuple(r) for r in pq_index.pq_index_topk(spark, q, root).collect()
+    } == got2
+
     # append before build fails loudly
     import pytest as _pytest
 

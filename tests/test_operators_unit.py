@@ -1917,3 +1917,75 @@ class TestProductQuantization:
         }
         recall = len(got & truth) / len(truth)
         assert recall >= 0.15, f"IVFPQ recall {recall:.3f} < 0.15"
+
+
+def test_pack_efficiency_seq_count_matches_materializer(spark):
+    """The fill-rate audit's sequence count must be
+    ceil(shard_tokens / seq_len) — the materializer's actual sequence
+    count — NOT the count of docs' distinct STARTING seq_ids, which
+    misses every sequence a boundary-spanning document flows into
+    (a 50-token doc at seq_len=8 fills 7 sequences but starts in one)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.operators.packing import (
+        packed_sequences,
+        sequence_pack_plan,
+    )
+
+    rows = [
+        (1, "web", ["t"] * 50),   # spans 7 seqs at seq_len=8, alone in shard
+        (2, "api", ["u"] * 5),
+        (3, "api", ["v"] * 6),    # api shard: 11 tokens -> 2 seqs
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, toks array<string>"
+    )
+    plan = sequence_pack_plan(
+        docs, "doc_id", F.size("toks").cast("long"), ["source"], seq_len=8
+    )
+    shard_toks = {
+        (r["source"], r["pack_shard"]): r["toks"]
+        for r in plan.groupBy("source", "pack_shard")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    ceil_seqs = {
+        k: math.ceil(v / 8) for k, v in shard_toks.items()
+    }
+    mat = packed_sequences(
+        docs, "doc_id", F.col("toks"), ["source"], seq_len=8
+    )
+    mat_seqs = {
+        (r["source"], r["pack_shard"]): r["n"]
+        for r in mat.groupBy("source", "pack_shard")
+        .agg(F.countDistinct("seq_id").alias("n"))
+        .collect()
+    }
+    assert ceil_seqs == mat_seqs
+    assert ceil_seqs[("web", 0)] == 7  # the spanning case the old
+    # distinct-start formula counted as 1
+
+
+def test_pq_train_handles_fewer_vectors_than_k(spark):
+    """A corpus smaller than K must train a smaller codebook (like
+    kmeans_lloyd), not IndexError in the Lloyd rebuild."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.operators import pq
+
+    vecs = spark.range(0, 12).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: (F.pmod(F.xxhash64("id", d), 100) / 100.0).cast("float"),
+        ).alias("embedding"),
+    )
+    cents = pq.pq_train(vecs, iterations=1)
+    assert len(cents) == pq.PQ_M and len(cents[0]) == 12
+    codes = pq.pq_assign(vecs, cents).collect()
+    assert len(codes) == 12
+    for r in codes:
+        for mi in range(pq.PQ_M):
+            assert 0 <= r[f"code{mi}"] < 12
