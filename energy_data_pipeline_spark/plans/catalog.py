@@ -55,6 +55,7 @@ _SAMPLE_PRIORITY = [
     "pk_pack_efficiency_report",
     "emb_ivf_cell_histogram",
     "q10_returned_item_topk",
+    "dd_minhash_estimate_error",
     "txt_bigram_logprob",
     "txt_bm25_topk",
     "ann_ivf_topk",

@@ -567,6 +567,72 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+# --- MinHash estimator-quality audit ---
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the 96-hash MinHash estimator on the surviving
+    near-dup pairs: signature agreement fraction (the Jaccard estimate
+    LSH banding implicitly trusts) vs the EXACT verified Jaccard —
+    (n_pairs, mean_abs_err, max_abs_err). The sketch-quality check an
+    index owner runs before changing NUM_HASHES or the band layout:
+    expected |err| ~ sqrt(j(1-j)/k) ≈ 0.05 at j=0.5, k=96. Pair list
+    comes from the memoized pair chain; the signature recompute is one
+    explode + codegen'd min-aggregate pass, pair-join-bounded after."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = neardup.doc_shingles(fan_out(docs), "doc_id", "text", 3)
+    sigs = neardup.minhash_signatures(sh, "doc_id")
+    nh = neardup.NUM_HASHES
+    s1 = sigs.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"mh_{k}").alias(f"a{k}") for k in range(nh)],
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"mh_{k}").alias(f"b{k}") for k in range(nh)],
+    )
+    matches = sum(
+        (F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(nh)),
+        F.lit(0),
+    )
+    est = (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            (matches / F.lit(float(nh))).alias("_est"), F.col("jaccard")
+        )
+    )
+    return est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        rnd(F.avg(F.abs(F.col("_est") - F.col("jaccard"))), 6).alias(
+            "mean_abs_err"
+        ),
+        rnd(F.max(F.abs(F.col("_est") - F.col("jaccard"))), 6).alias(
+            "max_abs_err"
+        ),
+    )
+
+
+def _minhash_estimate_error_sql() -> str:
+    nh = neardup.NUM_HASHES
+    match_sum = " + ".join(
+        f"CASE WHEN s1.mh_{k} = s2.mh_{k} THEN 1 ELSE 0 END"
+        for k in range(nh)
+    )
+    return f"""
+WITH {_minhash_pair_ctes()},
+est AS (
+  SELECT ({match_sum}) * 1.0 / {nh} AS est, p.jaccard
+  FROM pairs p
+  JOIN sig s1 ON s1.doc_id = p.id1
+  JOIN sig s2 ON s2.doc_id = p.id2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est - jaccard)), 6) AS mean_abs_err,
+       round(max(abs(est - jaccard)), 6) AS max_abs_err
+FROM est
+"""
+
+
 # --- quality-aware dedup purge (keep the BEST cluster member) ---
 def quality_winner_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup purge keeping the HIGHEST-QUALITY member of each
@@ -2956,6 +3022,10 @@ CORPUS_QUERIES = {
     ),
     "dd_nearest_train_doc": (nearest_train_doc, _nearest_train_sql()),
     "smp_split_leakage_report": (split_leakage_report, _split_leakage_sql()),
+    "dd_minhash_estimate_error": (
+        minhash_estimate_error,
+        _minhash_estimate_error_sql(),
+    ),
     "dd_minhash_lsh_near_dups": (minhash_lsh_near_dups, _minhash_sql()),
     "dd_dup_clusters": (dup_clusters, _dup_clusters_sql()),
     "dd_dedup_purged_corpus": (dedup_purged_corpus, _dedup_purged_sql()),

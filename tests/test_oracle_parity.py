@@ -75,6 +75,7 @@ NEVER_DRIVER_SAMPLED = {
     "pk_pack_efficiency_report",
     "emb_ivf_cell_histogram",
     "q10_returned_item_topk",
+    "dd_minhash_estimate_error",
 }
 
 
