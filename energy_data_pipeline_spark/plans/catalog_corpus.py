@@ -575,10 +575,18 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_pairs, mean_abs_err, max_abs_err). The sketch-quality check an
     index owner runs before changing NUM_HASHES or the band layout:
     expected |err| ~ sqrt(j(1-j)/k) ≈ 0.05 at j=0.5, k=96. Pair list
-    comes from the memoized pair chain; the signature recompute is one
-    explode + codegen'd min-aggregate pass, pair-join-bounded after."""
+    comes from the memoized pair chain, and the corpus is SEMI-JOINED
+    to pair members before any shingling — the audit's cost scales
+    with the pairs being audited, never with the corpus."""
     pairs = _minhash_pairs(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    ids = (
+        pairs.select(F.col("id1").alias("doc_id"))
+        .union(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").join(
+        ids, "doc_id", "left_semi"
+    )
     sh = neardup.doc_shingles(fan_out(docs), "doc_id", "text", 3)
     sigs = neardup.minhash_signatures(sh, "doc_id")
     nh = neardup.NUM_HASHES
