@@ -577,46 +577,60 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected |err| ~ sqrt(j(1-j)/k) ≈ 0.05 at j=0.5, k=96. Pair list
     comes from the memoized pair chain, and the corpus is SEMI-JOINED
     to pair members before any shingling — the audit's cost scales
-    with the pairs being audited, never with the corpus."""
-    pairs = _minhash_pairs(spark, sf_dir)
-    ids = (
-        pairs.select(F.col("id1").alias("doc_id"))
-        .union(pairs.select(F.col("id2").alias("doc_id")))
-        .distinct()
-    )
-    docs = load_table(spark, sf_dir, "documents").join(
-        ids, "doc_id", "left_semi"
-    )
-    sh = neardup.doc_shingles(fan_out(docs), "doc_id", "text", 3)
-    sigs = neardup.minhash_signatures(sh, "doc_id")
-    nh = neardup.NUM_HASHES
-    s1 = sigs.select(
-        F.col("doc_id").alias("id1"),
-        *[F.col(f"mh_{k}").alias(f"a{k}") for k in range(nh)],
-    )
-    s2 = sigs.select(
-        F.col("doc_id").alias("id2"),
-        *[F.col(f"mh_{k}").alias(f"b{k}") for k in range(nh)],
-    )
-    matches = sum(
-        (F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(nh)),
-        F.lit(0),
-    )
-    est = (
-        pairs.join(s1, "id1")
-        .join(s2, "id2")
-        .select(
-            (matches / F.lit(float(nh))).alias("_est"), F.col("jaccard")
+    with the pairs being audited, never with the corpus.
+    Prepared-plan memoized: the 96-way signature-match projection is a
+    large expression tree whose Catalyst analysis dominated a fresh
+    invocation (~6 s); one analysis per process, execution per call."""
+    from . import plan_cache
+
+    def build():
+        pairs = _minhash_pairs(spark, sf_dir)
+        ids = (
+            pairs.select(F.col("id1").alias("doc_id"))
+            .union(pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
         )
-    )
-    return est.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        rnd(F.avg(F.abs(F.col("_est") - F.col("jaccard"))), 6).alias(
-            "mean_abs_err"
-        ),
-        rnd(F.max(F.abs(F.col("_est") - F.col("jaccard"))), 6).alias(
-            "max_abs_err"
-        ),
+        docs = load_table(spark, sf_dir, "documents").join(
+            ids, "doc_id", "left_semi"
+        )
+        sh = neardup.doc_shingles(fan_out(docs), "doc_id", "text", 3)
+        sigs = neardup.minhash_signatures(sh, "doc_id")
+        nh = neardup.NUM_HASHES
+        s1 = sigs.select(
+            F.col("doc_id").alias("id1"),
+            *[F.col(f"mh_{k}").alias(f"a{k}") for k in range(nh)],
+        )
+        s2 = sigs.select(
+            F.col("doc_id").alias("id2"),
+            *[F.col(f"mh_{k}").alias(f"b{k}") for k in range(nh)],
+        )
+        matches = sum(
+            (
+                F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+                for k in range(nh)
+            ),
+            F.lit(0),
+        )
+        est = (
+            pairs.join(s1, "id1")
+            .join(s2, "id2")
+            .select(
+                (matches / F.lit(float(nh))).alias("_est"), F.col("jaccard")
+            )
+        )
+        df = est.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            rnd(F.avg(F.abs(F.col("_est") - F.col("jaccard"))), 6).alias(
+                "mean_abs_err"
+            ),
+            rnd(F.max(F.abs(F.col("_est") - F.col("jaccard"))), 6).alias(
+                "max_abs_err"
+            ),
+        )
+        return df, []
+
+    return plan_cache.cached_plan(
+        spark, ("minhash_estimate_error", sf_dir), build
     )
 
 
