@@ -40,6 +40,14 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
+    # round-8 session-3 additions — never driver-hashed by definition
+    "q14_promo_revenue_share",
+    "q18_large_order_customers",
+    "q22_idle_rich_customers",
+    "ts_daily_peak_hours",
+    "ts_rolling_zscore_anomalies",
+    "ts_load_duration_curve",
+    "ts_peak_offpeak_profile",
     # round-8 late additions — never driver-hashed by definition
     "emb_pq_codes",
     "ann_pq_adc_topk",

@@ -526,6 +526,170 @@ LIMIT 20
 """
 
 
+# --- TPC-H Q14 shape: conditional-aggregate ratio over a date window ---
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share for one ship month:
+    the month window is pushed to the lineitem scan, the part dim rides
+    in on a broadcast, and ONE aggregate computes the conditional-sum
+    ratio (CASE inside SUM — no second scan, no self-join). Both sums
+    round before the division so the published share is a pure function
+    of already-hash-checked values in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    m0 = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
+    m1 = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.filter((F.col("l_shipdate") >= m0) & (F.col("l_shipdate") < m1))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            rnd(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                4,
+            ).alias("promo_revenue"),
+            rnd(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        rnd(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_share_pct"),
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH agg AS (
+  SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END), 4) AS promo_revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 4) AS promo_share_pct
+FROM agg
+"""
+
+
+# --- TPC-H Q18 shape: HAVING on the big fact drives the enrichment ---
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the large-volume-order report. The groupBy +
+    HAVING runs on the BIGGEST fact first and produces an order-key set
+    orders of magnitude smaller than lineitem; only that survivor set
+    joins orders and customer (the filter-before-join shape that keeps
+    both enrichment joins small at any scale). The per-order quantity
+    fan-in is absorbed by the partial aggregate (map-side combine), the
+    HAVING lands on the rounded sum so both engines cut identical
+    orders, and the final top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(rnd(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _fmt("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
+
+
+LARGE_ORDER_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 4) > 250.0
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --- TPC-H Q22 shape: scalar subquery + anti-join + dim rollup ---
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — sales-opportunity report: customers whose
+    balance beats the positive-balance average but who have placed no
+    RECENT order (every customer in this corpus has ordered at some
+    point, so the anti-join window is the lapse cutoff — Q22's "no
+    orders in N years" clause), rolled up per nation. The global
+    average is a one-row broadcast scalar (the only sane plan for a
+    scalar subquery — never a shuffle), the lapse test is a shuffled
+    LEFT ANTI against the date-filtered orders keyed on custkey (the
+    filter prunes at the orders scan; the fact side is NOT broadcast),
+    and the nation rollup broadcasts the dim. The threshold compares
+    against the ROUNDED average so the cut is engine-portable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    cutoff = F.lit("2000-07-01 00:00:00").cast("timestamp_ntz")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(rnd(F.avg("c_acctbal"), 4).alias("_avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        rich.c_custkey == orders.o_custkey,
+        "left_anti",
+    )
+    return (
+        idle.join(
+            F.broadcast(nation), idle.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            rnd(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+IDLE_RICH_SQL = """
+WITH avg_bal AS (
+  SELECT round(avg(c_acctbal), 4) AS a FROM customer WHERE c_acctbal > 0.0
+), idle AS (
+  SELECT c.* FROM customer c, avg_bal
+  WHERE c.c_acctbal > avg_bal.a
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM idle JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # --- O3: dedup keep-first on key with explicit ordering ---
 # Parity: initial_db_ingestion.py:99 (+ SURVEY §7.1 determinism fix).
 def dedup_keep_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +954,9 @@ CORE_QUERIES = {
     "q3_top_urgent_orders": (top_urgent_orders, TOP_URGENT_SQL),
     "q5_local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_SQL),
     "q10_returned_item_topk": (returned_item_topk, RETURNED_ITEM_SQL),
+    "q14_promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SQL),
+    "q18_large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
+    "q22_idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
     "o3_dedup_keep_first": (dedup_keep_first_events, DEDUP_FIRST_SQL),
     "o4_dedup_keep_last": (dedup_keep_last_events, DEDUP_LAST_SQL),
     "o5_union_slices": (union_slices, UNION_SLICES_SQL),

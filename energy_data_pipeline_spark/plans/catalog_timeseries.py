@@ -429,11 +429,236 @@ def _t5_oracle_sql(sf_dir: str) -> str | None:
         return None
 
 
+# --- Energy-dashboard analytics: peaks, anomalies, duration curve ---
+# The reference serves Grafana panels over the hourly PV/load series
+# (daily_pv_automation's rollup tables); these four are the standard
+# panels a generation dashboard adds on top: daily peak hour, rolling
+# anomaly flags, the load-duration curve, and a peak/off-peak tariff
+# profile. All run over the |types| x |days| (x 24) aggregate, never
+# the raw event stream, so window state is calendar-bounded at any
+# corpus size.
+
+
+def daily_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): the hour with the highest summed value —
+    the daily-peak panel. The hourly rollup happens FIRST (map-side
+    combine absorbs the event fan-in), so the rank window partitions
+    over at most 24 rows per (type, day) — never event-sized state.
+    Rank orders on the rounded total with an hour tiebreak so both
+    engines pick identical peaks."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(rnd(F.sum("value"), 4).alias("hour_total"))
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.col("hour_total").desc(), F.col("hour").asc()
+    )
+    return (
+        hourly.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "day",
+            F.col("hour").alias("peak_hour"),
+            F.col("hour_total").alias("peak_total"),
+        )
+    )
+
+
+DAILY_PEAK_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+         round(sum(value), 4) AS hour_total
+  FROM events GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type, day
+           ORDER BY hour_total DESC, hour ASC) AS rn
+  FROM hourly
+)
+SELECT event_type, day, hour AS peak_hour, hour_total AS peak_total
+FROM ranked WHERE rn = 1
+"""
+
+
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over daily totals — the alerting
+    rule behind a "generation collapsed / meter spiked" panel. The
+    baseline is a TRAILING calendar-true 14-day RANGE frame that
+    EXCLUDES the current day (an anomalous day must not defend itself
+    by inflating its own baseline), keyed on the day index like
+    a13_moving_avg_7d so calendar gaps shrink the window instead of
+    silently reaching further back. Variance comes from the explicit
+    (sum, sum-of-squares, n) form over ALREADY-4-ROUNDED day totals,
+    and mean/sd are re-rounded at 6 digits before the z division, so
+    the published z is a pure function of engine-portable values.
+    Rows need >= 7 baseline days and positive spread to score."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(rnd(F.sum("value"), 4).alias("day_total"))
+    idx = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    w = Window.partitionBy("event_type").orderBy(idx).rangeBetween(-14, -1)
+    n = F.count("day_total").over(w)
+    s = F.sum("day_total").over(w)
+    ss = F.sum(F.col("day_total") * F.col("day_total")).over(w)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        n.cast("bigint").alias("n_baseline"),
+        rnd(s / n, 6).alias("baseline_mean"),
+        rnd(
+            F.sqrt(F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))), 6
+        ).alias("baseline_sd"),
+    ).filter((F.col("n_baseline") >= 7) & (F.col("baseline_sd") > 0.0))
+    z = rnd(
+        (F.col("day_total") - F.col("baseline_mean"))
+        / F.col("baseline_sd"),
+        4,
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "day_total",
+        "n_baseline",
+        "baseline_mean",
+        "baseline_sd",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+ROLLING_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(sum(value), 4) AS day_total
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, day, day_total,
+         CAST(count(day_total) OVER w AS BIGINT) AS n,
+         sum(day_total) OVER w AS s,
+         sum(day_total * day_total) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 14 DAY PRECEDING
+                         AND INTERVAL 1 DAY PRECEDING)
+), scored AS (
+  SELECT event_type, day, day_total, n AS n_baseline,
+         round(s / n, 6) AS baseline_mean,
+         round(sqrt(greatest((ss - s * s / n) / (n - 1), 0.0)), 6)
+           AS baseline_sd
+  FROM framed
+  WHERE n >= 7
+)
+SELECT event_type, day, day_total, n_baseline, baseline_mean, baseline_sd,
+       round((day_total - baseline_mean) / baseline_sd, 4) AS zscore,
+       abs(round((day_total - baseline_mean) / baseline_sd, 4)) > 2.0
+         AS is_anomaly
+FROM scored
+WHERE baseline_sd > 0.0
+"""
+
+
+LDC_PCTS = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+
+
+def load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve per event_type: the hourly-total value
+    exceeded in (1-p) of all hours, read off the exact type-7 quantile
+    at 11 points — the capacity-planning curve every energy dashboard
+    draws. Quantiles run over the |days| x 24 hourly AGGREGATE (the
+    value multiset is calendar-bounded, so exact percentile memory is
+    too); Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    type-7 definition (txt_length_percentiles precedent), rnd(.,4)
+    absorbing last-ulp interpolation drift."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(rnd(F.sum("value"), 4).alias("hour_total"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        *[
+            rnd(F.percentile("hour_total", p), 4).alias(
+                f"p{int(round(p * 100)):03d}"
+            )
+            for p in LDC_PCTS
+        ],
+    )
+
+
+def _ldc_sql() -> str:
+    cols = ",\n       ".join(
+        f"round(quantile_cont(hour_total, {p}), 4) AS p{int(round(p * 100)):03d}"
+        for p in LDC_PCTS
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         EXTRACT(hour FROM ts) AS hour,
+         round(sum(value), 4) AS hour_total
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       {cols}
+FROM hourly GROUP BY event_type
+"""
+
+
+LOAD_DURATION_SQL = _ldc_sql()
+
+
+def peak_offpeak_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tariff-band profile: events bucketed by (weekend?, peak-hours?)
+    per type — the peak(08:00-20:00)/off-peak split a time-of-use
+    tariff bills against. One grouped aggregate over four buckets per
+    type; the mean is derived from the ROUNDED total so it hashes
+    identically in both engines. Weekday convention pinned: Spark
+    ``weekday`` (Mon=0) >= 5 ≡ DuckDB ``isodow`` (Mon=1) >= 6."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = (
+        ev.withColumn("is_weekend", F.expr("weekday(ts)") >= 5)
+        .withColumn(
+            "is_peak", (F.hour("ts") >= 8) & (F.hour("ts") < 20)
+        )
+        .groupBy("event_type", "is_weekend", "is_peak")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            rnd(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return grouped.withColumn(
+        "avg_value", rnd(F.col("total_value") / F.col("n_events"), 4)
+    )
+
+
+PEAK_OFFPEAK_SQL = """
+SELECT event_type,
+       date_part('isodow', ts) >= 6 AS is_weekend,
+       EXTRACT(hour FROM ts) >= 8 AND EXTRACT(hour FROM ts) < 20
+         AS is_peak,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(round(sum(value), 4) / count(*), 4) AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
     "t4_view_series_hist_impute": (view_series_hist_impute, HIST_IMPUTE_SQL),
     "st_user_sessions": (user_sessions, SESSIONS_SQL),
+    "ts_daily_peak_hours": (daily_peak_hours, DAILY_PEAK_SQL),
+    "ts_rolling_zscore_anomalies": (rolling_zscore_anomalies, ROLLING_ZSCORE_SQL),
+    "ts_load_duration_curve": (load_duration_curve, LOAD_DURATION_SQL),
+    "ts_peak_offpeak_profile": (peak_offpeak_profile, PEAK_OFFPEAK_SQL),
     # callable oracles: resolved with the grading sf_dir at oracle_sql()
     # time (the spline solve is not SQL-expressible; see module docstring)
     "t3_spline_impute_view_series": (spline_impute_view_series, _t3_oracle_sql),

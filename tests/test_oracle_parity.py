@@ -76,6 +76,15 @@ NEVER_DRIVER_SAMPLED = {
     "emb_ivf_cell_histogram",
     "q10_returned_item_topk",
     "dd_minhash_estimate_error",
+    # round-8 session-3 additions — unsampled by definition until a
+    # driver round hashes them
+    "q14_promo_revenue_share",
+    "q18_large_order_customers",
+    "q22_idle_rich_customers",
+    "ts_daily_peak_hours",
+    "ts_rolling_zscore_anomalies",
+    "ts_load_duration_curve",
+    "ts_peak_offpeak_profile",
 }
 
 
