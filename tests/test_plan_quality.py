@@ -321,6 +321,56 @@ def test_pq_search_broadcasts_lut_no_sort_merge(spark, name):
     assert "SortMergeJoin" not in plan, plan[:1500]
 
 
+def test_q14_pushes_month_window_single_lineitem_scan(spark):
+    """Q14's ship-month window must reach the lineitem scan, the part
+    dim must broadcast, and the conditional-sum ratio must come from
+    ONE pass (exactly one lineitem scan — CASE inside SUM, never a
+    promo-filtered second scan)."""
+    fn, _ = CATALOG["q14_promo_revenue_share"]
+    plan = plan_of(fn(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate," in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+
+
+def test_q18_aggregates_big_fact_before_joins(spark):
+    """Q18's quantity rollup must partial-aggregate (map-side combine
+    absorbs the per-order fan-in before the shuffle) and the final
+    top-100 must be a TakeOrderedAndProject, not a global sort."""
+    fn, _ = CATALOG["q18_large_order_customers"]
+    plan = plan_of(fn(spark, SF))
+    assert "partial_sum(l_quantity" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_scalar_broadcast_and_orders_scan_pruned(spark):
+    """Q22's global-average scalar must ride a broadcast nested-loop
+    cross join (one-row build side, never a shuffle) and the lapse
+    cutoff must prune at the orders scan."""
+    fn, _ = CATALOG["q22_idle_rich_customers"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "GreaterThanOrEqual(o_orderdate," in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ts_daily_peak_hours",
+        "ts_rolling_zscore_anomalies",
+        "ts_load_duration_curve",
+        "ts_peak_offpeak_profile",
+    ],
+)
+def test_ts_analytics_aggregate_before_windowing(spark, name):
+    """The dashboard analytics must roll events up with a map-side
+    partial aggregate FIRST; any window/rank state then runs over the
+    calendar-bounded aggregate, never the raw event stream."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "partial_sum(value" in plan or "partial_sum(" in plan, plan[:2000]
+
+
 def test_q10_pushes_both_fact_filters_and_takes_ordered(spark):
     """Q10's date window must reach the orders scan and the returnflag
     filter the lineitem scan (both prune BEFORE the fact-to-fact
