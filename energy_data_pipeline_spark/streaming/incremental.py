@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DateType,
     DoubleType,
     LongType,
     StringType,
@@ -404,6 +407,144 @@ def running_watermark_stream(stream_df: DataFrame, key_col: str = "user_id") -> 
         _update_watermark,
         outputStructType=WATERMARK_OUTPUT_SCHEMA,
         stateStructType=WATERMARK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming twin of ts_rolling_zscore_anomalies (§2.8 analytics) ---
+
+ANOMALY_BASELINE_DAYS = 14
+ANOMALY_MIN_BASELINE = 7
+# retention: a day can only influence scores for the next 14 calendar
+# days, so state beyond baseline+horizon is dead weight; keep a margin
+# for late data within the retention window
+ANOMALY_RETAIN_DAYS = 64
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(LongType()), True),  # epoch days
+        StructField("sums", ArrayType(DoubleType()), True),  # raw day sums
+    ]
+)
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), True),
+        StructField("day", DateType(), True),
+        StructField("day_total", DoubleType(), True),
+        StructField("n_baseline", LongType(), True),
+        StructField("baseline_mean", DoubleType(), True),
+        StructField("baseline_sd", DoubleType(), True),
+        StructField("zscore", DoubleType(), True),
+        StructField("is_anomaly", BooleanType(), True),
+    ]
+)
+
+
+def _py_rnd(x: float, digits: int) -> float:
+    """Python twin of functions/rounding.rnd — half-away-from-zero on
+    the binary double, so stream scores hash-match the batch query."""
+    import math
+
+    p = float(10**digits)
+    if abs(x) * p >= float(2**63):
+        return x
+    return math.floor(abs(x) * p + 0.5) / p * (1.0 if x >= 0 else -1.0)
+
+
+def _update_anomaly(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge the batch's per-day sums into state, then re-score every
+    retained day against its trailing baseline (same formula as the
+    batch query: rounded day totals in, mean/sd re-rounded at 6 digits,
+    z at 4)."""
+    import datetime
+    import math
+
+    acc: dict[int, float] = (
+        dict(zip(state.get[0], state.get[1])) if state.exists else {}
+    )
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["ts", "value"])
+        if len(pdf) == 0:
+            continue
+        day_idx = pdf["ts"].dt.normalize().astype("int64") // 86_400_000_000_000
+        for d, s in pdf.groupby(day_idx)["value"].sum().items():
+            acc[int(d)] = acc.get(int(d), 0.0) + float(s)
+    if acc:
+        horizon = max(acc) - ANOMALY_RETAIN_DAYS
+        acc = {d: s for d, s in acc.items() if d > horizon}
+    state.update((list(acc.keys()), list(acc.values())))
+
+    days_sorted = sorted(acc)
+    rounded = {d: _py_rnd(acc[d], 4) for d in days_sorted}
+    rows = []
+    for d in days_sorted:
+        base = [
+            rounded[b]
+            for b in days_sorted
+            if d - ANOMALY_BASELINE_DAYS <= b <= d - 1
+        ]
+        n = len(base)
+        if n < ANOMALY_MIN_BASELINE:
+            continue
+        s = 0.0
+        ss = 0.0
+        for v in base:  # ascending-day order, matching the batch frame
+            s += v
+            ss += v * v
+        mean = _py_rnd(s / n, 6)
+        sd = _py_rnd(math.sqrt(max((ss - s * s / n) / (n - 1), 0.0)), 6)
+        if sd <= 0.0:
+            continue
+        z = _py_rnd((rounded[d] - mean) / sd, 4)
+        rows.append(
+            (
+                key[0],
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=d),
+                rounded[d],
+                n,
+                mean,
+                sd,
+                z,
+                abs(z) > 2.0,
+            )
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "event_type",
+            "day",
+            "day_total",
+            "n_baseline",
+            "baseline_mean",
+            "baseline_sd",
+            "zscore",
+            "is_anomaly",
+        ],
+    )
+
+
+def anomaly_stream(
+    stream_df: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """``ts_rolling_zscore_anomalies`` as an incrementally-maintained
+    stateful stream: per-key per-day raw sums accumulate across
+    micro-batches (late rows within the retention window simply add
+    in), and each batch re-scores the retained days against their
+    trailing 14-day baseline — same rounding ladder as the batch query,
+    so converged stream output row-matches it exactly
+    (test_anomaly_stream_matches_batch). State is bounded at
+    (keys x ANOMALY_RETAIN_DAYS) two-number entries — calendar-sized,
+    never event-sized, at any traffic volume."""
+    ensure_worker_imports(stream_df.sparkSession)
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _update_anomaly,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
