@@ -41,6 +41,7 @@ _ALL_QUERIES: dict[
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
     # round-8 session-3 additions — never driver-hashed by definition
+    "dd_span_trimmed_corpus",
     "q14_promo_revenue_share",
     "q18_large_order_customers",
     "q22_idle_rich_customers",

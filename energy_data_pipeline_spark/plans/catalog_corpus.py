@@ -1867,6 +1867,30 @@ SPAN_N = 8  # tokens per span; Lee et al. use 50 on web text — the
 # synthetic docs are ~20-40 words, so 8 keeps the signal non-trivial
 
 
+def _span_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned positional-gram table (doc_id, idx, g) shared by the
+    dup-span audit and the ExactSubstr trim transform — ONE explode
+    over the corpus feeds both (memoized + pinned under its own key,
+    so either query primes the other)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        pos = docs.select(
+            "doc_id",
+            F.posexplode(T.shingles(F.col("text"), SPAN_N)).alias(
+                "idx", "g"
+            ),
+        )
+        return pos, [(pos, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("dup_span_pos", sf_dir, SPAN_N), build
+    )
+
+
 def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage — the gram-wise
     approximation of ExactSubstr dedup (Lee et al. 2021, "Deduplicating
@@ -1882,27 +1906,17 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner semantics.
 
     Shape & scale: ONE positional-gram explode feeds a pinned
-    (doc, idx, gram) table; the gram's distinct-doc frequency is an
-    AGGREGATE over it (linear in occurrences — no self-join, so a
-    viral boilerplate gram costs its occurrence count, never a
-    quadratic bucket), joined back keyed on the gram, then one per-doc
-    combine. Prepared-plan memoized with the position table pinned."""
+    (doc, idx, gram) table (``_span_pos``, shared with the trim
+    transform); the gram's distinct-doc frequency is an AGGREGATE over
+    it (linear in occurrences — no self-join, so a viral boilerplate
+    gram costs its occurrence count, never a quadratic bucket), joined
+    back keyed on the gram, then one per-doc combine. Prepared-plan
+    memoized; the position pin lives with the shared helper entry."""
     from . import plan_cache
 
     def build():
-        from pyspark.storagelevel import StorageLevel
-
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        pos = (
-            docs.select(
-                "doc_id",
-                F.posexplode(T.shingles(F.col("text"), SPAN_N)).alias(
-                    "idx", "g"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        pins: plan_cache.PinList = [(pos, StorageLevel.MEMORY_AND_DISK)]
+        pos = _span_pos(spark, sf_dir)
+        pins: plan_cache.PinList = []
         gram_df = pos.groupBy("g").agg(
             F.countDistinct("doc_id").alias("_df")
         )
@@ -1950,6 +1964,156 @@ SELECT doc_id,
          AS dup_fraction
 FROM pos JOIN gdf USING (g)
 GROUP BY doc_id
+"""
+
+
+# --- ExactSubstr TRIM: the dedup transform the span audit measures ---
+def span_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup TRANSFORM (Lee et al. 2021): every token
+    covered by a duplicated {n}-token span (gram present in >= 2
+    distinct docs — the ``txt_dup_span_fraction`` rule) is cut, and the
+    document is re-emitted as the surviving tokens. This is the
+    operation production dedup actually ships — the audit query scores
+    it, this one performs it. Docs shorter than {n} tokens have no
+    spans and pass through whole; docs whose every token is covered
+    emit an empty string (count preserved — the trim is a transform,
+    not a filter). Empty-text docs carry no tokens and are absent,
+    matching the oracle.
+
+    Shape & scale: the duplicated-span starts come from the SHARED
+    pinned positional-gram table (``_span_pos`` — one explode serves
+    audit + trim) via the same linear aggregate+join (no self-join);
+    coverage is then a RUNNING-MAX window over each doc's merged
+    (token, span-start) stream — linear per doc, never an
+    interval-join — and reassembly is a per-doc sort of a doc-bounded
+    token array. Every stage is keyed by doc_id or gram; state is
+    bounded by the longest document, not the corpus."""
+    from pyspark.sql import Window
+
+    from . import plan_cache
+
+    def build():
+        n = SPAN_N
+        pos = _span_pos(spark, sf_dir)
+        gram_df = pos.groupBy("g").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        dup_starts = (
+            pos.join(
+                gram_df.filter(F.col("_df") >= 2).select("g"), "g"
+            )
+            .select("doc_id", F.col("idx").alias("pos"))
+        )
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(T.words(F.col("text"))).alias("pos", "tok"),
+        )
+        ev = toks.select(
+            "doc_id", "pos", F.lit(1).alias("k"), "tok"
+        ).unionByName(
+            dup_starts.select(
+                "doc_id",
+                "pos",
+                F.lit(0).alias("k"),
+                F.lit(None).cast("string").alias("tok"),
+            )
+        )
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos", "k")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        last_start = F.max(
+            F.when(F.col("k") == 0, F.col("pos"))
+        ).over(w)
+        flagged = (
+            ev.withColumn("_ls", last_start)
+            .filter(F.col("k") == 1)
+            .withColumn(
+                "_rm",
+                F.coalesce(
+                    F.col("_ls") >= F.col("pos") - F.lit(n - 1),
+                    F.lit(False),
+                ),
+            )
+        )
+        df = (
+            flagged.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum(F.col("_rm").cast("long"))
+                .cast("bigint")
+                .alias("n_removed"),
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("pos"),
+                                        F.col("_rm").alias("rm"),
+                                        F.col("tok"),
+                                    )
+                                )
+                            ),
+                            lambda s: ~s.getField("rm"),
+                        ),
+                        lambda s: s.getField("tok"),
+                    ),
+                    " ",
+                ).alias("trimmed_text"),
+            )
+            .withColumn(
+                "trim_fraction",
+                rnd(F.col("n_removed") / F.col("n_tokens"), 4),
+            )
+        )
+        return df, []
+
+    return plan_cache.cached_plan(
+        spark, ("span_trimmed", sf_dir, SPAN_N), build
+    )
+
+
+span_trimmed_corpus.__doc__ = span_trimmed_corpus.__doc__.format(n=SPAN_N)
+
+
+def _span_trimmed_sql() -> str:
+    n = SPAN_N
+    terms = " || ' ' || ".join([f"wl[i+{j}]" for j in range(n)])
+    return f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), gi AS (
+  SELECT doc_id, wl, unnest(range(1, len(wl) - {n - 2})) AS i
+  FROM w WHERE len(wl) >= {n}
+), grams AS (
+  SELECT doc_id, i - 1 AS idx, {terms} AS g FROM gi
+), gdf AS (
+  SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+), dup_starts AS (
+  SELECT DISTINCT doc_id, idx
+  FROM grams JOIN gdf USING (g) WHERE df >= 2
+), toks AS (
+  SELECT doc_id, wl, unnest(range(1, len(wl) + 1)) AS ti FROM w
+  WHERE len(wl) >= 1
+), tok AS (
+  SELECT doc_id, ti - 1 AS p, wl[ti] AS tok FROM toks
+), removed AS (
+  SELECT DISTINCT t.doc_id, t.p
+  FROM tok t JOIN dup_starts d
+    ON t.doc_id = d.doc_id
+   AND d.idx <= t.p AND t.p <= d.idx + {n - 1}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(r.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+                  FILTER (WHERE r.p IS NULL), '') AS trimmed_text,
+       round(count(r.p) * 1.0 / count(*), 4) AS trim_fraction
+FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+GROUP BY t.doc_id
 """
 
 
@@ -3094,6 +3258,7 @@ CORPUS_QUERIES = {
     "smp_dsir_weights": (dsir_importance_weights, DSIR_SQL),
     "smp_exact_k_sample": (exact_k_sample, EXACT_K_SQL),
     "txt_dup_span_fraction": (dup_span_fraction, _dup_span_sql()),
+    "dd_span_trimmed_corpus": (span_trimmed_corpus, _span_trimmed_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
     "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),

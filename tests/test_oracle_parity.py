@@ -78,6 +78,7 @@ NEVER_DRIVER_SAMPLED = {
     "dd_minhash_estimate_error",
     # round-8 session-3 additions — unsampled by definition until a
     # driver round hashes them
+    "dd_span_trimmed_corpus",
     "q14_promo_revenue_share",
     "q18_large_order_customers",
     "q22_idle_rich_customers",
