@@ -42,6 +42,7 @@ _ALL_QUERIES: dict[
 _SAMPLE_PRIORITY = [
     # round-8 session-3 additions — never driver-hashed by definition
     "dd_span_trimmed_corpus",
+    "smp_weighted_sample",
     "q14_promo_revenue_share",
     "q18_large_order_customers",
     "q22_idle_rich_customers",

@@ -3120,6 +3120,89 @@ LIMIT {EXACT_SAMPLE_K}
 """
 
 
+# --- exactly-K WEIGHTED sample (priority/bottom-k sampling) ---------------
+WEIGHTED_SAMPLE_K = 400
+WEIGHTED_SAMPLE_SEED = "wsample-v1:"
+WEIGHTED_SAMPLE_MAX_W = 8  # weight buckets; bounds the replica explode
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K weight-biased deterministic sample — longer documents
+    (weight = clamp(n_chars/64, 1..{mw}) replicas) win proportionally
+    more slots, the corpus-mixing step that tilts an eval cut toward
+    content-rich docs. Each doc draws ``weight`` independent md5 keys
+    and keeps the MIN; the K smallest mins win. min of w uniform
+    hashes ~ Beta(1, w), so doc i beats doc j with probability
+    w_i/(w_i+w_j) — the Efraimidis–Spirakis u^(1/w) rule expressed in
+    PURE INTEGER/DIGEST arithmetic: no ln/pow, so both engines rank
+    bit-identically (a float A-ES key is O(1) per doc for unbounded
+    weights, but its last-ulp ln() drift is why the bounded-weight
+    replica form is the verified surface; same trade as
+    dd_bloom_decontamination).
+
+    Scale: the replica explode is bounded at {mw} rows/doc, the min is
+    a map-side-combining aggregate, and the final cut is a
+    ``TakeOrderedAndProject`` top-K — no global sort, no shuffle of
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.greatest(
+            F.least(
+                F.floor(F.col("n_chars") / F.lit(64)),
+                F.lit(WEIGHTED_SAMPLE_MAX_W),
+            ),
+            F.lit(1),
+        )
+    ).cast("int")
+    rep = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        w.alias("weight"),
+        F.explode(F.sequence(F.lit(1), w)).alias("r"),
+    )
+    rk = F.md5(
+        F.concat(
+            F.lit(WEIGHTED_SAMPLE_SEED),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    return (
+        rep.groupBy("doc_id", "source", "lang", "weight")
+        .agg(F.min(rk).alias("sample_rank"))
+        .orderBy("sample_rank")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+weighted_sample.__doc__ = weighted_sample.__doc__.format(
+    mw=WEIGHTED_SAMPLE_MAX_W
+)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH wdoc AS (
+  SELECT doc_id, source, lang,
+         CAST(greatest(least(n_chars // 64, {WEIGHTED_SAMPLE_MAX_W}), 1)
+              AS INTEGER) AS weight
+  FROM documents
+), rep AS (
+  SELECT doc_id, source, lang, weight,
+         unnest(range(1, weight + 1)) AS r
+  FROM wdoc
+)
+SELECT doc_id, source, lang, weight,
+       min(md5('{WEIGHTED_SAMPLE_SEED}' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(r AS VARCHAR))) AS sample_rank
+FROM rep
+GROUP BY doc_id, source, lang, weight
+ORDER BY sample_rank
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 # --- materialized packed sequences ----------------------------------------
 PACK_MAT_SEQ_LEN = 256  # short enough that docs split across sequence
 # boundaries at every tested scale (docs are ~20-40 words; a 2048 tape
@@ -3257,6 +3340,7 @@ CORPUS_QUERIES = {
     "smp_token_budget_plan": (token_budget_plan, _budget_plan_sql()),
     "smp_dsir_weights": (dsir_importance_weights, DSIR_SQL),
     "smp_exact_k_sample": (exact_k_sample, EXACT_K_SQL),
+    "smp_weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "txt_dup_span_fraction": (dup_span_fraction, _dup_span_sql()),
     "dd_span_trimmed_corpus": (span_trimmed_corpus, _span_trimmed_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),

@@ -79,6 +79,7 @@ NEVER_DRIVER_SAMPLED = {
     # round-8 session-3 additions — unsampled by definition until a
     # driver round hashes them
     "dd_span_trimmed_corpus",
+    "smp_weighted_sample",
     "q14_promo_revenue_share",
     "q18_large_order_customers",
     "q22_idle_rich_customers",
