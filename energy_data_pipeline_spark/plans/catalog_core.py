@@ -632,6 +632,51 @@ LIMIT 100
 """
 
 
+# --- TPC-H Q4 shape: EXISTS semi-join with a cross-table predicate ---
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: how many orders per
+    priority had at least one LATE line item (shipped > 90 days after
+    the order date; the schema has no commit/receipt dates, so
+    lateness is ship-vs-order). The EXISTS compiles to ONE left-semi
+    join carrying the cross-table lateness predicate in the join
+    condition — lineitem is scanned once, never aggregated or
+    deduplicated (semi-join short-circuits per order), and the
+    quarter window prunes the orders scan before the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    q0 = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    q1 = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1)
+    )
+    late = windowed.join(
+        li,
+        (windowed.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > F.timestamp_add("DAY", F.lit(90), windowed.o_orderdate)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_late_orders"))
+    )
+
+
+LATE_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 # --- TPC-H Q22 shape: scalar subquery + anti-join + dim rollup ---
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — sales-opportunity report: customers whose
@@ -958,6 +1003,7 @@ CORE_QUERIES = {
     "q10_returned_item_topk": (returned_item_topk, RETURNED_ITEM_SQL),
     "q14_promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SQL),
     "q18_large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
+    "q4_late_priority_counts": (late_order_priority_counts, LATE_PRIORITY_SQL),
     "q22_idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
     "o3_dedup_keep_first": (dedup_keep_first_events, DEDUP_FIRST_SQL),
     "o4_dedup_keep_last": (dedup_keep_last_events, DEDUP_LAST_SQL),

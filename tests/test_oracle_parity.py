@@ -81,6 +81,7 @@ NEVER_DRIVER_SAMPLED = {
     "dd_span_trimmed_corpus",
     "smp_weighted_sample",
     "q14_promo_revenue_share",
+    "q4_late_priority_counts",
     "q18_large_order_customers",
     "q22_idle_rich_customers",
     "ts_daily_peak_hours",

@@ -343,6 +343,17 @@ def test_q18_aggregates_big_fact_before_joins(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q4_exists_is_semi_join_with_pruned_orders_scan(spark):
+    """Q4's EXISTS must compile to one LEFT SEMI join (lineitem never
+    aggregated or deduplicated) with the quarter window pushed to the
+    orders scan."""
+    fn, _ = CATALOG["q4_late_priority_counts"]
+    plan = plan_of(fn(spark, SF))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "GreaterThanOrEqual(o_orderdate," in plan, plan[:2000]
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+
+
 def test_q22_scalar_broadcast_and_orders_scan_pruned(spark):
     """Q22's global-average scalar must ride a broadcast nested-loop
     cross join (one-row build side, never a shuffle) and the lapse
