@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import gzip
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from energy_data_pipeline_spark.sources.wet import (
     parse_wet_records,
     render_wet,
@@ -76,6 +79,71 @@ def test_parse_bad_content_length_skips_record_only():
     ) + render_wet(RECORDS[1:2])
     recs = parse_wet_records(blob)
     assert [r["record_id"] for r in recs] == ["<urn:uuid:a>"]
+
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(_texts, max_size=6),
+    compress=st.booleans(),
+)
+def test_render_parse_round_trip_property(texts, compress):
+    """Any unicode text survives render→parse byte-exactly (the body is
+    length-framed, so record-separator-looking content inside a text
+    must not split records)."""
+    recs = [
+        {
+            "record_id": f"<urn:uuid:{i}>",
+            "target_uri": f"https://example.com/{i}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "text": t,
+        }
+        for i, t in enumerate(texts)
+    ]
+    parsed = parse_wet_records(render_wet(recs, compress=compress))
+    assert [r["text"] for r in parsed] == texts
+    assert [r["record_id"] for r in parsed] == [
+        r["record_id"] for r in recs
+    ]
+
+
+def test_adversarial_payload_containing_record_markers():
+    """A text body that CONTAINS a full WET record must not be split:
+    Content-Length framing wins over marker scanning."""
+    inner = render_wet(
+        [
+            {
+                "record_id": "<urn:uuid:inner>",
+                "target_uri": "https://evil.example/x",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "text": "smuggled",
+            }
+        ]
+    ).decode("ascii")
+    recs = [
+        {
+            "record_id": "<urn:uuid:outer>",
+            "target_uri": "https://example.com/outer",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "text": "prefix " + inner + " suffix",
+        },
+        {
+            "record_id": "<urn:uuid:after>",
+            "target_uri": "https://example.com/after",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "text": "next doc",
+        },
+    ]
+    parsed = parse_wet_records(render_wet(recs))
+    assert [r["record_id"] for r in parsed] == [
+        "<urn:uuid:outer>",
+        "<urn:uuid:after>",
+    ]
+    assert parsed[0]["text"] == recs[0]["text"]
 
 
 def test_wet_text_records_distributed(spark):
