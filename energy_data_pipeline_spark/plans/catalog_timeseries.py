@@ -563,6 +563,56 @@ WHERE baseline_sd > 0.0
 """
 
 
+def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas per event type — the "vs yesterday" panel.
+    ``lag`` over the per-(type, day) aggregate returns the previous
+    PRESENT day (the emitted ``prev_day`` column makes calendar gaps
+    explicit rather than silently comparing across them); the percent
+    change divides the ROUNDED totals and only where the base is
+    nonzero, so the published figures are pure functions of
+    hash-checked values in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(rnd(F.sum("value"), 4).alias("day_total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_day = F.lag("day").over(w)
+    prev_total = F.lag("day_total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        prev_day.alias("prev_day"),
+        prev_total.alias("prev_total"),
+        rnd(F.col("day_total") - prev_total, 4).alias("delta"),
+        F.when(
+            prev_total != 0.0,
+            rnd(
+                100.0 * (F.col("day_total") - prev_total) / prev_total, 4
+            ),
+        ).alias("pct_change"),
+    )
+
+
+DAY_OVER_DAY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(sum(value), 4) AS day_total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_total,
+       lag(day) OVER w AS prev_day,
+       lag(day_total) OVER w AS prev_total,
+       round(day_total - lag(day_total) OVER w, 4) AS delta,
+       CASE WHEN lag(day_total) OVER w <> 0.0
+            THEN round(100.0 * (day_total - lag(day_total) OVER w)
+                       / lag(day_total) OVER w, 4)
+            END AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
 LDC_PCTS = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 
 
@@ -656,6 +706,7 @@ TIMESERIES_QUERIES = {
     "t4_view_series_hist_impute": (view_series_hist_impute, HIST_IMPUTE_SQL),
     "st_user_sessions": (user_sessions, SESSIONS_SQL),
     "ts_daily_peak_hours": (daily_peak_hours, DAILY_PEAK_SQL),
+    "ts_day_over_day_change": (day_over_day_change, DAY_OVER_DAY_SQL),
     "ts_rolling_zscore_anomalies": (rolling_zscore_anomalies, ROLLING_ZSCORE_SQL),
     "ts_load_duration_curve": (load_duration_curve, LOAD_DURATION_SQL),
     "ts_peak_offpeak_profile": (peak_offpeak_profile, PEAK_OFFPEAK_SQL),

@@ -85,6 +85,7 @@ NEVER_DRIVER_SAMPLED = {
     "q18_large_order_customers",
     "q22_idle_rich_customers",
     "ts_daily_peak_hours",
+    "ts_day_over_day_change",
     "ts_rolling_zscore_anomalies",
     "ts_load_duration_curve",
     "ts_peak_offpeak_profile",

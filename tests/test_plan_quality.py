@@ -368,6 +368,7 @@ def test_q22_scalar_broadcast_and_orders_scan_pruned(spark):
     "name",
     [
         "ts_daily_peak_hours",
+        "ts_day_over_day_change",
         "ts_rolling_zscore_anomalies",
         "ts_load_duration_curve",
         "ts_peak_offpeak_profile",
