@@ -31,6 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 WET_SCHEMA = (
     "source_file string, record_id string, target_uri string, "
@@ -139,6 +140,26 @@ def wet_text_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(path_col, payload_col).mapInPandas(run, schema=WET_SCHEMA)
+
+
+def wet_to_document_batch(df: DataFrame) -> DataFrame:
+    """Bridge parsed WET records into ``corpus_ingest_job``'s batch
+    contract (doc_id, source, lang, text): doc_id is the xxhash64 of
+    (record_id, target_uri) — stable across re-fetches of the same
+    record, so a replayed crawl file produces the same ids and the
+    admission anti-join settles it; source is the originating WET file
+    (shard provenance, the unit a crawl re-pull revokes); lang comes
+    from the engine's own n-gram lang-id heuristic (crawl records
+    carry no trusted language tag). Pure JVM expressions — the only
+    Python in the whole WET->corpus path stays the record parse."""
+    from ..functions import text as T
+
+    return df.select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        F.col("source_file").alias("source"),
+        T.lang_id(F.col("text")).alias("lang"),
+        "text",
+    )
 
 
 def render_wet(records: list[dict], compress: bool = False) -> bytes:

@@ -7,10 +7,15 @@ import gzip
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
+from energy_data_pipeline_spark.functions import text as T
+from energy_data_pipeline_spark.jobs.corpus_ingest import corpus_ingest_job
 from energy_data_pipeline_spark.sources.wet import (
     parse_wet_records,
     render_wet,
     wet_text_records,
+    wet_to_document_batch,
 )
 
 RECORDS = [
@@ -167,3 +172,71 @@ def test_wet_text_records_distributed(spark):
     a = got[("crawl/part-0.warc.wet.gz", "<urn:uuid:a>")]
     assert a.text == "hello crawl world\nsecond line"
     assert a.n_chars == len(a.text)
+
+
+def _wet_file(i, texts):
+    return (
+        f"crawl/shard-{i}.warc.wet.gz",
+        bytearray(
+            render_wet(
+                [
+                    {
+                        "record_id": f"<urn:uuid:{i}-{j}>",
+                        "target_uri": f"https://example.com/{i}/{j}",
+                        "warc_date": "2024-01-01T00:00:00Z",
+                        "text": t,
+                    }
+                    for j, t in enumerate(texts)
+                ],
+                compress=True,
+            )
+        ),
+    )
+
+
+def test_wet_to_corpus_admission_end_to_end(spark, tmp_path):
+    """The crawl front door wired through: WET bytes -> parsed records
+    -> document batch -> quality gate + dedup admission; replayed crawl
+    files settle to no-ops because the bridge's doc ids and the
+    fingerprints are both content-stable."""
+    long_a = "the quick brown fox jumps over the lazy dog near the quiet river bank while morning light settles across the open field and birds begin to call"
+    long_b = "data pipelines move records from source systems through validation and enrichment before loading them into the warehouse where analysts query daily aggregates"
+    raw = spark.createDataFrame(
+        [
+            _wet_file(0, [long_a, "too short", long_b]),
+            _wet_file(1, [long_b, "another tiny one"]),  # cross-file dup text
+        ],
+        "path string, content binary",
+    )
+    batch = wet_to_document_batch(wet_text_records(raw))
+    assert batch.columns == ["doc_id", "source", "lang", "text"]
+    assert batch.count() == 5
+    # ids are content-stable: re-parsing yields the identical id set
+    again = wet_to_document_batch(wet_text_records(raw))
+    assert {r.doc_id for r in batch.collect()} == {
+        r.doc_id for r in again.collect()
+    }
+
+    # expected gate survivors, computed with the engine's own predicate
+    # (gate thresholds are pinned elsewhere; this test pins the PLUMBING)
+    n_pass = batch.filter(T.quality_keep("text")).count()
+    n_pass_distinct = (
+        batch.filter(T.quality_keep("text"))
+        .select(T.fingerprint("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+
+    corpus = str(tmp_path / "corpus")
+    stats = corpus_ingest_job(batch, corpus, batch_id="crawl-0")
+    assert stats["arrived"] == 5
+    assert stats["failed_quality"] == 5 - n_pass
+    assert stats["admitted"] == n_pass_distinct
+    admitted = spark.read.parquet(corpus)
+    assert admitted.count() == n_pass_distinct
+    assert admitted.filter(F.col("lang").isNull()).count() == 0
+
+    # replayed crawl: same files, same ids, same fingerprints -> no-op
+    replay = corpus_ingest_job(batch, corpus, batch_id="crawl-0-retry")
+    assert replay["admitted"] == 0
+    assert spark.read.parquet(corpus).count() == n_pass_distinct
