@@ -54,3 +54,49 @@ def serve_dashboard(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     per-panel refresh)."""
     register_views(spark, sf_dir)
     return {name: spark.sql(sql) for name, sql in DASHBOARD_PANELS.items()}
+
+
+# Materialized dashboard: the pre-computed panel set a 100 TB serving
+# layer actually reads (firing the aggregation per Grafana refresh
+# stops making sense once the fact table needs a cluster scan).
+DASHBOARD_TS_PANELS = (
+    "ts_daily_peak_hours",
+    "ts_day_over_day_change",
+    "ts_rolling_zscore_anomalies",
+    "ts_load_duration_curve",
+    "ts_peak_offpeak_profile",
+)
+
+
+def publish_dashboard_snapshot(
+    spark: SparkSession, sf_dir: str, root: str, compare_and_swap=None
+) -> dict:
+    """Materialize every dashboard analytics panel into ONE manifest
+    commit group: all panels stage invisibly, a single pointer flip
+    publishes them together, so a dashboard reader NEVER sees a
+    peak-hours panel from one refresh next to an anomaly panel from
+    another (the cross-panel consistency Grafana-over-Postgres gets
+    from snapshot reads, rebuilt on files). A crash anywhere before
+    the flip publishes nothing; old versions stay readable (time
+    travel) so an incident review can pin the dashboard exactly as it
+    looked. Returns the committed manifest."""
+    from ..plans.catalog import CATALOG
+    from ..sinks import manifest_table
+
+    frames = {
+        name: CATALOG[name][0](spark, sf_dir)
+        for name in DASHBOARD_TS_PANELS
+    }
+    return manifest_table.group_overwrite(
+        frames, root, compare_and_swap=compare_and_swap
+    )
+
+
+def read_dashboard_panel(
+    spark: SparkSession, root: str, panel: str, version: int | None = None
+) -> DataFrame | None:
+    """Snapshot-isolated read of one published panel (optionally of a
+    historical dashboard version)."""
+    from ..sinks import manifest_table
+
+    return manifest_table.group_read(spark, root, panel, version)

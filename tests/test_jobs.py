@@ -717,3 +717,44 @@ def test_pq_index_build_query_append_lifecycle(spark, tmp_path, sf_small):
 
     with _pytest.raises(ValueError, match="no committed index"):
         pq_index.pq_index_append(spark, rest, str(tmp_path / "nope"))
+
+
+def test_publish_dashboard_snapshot_atomic_versions(spark, sf_small, tmp_path):
+    from energy_data_pipeline_spark.jobs.analytics import (
+        DASHBOARD_TS_PANELS,
+        publish_dashboard_snapshot,
+        read_dashboard_panel,
+    )
+    from energy_data_pipeline_spark.plans.catalog import CATALOG
+
+    root = str(tmp_path / "dashboard")
+    m1 = publish_dashboard_snapshot(spark, sf_small, root)
+    assert set(m1["tables"]) == set(DASHBOARD_TS_PANELS)
+    for panel in DASHBOARD_TS_PANELS:
+        got = read_dashboard_panel(spark, root, panel)
+        want = CATALOG[panel][0](spark, sf_small)
+        assert got.count() == want.count(), panel
+
+    # crash at the pointer flip: everything staged, NOTHING published
+    def exploding_cas(path, tmp, expected):
+        raise OSError("injected crash at commit point")
+
+    try:
+        publish_dashboard_snapshot(
+            spark, sf_small, root, compare_and_swap=exploding_cas
+        )
+        raise AssertionError("injected CAS crash did not propagate")
+    except OSError:
+        pass
+    peaks_v1 = read_dashboard_panel(spark, root, "ts_daily_peak_hours")
+    assert peaks_v1.count() == CATALOG["ts_daily_peak_hours"][0](
+        spark, sf_small
+    ).count()  # still version 1's content
+
+    # clean re-publish: one new version, old one remains time-travelable
+    m2 = publish_dashboard_snapshot(spark, sf_small, root)
+    assert m2["version"] == m1["version"] + 1
+    old = read_dashboard_panel(
+        spark, root, "ts_daily_peak_hours", version=m1["version"]
+    )
+    assert old.count() == peaks_v1.count()
