@@ -45,6 +45,7 @@ _SAMPLE_PRIORITY = [
     "smp_weighted_sample",
     "q14_promo_revenue_share",
     "q4_late_priority_counts",
+    "q19_bracket_revenue",
     "q18_large_order_customers",
     "q22_idle_rich_customers",
     "ts_daily_peak_hours",

@@ -677,6 +677,60 @@ GROUP BY o_orderpriority
 """
 
 
+# --- TPC-H Q19 shape: disjunctive multi-table predicate pushdown ---
+def discounted_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue across three
+    (brand, size-range, quantity-range) brackets expressed as an
+    OR-of-ANDs spanning BOTH join sides. The optimizer test: Catalyst
+    must factor the single-table conjuncts out of the disjunction so
+    each scan still prunes (part: brand/size envelope; lineitem:
+    quantity envelope) before the broadcast join evaluates the full
+    residual — a naive plan evaluates the whole OR post-join over an
+    unfiltered cartesian-ish input. One row out; both sums rounded
+    before publishing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            rnd(F.sum(rev), 4).alias("revenue"),
+        )
+    )
+
+
+BRACKET_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 # --- TPC-H Q22 shape: scalar subquery + anti-join + dim rollup ---
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — sales-opportunity report: customers whose
@@ -1004,6 +1058,7 @@ CORE_QUERIES = {
     "q14_promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SQL),
     "q18_large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
     "q4_late_priority_counts": (late_order_priority_counts, LATE_PRIORITY_SQL),
+    "q19_bracket_revenue": (discounted_bracket_revenue, BRACKET_REVENUE_SQL),
     "q22_idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
     "o3_dedup_keep_first": (dedup_keep_first_events, DEDUP_FIRST_SQL),
     "o4_dedup_keep_last": (dedup_keep_last_events, DEDUP_LAST_SQL),

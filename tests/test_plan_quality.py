@@ -354,6 +354,20 @@ def test_q4_exists_is_semi_join_with_pruned_orders_scan(spark):
     assert plan.count("lineitem.parquet") == 1, plan[:2000]
 
 
+def test_q19_disjunction_factors_into_both_scans(spark):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must factor the
+    single-table conjuncts out so EACH scan prunes pre-join: the
+    lineitem scan carries the pushed quantity-envelope disjunction and
+    the part scan the brand/size disjunction."""
+    fn, _ = CATALOG["q19_bracket_revenue"]
+    plan = plan_of(fn(spark, SF))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan.replace(
+        " ", ""
+    ) or "l_quantity,1.0" in plan, plan[:2000]
+    assert "EqualTo(p_brand,Brand#1)" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q22_scalar_broadcast_and_orders_scan_pruned(spark):
     """Q22's global-average scalar must ride a broadcast nested-loop
     cross join (one-row build side, never a shuffle) and the lapse
