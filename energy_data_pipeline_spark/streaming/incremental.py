@@ -471,7 +471,12 @@ def _update_anomaly(
         pdf = pdf.dropna(subset=["ts", "value"])
         if len(pdf) == 0:
             continue
-        day_idx = pdf["ts"].dt.normalize().astype("int64") // 86_400_000_000_000
+        # dtype-agnostic epoch-day (Arrow may hand back datetime64[ns]
+        # or [us] depending on pandas version; an int64 cast would be
+        # silently 1000x off on one of them)
+        day_idx = (
+            pdf["ts"].dt.normalize() - pd.Timestamp("1970-01-01")
+        ).dt.days
         for d, s in pdf.groupby(day_idx)["value"].sum().items():
             acc[int(d)] = acc.get(int(d), 0.0) + float(s)
     if acc:
