@@ -38,8 +38,6 @@ WET_SCHEMA = (
     "warc_date string, text string, n_chars bigint"
 )
 
-_VERSION_PREFIXES = (b"WARC/1.0", b"WARC/1.1")
-
 
 def parse_wet_records(
     data: bytes, keep_types: tuple[str, ...] = ("conversion",)
@@ -76,6 +74,11 @@ def parse_wet_records(
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            pos = hdr_end + 4
+            continue
+        if length < 0:
+            # a negative length would rewind pos behind this record's
+            # own marker and loop forever; treat like an unparseable one
             pos = hdr_end + 4
             continue
         body_start = hdr_end + 4
@@ -176,7 +179,7 @@ def render_wet(records: list[dict], compress: bool = False) -> bytes:
             f"WARC-Target-URI: {rec.get('target_uri', '')}\r\n"
             f"WARC-Date: {rec.get('warc_date', '')}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode("ascii")
+        ).encode("utf-8")  # URIs are IRIs; the parser decodes UTF-8
         member = head + body + b"\r\n\r\n"
         members.append(gzip.compress(member) if compress else member)
     return b"".join(members)

@@ -420,6 +420,11 @@ ANOMALY_MIN_BASELINE = 7
 # days, so state beyond baseline+horizon is dead weight; keep a margin
 # for late data within the retention window
 ANOMALY_RETAIN_DAYS = 64
+# clock-skew guard: a producer with a broken clock must not poison the
+# retention horizon (one year-2090 row would anchor max(day) there and
+# trim every legitimate day forever). Days further than this ahead of
+# the BATCH's median day are dropped before they ever enter state.
+ANOMALY_MAX_FUTURE_SKEW = 366
 
 ANOMALY_STATE_SCHEMA = StructType(
     [
@@ -457,16 +462,23 @@ def _update_anomaly(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Merge the batch's per-day sums into state, then re-score every
-    retained day against its trailing baseline (same formula as the
-    batch query: rounded day totals in, mean/sd re-rounded at 6 digits,
-    z at 4)."""
+    """Merge the batch's per-day sums into state, then re-score the
+    days this batch TOUCHED (changed days plus the later days whose
+    trailing baseline contains one) against their baselines — same
+    formula as the batch query: rounded day totals in, mean/sd
+    re-rounded at 6 digits, z at 4. Unchanged days are not re-emitted
+    (an upsert sink would otherwise rewrite ~50 rows per key per
+    tick), and days whose baseline window has been partially trimmed
+    by retention are never re-scored (a truncated baseline would emit
+    a score diverging from the batch query and overwrite the correct
+    earlier row in update mode)."""
     import datetime
     import math
 
     acc: dict[int, float] = (
         dict(zip(state.get[0], state.get[1])) if state.exists else {}
     )
+    changed: set[int] = set()
     for pdf in pdfs:
         pdf = pdf.dropna(subset=["ts", "value"])
         if len(pdf) == 0:
@@ -477,8 +489,13 @@ def _update_anomaly(
         day_idx = (
             pdf["ts"].dt.normalize() - pd.Timestamp("1970-01-01")
         ).dt.days
+        skew_cap = int(day_idx.median()) + ANOMALY_MAX_FUTURE_SKEW
         for d, s in pdf.groupby(day_idx)["value"].sum().items():
+            if int(d) > skew_cap:
+                continue  # broken-clock row: never enters state
             acc[int(d)] = acc.get(int(d), 0.0) + float(s)
+            changed.add(int(d))
+    horizon = None
     if acc:
         horizon = max(acc) - ANOMALY_RETAIN_DAYS
         acc = {d: s for d, s in acc.items() if d > horizon}
@@ -488,6 +505,16 @@ def _update_anomaly(
     rounded = {d: _py_rnd(acc[d], 4) for d in days_sorted}
     rows = []
     for d in days_sorted:
+        # only days this batch touched (directly, or through their
+        # baseline window) can have a new score
+        if not any(
+            d - ANOMALY_BASELINE_DAYS <= c <= d for c in changed
+        ):
+            continue
+        # a day whose baseline window dips below the retention horizon
+        # would score against a truncated baseline — never emit that
+        if horizon is not None and d - ANOMALY_BASELINE_DAYS <= horizon:
+            continue
         base = [
             rounded[b]
             for b in days_sorted

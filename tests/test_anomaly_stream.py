@@ -110,9 +110,14 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     ).parquet(landing)
     tick2 = _run_tick(spark, landing, ckpt, "anomaly_tick2")
 
-    # tick 2 re-scores every retained day for both keys — its output IS
-    # the batch result (checkpointed state carried days 1..15 over)
-    assert tick2 == want
+    # tick 2 emits only the days it touched (update-mode: unchanged
+    # days are not re-emitted); every emission must match the batch
+    # value, and the UNION of the two ticks IS the batch result
+    # (checkpointed state carried days 1..15 over)
+    assert tick2
+    for k, v in tick2.items():
+        assert want[k] == v, k
+    assert {**tick1, **tick2} == want
 
     spike = dt.date(2024, 1, 1 + SPIKE_DAY)
     assert want[("click", spike)][5] is True, "spike day must flag"
@@ -133,3 +138,92 @@ def test_anomaly_stream_replay_is_noop(spark, tmp_path):
     # state unchanged (the cron-tick idempotence contract)
     again = _run_tick(spark, landing, ckpt, "anomaly_replay2")
     assert again == {}
+
+
+def test_anomaly_stream_retention_never_scores_truncated_baselines(
+    spark, tmp_path
+):
+    """With a series longer than the retention window, trimmed-away
+    days must never produce a score computed over a TRUNCATED baseline
+    (which would diverge from the batch query and overwrite a correct
+    earlier emission in update mode)."""
+    rows = []
+    i = 0
+    for day in range(100):  # spans well past ANOMALY_RETAIN_DAYS=64
+        for k in range(4):
+            rows.append(
+                (
+                    i,
+                    dt.datetime(2024, 1, 1, 6)
+                    + dt.timedelta(days=day, hours=k),
+                    i % 3,
+                    "click",
+                    (i % 5) * 0.25,
+                )
+            )
+            i += 1
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    early = [r for r in rows if (r[1] - dt.datetime(2024, 1, 1)).days < 70]
+    late = [r for r in rows if (r[1] - dt.datetime(2024, 1, 1)).days >= 70]
+    spark.createDataFrame(early, EVENT_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(landing)
+    tick1 = _run_tick(spark, landing, ckpt, "anomaly_trim1")
+    spark.createDataFrame(late, EVENT_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(landing)
+    tick2 = _run_tick(spark, landing, ckpt, "anomaly_trim2")
+
+    # batch truth over the full series
+    sf = tmp_path / "sf"
+    spark.createDataFrame(rows, EVENT_STREAM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(sf / "events.parquet"))
+    fn, _ = CATALOG["ts_rolling_zscore_anomalies"]
+    want = {
+        (r.event_type, r.day): (
+            r.day_total,
+            r.n_baseline,
+            r.baseline_mean,
+            r.baseline_sd,
+            r.zscore,
+            r.is_anomaly,
+        )
+        for r in fn(spark, str(sf)).collect()
+    }
+    # every emission from either tick matches the batch value exactly —
+    # no truncated-baseline scores ever left the operator
+    for name, tick in (("tick1", tick1), ("tick2", tick2)):
+        assert tick, f"{name} emitted nothing"
+        for k, v in tick.items():
+            assert want[k] == v, (name, k)
+
+
+def test_anomaly_stream_future_clock_skew_does_not_poison_state(
+    spark, tmp_path
+):
+    """One broken-clock row (decades in the future) must not anchor the
+    retention horizon: real days keep scoring as if it never arrived."""
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1 + i // 8, 3 * (i % 8)),
+            i % 3,
+            "click",
+            (i % 7) * 0.25,
+        )
+        for i in range(200)  # 25 days x 8 events
+    ]
+    poison = [(999, dt.datetime(2090, 1, 1), 0, "click", 1.0)]
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows + poison, EVENT_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(landing)
+    got = _run_tick(spark, landing, ckpt, "anomaly_skew")
+    days = sorted(k[1] for k in got)
+    assert days, "real days were trimmed away by the poisoned horizon"
+    assert days[0] >= dt.date(2024, 1, 8)
+    assert days[-1] <= dt.date(2024, 1, 25)
+    assert dt.date(2090, 1, 1) not in set(days)

@@ -361,10 +361,12 @@ def test_q19_disjunction_factors_into_both_scans(spark):
     the part scan the brand/size disjunction."""
     fn, _ = CATALOG["q19_bracket_revenue"]
     plan = plan_of(fn(spark, SF))
-    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan.replace(
-        " ", ""
-    ) or "l_quantity,1.0" in plan, plan[:2000]
-    assert "EqualTo(p_brand,Brand#1)" in plan, plan[:2000]
+    # assert against the PushedFilters lines specifically — matching the
+    # whole plan text would also match the post-join residual Filter and
+    # pass even when nothing reaches the scans
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity,1.0" in ln for ln in pushed), pushed
+    assert any("EqualTo(p_brand,Brand#1)" in ln for ln in pushed), pushed
     assert "BroadcastHashJoin" in plan
 
 

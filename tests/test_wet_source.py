@@ -240,3 +240,32 @@ def test_wet_to_corpus_admission_end_to_end(spark, tmp_path):
     replay = corpus_ingest_job(batch, corpus, batch_id="crawl-0-retry")
     assert replay["admitted"] == 0
     assert spark.read.parquet(corpus).count() == n_pass_distinct
+
+
+def test_parse_negative_content_length_cannot_hang():
+    """A negative Content-Length must cost one record, never the task:
+    the rewind it used to cause looped on the same marker forever."""
+    blob = (
+        b"X" * 300
+        + b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        + b"Content-Length: -100\r\n\r\nbody"
+        + render_wet(RECORDS[1:2])
+    )
+    recs = parse_wet_records(blob)
+    assert [r["record_id"] for r in recs] == ["<urn:uuid:a>"]
+
+
+def test_render_handles_iri_headers():
+    """Real crawl URIs are IRIs; render/parse must round-trip non-ASCII
+    header values (the parser already decodes headers as UTF-8)."""
+    recs = [
+        {
+            "record_id": "<urn:uuid:café>",
+            "target_uri": "https://example.com/café/路径",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "text": "body",
+        }
+    ]
+    parsed = parse_wet_records(render_wet(recs))
+    assert parsed[0]["target_uri"] == "https://example.com/café/路径"
+    assert parsed[0]["record_id"] == "<urn:uuid:café>"
