@@ -42,6 +42,7 @@ _ALL_QUERIES: dict[
 _SAMPLE_PRIORITY = [
     # round-8 session-3 additions — never driver-hashed by definition
     "dd_span_trimmed_corpus",
+    "dd_lsh_tuning_curve",
     "smp_weighted_sample",
     "q14_promo_revenue_share",
     "q4_late_priority_counts",

@@ -3120,6 +3120,55 @@ LIMIT {EXACT_SAMPLE_K}
 """
 
 
+# --- LSH band-layout tuning curve (the S-curve behind 32x3) ---------------
+LSH_TUNING_CONFIGS = [(32, 3), (24, 4), (16, 6), (12, 8)]  # 96-hash layouts
+
+
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding S-curve P(candidate | jaccard) = 1-(1-j^r)^b for
+    every (b, r) layout of the engine's 96 minhashes — the table an
+    index owner reads before changing the band layout, published as a
+    queryable artifact instead of a docstring claim (the MMDS
+    S-curve; the shipped 32x3 layout sits leftmost: ~0.98 recall at
+    j=0.5 while 12x8 drops to ~0.05, trading recall for candidate
+    volume). Pure expression generation — no table scan; the grid is
+    configs x 19 jaccard points and both engines evaluate the same
+    IEEE pow chain on the same double inputs, rounded at 6."""
+    cfgs = spark.createDataFrame(
+        LSH_TUNING_CONFIGS, "bands int, rows_per_band int"
+    )
+    grid = cfgs.select(
+        "bands",
+        "rows_per_band",
+        F.explode(F.sequence(F.lit(1), F.lit(19))).alias("_i"),
+    )
+    j = F.col("_i") * F.lit(0.05)
+    p = 1 - F.pow(
+        1 - F.pow(j, F.col("rows_per_band")), F.col("bands")
+    )
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        rnd(j, 2).alias("jaccard"),
+        rnd(p, 6).alias("p_candidate"),
+    )
+
+
+def _lsh_tuning_sql() -> str:
+    vals = ", ".join(f"({b}, {r})" for b, r in LSH_TUNING_CONFIGS)
+    return f"""
+WITH cfg(bands, rows_per_band) AS (VALUES {vals}),
+grid AS (
+  SELECT bands, rows_per_band, unnest(range(1, 20)) AS i FROM cfg
+)
+SELECT bands, rows_per_band,
+       round(i * CAST(0.05 AS DOUBLE), 2) AS jaccard,
+       round(1 - pow(1 - pow(i * CAST(0.05 AS DOUBLE), rows_per_band),
+                     bands), 6) AS p_candidate
+FROM grid
+"""
+
+
 # --- exactly-K WEIGHTED sample (priority/bottom-k sampling) ---------------
 WEIGHTED_SAMPLE_K = 400
 WEIGHTED_SAMPLE_SEED = "wsample-v1:"
@@ -3341,6 +3390,7 @@ CORPUS_QUERIES = {
     "smp_dsir_weights": (dsir_importance_weights, DSIR_SQL),
     "smp_exact_k_sample": (exact_k_sample, EXACT_K_SQL),
     "smp_weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "dd_lsh_tuning_curve": (lsh_tuning_curve, _lsh_tuning_sql()),
     "txt_dup_span_fraction": (dup_span_fraction, _dup_span_sql()),
     "dd_span_trimmed_corpus": (span_trimmed_corpus, _span_trimmed_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),

@@ -511,8 +511,17 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_total",
         n.cast("bigint").alias("n_baseline"),
         rnd(s / n, 6).alias("baseline_mean"),
+        # greatest(n-1, 1): rows with n<7 never survive the filter, but
+        # under ANSI mode the projection must not be able to divide by
+        # zero even if the optimizer evaluates it before the filter
         rnd(
-            F.sqrt(F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))), 6
+            F.sqrt(
+                F.greatest(
+                    (ss - s * s / n) / F.greatest(n - 1, F.lit(1)),
+                    F.lit(0.0),
+                )
+            ),
+            6,
         ).alias("baseline_sd"),
     ).filter((F.col("n_baseline") >= 7) & (F.col("baseline_sd") > 0.0))
     z = rnd(
@@ -549,7 +558,7 @@ WITH daily AS (
 ), scored AS (
   SELECT event_type, day, day_total, n AS n_baseline,
          round(s / n, 6) AS baseline_mean,
-         round(sqrt(greatest((ss - s * s / n) / (n - 1), 0.0)), 6)
+         round(sqrt(greatest((ss - s * s / n) / greatest(n - 1, 1), 0.0)), 6)
            AS baseline_sd
   FROM framed
   WHERE n >= 7

@@ -425,7 +425,97 @@ def main():
             )
         )
 
+    # ExactSubstr trim shape (dd_span_trimmed_corpus) at 20x docs: the
+    # positional-gram explode, df aggregate, token/start merge window,
+    # and per-doc reassembly are all linear in tokens — the window is
+    # doc-partitioned so no stage holds more than a doc's tokens.
+    def span_trim_shape(docs):
+        n = 8
+        from energy_data_pipeline_spark.functions import text as T
+
+        pos = docs.select(
+            "doc_id",
+            F.posexplode(T.shingles(F.col("text"), n)).alias("idx", "g"),
+        )
+        gdf = pos.groupBy("g").agg(F.countDistinct("doc_id").alias("_df"))
+        starts = pos.join(
+            gdf.filter(F.col("_df") >= 2).select("g"), "g"
+        ).select("doc_id", F.col("idx").alias("pos"))
+        toks = docs.select(
+            "doc_id", F.posexplode(T.words(F.col("text"))).alias("pos", "tok")
+        )
+        ev2 = toks.select(
+            "doc_id", "pos", F.lit(1).alias("k"), "tok"
+        ).unionByName(
+            starts.select(
+                "doc_id", "pos", F.lit(0).alias("k"),
+                F.lit(None).cast("string").alias("tok"),
+            )
+        )
+        w2 = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos", "k")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ls = F.max(F.when(F.col("k") == 0, F.col("pos"))).over(w2)
+        return (
+            ev2.withColumn("_ls", ls)
+            .filter(F.col("k") == 1)
+            .withColumn(
+                "_rm",
+                F.coalesce(F.col("_ls") >= F.col("pos") - F.lit(n - 1), F.lit(False)),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+            )
+        )
+
+    for n, label in ((5_000, "5k"), (100_000, "100k")):
+        docs = synth_docs(spark, n)
+        results[f"span_trim_{label}"] = timed(
+            lambda d=docs: noop(span_trim_shape(d))
+        )
+
+    # rolling z-score anomalies (ts_rolling_zscore_anomalies) at 20x
+    # events: the window runs over the |types| x |days| aggregate, so
+    # 20x the events should cost ~only the extra aggregation scan, not
+    # 20x window state (the aggregate-first invariant).
+    def zscore_shape(ev):
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.sum("value").alias("day_total"))
+        idx = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        wz = Window.partitionBy("event_type").orderBy(idx).rangeBetween(-14, -1)
+        nz = F.count("day_total").over(wz)
+        s = F.sum("day_total").over(wz)
+        ss = F.sum(F.col("day_total") * F.col("day_total")).over(wz)
+        framed = daily.select(
+            "event_type", "day", "day_total",
+            nz.alias("nb"), s.alias("s"), ss.alias("ss"),
+        ).filter(F.col("nb") >= 7)  # same guard as the catalog query
+        # (ANSI mode: the n>=7 filter is what keeps (n-1) nonzero)
+        return framed.select(
+            "event_type", "day", "day_total",
+            ((F.col("day_total") - F.col("s") / F.col("nb"))
+             / F.sqrt(F.greatest(
+                 (F.col("ss") - F.col("s") * F.col("s") / F.col("nb"))
+                 / (F.col("nb") - 1), F.lit(1e-12)))
+             ).alias("z"),
+        )
+
+    for label, n in [("0.6M", 600_000), ("12M", 12_000_000)]:
+        ev = synth_events(spark, n)
+        results[f"zscore_{label}"] = timed(lambda e=ev: noop(zscore_shape(e)))
+
     results["ratios"] = {
+        "span_trim_20x_docs": round(
+            results["span_trim_100k"] / results["span_trim_5k"], 2
+        ),
+        "zscore_20x_events": round(
+            results["zscore_12M"] / results["zscore_0.6M"], 2
+        ),
         "pq_assign_20x_vecs": round(
             results["pq_assign_500k"] / results["pq_assign_25k"], 2
         ),

@@ -79,6 +79,7 @@ NEVER_DRIVER_SAMPLED = {
     # round-8 session-3 additions — unsampled by definition until a
     # driver round hashes them
     "dd_span_trimmed_corpus",
+    "dd_lsh_tuning_curve",
     "smp_weighted_sample",
     "q14_promo_revenue_share",
     "q4_late_priority_counts",
