@@ -80,33 +80,27 @@ def publish_dashboard_snapshot(
     the flip publishes nothing; old versions stay readable (time
     travel) so an incident review can pin the dashboard exactly as it
     looked. Returns the committed manifest."""
-    from pyspark.storagelevel import StorageLevel
-
     from ..plans.catalog import CATALOG
     from ..sinks import manifest_table
-    from ..sources import load_table
 
-    # All five panels aggregate the same fact. Pin the events relation
-    # for the duration of the publish: Spark's cache manager matches
-    # each panel's scan by canonicalized plan, so the fact is read ONCE
-    # instead of five times — at the 100 TB scale this function exists
-    # for, that is the dominant cost of a refresh. (A long-lived
-    # serving deployment would stage the shared hourly rollup as its
-    # own manifest table; the panel definitions — pinned by their
-    # catalog oracles — stay the single source of truth here.)
-    ev = load_table(spark, sf_dir, "events").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Each panel reads its own COLUMN-PRUNED scan of the fact (all
+    # five prune to ts/event_type/value — a fifth or less of the
+    # table's bytes). Five pruned scans beat the alternatives at the
+    # scale this function exists for: caching the fact would
+    # materialize it FULL-WIDTH (cache substitution happens on the
+    # analyzed plan, before column pruning) — strictly more I/O than
+    # the five scans combined — and deriving panels from a shared
+    # rollup here would fork the panel logic from the oracle-pinned
+    # catalog definitions. A serving deployment that refreshes hot
+    # would stage the shared hourly rollup as its own manifest table
+    # and re-point the panel queries at it.
+    frames = {
+        name: CATALOG[name][0](spark, sf_dir)
+        for name in DASHBOARD_TS_PANELS
+    }
+    return manifest_table.group_overwrite(
+        frames, root, compare_and_swap=compare_and_swap
     )
-    try:
-        frames = {
-            name: CATALOG[name][0](spark, sf_dir)
-            for name in DASHBOARD_TS_PANELS
-        }
-        return manifest_table.group_overwrite(
-            frames, root, compare_and_swap=compare_and_swap
-        )
-    finally:
-        ev.unpersist(blocking=False)
 
 
 def read_dashboard_panel(

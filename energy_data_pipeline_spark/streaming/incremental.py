@@ -421,10 +421,21 @@ ANOMALY_MIN_BASELINE = 7
 # for late data within the retention window
 ANOMALY_RETAIN_DAYS = 64
 # clock-skew guard: a producer with a broken clock must not poison the
-# retention horizon (one year-2090 row would anchor max(day) there and
-# trim every legitimate day forever). Days further than this ahead of
-# the BATCH's median day are dropped before they ever enter state.
-ANOMALY_MAX_FUTURE_SKEW = 366
+# retention horizon (one far-future row would anchor max(day) there
+# and trim every legitimate day forever — and because the horizon
+# trims on arrival, the key would stay bricked for all future real
+# data). Batch days further than this ahead of the batch's 95th-
+# percentile day are dropped before they ever enter state. The margin
+# is deliberately SMALLER than ANOMALY_RETAIN_DAYS: an admitted
+# outlier inside the margin can advance the horizon by at most
+# (margin - retention) < 0 days past the legitimate frontier, so it
+# can never trim real state. q95 (not median, not max) keeps wide
+# legitimate backfills admissible — a uniform N-day backfill's max is
+# within ~N/20 of its q95 — while one bad row cannot drag the anchor.
+# Boundary (documented, not solvable without wall-clock): a batch
+# consisting ONLY of broken-clock rows is indistinguishable from a
+# legitimate time jump and will be admitted.
+ANOMALY_MAX_FUTURE_SKEW = 30
 
 ANOMALY_STATE_SCHEMA = StructType(
     [
@@ -478,7 +489,11 @@ def _update_anomaly(
     acc: dict[int, float] = (
         dict(zip(state.get[0], state.get[1])) if state.exists else {}
     )
-    changed: set[int] = set()
+    # Two passes: merge the WHOLE batch first (Arrow may split one
+    # group across chunks — a per-chunk guard would see a poison row
+    # alone in its own chunk and wave it through), then apply the skew
+    # guard over the combined batch's day distribution.
+    batch: dict[int, float] = {}
     for pdf in pdfs:
         pdf = pdf.dropna(subset=["ts", "value"])
         if len(pdf) == 0:
@@ -489,12 +504,18 @@ def _update_anomaly(
         day_idx = (
             pdf["ts"].dt.normalize() - pd.Timestamp("1970-01-01")
         ).dt.days
-        skew_cap = int(day_idx.median()) + ANOMALY_MAX_FUTURE_SKEW
         for d, s in pdf.groupby(day_idx)["value"].sum().items():
-            if int(d) > skew_cap:
-                continue  # broken-clock row: never enters state
-            acc[int(d)] = acc.get(int(d), 0.0) + float(s)
-            changed.add(int(d))
+            batch[int(d)] = batch.get(int(d), 0.0) + float(s)
+    changed: set[int] = set()
+    if batch:
+        bdays = sorted(batch)
+        q95 = bdays[int(0.95 * (len(bdays) - 1))]
+        skew_cap = q95 + ANOMALY_MAX_FUTURE_SKEW
+        for d, s in batch.items():
+            if d > skew_cap:
+                continue  # broken-clock day: never enters state
+            acc[d] = acc.get(d, 0.0) + s
+            changed.add(d)
     horizon = None
     if acc:
         horizon = max(acc) - ANOMALY_RETAIN_DAYS
@@ -566,12 +587,17 @@ def anomaly_stream(
     """``ts_rolling_zscore_anomalies`` as an incrementally-maintained
     stateful stream: per-key per-day raw sums accumulate across
     micro-batches (late rows within the retention window simply add
-    in), and each batch re-scores the retained days against their
-    trailing 14-day baseline — same rounding ladder as the batch query,
-    so converged stream output row-matches it exactly
-    (test_anomaly_stream_matches_batch). State is bounded at
-    (keys x ANOMALY_RETAIN_DAYS) two-number entries — calendar-sized,
-    never event-sized, at any traffic volume."""
+    in), and each batch re-scores ONLY the days it touched — directly,
+    or through their trailing 14-day baseline — emitting them in
+    update mode (an unchanged day is never re-emitted; a sink must
+    upsert on (key, day), not expect complete snapshots per tick).
+    Scores use the batch query's exact rounding ladder, so every
+    emission row-matches it and the converged union of emissions IS
+    the batch result (test_anomaly_stream_matches_batch). Days whose
+    baseline window has been partially trimmed by retention are never
+    re-scored. State is bounded at (keys x ANOMALY_RETAIN_DAYS)
+    two-number entries — calendar-sized, never event-sized, at any
+    traffic volume."""
     ensure_worker_imports(stream_df.sparkSession)
     return stream_df.groupBy(key_col).applyInPandasWithState(
         _update_anomaly,

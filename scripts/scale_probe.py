@@ -469,6 +469,26 @@ def main():
             .agg(
                 F.count(F.lit(1)).alias("n_tokens"),
                 F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+                # full reassembly, as the catalog query ships it — the
+                # per-doc collect+sort is part of the measured cost
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("pos"),
+                                        F.col("_rm").alias("rm"),
+                                        F.col("tok"),
+                                    )
+                                )
+                            ),
+                            lambda s2: ~s2.getField("rm"),
+                        ),
+                        lambda s2: s2.getField("tok"),
+                    ),
+                    " ",
+                ).alias("trimmed_text"),
             )
         )
 

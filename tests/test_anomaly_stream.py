@@ -110,11 +110,13 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     ).parquet(landing)
     tick2 = _run_tick(spark, landing, ckpt, "anomaly_tick2")
 
-    # tick 2 emits only the days it touched (update-mode: unchanged
-    # days are not re-emitted); every emission must match the batch
-    # value, and the UNION of the two ticks IS the batch result
-    # (checkpointed state carried days 1..15 over)
-    assert tick2
+    # tick 2 emits EXACTLY the days it touched (the late batch covers
+    # Jan 16-25; every scored day >= Jan 16 has a changed day in its
+    # own day or trailing window, and no earlier day does) — an
+    # under-emitting regression in the touched-day window would shrink
+    # this set, an over-emitting one would re-send tick 1's days
+    touch_start = dt.date(2024, 1, 16)
+    assert set(tick2) == {k for k in want if k[1] >= touch_start}
     for k, v in tick2.items():
         assert want[k] == v, k
     assert {**tick1, **tick2} == want
@@ -215,7 +217,12 @@ def test_anomaly_stream_future_clock_skew_does_not_poison_state(
         )
         for i in range(200)  # 25 days x 8 events
     ]
-    poison = [(999, dt.datetime(2090, 1, 1), 0, "click", 1.0)]
+    poison = [
+        (999, dt.datetime(2090, 1, 1), 0, "click", 1.0),
+        # months-fast clock: inside the old 366-day guard, caught by
+        # the q95+30 one
+        (998, dt.datetime(2024, 5, 1), 0, "click", 1.0),
+    ]
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
     spark.createDataFrame(rows + poison, EVENT_STREAM_SCHEMA).write.mode(
