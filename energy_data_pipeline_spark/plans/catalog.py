@@ -44,6 +44,7 @@ _SAMPLE_PRIORITY = [
     "dd_span_trimmed_corpus",
     "dd_lsh_tuning_curve",
     "smp_weighted_sample",
+    "smp_temperature_resample",
     "q14_promo_revenue_share",
     "q4_late_priority_counts",
     "q19_bracket_revenue",

@@ -2735,6 +2735,80 @@ FROM per
 """
 
 
+# --- temperature-based mixture resampling (mT5/XLM-R recipe) -------------
+MIX_TEMPERATURE = 0.7
+
+
+def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/XLM-R multilingual
+    recipe, tau={tau}): stratum sampling shares proportional to
+    n_tokens^tau instead of n_tokens, lifting low-resource strata
+    without letting them dominate (tau=1 is proportional, tau=0 is
+    uniform). Emits per-lang raw vs temperature-adjusted shares and the
+    up/down-sampling factor a loader applies per stratum. Shares and
+    the factor derive from ROUNDED intermediates (tuning-curve
+    convention: both engines evaluate the same IEEE pow on the same
+    inputs, rnd absorbs last-ulp drift).
+
+    Shape & scale: one map-side-combining aggregate over the corpus;
+    everything after runs on the stratum table (|langs| rows), so the
+    windowed sums never shuffle meaningful data at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    total = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TEMPERATURE))
+    shares = per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "raw_share"
+        ),
+        rnd(pw / F.sum(pw).over(total), 6).alias("temp_share"),
+    )
+    return shares.withColumn(
+        "sampling_factor",
+        F.when(
+            F.col("raw_share") > 0.0,
+            rnd(F.col("temp_share") / F.col("raw_share"), 4),
+        ),
+    )
+
+
+temperature_resample_plan.__doc__ = temperature_resample_plan.__doc__.format(
+    tau=MIX_TEMPERATURE
+)
+
+
+TEMPERATURE_RESAMPLE_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({DUCK_WORDS.format(col='text')})) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, n_docs, n_tokens,
+         round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS raw_share,
+         round(pow(CAST(n_tokens AS DOUBLE), {MIX_TEMPERATURE})
+               / sum(pow(CAST(n_tokens AS DOUBLE), {MIX_TEMPERATURE}))
+                 OVER (), 6) AS temp_share
+  FROM per
+)
+SELECT lang, n_docs, n_tokens, raw_share, temp_share,
+       CASE WHEN raw_share > 0.0
+            THEN round(temp_share / raw_share, 4) END AS sampling_factor
+FROM shares
+"""
+
+
 # --- fingerprints per doc ---
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -3367,6 +3441,10 @@ CORPUS_QUERIES = {
     "txt_quality_filtered_corpus": (quality_filtered_corpus, _quality_filtered_sql()),
     "txt_vocab_topk": (vocab_topk, VOCAB_SQL),
     "smp_corpus_mix_report": (corpus_mix_report, _mix_report_sql()),
+    "smp_temperature_resample": (
+        temperature_resample_plan,
+        TEMPERATURE_RESAMPLE_SQL,
+    ),
     "txt_ngram_topk": (ngram_topk, _ngram_topk_sql()),
     "smp_stratified_mix_sample": (stratified_mix_sample, _stratified_sql()),
     "smp_train_val_test_split": (split_assignment, _split_sql()),
