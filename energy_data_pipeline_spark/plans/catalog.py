@@ -20,6 +20,7 @@ from .catalog_core import CORE_QUERIES
 from .catalog_corpus import CORPUS_QUERIES
 from .catalog_ext import EXT_QUERIES
 from .catalog_timeseries import TIMESERIES_QUERIES
+from .catalog_tpch import TPCH_QUERIES
 
 _ALL_QUERIES: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
@@ -28,6 +29,9 @@ _ALL_QUERIES: dict[
     **TIMESERIES_QUERIES,
     **CORPUS_QUERIES,
     **EXT_QUERIES,
+    # round-8 session-4 additions merge LAST so the driver's 50-query
+    # sample window (the _SAMPLE_PRIORITY prefix below) is undisturbed.
+    **TPCH_QUERIES,
 }
 
 # Catalog ordering is part of the external verification surface: the
