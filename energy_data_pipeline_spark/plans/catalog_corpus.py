@@ -1709,6 +1709,45 @@ GROUP BY doc_id
 """
 
 
+# --- perplexity histogram (corpus quality profile) ---
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus perplexity profile: histogram of per-document unigram
+    cross-entropy (integer nat buckets) with the mean perplexity and
+    token mass per bucket — the summary a curation run reads to choose
+    a CCNet-style quality cutoff (the classic head/middle/tail split is
+    exactly a 3-way cut of this table).
+
+    Composes on TOP of ``unigram_logprob``'s memoized prepared plan, so
+    the (doc, token) explode is shared with that entry across a process
+    rather than recomputed. Bucket = floor of the ALREADY-ROUNDED
+    cross-entropy, and per-doc perplexity rounds to 6 before the bucket
+    mean (rounded 4) — every boundary and summation-order hazard is cut
+    on identical decimals in both engines."""
+    scored = unigram_logprob(spark, sf_dir)
+    ppl6 = rnd(F.exp(-F.col("avg_logprob")), 6)
+    return (
+        scored.groupBy(
+            F.floor(-F.col("avg_logprob")).cast("bigint").alias("ce_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            rnd(F.avg(ppl6), 4).alias("avg_ppl"),
+        )
+        .orderBy("ce_bucket")
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+SELECT CAST(floor(-avg_logprob) AS BIGINT) AS ce_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(round(exp(-avg_logprob), 6)), 4) AS avg_ppl
+FROM ({UNIGRAM_LOGPROB_SQL}) scored
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- per-source length distribution profile ---
 LENGTH_PCTS = (0.1, 0.5, 0.9, 0.99)
 
@@ -2609,6 +2648,118 @@ FROM per GROUP BY label
 """
 
 
+# --- label cohesion/separation (embedding-space QC) ---
+def _cos_cols(v: str, c: str) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(F.col(v), F.col(c), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(v), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return rnd(dot / (nv * nc), 6)
+
+
+def label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space QC: cohesion (mean cosine of members
+    to their OWN label centroid) vs separation (cosine of the label
+    centroid to the GLOBAL centroid) — low cohesion flags a mislabeled
+    or multi-modal class; separation near 1.0 flags a label that adds
+    no geometric signal. The standard pre-training sanity table before
+    trusting labels for stratified sampling or hard-negative mining.
+
+    Centroids use the ``emb_label_centroids`` strategy (posexplode →
+    (label, dim) map-side-combining avg, per-dim means rounded to 6 so
+    cross-engine sums agree), then ride back as a BROADCAST join onto
+    the vector stream — labels x dim is tiny at any corpus size while
+    the vector stream is the 100 TB side. Per-vector cosines round to 6
+    before the label mean (rounded 4): the usual two-level rounding
+    that absorbs summation-order ulps at both levels."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    pos = emb.select("label", F.posexplode("v").alias("d", "x"))
+    per = pos.groupBy("label", "d").agg(rnd(F.avg("x"), 6).alias("m"))
+    centroids = per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    global_c = (
+        pos.groupBy("d")
+        .agg(rnd(F.avg("x"), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s["m"],
+            ).alias("global_centroid")
+        )
+    )
+    member = (
+        emb.join(F.broadcast(centroids), "label")
+        .select("label", _cos_cols("v", "centroid").alias("cos_self"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            rnd(F.avg("cos_self"), 4).alias("cohesion"),
+        )
+    )
+    sep = centroids.crossJoin(F.broadcast(global_c)).select(
+        "label", _cos_cols("centroid", "global_centroid").alias("separation")
+    )
+    return member.join(sep, "label").orderBy("label")
+
+
+LABEL_AFFINITY_SQL = """
+WITH base AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pos AS (
+  SELECT label, i - 1 AS d, v[i] AS x
+  FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM base)
+), per AS (
+  SELECT label, d, round(avg(x), 6) AS m FROM pos GROUP BY 1, 2
+), centroids AS (
+  SELECT label, list(m ORDER BY d) AS c FROM per GROUP BY label
+), gper AS (
+  SELECT d, round(avg(x), 6) AS m FROM pos GROUP BY 1
+), g AS (
+  SELECT list(m ORDER BY d) AS gc FROM gper
+), member AS (
+  SELECT base.label, count(*) AS n_vectors,
+         round(avg(round(
+           list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i]))
+           / (sqrt(list_sum(list_transform(v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c, x -> x * x)))), 6)), 4)
+           AS cohesion
+  FROM base JOIN centroids ON base.label = centroids.label
+  GROUP BY base.label
+), sep AS (
+  SELECT label,
+         round(list_sum(list_transform(range(1, len(c) + 1), i -> c[i] * gc[i]))
+           / (sqrt(list_sum(list_transform(c, x -> x * x)))
+              * sqrt(list_sum(list_transform(gc, x -> x * x)))), 6)
+           AS separation
+  FROM centroids CROSS JOIN g
+)
+SELECT label, n_vectors, cohesion, separation
+FROM member JOIN sep USING (label)
+ORDER BY label
+"""
+
+
 # --- train/eval decontamination scan ---
 def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: val/test documents whose order-insensitive
@@ -3452,6 +3603,8 @@ CORPUS_QUERIES = {
     "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
     "dd_bloom_decontamination": (bloom_ngram_decontamination, _ngram_decon_sql()),
     "emb_label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+    "emb_label_affinity": (label_affinity, LABEL_AFFINITY_SQL),
+    "txt_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
     "emb_norm_outliers": (norm_outliers, NORM_OUTLIERS_SQL),
     "ann_quantized_topk": (quantized_topk, _quantized_topk_sql()),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),

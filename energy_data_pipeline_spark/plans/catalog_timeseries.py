@@ -709,7 +709,93 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- ST2: funnel conversion by weekly cohort ---
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel by weekly first-click cohort: for each
+    user, the first click and the first purchase AT OR AFTER it; a user
+    converts if that purchase lands within 7 days. The product-analytics
+    twin of the reference's completeness dashboards — and the as-of
+    (forward-match) join shape expressed as join+min-aggregate.
+
+    The per-user first-click table is aggregated BEFORE the purchase
+    join, so the shuffle joins clicks' key cardinality (users), not the
+    raw click stream; both join sides hash on user_id, and the min()
+    re-aggregation reuses that partitioning (no second exchange in the
+    plan). Cohort week = Monday of the first click, computed with
+    datediff-from-epoch-Monday arithmetic on the DATE — deliberately
+    NOT date_trunc('week'), which converts NTZ→instant and would make
+    the cohort label depend on the session timezone."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fc.join(
+            purch,
+            (fc.user_id == purch.p_user) & (purch.p_ts >= fc.first_click),
+            "left",
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    click_date = F.to_date("first_click")
+    monday = F.date_sub(
+        click_date,
+        F.datediff(click_date, F.lit("1970-01-05").cast("date")) % 7,
+    )
+    converted = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") < F.col("first_click") + F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        conv.groupBy(F.date_format(monday, "yyyy-MM-dd").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.sum(F.when(converted, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted_7d"),
+            rnd(F.avg(F.when(converted, 1.0).otherwise(0.0)), 6).alias(
+                "conv_rate_7d"
+            ),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+FUNNEL_SQL = """
+WITH fc AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+  SELECT fc.user_id, first_click, min(e.ts) AS first_purchase
+  FROM fc LEFT JOIN events e
+    ON e.user_id = fc.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= first_click
+  GROUP BY fc.user_id, first_click
+)
+SELECT strftime(first_click::DATE
+                - CAST(datediff('day', DATE '1970-01-05', first_click::DATE) % 7
+                       AS INTEGER),
+                '%Y-%m-%d') AS cohort_week,
+       count(*) AS n_clickers,
+       CAST(sum(CASE WHEN first_purchase IS NOT NULL
+                      AND first_purchase < first_click + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_7d,
+       round(avg(CASE WHEN first_purchase IS NOT NULL
+                       AND first_purchase < first_click + INTERVAL 7 DAY
+                      THEN 1.0 ELSE 0.0 END), 6) AS conv_rate_7d
+FROM conv
+GROUP BY 1 ORDER BY 1
+"""
+
+
 TIMESERIES_QUERIES = {
+    "st_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
     "t4_view_series_hist_impute": (view_series_hist_impute, HIST_IMPUTE_SQL),

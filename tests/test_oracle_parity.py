@@ -92,6 +92,17 @@ NEVER_DRIVER_SAMPLED = {
     "ts_rolling_zscore_anomalies",
     "ts_load_duration_curve",
     "ts_peak_offpeak_profile",
+    # round-8 session-4 additions — unsampled by definition until a
+    # driver round hashes them
+    "q6_revenue_uplift",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "txt_perplexity_buckets",
+    "emb_label_affinity",
+    "st_funnel_conversion",
 }
 
 

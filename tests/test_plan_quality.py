@@ -409,3 +409,113 @@ def test_q10_pushes_both_fact_filters_and_takes_ordered(spark):
     assert "GreaterThanOrEqual(o_orderdate," in plan, plan[:2000]
     assert "EqualTo(l_returnflag,R)" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_all_three_predicates_reach_single_scan(spark):
+    """Q6 is the pushdown litmus: date window, discount band and
+    quantity cap must ALL land in PushedFilters of ONE lineitem scan —
+    no join, no second scan, nothing evaluated post-scan that the
+    reader could have skipped."""
+    fn, _ = CATALOG["q6_revenue_uplift"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert len(pushed) == 1, pushed
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in pushed[0], (frag, pushed)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q7_dims_broadcast_and_shipwindow_pushed(spark):
+    """Q7's supplier + both nation sides must broadcast (the pair
+    filter lives inside the 2-row broadcast dims) and the two-year ship
+    window must prune the lineitem scan before any join."""
+    fn, _ = CATALOG["q7_volume_shipping"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(l_shipdate," in ln for ln in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_filters_reach_part_orders_scans(spark):
+    """Q8's seven-table join must prune at the scans: the type filter
+    on part, the two-year window on orders; lineitem is read exactly
+    once and the five dims ride broadcasts."""
+    fn, _ = CATALOG["q8_market_share"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(p_type,ECONOMY)" in ln for ln in pushed), pushed
+    assert any("GreaterThanOrEqual(o_orderdate," in ln for ln in pushed), pushed
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_q13_priority_filter_pushed_zero_groups_kept(spark):
+    """Q13's priority exclusion touches only orders columns, so it must
+    be a PushedFilters Not(EqualTo(...)) at the orders scan — never a
+    post-join residual that would break the left join's zero-count
+    groups — and each base table is read exactly once."""
+    fn, _ = CATALOG["q13_order_count_distribution"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "Not(EqualTo(o_orderpriority,1-URGENT))" in ln for ln in pushed
+    ), pushed
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
+
+
+def test_q15_scalar_max_is_broadcast_never_global_sort(spark):
+    """Q15's winner selection must be a 1-row broadcast compare (Spark
+    even collapses the crossJoin+filter into a BroadcastHashJoin on the
+    rounded revenue) — never a global sort of the revenue table; the
+    quarter window prunes every lineitem scan."""
+    fn, _ = CATALOG["q15_top_supplier"]
+    plan = plan_of(fn(spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    li_pushed = [ln for ln in pushed if "l_shipdate" in ln]
+    assert li_pushed and all(
+        "GreaterThanOrEqual(l_shipdate," in ln for ln in li_pushed
+    ), pushed
+
+
+def test_q17_brand_prunes_before_per_part_average(spark):
+    """Q17's decorrelated avg must compute over the brand-PRUNED stream:
+    the brand equality is pushed at the part scan, part broadcasts, and
+    lineitem is read at most twice (once per consumer of the pruned
+    stream), never a third time for the correlated subquery."""
+    fn, _ = CATALOG["q17_small_quantity_revenue"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(p_brand,Brand#23)" in ln for ln in pushed), pushed
+    assert plan.count("lineitem.parquet") <= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_prefilters_event_types_and_preaggregates(spark):
+    """The funnel must push both event_type equality filters to the
+    scans (clicks and purchases are each a pruned read, not a post-scan
+    filter of the full stream) and partial-aggregate the first-click
+    table before the purchase join."""
+    fn, _ = CATALOG["st_funnel_conversion"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(event_type,click)" in ln for ln in pushed), pushed
+    assert any("EqualTo(event_type,purchase)" in ln for ln in pushed), pushed
+    assert "partial_min(ts" in plan, plan[:2000]
+
+
+def test_label_affinity_centroids_broadcast_onto_vectors(spark):
+    """Label-affinity's centroid table (labels x dim) must ride back
+    onto the vector stream as a BROADCAST join — the vector side is the
+    100 TB side and must never shuffle on label."""
+    fn, _ = CATALOG["emb_label_affinity"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
