@@ -1518,7 +1518,138 @@ SELECT media_id, format,
 FROM media
 """
 
+
+# --- R3: pivot (long → wide), the inverse of R1's unpivot ----------------
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_daily_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type totals pivoted to one column per type — the
+    long→wide inverse of R1's unpivot, and the shape every BI export
+    job needs. The pivot values are PINNED (not discovered) so the
+    plan is a single-pass conditional aggregation — Spark's two-pass
+    value-discovery pivot would scan the fact twice and make the output
+    schema data-dependent, which a 100 TB export cannot afford. Per-day
+    sums round to 4 (summation-order convention); absent (day, type)
+    cells surface as 0.0 in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(rnd(F.sum("value"), 4))
+    )
+    # absent (day, type) cells pivot to NULL — zero-fill AFTER the pivot
+    named = agg.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0.0)).alias(f"{t}_total")
+            for t in PIVOT_TYPES
+        ],
+    )
+    return named.orderBy("day")
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"round(coalesce(sum(CASE WHEN event_type = '{t}' THEN value END), 0), 4)"
+    f" AS {t}_total"
+    for t in PIVOT_TYPES
+)
+PIVOT_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- A14: RFM quartile segmentation -----------------------------------
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: recency (days since last
+    purchase, against the stream's max day), frequency (purchase
+    count), monetary (total value) — each cut into quartiles with
+    ntile(4), concatenated into the classic 3-digit segment code.
+    The marketing-analytics staple over any event stream.
+
+    One pass over the purchase slice builds the per-user profile
+    (map-side combine; shuffle is user-count sized); the stream maximum
+    rides back as a 1-row broadcast. The ntile windows then run over
+    the ENTITY-sized profile table, never the event stream — that is
+    what keeps the (by definition global) quartile sort affordable; at
+    billions of entities the cut would switch to approx_percentile
+    thresholds instead of exact ntile, changing strategy, not
+    semantics. ntile ties are broken by user_id in every ORDER BY, so
+    bucket assignment is deterministic and engine-portable (both
+    engines fill remainder rows into the leading buckets). Monetary
+    rounds to 4 BEFORE the ntile sort so cross-engine sum ulps cannot
+    reorder the quartile cut."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    prof = p.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        rnd(F.sum("value"), 4).alias("monetary"),
+    )
+    anchor = p.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    scored = prof.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("anchor_day", "last_day").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    seg = scored.select(
+        "user_id",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        F.ntile(4).over(w_r).cast("bigint").alias("r_quartile"),
+        F.ntile(4).over(w_f).cast("bigint").alias("f_quartile"),
+        F.ntile(4).over(w_m).cast("bigint").alias("m_quartile"),
+    )
+    return seg.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+        ),
+    ).orderBy("user_id")
+
+
+RFM_SQL = """
+WITH p AS (
+  SELECT user_id, ts::DATE AS d, value
+  FROM events WHERE event_type = 'purchase'
+), prof AS (
+  SELECT user_id, max(d) AS last_day,
+         count(*) AS frequency, round(sum(value), 4) AS monetary
+  FROM p GROUP BY user_id
+), anchor AS (
+  SELECT max(d) AS anchor_day FROM p
+), scored AS (
+  SELECT user_id,
+         CAST(datediff('day', last_day, anchor_day) AS BIGINT) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency, monetary
+  FROM prof CROSS JOIN anchor
+), seg AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT)
+           AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT)
+           AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT)
+           AS m_quartile
+  FROM scored
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       r_quartile || f_quartile || m_quartile AS segment
+FROM seg ORDER BY user_id
+"""
+
 EXT_QUERIES = {
+    "r2_pivot_daily_type_totals": (pivot_daily_type_totals, PIVOT_SQL),
+    "a14_rfm_segments": (rfm_segments, RFM_SQL),
     "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
     "t8_accumulating_merge": (accumulating_merge, T8_SQL),

@@ -103,6 +103,8 @@ NEVER_DRIVER_SAMPLED = {
     "txt_perplexity_buckets",
     "emb_label_affinity",
     "st_funnel_conversion",
+    "r2_pivot_daily_type_totals",
+    "a14_rfm_segments",
 }
 
 

@@ -519,3 +519,26 @@ def test_label_affinity_centroids_broadcast_onto_vectors(spark):
     plan = plan_of(fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_pass_conditional_aggregate(spark):
+    """The pinned-values pivot must be ONE events scan with a map-side
+    partial aggregate — never the two-pass value-discovery pivot (extra
+    scan, data-dependent schema)."""
+    fn, _ = CATALOG["r2_pivot_daily_type_totals"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "partial_sum(" in plan, plan[:2000]
+
+
+def test_rfm_windows_run_over_entity_sized_profile(spark):
+    """RFM's ntile sorts must run over the per-user PROFILE aggregate
+    (partial-aggregated before any window) with the stream max riding a
+    one-row broadcast — the purchase slice pruned at the scan."""
+    fn, _ = CATALOG["a14_rfm_segments"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(event_type,purchase)" in ln for ln in pushed), pushed
+    assert "partial_max(" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
