@@ -164,6 +164,62 @@ def dedup_stream(
     )
 
 
+def interval_join_stream(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_lag_seconds: int = 7 * 24 * 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the streaming twin of
+    the funnel/J7 attribution shape: each LEFT event (e.g. a click)
+    joins every RIGHT event (e.g. a purchase) of the same key whose
+    event time lands in ``[left_ts, left_ts + max_lag_seconds]``.
+
+    Both sides carry watermarks and the join condition carries an
+    explicit upper time bound, which is what lets Spark age out join
+    state: a buffered left row is droppable once the right watermark
+    passes ``left_ts + max_lag``, a right row once the left watermark
+    passes its ts — state is bounded by (arrival rate x lag horizon),
+    never the stream's history. Without the bound the join would be
+    legal but state would grow forever; this function makes the bound
+    part of the operator's signature.
+
+    Same NTZ→instant casting contract as the other twins. Output rows
+    carry both NTZ timestamps plus the lag in seconds; downstream
+    attribution (first-touch = min lag per right event) composes on
+    top in either batch or streaming mode."""
+    lag = int(max_lag_seconds)
+    left = left_df.select(
+        F.col(key_col).alias("_lkey"),
+        F.col(ts_col).cast("timestamp").alias("_lwts"),
+        F.col("event_id").alias("left_id"),
+    ).withWatermark("_lwts", watermark)
+    right = right_df.select(
+        F.col(key_col).alias("_rkey"),
+        F.col(ts_col).cast("timestamp").alias("_rwts"),
+        F.col("event_id").alias("right_id"),
+    ).withWatermark("_rwts", watermark)
+    joined = left.join(
+        right,
+        (F.col("_lkey") == F.col("_rkey"))
+        & (F.col("_rwts") >= F.col("_lwts"))
+        & (F.col("_rwts") <= F.col("_lwts") + F.expr(f"INTERVAL {lag} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        F.col("_lkey").alias(key_col),
+        "left_id",
+        "right_id",
+        F.col("_lwts").cast("timestamp_ntz").alias("left_ts"),
+        F.col("_rwts").cast("timestamp_ntz").alias("right_ts"),
+        (F.unix_timestamp("_rwts") - F.unix_timestamp("_lwts")).alias(
+            "lag_seconds"
+        ),
+    )
+
+
 def available_now_ingest(
     stream_df: DataFrame,
     sink_dir: str,

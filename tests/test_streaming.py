@@ -378,3 +378,80 @@ def test_neardup_admission_stream_end_to_end(spark, tmp_path):
         for r in manifest_table.group_read(spark, root, INDEX_SUB).collect()
     }
     assert {1, 3, 12} <= idx_ids
+
+
+def test_interval_join_stream_matches_batch_join(spark, dirs):
+    """Stream-stream interval join (click→purchase attribution): every
+    emitted pair must also appear in the batch interval join over the
+    same rows, and all pairs whose state horizon fully closed before
+    the final watermark must be emitted — pairs beyond the lag bound or
+    across users never appear."""
+    from energy_data_pipeline_spark.streaming import interval_join_stream
+
+    rows = []
+    eid = 0
+    # users 0..4: a click at minute u*10, purchases at +5min (inside the
+    # 30-min lag), +45min (outside), plus another user's purchase
+    for u in range(5):
+        rows.append((eid, u * 10, u, "click", 1.0)); eid += 1
+        rows.append((eid, u * 10 + 5, u, "purchase", 2.0)); eid += 1
+        rows.append((eid, u * 10 + 45, u, "purchase", 3.0)); eid += 1
+    # late-window closer: advances both watermarks far past every pair
+    rows.append((eid, 24 * 60, 99, "click", 0.0)); eid += 1
+    rows.append((eid, 24 * 60, 99, "purchase", 0.0)); eid += 1
+    batch = _mk_batch(spark, rows)
+    batch.write.mode("append").parquet(dirs["landing"])
+
+    clicks = read_event_stream(spark, dirs["landing"]).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, dirs["landing"]).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_stream(
+        clicks, purchases, max_lag_seconds=1800, watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_stream")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"], r["lag_seconds"])
+        for r in spark.sql("select * from ij_stream").collect()
+    }
+
+    c = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("rts"),
+    )
+    want = {
+        (r["user_id"], r["left_id"], r["right_id"], r["lag"])
+        for r in c.join(
+            p,
+            (c.user_id == p.p_user)
+            & (p.rts >= c.lts)
+            & (p.rts <= c.lts + F.expr("INTERVAL 1800 SECONDS")),
+        )
+        .select(
+            "user_id", "left_id", "right_id",
+            (F.unix_timestamp(F.col("rts").cast("timestamp"))
+             - F.unix_timestamp(F.col("lts").cast("timestamp"))).alias("lag"),
+        )
+        .collect()
+    }
+    assert want, "batch join produced no pairs — test data broken"
+    # streaming output must be a subset of batch (no phantom pairs) and
+    # must contain every in-lag pair for users 0..4 (horizons closed by
+    # the day-later sentinel rows)
+    assert got <= want, got - want
+    closed = {w for w in want if w[0] != 99}
+    assert closed <= got, closed - got
