@@ -2686,41 +2686,63 @@ def label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vector stream — labels x dim is tiny at any corpus size while
     the vector stream is the 100 TB side. Per-vector cosines round to 6
     before the label mean (rounded 4): the usual two-level rounding
-    that absorbs summation-order ulps at both levels."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    pos = emb.select("label", F.posexplode("v").alias("d", "x"))
-    per = pos.groupBy("label", "d").agg(rnd(F.avg("x"), 6).alias("m"))
-    centroids = per.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
-        ).alias("centroid")
-    )
-    global_c = (
-        pos.groupBy("d")
-        .agg(rnd(F.avg("x"), 6).alias("m"))
-        .agg(
+    that absorbs summation-order ulps at both levels.
+
+    Prepared-plan memoized with the casted vector frame pinned: the
+    centroid aggregate AND the member-cosine join both consume it, so
+    without the pin each invocation re-reads and re-casts the source
+    twice (measured 2.0 s med at sf0.1; pinned+memoized the warm cost
+    is the member join alone)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = (
+            fan_out(load_table(spark, sf_dir, "embeddings"))
+            .select(
+                "label",
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("v"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pins: plan_cache.PinList = [(emb, StorageLevel.MEMORY_AND_DISK)]
+        pos = emb.select("label", F.posexplode("v").alias("d", "x"))
+        per = pos.groupBy("label", "d").agg(rnd(F.avg("x"), 6).alias("m"))
+        centroids = per.groupBy("label").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "m"))),
                 lambda s: s["m"],
-            ).alias("global_centroid")
+            ).alias("centroid")
         )
-    )
-    member = (
-        emb.join(F.broadcast(centroids), "label")
-        .select("label", _cos_cols("v", "centroid").alias("cos_self"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            rnd(F.avg("cos_self"), 4).alias("cohesion"),
+        global_c = (
+            pos.groupBy("d")
+            .agg(rnd(F.avg("x"), 6).alias("m"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("global_centroid")
+            )
         )
-    )
-    sep = centroids.crossJoin(F.broadcast(global_c)).select(
-        "label", _cos_cols("centroid", "global_centroid").alias("separation")
-    )
-    return member.join(sep, "label").orderBy("label")
+        member = (
+            emb.join(F.broadcast(centroids), "label")
+            .select("label", _cos_cols("v", "centroid").alias("cos_self"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                rnd(F.avg("cos_self"), 4).alias("cohesion"),
+            )
+        )
+        sep = centroids.crossJoin(F.broadcast(global_c)).select(
+            "label",
+            _cos_cols("centroid", "global_centroid").alias("separation"),
+        )
+        return member.join(sep, "label").orderBy("label"), pins
+
+    return plan_cache.cached_plan(spark, ("label_affinity", sf_dir), build)
 
 
 LABEL_AFFINITY_SQL = """
