@@ -529,7 +529,80 @@ def main():
         ev = synth_events(spark, n)
         results[f"zscore_{label}"] = timed(lambda e=ev: noop(zscore_shape(e)))
 
+    # funnel conversion (st_funnel_conversion) at 20x events: the
+    # first-click aggregate shrinks the join's left side to user count
+    # BEFORE the purchase join, so the shuffle is entity-sized on one
+    # side and the purchase slice on the other — wall should track the
+    # scan, not the raw-pair fan-in.
+    def funnel_shape(ev):
+        fc = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_click"))
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        conv = (
+            fc.join(
+                purch,
+                (fc.user_id == purch.p_user)
+                & (purch.p_ts >= fc.first_click),
+                "left",
+            )
+            .groupBy("user_id", "first_click")
+            .agg(F.min("p_ts").alias("first_purchase"))
+        )
+        converted = F.col("first_purchase").isNotNull() & (
+            F.col("first_purchase")
+            < F.col("first_click") + F.expr("INTERVAL 7 DAYS")
+        )
+        return conv.groupBy(F.to_date("first_click").alias("d")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(converted, 1).otherwise(0)).alias("c"),
+        )
+
+    for label, n in [("0.6M", 600_000), ("12M", 12_000_000)]:
+        ev = synth_events(spark, n)
+        results[f"funnel_{label}"] = timed(lambda e=ev: noop(funnel_shape(e)))
+
+    # RFM segmentation (a14_rfm_segments) at 20x events: the three
+    # global ntile sorts run over the ENTITY-sized profile (10k users
+    # here), so 20x the events buys only the bigger profile aggregation
+    # scan — window cost is pinned by entity count, not event count.
+    def rfm_shape(ev):
+        p = ev.filter(F.col("event_type") == "purchase")
+        prof = p.groupBy("user_id").agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+        anchor = p.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+        scored = prof.crossJoin(F.broadcast(anchor)).select(
+            "user_id",
+            F.datediff("anchor_day", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+        w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+        w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+        return scored.select(
+            "user_id",
+            F.ntile(4).over(w_r).alias("r"),
+            F.ntile(4).over(w_f).alias("f"),
+            F.ntile(4).over(w_m).alias("m"),
+        )
+
+    for label, n in [("0.6M", 600_000), ("12M", 12_000_000)]:
+        ev = synth_events(spark, n)
+        results[f"rfm_{label}"] = timed(lambda e=ev: noop(rfm_shape(e)))
+
     results["ratios"] = {
+        "funnel_20x_events": round(
+            results["funnel_12M"] / results["funnel_0.6M"], 2
+        ),
+        "rfm_20x_events": round(results["rfm_12M"] / results["rfm_0.6M"], 2),
         "span_trim_20x_docs": round(
             results["span_trim_100k"] / results["span_trim_5k"], 2
         ),
