@@ -171,6 +171,7 @@ def interval_join_stream(
     ts_col: str = "ts",
     max_lag_seconds: int = 7 * 24 * 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join — the streaming twin of
     the funnel/J7 attribution shape: each LEFT event (e.g. a click)
@@ -189,7 +190,16 @@ def interval_join_stream(
     Same NTZ→instant casting contract as the other twins. Output rows
     carry both NTZ timestamps plus the lag in seconds; downstream
     attribution (first-touch = min lag per right event) composes on
-    top in either batch or streaming mode."""
+    top in either batch or streaming mode.
+
+    ``how="left_outer"`` emits the ABANDONMENT stream too: a left event
+    with no in-lag match surfaces once — with null right columns — when
+    the right watermark passes its horizon (``left_ts + max_lag``) and
+    the engine can prove no match is still possible. The same state
+    bound applies; the only extra cost is holding the unmatched flag
+    until the horizon closes."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type for interval join: {how}")
     lag = int(max_lag_seconds)
     left = left_df.select(
         F.col(key_col).alias("_lkey"),
@@ -206,7 +216,7 @@ def interval_join_stream(
         (F.col("_lkey") == F.col("_rkey"))
         & (F.col("_rwts") >= F.col("_lwts"))
         & (F.col("_rwts") <= F.col("_lwts") + F.expr(f"INTERVAL {lag} SECONDS")),
-        "inner",
+        how,
     )
     return joined.select(
         F.col("_lkey").alias(key_col),

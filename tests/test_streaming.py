@@ -455,3 +455,52 @@ def test_interval_join_stream_matches_batch_join(spark, dirs):
     assert got <= want, got - want
     closed = {w for w in want if w[0] != 99}
     assert closed <= got, closed - got
+
+
+def test_interval_join_stream_left_outer_emits_abandonment(spark, dirs):
+    """left_outer mode: a click with NO in-lag purchase must surface
+    exactly once with null right columns after its horizon closes;
+    matched clicks must appear with their pair, not also as a null row."""
+    from energy_data_pipeline_spark.streaming import interval_join_stream
+
+    rows = [
+        (0, 0, 1, "click", 1.0),      # converts at +5min
+        (1, 5, 1, "purchase", 2.0),
+        (2, 0, 2, "click", 1.0),      # never converts → abandonment row
+        (3, 90, 2, "purchase", 2.0),  # outside the 30-min lag
+        # sentinel a day later: closes every horizon on both sides
+        (4, 24 * 60, 99, "click", 0.0),
+        (5, 24 * 60, 99, "purchase", 0.0),
+    ]
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+
+    clicks = read_event_stream(spark, dirs["landing"]).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, dirs["landing"]).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_stream(
+        clicks, purchases, max_lag_seconds=1800, watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_outer")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from ij_outer").collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["left_id"], []).append(r)
+    # user 1's click matched exactly once, with the purchase
+    assert [r["right_id"] for r in by_left[0]] == [1]
+    assert by_left[0][0]["lag_seconds"] == 300
+    # user 2's click emitted exactly once, as a null-right abandonment row
+    assert len(by_left[2]) == 1, by_left[2]
+    assert by_left[2][0]["right_id"] is None
+    assert by_left[2][0]["lag_seconds"] is None
