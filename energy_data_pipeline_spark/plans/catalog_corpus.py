@@ -2650,26 +2650,13 @@ FROM per GROUP BY label
 
 # --- label cohesion/separation (embedding-space QC) ---
 def _cos_cols(v: str, c: str) -> F.Column:
-    dot = F.aggregate(
-        F.zip_with(F.col(v), F.col(c), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nv = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(v), lambda a: a * a),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(c), lambda a: a * a),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return rnd(dot / (nv * nc), 6)
+    """Rounded cosine between two array columns — one thin wrapper so
+    label_affinity shares the codebase's single cosine implementation
+    (functions/vectors.py, also used by similarity/ivf) instead of a
+    drift-prone copy of the fold."""
+    from ..functions import vectors as _vec
+
+    return rnd(_vec.cosine(v, c), 6)
 
 
 def label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3625,8 +3612,6 @@ CORPUS_QUERIES = {
     "dd_ngram_decontamination": (ngram_decontamination, _ngram_decon_sql()),
     "dd_bloom_decontamination": (bloom_ngram_decontamination, _ngram_decon_sql()),
     "emb_label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
-    "emb_label_affinity": (label_affinity, LABEL_AFFINITY_SQL),
-    "txt_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
     "emb_norm_outliers": (norm_outliers, NORM_OUTLIERS_SQL),
     "ann_quantized_topk": (quantized_topk, _quantized_topk_sql()),
     "txt_pii_redaction": (pii_redaction, _pii_sql()),
@@ -3653,4 +3638,8 @@ CORPUS_QUERIES = {
     "pk_pack_efficiency_report": (pack_efficiency_report, _pack_efficiency_sql()),
     "txt_quality_filter_funnel": (quality_filter_funnel, _quality_funnel_sql()),
     "pk_packed_sequences": (packed_sequences_table, _packed_seqs_sql()),
+    # round-8 session-4 additions APPEND so pre-existing merged catalog
+    # order (part of the driver's sample-window surface) never shifts
+    "emb_label_affinity": (label_affinity, LABEL_AFFINITY_SQL),
+    "txt_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
 }

@@ -1648,8 +1648,6 @@ FROM seg ORDER BY user_id
 """
 
 EXT_QUERIES = {
-    "r2_pivot_daily_type_totals": (pivot_daily_type_totals, PIVOT_SQL),
-    "a14_rfm_segments": (rfm_segments, RFM_SQL),
     "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
     "t8_accumulating_merge": (accumulating_merge, T8_SQL),
@@ -1673,4 +1671,8 @@ EXT_QUERIES = {
     "p16_month_chunks": (month_chunks, P16_SQL),
     "mm_feature_extract": (media_feature_extract, MEDIA_FEATURES_SQL),
     "mm_frame_plan": (media_frame_plan, MEDIA_FRAME_SQL),
+    # round-8 session-4 additions APPEND so pre-existing merged catalog
+    # order (part of the driver's sample-window surface) never shifts
+    "r2_pivot_daily_type_totals": (pivot_daily_type_totals, PIVOT_SQL),
+    "a14_rfm_segments": (rfm_segments, RFM_SQL),
 }

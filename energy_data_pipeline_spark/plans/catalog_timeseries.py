@@ -795,7 +795,6 @@ GROUP BY 1 ORDER BY 1
 
 
 TIMESERIES_QUERIES = {
-    "st_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
     "t4_view_series_hist_impute": (view_series_hist_impute, HIST_IMPUTE_SQL),
@@ -809,4 +808,7 @@ TIMESERIES_QUERIES = {
     # time (the spline solve is not SQL-expressible; see module docstring)
     "t3_spline_impute_view_series": (spline_impute_view_series, _t3_oracle_sql),
     "t5_impute_pipeline_demo": (impute_pipeline_demo, _t5_oracle_sql),
+    # round-8 session-4 additions APPEND so pre-existing merged catalog
+    # order (part of the driver's sample-window surface) never shifts
+    "st_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
 }

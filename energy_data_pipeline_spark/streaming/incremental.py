@@ -172,6 +172,8 @@ def interval_join_stream(
     max_lag_seconds: int = 7 * 24 * 3600,
     watermark: str = "2 hours",
     how: str = "inner",
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
 ) -> DataFrame:
     """Stream-stream event-time interval join — the streaming twin of
     the funnel/J7 attribution shape: each LEFT event (e.g. a click)
@@ -204,12 +206,12 @@ def interval_join_stream(
     left = left_df.select(
         F.col(key_col).alias("_lkey"),
         F.col(ts_col).cast("timestamp").alias("_lwts"),
-        F.col("event_id").alias("left_id"),
+        F.col(left_id_col).alias("left_id"),
     ).withWatermark("_lwts", watermark)
     right = right_df.select(
         F.col(key_col).alias("_rkey"),
         F.col(ts_col).cast("timestamp").alias("_rwts"),
-        F.col("event_id").alias("right_id"),
+        F.col(right_id_col).alias("right_id"),
     ).withWatermark("_rwts", watermark)
     joined = left.join(
         right,
