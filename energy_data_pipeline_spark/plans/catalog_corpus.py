@@ -3566,6 +3566,160 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# --- mixture report over the PURGED corpus (operator composition) ---
+def purged_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table computed over the corpus that actually ships:
+    ``smp_corpus_mix_report``'s per-(source, lang) strata AFTER the
+    near-dup purge — the numbers a sampling-weight fit must use, since
+    dedup removes mass non-uniformly across strata (boilerplate-heavy
+    sources lose the most). Composition of two existing operators: the
+    loser set comes from the same memoized cluster labels the purge
+    uses (LSH chain + CC fixpoint compute once per process), the
+    anti-join is the purge's un-hinted shuffled left_anti, and the
+    stratum aggregate + broadcast-sized share window are the mix
+    report's. Nothing new shuffles beyond those parts."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    losers = (
+        _cc_labels(spark, sf_dir)
+        .filter(F.col("vertex") != F.col("cluster_id"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    per = kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+def _purged_mix_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), reach(v, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
+), losers AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(r)
+), kept AS (
+  SELECT source, lang, {DUCK_WORDS.format(col='text')} AS wl
+  FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+), per AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(wl)) AS BIGINT) AS n_tokens
+  FROM kept GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+FROM per
+"""
+
+
+# --- Zipf rank-frequency slope (corpus-health metric) ---
+ZIPF_TOP_RANKS = 256
+
+
+def zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the OLS slope of
+    ln(freq) on ln(rank) for the top ``ZIPF_TOP_RANKS`` tokens, reported
+    as alpha = -slope. Natural text sits near alpha ≈ 1; a flat slope
+    flags token soup / boilerplate floods, a cliff flags templated spam
+    — the one-number corpus-health check a curation dashboard trends.
+
+    The vocab count is the usual two-level aggregate; the top-256 cut
+    compiles to TakeOrderedAndProject (tie-break count desc, token asc
+    — and tie order cannot move the fit: tied tokens share y, and the
+    rank multiset 1..N is fixed). The regression is plain aggregates
+    over 256 rows — no window wider than the cut. ln terms round to 9
+    in both engines BEFORE the sums, so libm last-ulp differences
+    between JVM and C can't reach the slope; the slope rounds to 4."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("w")
+        .agg(F.sum("n").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        ZIPF_TOP_RANKS
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    )
+    terms = top.select(
+        rnd(F.log(rk.cast("double")), 9).alias("x"),
+        rnd(F.log(F.col("c").cast("double")), 9).alias("y"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "n_ranks",
+        rnd(
+            -(
+                (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.col("n_ranks") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+            ),
+            4,
+        ).alias("zipf_alpha"),
+    )
+
+
+def _zipf_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT w, sum(n) AS c FROM (
+    SELECT doc_id, w, count(*) AS n FROM (
+      SELECT doc_id,
+             unnest({DUCK_WORDS.format(col='text')}) AS w
+      FROM documents
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+  FROM counts
+), terms AS (
+  SELECT round(ln(r * 1.0), 9) AS x, round(ln(c * 1.0), 9) AS y
+  FROM ranked WHERE r <= {ZIPF_TOP_RANKS}
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM terms
+)
+SELECT n_ranks,
+       round(-((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)), 4)
+         AS zipf_alpha
+FROM agg
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -3642,4 +3796,6 @@ CORPUS_QUERIES = {
     # order (part of the driver's sample-window surface) never shifts
     "emb_label_affinity": (label_affinity, LABEL_AFFINITY_SQL),
     "txt_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
+    "smp_purged_mix_report": (purged_mix_report, _purged_mix_sql()),
+    "txt_zipf_alpha": (zipf_alpha, _zipf_sql()),
 }

@@ -105,6 +105,8 @@ NEVER_DRIVER_SAMPLED = {
     "st_funnel_conversion",
     "r2_pivot_daily_type_totals",
     "a14_rfm_segments",
+    "smp_purged_mix_report",
+    "txt_zipf_alpha",
 }
 
 

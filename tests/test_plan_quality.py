@@ -542,3 +542,31 @@ def test_rfm_windows_run_over_entity_sized_profile(spark):
     assert "partial_max(" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_topk_is_take_ordered_single_explode(spark):
+    """The Zipf fit's top-256 vocab cut must compile to
+    TakeOrderedAndProject (per-partition heads, never a full vocab
+    sort) over ONE token explode; the regression runs over the 256-row
+    cut only."""
+    fn, _ = CATALOG["txt_zipf_alpha"]
+    plan = plan_of(fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    gen_nodes = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("(") and "Generate" in ln
+    ]
+    assert len(gen_nodes) == 1, gen_nodes
+
+
+def test_purged_mix_report_antijoin_not_broadcast_on_corpus(spark):
+    """The purged mixture report must keep the purge's posture: the
+    corpus side of the left_anti is never the broadcast build side (the
+    loser set may be 30-50% of a crawl at scale), and the stratum share
+    window runs over the stratum-sized aggregate."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["smp_purged_mix_report"]
+    plan = plan_of(fn(spark, SF))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
