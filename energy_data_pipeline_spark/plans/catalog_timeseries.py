@@ -794,6 +794,72 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- TS: winsorized (outlier-clamped) daily totals -----------------------
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def winsorized_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily totals: per-type values clamped to the type's
+    [p01, p99] band before summation — the standard winsorization that
+    keeps one stuck sensor or fat-finger meter reading from owning a
+    day's dashboard total, reported next to the raw sum so the clamped
+    mass is visible.
+
+    Two passes over events, both aggregate-shaped: pass 1 computes the
+    per-type exact type-7 quantiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``; the group count is type-bounded — at 100 TB this
+    switches to ``approx_percentile``, strategy not semantics); the
+    per-type band — a |types|-row table — rides back as a BROADCAST
+    join, and pass 2 is the ordinary map-side-combining daily rollup
+    over the clamped expression. Quantiles round to 6 BEFORE the clamp
+    so both engines cut identical boundaries; sums round to 4."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        rnd(F.percentile("value", WINSOR_LO), 6).alias("q_lo"),
+        rnd(F.percentile("value", WINSOR_HI), 6).alias("q_hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("q_lo")), F.col("q_hi"))
+    return (
+        ev.join(F.broadcast(bands), "event_type")
+        .groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 4).alias("raw_total"),
+            rnd(F.sum(clamped), 4).alias("winsorized_total"),
+            F.sum(
+                ((F.col("value") < F.col("q_lo")) | (F.col("value") > F.col("q_hi")))
+                .cast("long")
+            )
+            .cast("bigint")
+            .alias("n_clamped"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+WINSORIZED_SQL = f"""
+WITH bands AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 6) AS q_lo,
+         round(quantile_cont(value, {WINSOR_HI}), 6) AS q_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS raw_total,
+       round(sum(least(greatest(value, q_lo), q_hi)), 4) AS winsorized_total,
+       CAST(sum(CASE WHEN value < q_lo OR value > q_hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped
+FROM events e JOIN bands ON e.event_type = bands.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -811,4 +877,5 @@ TIMESERIES_QUERIES = {
     # round-8 session-4 additions APPEND so pre-existing merged catalog
     # order (part of the driver's sample-window surface) never shifts
     "st_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "ts_winsorized_daily_totals": (winsorized_daily_totals, WINSORIZED_SQL),
 }

@@ -107,6 +107,7 @@ NEVER_DRIVER_SAMPLED = {
     "a14_rfm_segments",
     "smp_purged_mix_report",
     "txt_zipf_alpha",
+    "ts_winsorized_daily_totals",
 }
 
 

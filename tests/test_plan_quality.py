@@ -570,3 +570,15 @@ def test_purged_mix_report_antijoin_not_broadcast_on_corpus(spark):
     plan = plan_of(fn(spark, SF))
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_winsorized_totals_bands_broadcast_back(spark):
+    """Winsorization's per-type quantile band (a |types|-row table)
+    must ride back onto the event stream as a BROADCAST join — the
+    stream never shuffles on event_type for the clamp — and the daily
+    rollup must partial-aggregate."""
+    fn, _ = CATALOG["ts_winsorized_daily_totals"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "partial_sum(" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
