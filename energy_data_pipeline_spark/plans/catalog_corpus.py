@@ -319,20 +319,16 @@ def dedup_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH chain and the CC fixpoint compute once per process; the
     anti-join itself still executes per invocation."""
     docs = load_table(spark, sf_dir, "documents")
-    losers = (
-        _cc_labels(spark, sf_dir)
-        .filter(F.col("vertex") != F.col("cluster_id"))
-        .select(F.col("vertex").alias("doc_id"))
-    )
-    return docs.join(losers, "doc_id", "left_anti").select(
+    return docs.join(_losers(spark, sf_dir), "doc_id", "left_anti").select(
         "doc_id", "source", "lang"
     )
 
 
-def _dedup_purged_sql() -> str:
-    return f"""
-WITH RECURSIVE {_minhash_pair_ctes()},
-edges AS (
+def _reach_ctes() -> str:
+    """The connected-component fixpoint CTEs (edges → reach) over the
+    minhash pair table — ONE definition shared by every oracle that
+    derives cluster labels or the loser set."""
+    return """edges AS (
   SELECT id1 AS a, id2 AS b FROM pairs
   UNION
   SELECT id2, id1 FROM pairs
@@ -340,9 +336,33 @@ edges AS (
   SELECT DISTINCT a, a FROM edges
   UNION
   SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
-), losers AS (
+)"""
+
+
+def _losers_ctes() -> str:
+    """reach + the loser set (non-keeper cluster members; keeper = min
+    doc_id per component) — the single source of the purge's keeper
+    rule on the oracle side."""
+    return f"""{_reach_ctes()}, losers AS (
   SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(r)
-)
+)"""
+
+
+def _losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keeper near-dup cluster members (keeper = min doc_id per
+    connected component), from the memoized cluster labels — the single
+    Spark-side definition of the purge's keeper rule."""
+    return (
+        _cc_labels(spark, sf_dir)
+        .filter(F.col("vertex") != F.col("cluster_id"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+
+
+def _dedup_purged_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_losers_ctes()}
 SELECT doc_id, source, lang FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
@@ -351,15 +371,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 def _dup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes()},
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION
-  SELECT id2, id1 FROM pairs
-), reach(v, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
-)
+{_reach_ctes()}
 SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
@@ -548,15 +560,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_histogram_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes()},
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION
-  SELECT id2, id1 FROM pairs
-), reach(v, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
-), clusters AS (
+{_reach_ctes()}, clusters AS (
   SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 ), sizes AS (
   SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
@@ -705,15 +709,7 @@ def quality_winner_purged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_winner_purged_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes()},
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION
-  SELECT id2, id1 FROM pairs
-), reach(v, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
-), clusters AS (
+{_reach_ctes()}, clusters AS (
   SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 ), qw AS (
   SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl, text FROM documents
@@ -3579,12 +3575,7 @@ def purged_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum aggregate + broadcast-sized share window are the mix
     report's. Nothing new shuffles beyond those parts."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    losers = (
-        _cc_labels(spark, sf_dir)
-        .filter(F.col("vertex") != F.col("cluster_id"))
-        .select(F.col("vertex").alias("doc_id"))
-    )
-    kept = docs.join(losers, "doc_id", "left_anti")
+    kept = docs.join(_losers(spark, sf_dir), "doc_id", "left_anti")
     per = kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias("n_tokens"),
@@ -3606,17 +3597,7 @@ def purged_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _purged_mix_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes()},
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION
-  SELECT id2, id1 FROM pairs
-), reach(v, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
-), losers AS (
-  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(r)
-), kept AS (
+{_losers_ctes()}, kept AS (
   SELECT source, lang, {DUCK_WORDS.format(col='text')} AS wl
   FROM documents
   WHERE doc_id NOT IN (SELECT doc_id FROM losers)

@@ -812,8 +812,15 @@ def winsorized_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type band — a |types|-row table — rides back as a BROADCAST
     join, and pass 2 is the ordinary map-side-combining daily rollup
     over the clamped expression. Quantiles round to 6 BEFORE the clamp
-    so both engines cut identical boundaries; sums round to 4."""
-    ev = load_table(spark, sf_dir, "events")
+    so both engines cut identical boundaries; sums round to 4.
+
+    NULL values are filtered up front: unguarded, least/greatest would
+    silently coerce a NULL reading to q_lo (both engines skip NULLs in
+    least/greatest), inflating the winsorized total with rows that the
+    raw sum and the clamp counter both ignore."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     bands = ev.groupBy("event_type").agg(
         rnd(F.percentile("value", WINSOR_LO), 6).alias("q_lo"),
         rnd(F.percentile("value", WINSOR_HI), 6).alias("q_hi"),
@@ -841,20 +848,22 @@ def winsorized_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINSORIZED_SQL = f"""
-WITH bands AS (
+WITH ev AS (
+  SELECT event_type, ts, value FROM events WHERE value IS NOT NULL
+), bands AS (
   SELECT event_type,
          round(quantile_cont(value, {WINSOR_LO}), 6) AS q_lo,
          round(quantile_cont(value, {WINSOR_HI}), 6) AS q_hi
-  FROM events GROUP BY event_type
+  FROM ev GROUP BY event_type
 )
-SELECT e.event_type,
+SELECT ev.event_type,
        strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n_events,
        round(sum(value), 4) AS raw_total,
        round(sum(least(greatest(value, q_lo), q_hi)), 4) AS winsorized_total,
        CAST(sum(CASE WHEN value < q_lo OR value > q_hi THEN 1 ELSE 0 END)
             AS BIGINT) AS n_clamped
-FROM events e JOIN bands ON e.event_type = bands.event_type
+FROM ev JOIN bands ON ev.event_type = bands.event_type
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

@@ -560,16 +560,28 @@ def test_zipf_topk_is_take_ordered_single_explode(spark):
 
 def test_purged_mix_report_antijoin_not_broadcast_on_corpus(spark):
     """The purged mixture report must keep the purge's posture: the
-    corpus side of the left_anti is never the broadcast build side (the
-    loser set may be 30-50% of a crawl at scale), and the stratum share
-    window runs over the stratum-sized aggregate."""
+    anti-join is un-hinted, so under a no-broadcast conf the planner
+    must produce a SHUFFLE-shaped LeftAnti (the loser set may be 30-50%
+    of a crawl at scale — the plan must not DEPEND on it broadcasting;
+    AQE may still size-gate at runtime). Same pattern and memo-clearing
+    discipline as test_contamination_join_is_not_broadcast."""
     from energy_data_pipeline_spark.plans import plan_cache
 
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     plan_cache.clear()
-    fn, _ = CATALOG["smp_purged_mix_report"]
-    plan = plan_of(fn(spark, SF))
-    assert "LeftAnti" in plan, plan[:2000]
-    assert "CartesianProduct" not in plan
+    try:
+        fn, _ = CATALOG["smp_purged_mix_report"]
+        plan = plan_of(fn(spark, SF))
+        assert "LeftAnti" in plan, plan[:2000]
+        # the anti-join itself must not be broadcast-shaped under the
+        # no-broadcast conf; scan the join lines specifically
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("Broadcast" not in ln for ln in anti), anti
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        plan_cache.clear()
 
 
 def test_winsorized_totals_bands_broadcast_back(spark):
