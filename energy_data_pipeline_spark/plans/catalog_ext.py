@@ -1647,6 +1647,69 @@ SELECT user_id, recency_days, frequency, monetary,
 FROM seg ORDER BY user_id
 """
 
+# --- A15: equal-width value histogram per type ------------------------
+HIST_BINS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equal-width value histogram — the distribution-shape
+    profile a9's moments can't show (bimodality, truncation, spikes),
+    and the standard first look before choosing clamp/outlier bounds.
+
+    Two aggregate passes over events: per-type min/max (rounded to 6 so
+    both engines cut identical bin edges), broadcast back as a
+    |types|-row band, then one map-side-combining count per (type,
+    bin). Bin = floor((value - lo) / width) clamped to the last bin
+    (the max value itself lands in bin N-1, not a phantom bin N);
+    width is floored at 1e-9 so a constant-valued type yields one bin
+    instead of a division by zero (ANSI-safe by construction). Empty
+    bins are absent in both engines (same GROUP BY semantics)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.groupBy("event_type").agg(
+        rnd(F.min("value"), 6).alias("lo"),
+        rnd(F.max("value"), 6).alias("hi"),
+    )
+    width = F.greatest(
+        rnd((F.col("hi") - F.col("lo")) / HIST_BINS, 6), F.lit(1e-9)
+    )
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width),
+        F.lit(HIST_BINS - 1),
+    ).cast("bigint")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.min("value"), 4).alias("bin_min"),
+            rnd(F.max("value"), 4).alias("bin_max"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT event_type, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type,
+       CAST(least(floor((value - lo)
+                        / greatest(round((hi - lo) / {HIST_BINS}.0, 6), 1e-9)),
+                  {HIST_BINS - 1}) AS BIGINT) AS bin,
+       count(*) AS n_events,
+       round(min(value), 4) AS bin_min,
+       round(max(value), 4) AS bin_max
+FROM ev JOIN bounds ON ev.event_type = bounds.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 EXT_QUERIES = {
     "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
@@ -1675,4 +1738,5 @@ EXT_QUERIES = {
     # order (part of the driver's sample-window surface) never shifts
     "r2_pivot_daily_type_totals": (pivot_daily_type_totals, PIVOT_SQL),
     "a14_rfm_segments": (rfm_segments, RFM_SQL),
+    "a15_value_histogram": (value_histogram, HISTOGRAM_SQL),
 }

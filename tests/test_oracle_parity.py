@@ -108,6 +108,7 @@ NEVER_DRIVER_SAMPLED = {
     "smp_purged_mix_report",
     "txt_zipf_alpha",
     "ts_winsorized_daily_totals",
+    "a15_value_histogram",
 }
 
 

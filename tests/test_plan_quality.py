@@ -594,3 +594,14 @@ def test_winsorized_totals_bands_broadcast_back(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "partial_sum(" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_value_histogram_bounds_broadcast_back(spark):
+    """A15's per-type min/max band (|types| rows) must broadcast back
+    onto the event stream — the stream never shuffles on event_type for
+    the binning — and both passes partial-aggregate."""
+    fn, _ = CATALOG["a15_value_histogram"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "partial_count(" in plan or "partial_min(" in plan, plan[:2000]
