@@ -64,6 +64,12 @@ def quantize_int8(a: Column | str, norm_col: Column) -> Column:
     norm is taken as a column so callers evaluate the O(dim) norm fold
     once per row, not once per element."""
     return F.transform(
-        _dbl(a),
-        lambda x: F.floor(x / norm_col * 127.0 + 0.5).cast("int"),
+        _dbl(a), lambda x: quantize_int8_elem(x, norm_col)
     )
+
+
+def quantize_int8_elem(x: Column, norm_col: Column) -> Column:
+    """Single-element int8 quantization — the scalar core of
+    ``quantize_int8``, exposed so long-form (exploded) plans share the
+    exact same arithmetic and rounding as the array form."""
+    return F.floor(x.cast("double") / norm_col * 127.0 + 0.5).cast("int")

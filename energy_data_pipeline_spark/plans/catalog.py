@@ -44,72 +44,64 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
-    # round-8 session-3 additions — never driver-hashed by definition
-    "dd_span_trimmed_corpus",
-    "dd_lsh_tuning_curve",
-    "smp_weighted_sample",
-    "smp_temperature_resample",
-    "q14_promo_revenue_share",
-    "q4_late_priority_counts",
-    "q19_bracket_revenue",
-    "q18_large_order_customers",
-    "q22_idle_rich_customers",
-    "ts_daily_peak_hours",
-    "ts_day_over_day_change",
-    "ts_rolling_zscore_anomalies",
-    "ts_load_duration_curve",
-    "ts_peak_offpeak_profile",
-    # round-8 late additions — never driver-hashed by definition
-    "emb_pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "dd_containment_near_dups",
-    "dd_quality_winner_purged",
-    "dd_cluster_size_histogram",
-    "dd_nearest_train_doc",
-    "txt_lang_id_confusion",
-    "ann_pq_recall_report",
-    "smp_split_leakage_report",
-    "txt_quality_filter_funnel",
-    "pk_pack_efficiency_report",
-    "emb_ivf_cell_histogram",
-    "q10_returned_item_topk",
-    "dd_minhash_estimate_error",
-    "txt_bigram_logprob",
-    "txt_bm25_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "ann_quantized_topk",
-    "ann_lsh_multiprobe_topk",
-    "dd_bloom_decontamination",
-    "dd_ngram_decontamination",
-    "dd_cross_split_contamination",
-    "dd_semantic_dedup",
-    "txt_dup_span_fraction",
-    "txt_line_dedup",
-    "txt_pii_redaction",
-    "txt_tfidf_topk",
-    "txt_length_percentiles",
-    "txt_length_percentiles_approx",
-    "txt_unigram_logprob",
-    "pk_sequence_pack_plan",
-    "pk_packed_sequences",
+    # round-9 retests: the two round-8 red rows (array-output
+    # canonicalization), now reshaped to scalar long form — fronted so
+    # the driver re-hashes the fix first.
     "emb_quantize_int8",
     "emb_label_centroids",
+    # never driver-hashed through round 8 (union of CORRECTNESS_r01-r08
+    # keys vs the catalog) — 31 entries, rotated into the 50-slot
+    # sample window this round.
+    "mm_feature_extract",
+    "mm_frame_plan",
     "emb_norm_outliers",
     "smp_token_budget_plan",
     "smp_dsir_weights",
     "smp_exact_k_sample",
+    "smp_purged_mix_report",
     "a12_multigrain_rollup",
+    "a14_rfm_segments",
+    "a15_value_histogram",
     "j6_purchases_asof_views",
     "j7_clicks_in_purchase_spans",
-    "p17_geocode_cascade",
-    "sk_salted_event_totals",
-    "txt_doc_chunks",
     "p12_numeric_extraction",
     "p14_key_and_map_lookup",
     "p16_month_chunks",
+    "p17_geocode_cascade",
     "o1_recent_events_sorted",
+    "sk_salted_event_totals",
+    "st_funnel_conversion",
+    "ts_winsorized_daily_totals",
+    "emb_label_affinity",
+    "txt_doc_chunks",
+    "txt_perplexity_buckets",
+    "txt_zipf_alpha",
+    "r2_pivot_daily_type_totals",
+    "q6_revenue_uplift",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    # backfill to 50 slots with the least-recently-hashed entries
+    # (last driver hash in round 2-7).
+    "t7_incomplete_days_backfill",
+    "j5_fuzzy_type_lookup",
+    "t8_accumulating_merge",
+    "dd_embedding_near_dups",
+    "smp_stratified_mix_sample",
+    "smp_train_val_test_split",
+    "txt_vocab_topk",
+    "smp_corpus_mix_report",
+    "txt_ngram_topk",
+    "a1_hourly_sum_by_type",
+    "a2_window_total",
+    "a13_moving_avg_7d",
+    "a3_count_distinct_users",
+    "a4_topk_users_by_value",
+    "a5_watermark_per_user",
+    "a6_day_completeness",
+    "a7_calendar_profile",
 ]
 assert set(_SAMPLE_PRIORITY) <= set(_ALL_QUERIES), (
     "catalog sample-priority list drifted: "

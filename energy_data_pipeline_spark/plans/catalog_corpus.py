@@ -2508,17 +2508,56 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embeddings_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-facing int8 quantization in LONG form — one scalar row
+    per (vector, dimension) instead of one array cell per vector. The
+    external correctness gate canonicalizes cells with pandas
+    ``sort_values``, which cannot hash list cells (the round-8 failure
+    mode), so every catalog output column must be scalar; the array
+    form stays available internally via ``quantize_embeddings`` for
+    the ANN index builders.
+
+    Still a narrow plan: the norm fold runs once per row, posexplode
+    fans (vec_id, d, x) WITHOUT a shuffle (explode is a generator in
+    the same stage), and the per-element quantization is a codegen
+    expression. Zero vectors keep their rows (q8 NULL per element)
+    so the undefined-direction case stays visible."""
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", V.norm("embedding").alias("_n")
+    )
+    pos = with_norm.select(
+        "vec_id",
+        rnd(F.col("_n"), 6).alias("l2_norm"),
+        F.col("_n").alias("_raw_n"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("d", "x"),
+    )
+    return pos.select(
+        "vec_id",
+        "l2_norm",
+        F.col("d").cast("bigint").alias("d"),
+        F.when(
+            F.col("_raw_n") > 0,
+            V.quantize_int8_elem(F.col("x"), F.col("_raw_n")),
+        ).alias("q8"),
+    )
+
+
 EMB_QUANTIZE_SQL = """
 WITH with_norm AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
   FROM embeddings
+), fanned AS (
+  SELECT vec_id, n, v, unnest(range(1, len(v) + 1)) AS i FROM with_norm
 )
-SELECT vec_id, round(n, 6) AS l2_norm,
-       CASE WHEN n > 0
-            THEN list_transform(v, x -> CAST(floor(x / n * 127.0 + 0.5) AS INT))
-       END AS q8
-FROM with_norm
+SELECT vec_id, round(n, 6) AS l2_norm, CAST(i - 1 AS BIGINT) AS d,
+       CASE WHEN n > 0 THEN CAST(floor(v[i] / n * 127.0 + 0.5) AS INT) END AS q8
+FROM fanned
 """
 
 
@@ -2604,10 +2643,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Element-wise aggregation at scale: posexplode to (label, dim, x),
     ONE avg aggregate grouped by (label, dim) with map-side combine
     (shuffle volume = |labels| x dim partials per partition, never the
-    vector count), then repack each centroid with an order-pinned
-    collect over the labels x dim result (tiny at any corpus size).
-    Per-dim means are rounded to 6 BEFORE packing so cross-engine
-    summation order cannot move an element."""
+    vector count). The output is the scalar LONG form — one
+    (label, d, m) row per centroid element — because the external
+    correctness gate cannot canonicalize array cells (round-8 lesson);
+    consumers that want packed vectors (label_affinity) build them
+    from their own pinned frame. Per-dim means round to 6 so
+    cross-engine summation order cannot move an element."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     pos = emb.select(
         "label",
@@ -2618,12 +2659,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = pos.groupBy("label", "d").agg(
         rnd(F.avg("x"), 6).alias("m"), F.count(F.lit(1)).alias("_n")
     )
-    return per.groupBy("label").agg(
-        F.max("_n").cast("bigint").alias("n_vectors"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "m"))),
-            lambda s: s["m"],
-        ).alias("centroid"),
+    return per.select(
+        "label",
+        F.col("d").cast("bigint").alias("d"),
+        "m",
+        F.col("_n").cast("bigint").alias("n_vectors"),
     )
 
 
@@ -2634,13 +2674,10 @@ WITH base AS (
   SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM base
 ), pos AS (
   SELECT label, i - 1 AS d, v[i] AS x FROM fanned
-), per AS (
-  SELECT label, d, round(avg(x), 6) AS m, count(*) AS n
-  FROM pos GROUP BY 1, 2
 )
-SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
-       list(m ORDER BY d) AS centroid
-FROM per GROUP BY label
+SELECT label, CAST(d AS BIGINT) AS d, round(avg(x), 6) AS m,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM pos GROUP BY label, d
 """
 
 
@@ -3768,7 +3805,7 @@ CORPUS_QUERIES = {
     "dd_span_trimmed_corpus": (span_trimmed_corpus, _span_trimmed_sql()),
     "txt_doc_chunks": (doc_chunks, _doc_chunks_sql()),
     "txt_line_dedup": (line_dedup_report, _line_dedup_sql()),
-    "emb_quantize_int8": (quantize_embeddings, EMB_QUANTIZE_SQL),
+    "emb_quantize_int8": (quantize_embeddings_long, EMB_QUANTIZE_SQL),
     "pk_sequence_pack_plan": (sequence_pack, _pack_sql()),
     "pk_pack_efficiency_report": (pack_efficiency_report, _pack_efficiency_sql()),
     "txt_quality_filter_funnel": (quality_filter_funnel, _quality_funnel_sql()),

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from collections.abc import Callable, Sequence
@@ -117,6 +118,46 @@ _LOCK_TIMEOUT_S = 10.0
 _LOCK_STALE_S = 60.0
 
 
+def _break_stale_lock(lock: str, seen: os.stat_result) -> None:
+    """Break a crashed holder's lock via an EXCLUSIVE step.
+
+    The naive break (``os.unlink(lock)``) races: two waiters can both
+    pass the staleness check, the first unlinks + re-creates, and the
+    second then unlinks the first's FRESH lock — two writers enter the
+    commit critical section. Instead the breaker renames the stale
+    lock to a breaker-unique name first: ``os.rename`` succeeds for
+    exactly ONE breaker per inode (every loser gets FileNotFoundError
+    and just re-loops), so no two breakers can ever discard the same
+    lock. The renamed file's identity is then verified against the
+    stat that judged staleness — if the path was re-pointed at a fresh
+    lock between the stat and the rename, the fresh lock is restored
+    via ``os.link`` (which refuses to clobber if yet another waiter
+    already created a newer one) instead of destroyed.
+
+    Residual window: between this breaker's rename and a wronged
+    holder's next fstat-verify there are microseconds where a third
+    waiter could acquire; the post-acquisition inode verify in
+    ``_locked_replace_if_unchanged`` catches the wronged holder, and
+    the documented cure for byzantine multi-writer storms remains a
+    genuinely conditional backend CAS via ``compare_and_swap``."""
+    broken = f"{lock}.break.{os.getpid()}.{threading.get_ident()}"
+    try:
+        os.rename(lock, broken)
+    except FileNotFoundError:
+        return  # another breaker (or the holder's release) won — re-loop
+    try:
+        got = os.lstat(broken)
+        if (got.st_dev, got.st_ino) != (seen.st_dev, seen.st_ino):
+            # grabbed a FRESH lock created after the staleness stat —
+            # put it back (no-op if a newer lock already exists)
+            try:
+                os.link(broken, lock)
+            except FileExistsError:
+                pass
+    finally:
+        os.unlink(broken)
+
+
 def _locked_replace_if_unchanged(
     current_path: str, tmp_path: str, expected: str | None
 ) -> None:
@@ -136,11 +177,11 @@ def _locked_replace_if_unchanged(
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-            break
         except FileExistsError:
             try:
-                if time.time() - os.stat(lock).st_mtime > _LOCK_STALE_S:
-                    os.unlink(lock)  # crashed holder — break the lock
+                st = os.stat(lock)
+                if time.time() - st.st_mtime > _LOCK_STALE_S:
+                    _break_stale_lock(lock, st)  # exclusive rename-break
                     continue
             except FileNotFoundError:
                 continue  # holder released between open and stat
@@ -151,6 +192,19 @@ def _locked_replace_if_unchanged(
                     f"{_LOCK_TIMEOUT_S}s; another writer is committing"
                 ) from None
             time.sleep(0.005)
+            continue
+        # post-acquisition verify: a racing stale-breaker could have
+        # renamed OUR fresh lock away in the window between create and
+        # here; holding an fd to an orphaned inode is not holding the
+        # lock, so confirm the path still names the file we created.
+        try:
+            cur = os.stat(lock)
+            mine = os.fstat(fd)
+            if (cur.st_dev, cur.st_ino) == (mine.st_dev, mine.st_ino):
+                break
+        except FileNotFoundError:
+            pass
+        os.close(fd)  # stolen — rejoin the acquisition loop
     try:
         os.write(fd, str(os.getpid()).encode())
         # module-global lookup on purpose: tests inject faults by

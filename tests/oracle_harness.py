@@ -37,6 +37,17 @@ def _canon_cell(v):
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (list, tuple, dict, set, bytearray)):
+        # The DRIVER canonicalizer (pandas sort_values + hash) dies on
+        # non-scalar cells ("unhashable type: 'list'" — the round-8 red
+        # rows). Stringifying here would let the local replica pass a
+        # query the driver will fail, so refuse instead: the replica
+        # must predict the driver exactly.
+        raise TypeError(
+            f"non-scalar result cell ({type(v).__name__}): the driver "
+            "gate cannot hash array/map/struct/binary outputs — emit "
+            "long form or array_join in the catalog query"
+        )
     return str(v)
 
 

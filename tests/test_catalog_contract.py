@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
 
 from energy_data_pipeline_spark.plans.catalog import CATALOG
 
@@ -43,3 +43,47 @@ def test_catalog_entry_schema_contract(spark, name):
         f"{name}: instant TimestampType output columns {instant} — "
         "use timestamp_ntz or date_format strings"
     )
+    # non-scalar output cells (array/map/struct) crash the driver's
+    # pandas sort_values canonicalizer with "unhashable type: 'list'"
+    # — the round-8 failure mode. Long-form (posexplode) or
+    # array_join the output instead.
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: non-scalar output columns {nested} — the driver "
+        "canonicalizer cannot hash array/map/struct cells; emit long "
+        "form or array_join"
+    )
+
+
+def test_nested_output_check_rejects_injected_array(spark):
+    """Negative control for the round-8 hole: a frame WITH an array
+    output column must trip the nested-type detection this file now
+    applies to every catalog entry (the exact defect class that made
+    emb_quantize_int8 / emb_label_centroids err at the driver gate)."""
+    df = spark.range(3).selectExpr("id", "array(id, id + 1) AS arr")
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert nested == ["arr"]
+
+
+def test_harness_canon_cell_rejects_list():
+    """The local replica gate must REFUSE non-scalar cells (predicting
+    the driver's unhashable-list crash), never stringify them — the
+    replica-fidelity gap that let round 8 ship two red rows."""
+    from tests.oracle_harness import _canon_cell
+
+    with pytest.raises(TypeError):
+        _canon_cell([1, 2, 3])
+    with pytest.raises(TypeError):
+        _canon_cell({"a": 1})
+    # scalars still canonicalize
+    assert _canon_cell(None) == "NULL"
+    assert _canon_cell(2.0) == "2"
+    assert _canon_cell(True) == "1"

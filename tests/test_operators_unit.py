@@ -7,6 +7,8 @@ encoding-fallback CSV reads, CSV sniffing, and multimodal plumbing."""
 from __future__ import annotations
 
 import datetime as dt
+import os
+import time
 
 import numpy as np
 import pytest
@@ -1114,6 +1116,107 @@ class TestManifestTable:
             (i + 1, f"w{i}") for i in range(n_writers)
         }
         assert mt.read_manifest(table)["version"] == n_writers
+
+    def test_two_thread_stale_break_race_single_entrant(self, tmp_path, monkeypatch):
+        """Round-9 hardening: two waiters that BOTH judge a lock stale
+        must not both enter the commit critical section. Under the old
+        breaker (bare unlink) waiter B could unlink waiter A's freshly
+        re-created lock — here a stale lock is planted, many threads
+        race the full acquire path, and an instrumented critical
+        section asserts at most one thread is ever inside."""
+        import threading
+
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        d = tmp_path / "t"
+        d.mkdir()
+        current = str(d / "_CURRENT")
+        lock = str(d / "._CURRENT.lock")
+        with open(lock, "w") as f:
+            f.write("dead-holder")
+        old = time.time() - 10 * mt._LOCK_STALE_S
+        os.utime(lock, (old, old))
+
+        inside = threading.Semaphore(1)
+        overlaps: list[str] = []
+        committed: list[int] = []
+        real_replace = mt._replace_if_unchanged
+
+        def instrumented(current_path, tmp_path_, expected):
+            if not inside.acquire(blocking=False):
+                overlaps.append("second writer inside critical section")
+            try:
+                time.sleep(0.02)  # widen the window a racing breaker needs
+                real_replace(current_path, tmp_path_, expected)
+            finally:
+                inside.release()
+
+        monkeypatch.setattr(mt, "_replace_if_unchanged", instrumented)
+
+        n = 8
+        barrier = threading.Barrier(n)
+        errors: list[Exception] = []
+
+        def writer(i):
+            barrier.wait()
+            tmp = str(d / f"_CURRENT.tmp.{i}")
+            for _ in range(50):
+                with open(tmp, "w") as f:
+                    f.write(f"m{i}")
+                try:
+                    expected = mt._read_current_name(str(d))
+                    mt._locked_replace_if_unchanged(current, tmp, expected)
+                    committed.append(i)
+                    return
+                except mt.CommitConflictError:
+                    continue
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+                    return
+            errors.append(RuntimeError(f"writer {i} starved"))
+
+        ts = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors
+        assert not overlaps, overlaps
+        assert sorted(committed) == list(range(n))
+        assert not os.path.exists(lock)  # released after the last commit
+
+    def test_stale_break_is_exclusive_and_preserves_fresh_lock(self, tmp_path):
+        """Unit contract of the rename-based breaker: (a) of two
+        breakers holding the same staleness stat, exactly one discards
+        the inode and the loser no-ops; (b) a breaker whose stat is
+        outdated (the path now names a FRESH lock) restores the fresh
+        lock instead of destroying it."""
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        lock = str(tmp_path / "._CURRENT.lock")
+        with open(lock, "w") as f:
+            f.write("dead")
+        st = os.stat(lock)
+        # (a) two breakers, same stat: both calls succeed, lock gone
+        mt._break_stale_lock(lock, st)
+        mt._break_stale_lock(lock, st)  # loser path: FileNotFoundError swallowed
+        assert not os.path.exists(lock)
+        # (b) outdated stat vs a fresh lock: breaker must put it back
+        with open(lock, "w") as f:
+            f.write("stale-one")
+        # pin the stale inode with a hardlink so the fresh re-create
+        # cannot reuse it (ext4/tmpfs recycle inode numbers eagerly)
+        os.link(lock, lock + ".pin")
+        stale_st = os.stat(lock)
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            f.write("fresh-holder")
+        fresh_st = os.stat(lock)
+        assert (stale_st.st_dev, stale_st.st_ino) != (fresh_st.st_dev, fresh_st.st_ino)
+        mt._break_stale_lock(lock, stale_st)
+        assert os.path.exists(lock)
+        with open(lock) as f:
+            assert f.read() == "fresh-holder"
 
     def test_vacuum_trims_history_keeps_live(self, spark, tmp_path):
         import os

