@@ -21,9 +21,32 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_from_norms, norm
 
 N_PLANES = 6
+
+
+def bucket_corpus(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """The shared LSH corpus-side index projection: (neighbor_id, _cv,
+    _cnorm, _bkt). ``lsh_topk`` and ``multiprobe_lsh_topk`` consume the
+    IDENTICAL frame, so callers should build it once, persist it, and
+    pass it to both via ``bucketed_corpus=`` — at 100 TB this is the
+    index you materialize once per snapshot, not per query. The norm is
+    precomputed per ROW here so the per-candidate work in the bucket
+    join is only the dot-product fold (``cosine_from_norms``)."""
+    planes = hyperplane_signs(n_planes, dim)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col).alias("_cnorm"),
+        _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
+    )
 
 
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
@@ -160,6 +183,7 @@ def multiprobe_lsh_topk(
     k: int = 5,
     n_planes: int = N_PLANES,
     dim: int = 64,
+    bucketed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Multiprobe LSH top-k (Lv et al. 2007): each query probes its own
     bucket AND every bucket at Hamming distance 1 in sign-code space —
@@ -177,21 +201,30 @@ def multiprobe_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm(vec_col).alias("_qnorm"),
         F.explode(
             _probe_codes(_bucket_expr(F.col(vec_col), planes), n_planes)
         ).alias("_bkt"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
+    c = (
+        bucketed_corpus
+        if bucketed_corpus is not None
+        else bucket_corpus(corpus, id_col, vec_col, n_planes, dim)
     )
     scored = (
         F.broadcast(q)
         .join(c, "_bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine_sim", rnd(cosine("_qv", "_cv"), 6))
+        .withColumn(
+            "cosine_sim",
+            rnd(
+                cosine_from_norms(
+                    "_qv", "_cv", F.col("_qnorm"), F.col("_cnorm")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -211,24 +244,34 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = N_PLANES,
     dim: int = 64,
+    bucketed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
     planes = hyperplane_signs(n_planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm(vec_col).alias("_qnorm"),
         _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
+    c = (
+        bucketed_corpus
+        if bucketed_corpus is not None
+        else bucket_corpus(corpus, id_col, vec_col, n_planes, dim)
     )
     scored = (
         F.broadcast(q)
         .join(c, "_bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", rnd(cosine("_qv", "_cv"), 6))
+        .withColumn(
+            "cosine_sim",
+            rnd(
+                cosine_from_norms(
+                    "_qv", "_cv", F.col("_qnorm"), F.col("_cnorm")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
