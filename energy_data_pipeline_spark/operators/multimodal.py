@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import importlib.util
+import struct
 from collections.abc import Iterator
 from functools import lru_cache
 
@@ -104,6 +105,7 @@ def media_capabilities() -> dict[str, bool]:
         # an operator can tell "no library but this format still
         # decodes for real" from "fake only"
         "builtin:png": True,
+        "builtin:jpeg": True,
         "builtin:pnm": True,
         "builtin:wav": True,
     }
@@ -134,6 +136,8 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "pnm"
     if kind == "image" and payload[:8] == _PNG_MAGIC:
         return "png"
+    if kind == "image" and payload[:2] == _JPEG_MAGIC:
+        return "jpeg"
     return None
 
 
@@ -287,6 +291,309 @@ def _parse_png(payload: bytes) -> np.ndarray:
     return arr[:, :, 0] if arr.shape[2] == 1 else arr
 
 
+_JPEG_MAGIC = b"\xff\xd8"
+
+# zigzag scan order: _JPEG_ZIGZAG[i] = natural (row*8+col) position of the
+# i-th coefficient in transmission order (ITU T.81 figure 5)
+_JPEG_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype="i4",
+)
+
+# 8x8 DCT-II basis matrix A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# inverse 2-D transform of a coefficient block X is A.T @ X @ A
+_JPEG_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing already stripped)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy segment")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """ITU T.81 F.2.2.1 EXTEND: map a t-bit magnitude code to its
+    signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_decode_block(
+    reader: _JpegBitReader,
+    dc_table: dict,
+    ac_table: dict,
+    qtable: np.ndarray,
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman-decode DC diff + AC run-lengths,
+    dequantize, de-zigzag, inverse DCT, level shift. Returns the
+    spatial block (float64 in [0,255]) and the new DC predictor."""
+    coefs = np.zeros(64, dtype="f8")
+    t = _jpeg_decode_huffman(reader, dc_table)
+    pred += _jpeg_extend(reader.read_bits(t), t)
+    coefs[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_huffman(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        coefs[k] = _jpeg_extend(reader.read_bits(s), s)
+        k += 1
+    deq = np.zeros(64, dtype="f8")
+    deq[_JPEG_ZIGZAG] = coefs * qtable
+    block = _JPEG_IDCT_A.T @ deq.reshape(8, 8) @ _JPEG_IDCT_A
+    return np.clip(block + 128.0, 0.0, 255.0), pred
+
+
+def _parse_jpeg(payload: bytes) -> np.ndarray:
+    """Stdlib+numpy baseline JPEG decode → float array in [0,1], shape
+    (h, w) grayscale or (h, w, 3) RGB.
+
+    Supports the dominant crawl profile: baseline sequential DCT
+    (SOF0), 8-bit, 1 or 3 components, standard or custom Huffman/quant
+    tables, restart markers, chroma subsampling up to 2x2 (nearest-
+    neighbor upsampling — this is a feature kernel, not a codec
+    library). Progressive (SOF2), arithmetic coding, 12-bit and CMYK
+    raise ValueError, and auto mode degrades those payloads to the
+    fake kernel. Per-byte Huffman decoding in Python — correctness
+    and plumbing-realism, not a throughput path (the real cluster
+    image carries PIL and never enters this kernel)."""
+    if payload[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huffman: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
+    scan = None  # [(comp_idx, td, ta), ...]
+    restart_interval = 0
+    entropy = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tq] = np.frombuffer(
+                    data, dtype="u1", count=64, offset=i + 1
+                ).astype("f8")
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                counts = data[i + 1 : i + 17]
+                i += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = data[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huffman[(tc, th)] = table
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = data[0]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nf = data[5]
+            if nf not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nf}")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0) supported by the "
+                "builtin kernel"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = data[0]
+            scan = []
+            comp_ids = [c[0] for c in frame[2]]
+            for c in range(ns):
+                cid, tda = data[1 + 2 * c : 3 + 2 * c]
+                scan.append((comp_ids.index(cid), tda >> 4, tda & 0x0F))
+            # entropy-coded data runs from here to the next real marker
+            end = pos
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00,
+                    *range(0xD0, 0xD8),
+                ):
+                    break
+                end += 1
+            entropy = payload[pos:end]
+            pos = end
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None or entropy is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]), dtype="f8") for c in comps
+    ]
+
+    # split the entropy stream into restart intervals (RSTn markers
+    # reset the bit phase and DC predictors), strip byte stuffing
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF:
+            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0x00
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    for seg in segments:
+        reader = _JpegBitReader(seg)
+        preds = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, td, ta in scan:
+                _cid, hs, vs, tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block, preds[ci] = _jpeg_decode_block(
+                            reader,
+                            huffman[(0, td)],
+                            huffman[(1, ta)],
+                            qtables[tq],
+                            preds[ci],
+                        )
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    if mcu != n_mcus:
+        raise ValueError("JPEG entropy data ended before the last MCU")
+
+    # upsample subsampled planes to full MCU-grid resolution (nearest)
+    full_h, full_w = mcus_y * 8 * vmax, mcus_x * 8 * hmax
+    up = []
+    for (_cid, hs, vs, _tq), plane in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        up.append(plane[:full_h, :full_w])
+    if len(comps) == 1:
+        return up[0][:h, :w] / 255.0
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(rgb[:h, :w], 0.0, 255.0) / 255.0
+
+
+def _decode_jpeg_features(payload: bytes, dim: int) -> np.ndarray:
+    """JPEG builtin kernel: decode → grayscale → dim×dim area resample →
+    per-column mean intensity (identical feature contract to the PNG,
+    PNM and PIL paths)."""
+    arr = _parse_jpeg(payload)
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _decode_png_features(payload: bytes, dim: int) -> np.ndarray:
     """PNG builtin kernel: decode → grayscale → dim×dim area resample →
     per-column mean intensity (identical feature contract to the PNM
@@ -362,6 +669,8 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
         return _decode_pnm_features(payload, dim)
     if builtin == "png":
         return _decode_png_features(payload, dim)
+    if builtin == "jpeg":
+        return _decode_jpeg_features(payload, dim)
     if builtin == "wav":
         return _decode_wav_features(payload, dim)
     if caps.get(kind, False):
@@ -384,7 +693,12 @@ def _decode_dispatch(
     library is missing or the kind's kernel is unwritten); fake=None →
     real where a library-general kernel exists AND its library is
     present, or where the payload magic matches a builtin kernel —
-    else fake."""
+    else fake. In auto mode a sniffed payload whose decode then FAILS
+    (truncated file, profile outside the builtin kernel — e.g.
+    progressive JPEG) also degrades to the fake: a crawl corpus always
+    contains malformed members and one must never kill the batch.
+    fake=False propagates the decode error — that mode exists to make
+    failures loud."""
     if fake is True:
         return _fake_decode(payload, dim)
     if fake is None and not (
@@ -392,6 +706,11 @@ def _decode_dispatch(
         or _sniff_builtin(payload, kind)
     ):
         return _fake_decode(payload, dim)
+    if fake is None:
+        try:
+            return decode_real(payload, kind, dim)
+        except (ValueError, NotImplementedError):
+            return _fake_decode(payload, dim)
     return decode_real(payload, kind, dim)
 
 

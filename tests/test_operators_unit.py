@@ -314,6 +314,7 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
     assert {"image", "audio", "video"} <= set(caps)
     assert {k for k in caps if k.startswith("builtin:")} == {
         "builtin:png",
+        "builtin:jpeg",
         "builtin:pnm",
         "builtin:wav",
     }
@@ -488,6 +489,267 @@ class TestBuiltinPngKernel:
         media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
         got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
         assert np.allclose(got["feature"], np.arange(8) * 32 / 255.0)
+
+
+def _jpeg_bytes(
+    px: np.ndarray,
+    quality_q: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-JPEG encoder for tests: real DCT + canonical
+    Huffman entropy coding (flat quant table of ``quality_q``), so the
+    builtin decoder is exercised against ground truth it did not
+    write. Grayscale (h, w) or RGB (h, w, 3); ``subsample`` emits
+    4:2:0 chroma; ``restart_interval`` emits DRI + RSTn markers."""
+    import struct
+
+    A = multimodal._JPEG_IDCT_A
+    zz = multimodal._JPEG_ZIGZAG
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype("f8")]
+        samps = [(1, 1)]
+    else:
+        r, g, b = (px[:, :, i].astype("f8") for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def pad_to(plane, ph, pw):
+        out = np.empty((ph, pw))
+        sh, sw = plane.shape
+        out[:sh, :sw] = plane
+        out[sh:, :sw] = plane[sh - 1 : sh, :]
+        out[:, sw:] = out[:, sw - 1 : sw]
+        return out
+
+    comp_planes = []
+    for plane, (hs, vs) in zip(planes, samps):
+        if (hs, vs) != (hmax, vmax):
+            # chroma subsample by block mean over the sampling ratio
+            fy, fx = vmax // vs, hmax // hs
+            ph = pad_to(plane, mcus_y * 8 * vmax, mcus_x * 8 * hmax)
+            sub = ph.reshape(ph.shape[0] // fy, fy, ph.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+            comp_planes.append(sub)
+        else:
+            comp_planes.append(pad_to(plane, mcus_y * 8 * vs, mcus_x * 8 * hs))
+
+    # canonical Huffman tables the encoder and DHT share: DC symbols
+    # 0-11 at 5 bits; all 162 AC symbols at 9 bits
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+
+    def canonical(symbols, length):
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        table = {}
+        code = 0
+        for ln in range(1, 17):
+            if ln == length:
+                for s in symbols:
+                    table[s] = (ln, code)
+                    code += 1
+            code <<= 1
+        return counts, table
+
+    dc_counts, dc_enc = canonical(dc_syms, 5)
+    ac_counts, ac_enc = canonical(ac_syms, 9)
+
+    bits: list[int] = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    def flush_bytes():
+        out = bytearray()
+        by = list(bits)
+        while len(by) % 8:
+            by.append(1)  # pad with 1s per spec
+        for i in range(0, len(by), 8):
+            b = 0
+            for bit in by[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bits.clear()
+        return bytes(out)
+
+    q = float(quality_q)
+    preds = [0] * len(planes)
+    entropy = bytearray()
+    n_mcus = mcus_x * mcus_y
+    emitted = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            entropy.extend(flush_bytes())
+            entropy.extend(b"\xff" + bytes([0xD0 + ((emitted) % 8)]))
+            emitted += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (plane, (hs, vs)) in enumerate(zip(comp_planes, samps)):
+            for by_ in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by_) * 8
+                    x0 = (mx * hs + bx) * 8
+                    block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    X = A @ block @ A.T
+                    qz = np.round(X / q).astype("i4")
+                    zzc = qz.flatten()[zz]
+                    diff = int(zzc[0]) - preds[ci]
+                    preds[ci] = int(zzc[0])
+                    t = category(diff)
+                    ln, code = dc_enc[t]
+                    put(code, ln)
+                    put_val(diff, t)
+                    run = 0
+                    last_nz = max(np.nonzero(zzc)[0]) if np.any(zzc) else 0
+                    for k in range(1, 64):
+                        v = int(zzc[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            ln, code = ac_enc[0xF0]
+                            put(code, ln)
+                            run -= 16
+                        s = category(v)
+                        ln, code = ac_enc[(run << 4) | s]
+                        put(code, ln)
+                        put_val(v, s)
+                        run = 0
+                    if last_nz < 63:
+                        ln, code = ac_enc[0x00]
+                        put(code, ln)
+    entropy.extend(flush_bytes())
+
+    def seg(marker, data):
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
+
+    qt = np.zeros(64, dtype="u1")
+    qt[:] = quality_q
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt.tobytes())
+    nf = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci in range(nf):
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestBuiltinJpegKernel:
+    def test_grayscale_roundtrip(self):
+        """Random grayscale through a real DCT+Huffman encode (flat
+        quant=1) must decode back within DCT round-off of the source —
+        including non-multiple-of-8 dimensions (edge-padded blocks,
+        decoder crops)."""
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(10, 13), dtype="u1")
+        arr = multimodal._parse_jpeg(_jpeg_bytes(px))
+        assert arr.shape == (10, 13)
+        assert np.max(np.abs(arr - px / 255.0)) < 2.5 / 255.0
+
+    def test_rgb_444_roundtrip(self):
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, size=(16, 8, 3), dtype="u1")
+        arr = multimodal._parse_jpeg(_jpeg_bytes(px))
+        assert arr.shape == (16, 8, 3)
+        # YCbCr forward+inverse + DCT round-off
+        assert np.max(np.abs(arr - px / 255.0)) < 4.0 / 255.0
+
+    def test_420_subsampled_flat_color(self):
+        """4:2:0 chroma subsampling: a flat-color image survives
+        exactly (chroma block means equal the constant), exercising the
+        multi-block MCU layout + nearest upsampling path."""
+        px = np.zeros((24, 16, 3), dtype="u1")
+        px[:, :, 0] = 200
+        px[:, :, 1] = 60
+        px[:, :, 2] = 110
+        arr = multimodal._parse_jpeg(_jpeg_bytes(px, subsample=True))
+        assert arr.shape == (24, 16, 3)
+        assert np.max(np.abs(arr - px / 255.0)) < 3.0 / 255.0
+
+    def test_restart_markers(self):
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, size=(8, 40), dtype="u1")
+        plain = multimodal._parse_jpeg(_jpeg_bytes(px))
+        rst = multimodal._parse_jpeg(_jpeg_bytes(px, restart_interval=2))
+        assert np.allclose(plain, rst)
+
+    def test_feature_contract_matches_pnm(self):
+        flat = np.full((16, 16), 120, dtype="u1")
+        jpg = _jpeg_bytes(flat)
+        pnm = b"P5 16 16 255\n" + flat.tobytes()
+        f_jpg = multimodal.decode_real(jpg, kind="image", dim=8)
+        f_pnm = multimodal.decode_real(pnm, kind="image", dim=8)
+        assert np.max(np.abs(f_jpg - f_pnm)) < 1.5 / 255.0
+
+    def test_progressive_rejected_auto_degrades(self, spark):
+        """A progressive (SOF2) payload must raise in the builtin
+        kernel, and auto mode must degrade it to the fake feature —
+        never crash the batch."""
+        import struct as _s
+
+        body = bytearray(b"\xff\xd8")
+        sof = _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        body += b"\xff\xc2" + _s.pack(">H", len(sof) + 2) + sof
+        payload = bytes(body)
+        with pytest.raises(ValueError):
+            multimodal._parse_jpeg(payload)
+        rows = [(1, "image", "jpeg", 8, 8, None, bytearray(payload))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=4).collect()[0]
+        assert got["feature"] == multimodal._fake_decode(payload, 4).tolist()
+
+    def test_capability_probe_reports_jpeg_builtin(self):
+        assert multimodal.media_capabilities()["builtin:jpeg"] is True
+
+    def test_auto_mode_decodes_real_jpeg_payload(self, spark):
+        """End-to-end through mapInPandas: a genuine JPEG payload
+        decodes with the REAL builtin kernel under fake=None."""
+        px = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        jpg = _jpeg_bytes(px)
+        rows = [(1, "image", "jpeg", 8, 8, None, bytearray(jpg))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert np.max(np.abs(np.array(got["feature"]) - np.arange(8) * 32 / 255.0)) < 2.5 / 255.0
 
 
 def test_auto_mode_routes_builtin_rows_real_others_fake(spark):
