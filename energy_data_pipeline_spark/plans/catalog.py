@@ -83,6 +83,20 @@ _SAMPLE_PRIORITY = [
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    # round-9 NEW queries — never driver-hashed by definition, slotted
+    # inside the 50-entry window so their first external hash lands
+    # this round instead of next.
+    "a16_retention_cohorts",
+    "a17_value_concentration",
+    "st_dau_wau_stickiness",
+    "st_time_to_convert",
+    "ts_autocorrelation",
+    "ts_cusum_changepoints",
+    "emb_dim_stats",
+    "txt_hapax_ratio",
+    "txt_readability_profile",
+    "smp_epoch_allocation",
+    "dd_shingle_df_spectrum",
     # backfill to 50 slots with the least-recently-hashed entries
     # (last driver hash in round 2-7).
     "t7_incomplete_days_backfill",
@@ -91,17 +105,6 @@ _SAMPLE_PRIORITY = [
     "dd_embedding_near_dups",
     "smp_stratified_mix_sample",
     "smp_train_val_test_split",
-    "txt_vocab_topk",
-    "smp_corpus_mix_report",
-    "txt_ngram_topk",
-    "a1_hourly_sum_by_type",
-    "a2_window_total",
-    "a13_moving_avg_7d",
-    "a3_count_distinct_users",
-    "a4_topk_users_by_value",
-    "a5_watermark_per_user",
-    "a6_day_completeness",
-    "a7_calendar_profile",
 ]
 assert set(_SAMPLE_PRIORITY) <= set(_ALL_QUERIES), (
     "catalog sample-priority list drifted: "

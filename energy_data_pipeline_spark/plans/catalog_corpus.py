@@ -3769,6 +3769,261 @@ FROM agg
 """
 
 
+# --- EMB: per-dimension distribution stats ----------------------------
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    QC table behind whitening, dead-dimension detection, and
+    quantization-range calibration (a collapsed or unbounded dimension
+    shows up here before it poisons an index). Scalar LONG form
+    (one row per dimension) per the catalog's array-output ban.
+
+    posexplode fans (d, x) inside the scan stage (no shuffle); the one
+    aggregate groups by dimension with map-side combine — shuffle
+    volume is |dims| x partials, never the vector count."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    pos = emb.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("d", "x")
+    )
+    return (
+        pos.groupBy(F.col("d").cast("bigint").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rnd(F.avg("x"), 6).alias("mean"),
+            rnd(F.stddev_samp("x"), 6).alias("std"),
+            rnd(F.min("x"), 6).alias("min_x"),
+            rnd(F.max("x"), 6).alias("max_x"),
+        )
+        .orderBy("d")
+    )
+
+
+EMB_DIM_STATS_SQL = """
+WITH base AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), fanned AS (
+  SELECT v, unnest(range(1, len(v) + 1)) AS i FROM base
+)
+SELECT CAST(i - 1 AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n,
+       round(avg(v[i]), 6) AS mean, round(stddev_samp(v[i]), 6) AS std,
+       round(min(v[i]), 6) AS min_x, round(max(v[i]), 6) AS max_x
+FROM fanned GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- TXT: hapax-legomena vocabulary richness --------------------------
+def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per language: vocab size, hapax count
+    (words occurring exactly once) and the hapax/vocab ratio — a high
+    ratio flags OCR noise or boilerplate-free natural text, a low one
+    flags template spam; a standard corpus-QC scalar next to zipf
+    alpha. Same whitespace tokenization as the vocab/ngram queries.
+
+    One explode + one (lang, word) count (map-side combine) + one
+    lang-sized rollup — the wordcount shape, linear in token volume."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wf = docs.select("lang", F.explode(T.words(F.col("text"))).alias("w"))
+    counts = wf.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+            F.sum("c").cast("bigint").alias("tokens"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            "hapax",
+            "tokens",
+            rnd(F.col("hapax") / F.col("vocab"), 6).alias("hapax_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+HAPAX_SQL = f"""
+WITH w AS (
+  SELECT lang, unnest({DUCK_WORDS.format(col='text')}) AS w FROM documents
+), c AS (
+  SELECT lang, w, count(*) AS c FROM w GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS tokens,
+       round(count(*) FILTER (c = 1) * 1.0 / count(*), 6) AS hapax_ratio
+FROM c GROUP BY 1
+"""
+
+
+# --- TXT: Flesch reading-ease profile ---------------------------------
+def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease distribution: per-document FRE from the
+    classic 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    formula (sentences = '[.!?]+' runs, floor 1; syllables = vowel
+    groups, the standard dictionary-free approximation), bucketed to
+    10-point bands with doc counts and mean score — the readability
+    cut used to stratify training corpora by audience level.
+
+    Pure regexp-count expressions, codegen-side, one scan, no
+    shuffle beyond the |buckets|-sized aggregate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    nw = F.size(T.words(F.col("text")))
+    ns = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
+    score = F.when(
+        nw > 0, 206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw)
+    )
+    scored = docs.select(rnd(score, 4).alias("fre"))
+    return (
+        scored.filter(F.col("fre").isNotNull())
+        .groupBy(
+            (F.floor(F.col("fre") / 10) * 10).cast("bigint").alias("fre_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            rnd(F.avg("fre"), 4).alias("avg_fre"),
+        )
+        .orderBy("fre_bucket")
+    )
+
+
+READABILITY_SQL = f"""
+WITH m AS (
+  SELECT len({DUCK_WORDS.format(col='text')}) AS nw,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syl
+  FROM documents
+), scored AS (
+  SELECT round(CASE WHEN nw > 0
+                    THEN 206.835 - 1.015 * (nw * 1.0 / ns)
+                         - 84.6 * (syl * 1.0 / nw)
+               END, 4) AS fre
+  FROM m
+)
+SELECT CAST(floor(fre / 10) * 10 AS BIGINT) AS fre_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs, round(avg(fre), 4) AS avg_fre
+FROM scored WHERE fre IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- SMP: epoch allocation under a token budget -----------------------
+SMP_EPOCH_CAP = 4.0
+
+
+def epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixing plan: give each source an equal share of
+    a one-total-pass token budget, cap repetition at {cap} epochs (the
+    empirical point of diminishing returns for repeated data), and
+    report the resulting allocation — the "how many epochs of each
+    source" table a pretraining run starts from. Small sources clamp
+    (their equal share would mean >{cap} passes); large ones train
+    sub-epoch.
+
+    One token-count aggregate per source (map-side combine), a 1-row
+    broadcast of the grand total, then pure arithmetic on the
+    |sources|-sized frame. Epochs round to 4 BEFORE the allocated
+    product so both engines multiply identical doubles."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("tokens")
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("_t"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    raw_epochs = (F.col("_t") / F.col("_k")) / F.col("tokens")
+    epochs = rnd(F.least(F.lit(SMP_EPOCH_CAP), raw_epochs), 4)
+    return (
+        j.filter(F.col("tokens") > 0)
+        .select(
+            "source",
+            "tokens",
+            rnd(F.col("tokens") / F.col("_t"), 6).alias("corpus_share"),
+            epochs.alias("epochs"),
+            rnd(epochs * F.col("tokens"), 0)
+            .cast("bigint")
+            .alias("allocated_tokens"),
+            (raw_epochs > SMP_EPOCH_CAP).alias("clamped"),
+        )
+        .orderBy("source")
+    )
+
+
+epoch_allocation.__doc__ = epoch_allocation.__doc__.format(cap=SMP_EPOCH_CAP)
+
+
+EPOCH_ALLOC_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len({DUCK_WORDS.format(col='text')})) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS k FROM per
+)
+SELECT source, tokens,
+       round(tokens * 1.0 / t, 6) AS corpus_share,
+       round(least({SMP_EPOCH_CAP}, (t * 1.0 / k) / tokens), 4) AS epochs,
+       CAST(round(round(least({SMP_EPOCH_CAP}, (t * 1.0 / k) / tokens), 4)
+                  * tokens, 0) AS BIGINT) AS allocated_tokens,
+       ((t * 1.0 / k) / tokens) > {SMP_EPOCH_CAP} AS clamped
+FROM per, tot WHERE tokens > 0 ORDER BY source
+"""
+
+
+# --- DD: shingle document-frequency spectrum --------------------------
+def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of 3-gram shingles in power-of-two
+    bands — the measurement that justifies (and tunes) the hot-shingle
+    df cap the inverted-index near-dup queries rely on: the top band's
+    n_shingles is tiny while its postings share is what the cap
+    deletes from the join. Bucket = bit length of df (exact integer
+    logic via bin(), never floor(log2()) — libm ulps at power-of-two
+    boundaries would flip bands between engines).
+
+    Same shingle construction as dd_ngram_jaccard_near_dups; the df
+    aggregate is the inverted index's first stage, map-side combined."""
+    sh = neardup.doc_shingles(
+        fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text", n=3
+    )
+    inv = sh.filter(F.size("shingle_set") > 0).select(
+        F.explode("shingle_set").alias("g")
+    )
+    df_ = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_.groupBy(
+            (F.length(F.bin(F.col("df"))) - 1).cast("bigint").alias("log2_df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("postings"),
+        )
+        .orderBy("log2_df_bucket")
+    )
+
+
+SHINGLE_SPECTRUM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {DUCK_WORDS.format(col='text')} AS wl FROM documents
+), sh AS (
+  SELECT doc_id, {DUCK_SHINGLES.format(w='wl')} AS s FROM w WHERE len(wl) >= 3
+), inv AS (
+  SELECT unnest(s) AS g FROM sh WHERE len(s) > 0
+), df AS (
+  SELECT g, count(*) AS df FROM inv GROUP BY 1
+)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df_bucket,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS postings
+FROM df GROUP BY 1 ORDER BY 1
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -3847,4 +4102,10 @@ CORPUS_QUERIES = {
     "txt_perplexity_buckets": (perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
     "smp_purged_mix_report": (purged_mix_report, _purged_mix_sql()),
     "txt_zipf_alpha": (zipf_alpha, _zipf_sql()),
+    # round-9 additions APPEND (merged order is driver-sample surface)
+    "emb_dim_stats": (emb_dim_stats, EMB_DIM_STATS_SQL),
+    "txt_hapax_ratio": (hapax_ratio, HAPAX_SQL),
+    "txt_readability_profile": (readability_profile, READABILITY_SQL),
+    "smp_epoch_allocation": (epoch_allocation, EPOCH_ALLOC_SQL),
+    "dd_shingle_df_spectrum": (shingle_df_spectrum, SHINGLE_SPECTRUM_SQL),
 }

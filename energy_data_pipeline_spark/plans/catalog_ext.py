@@ -1710,6 +1710,167 @@ ORDER BY 1, 2
 """
 
 
+# --- A16: weekly retention cohorts -----------------------------------
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active ISO week,
+    tracked by distinct-active count at each week offset, with the rate
+    against the cohort's size. The product-analytics table every event
+    stream grows eventually.
+
+    Scale shape: ONE distinct over (user, week) — the only
+    event-volume shuffle — then every later step runs on user- or
+    week-sized frames; the cohort-size table (|weeks| rows) rides back
+    as a broadcast. The Monday-of-week is computed with date
+    arithmetic, not date_trunc('week'), because Spark's date_trunc
+    returns an instant TIMESTAMP (session-tz dependent — the catalog
+    ban)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    week = F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % 7)
+    weekly = ev.select("user_id", week.alias("week")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            rnd(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts::DATE)::DATE AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+), act AS (
+  SELECT c.cohort_week,
+         CAST((w.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+         count(DISTINCT w.user_id) AS active_users
+  FROM weekly w JOIN cohort c USING (user_id) GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1
+)
+SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(active_users * 1.0 / cohort_size, 6) AS retention_rate
+FROM act a JOIN sizes USING (cohort_week)
+"""
+
+
+# --- A17: value concentration (Gini + top-decile share) ---------------
+def value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality profile of per-user value by event type: Gini
+    coefficient (rank formula G = 2*sum(i*v_i)/(n*sum(v)) - (n+1)/n
+    over ascending-sorted totals) and the share contributed by the top
+    decile of users — the whale-concentration numbers behind every
+    revenue dashboard.
+
+    One event-stream pass builds user totals (map-side combine); the
+    rank windows then run over the ENTITY-sized profile, the same
+    affordability argument as a14's ntile. Both ranks tie-break on
+    user_id, and equal totals make rank-order irrelevant to the sums,
+    so the statistics are deterministic. Totals round to 4 before
+    ranking so cross-engine sum ulps cannot reorder the cut; zero
+    grand totals NULL the ratios (ANSI-safe) instead of dividing."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("event_type", "user_id").agg(
+        rnd(F.sum("value"), 4).alias("user_total")
+    )
+    w_asc = Window.partitionBy("event_type").orderBy(
+        F.col("user_total").asc(), F.col("user_id").asc()
+    )
+    w_desc = Window.partitionBy("event_type").orderBy(
+        F.col("user_total").desc(), F.col("user_id").asc()
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = ut.select(
+        "event_type",
+        "user_total",
+        F.row_number().over(w_asc).alias("_i"),
+        F.row_number().over(w_desc).alias("_j"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.sum("user_total").over(w_all).alias("_tot"),
+    )
+    raw = ranked.groupBy("event_type").agg(
+        F.max("_n").cast("bigint").alias("n_users"),
+        F.max("_tot").alias("_t"),
+        F.sum(F.col("_i") * F.col("user_total")).alias("_wsum"),
+        F.sum(
+            F.when(
+                F.col("_j") <= F.floor((F.col("_n") + 9) / 10),
+                F.col("user_total"),
+            ).otherwise(0.0)
+        ).alias("_topsum"),
+    )
+    return raw.select(
+        "event_type",
+        "n_users",
+        rnd(F.col("_t"), 4).alias("total_value"),
+        rnd(
+            F.when(
+                F.col("_t") != 0,
+                2.0 * F.col("_wsum") / (F.col("n_users") * F.col("_t"))
+                - (F.col("n_users") + 1.0) / F.col("n_users"),
+            ),
+            6,
+        ).alias("gini"),
+        rnd(F.when(F.col("_t") != 0, F.col("_topsum") / F.col("_t")), 6).alias(
+            "top_decile_share"
+        ),
+    ).orderBy("event_type")
+
+
+CONCENTRATION_SQL = """
+WITH ut AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS user_total
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_total,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY user_total ASC, user_id ASC) AS i,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY user_total DESC, user_id ASC) AS j,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(user_total) OVER (PARTITION BY event_type) AS tot
+  FROM ut
+), raw AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_users,
+         max(tot) AS t,
+         sum(i * user_total) AS wsum,
+         sum(CASE WHEN j <= (n + 9) // 10 THEN user_total ELSE 0.0 END) AS topsum
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_users, round(t, 4) AS total_value,
+       round(CASE WHEN t <> 0
+                  THEN 2.0 * wsum / (n_users * t) - (n_users + 1.0) / n_users
+             END, 6) AS gini,
+       round(CASE WHEN t <> 0 THEN topsum / t END, 6) AS top_decile_share
+FROM raw
+"""
+
+
 EXT_QUERIES = {
     "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
@@ -1739,4 +1900,7 @@ EXT_QUERIES = {
     "r2_pivot_daily_type_totals": (pivot_daily_type_totals, PIVOT_SQL),
     "a14_rfm_segments": (rfm_segments, RFM_SQL),
     "a15_value_histogram": (value_histogram, HISTOGRAM_SQL),
+    # round-9 additions APPEND (merged order is driver-sample surface)
+    "a16_retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "a17_value_concentration": (value_concentration, CONCENTRATION_SQL),
 }

@@ -869,6 +869,287 @@ ORDER BY 1, 2
 """
 
 
+# --- ST: DAU / trailing-7-day WAU / stickiness ------------------------
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio — the engagement staple. The trailing
+    distinct-count is computed by CONTRIBUTION, not by window: each
+    (day, user) activity row is exploded to the 7 output days it keeps
+    the user active for, then one distinct-count per day — a classic
+    trick because count(DISTINCT) cannot ride a sliding window in
+    either engine. Cost is 7x the (day, user) DISTINCT pairs (entity x
+    day sized, never event volume), embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    span = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    )
+    wau = span.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            rnd(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1
+), span AS (
+  SELECT du.user_id, du.day + g.i AS wday
+  FROM du CROSS JOIN
+       (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS i) g
+), wau AS (
+  SELECT wday, count(DISTINCT user_id) AS wau FROM span GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       round(dau * 1.0 / wau, 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.wday
+"""
+
+
+# --- ST: click -> purchase conversion-latency percentiles -------------
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution from a user's FIRST click to their FIRST
+    purchase (users whose first purchase precedes their first click are
+    excluded — they converted through another path). Quartiles + p90
+    via exact percentile (type-7, quantile_cont-parity); at billions of
+    users the cut switches to approx_percentile, changing strategy,
+    not semantics.
+
+    One conditional-min pass over the two event slices builds the
+    user-level (first_click, first_purchase) pair — map-side combine,
+    user-count shuffle — and the latency math is NTZ-safe
+    MICROSECOND arithmetic (timestamp_diff), never unix_timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("first_click"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+    )
+    lat = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        rnd(
+            F.timestamp_diff(
+                "MICROSECOND", F.col("first_click"), F.col("first_purchase")
+            )
+            / 1000000.0,
+            6,
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        rnd(F.percentile("latency_s", 0.25), 6).alias("p25_s"),
+        rnd(F.percentile("latency_s", 0.5), 6).alias("p50_s"),
+        rnd(F.percentile("latency_s", 0.75), 6).alias("p75_s"),
+        rnd(F.percentile("latency_s", 0.9), 6).alias("p90_s"),
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), lat AS (
+  SELECT round(date_diff('microsecond', first_click, first_purchase)
+               / 1000000.0, 6) AS latency_s
+  FROM firsts
+  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_click
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(latency_s, 0.25), 6) AS p25_s,
+       round(quantile_cont(latency_s, 0.50), 6) AS p50_s,
+       round(quantile_cont(latency_s, 0.75), 6) AS p75_s,
+       round(quantile_cont(latency_s, 0.90), 6) AS p90_s
+FROM lat
+"""
+
+
+# --- TS: lag-k autocorrelation of the daily series --------------------
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lag autocorrelation (k = 1..7) of each type's daily-total
+    series — the seasonality fingerprint (weekly cycles surface as an
+    acf peak at k=7). Pearson over (total, lag-k total) pairs with
+    NULL-lag rows dropped explicitly so both engines see identical
+    pair sets; daily totals round to 4 first so cross-engine sum ulps
+    cannot perturb the inputs.
+
+    The series is |types| x |days| — window-lag over a tiny frame; the
+    only event-volume work is the one daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(rnd(F.sum("value"), 4).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "total",
+        *[F.lag("total", k).over(w).alias(f"_l{k}") for k in range(1, 8)],
+    )
+    stacked = lagged.select(
+        "event_type",
+        "total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"_l{k}").alias("lagged")
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "event_type",
+        F.col("s.k").cast("bigint").alias("lag_k"),
+        "total",
+        F.col("s.lagged").alias("lagged"),
+    )
+    return (
+        stacked.filter(F.col("lagged").isNotNull())
+        .groupBy("event_type", "lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            rnd(F.corr("total", "lagged"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag_k")
+    )
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), numbered AS (
+  SELECT event_type, total,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+)
+SELECT a.event_type, k.lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.total, b.total), 6) AS acf
+FROM numbered a
+CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag_k) k
+JOIN numbered b
+  ON b.event_type = a.event_type AND b.rn = a.rn - k.lag_k
+GROUP BY 1, 2
+"""
+
+
+# --- TS: CUSUM change-point detection ---------------------------------
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per type: standardize the daily
+    totals against the series mean/std, accumulate, and report the day
+    where |cusum| peaks — the classic argmax estimator of a single
+    change point. Mean, std and each z round to 6 BEFORE the
+    accumulation so both engines fold bit-identical addends in the
+    same (day-ordered) sequence; ties on |cusum| break to the earliest
+    day. All windows run over the |types| x |days| rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(rnd(F.sum("value"), 4).alias("total"))
+    w_all = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "total",
+        rnd(F.avg("total").over(w_all), 6).alias("_mu"),
+        rnd(F.stddev_samp("total").over(w_all), 6).alias("_sd"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    z = stats.select(
+        "event_type",
+        "day",
+        "_n",
+        rnd(
+            F.when(
+                F.col("_sd") > 0, (F.col("total") - F.col("_mu")) / F.col("_sd")
+            ),
+            6,
+        ).alias("z"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = z.select(
+        "event_type",
+        "day",
+        "_n",
+        rnd(F.sum("z").over(w_run), 6).alias("cusum"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        cs.withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("cusum").alias("peak_cusum"),
+            F.col("_n").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, total,
+         round(avg(total) OVER (PARTITION BY event_type), 6) AS mu,
+         round(stddev_samp(total) OVER (PARTITION BY event_type), 6) AS sd,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), z AS (
+  SELECT event_type, day, n,
+         round(CASE WHEN sd > 0 THEN (total - mu) / sd END, 6) AS z
+  FROM stats
+), cs AS (
+  SELECT event_type, day, n,
+         round(sum(z) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING), 6) AS cusum
+  FROM z
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, day ASC) AS rk
+  FROM cs
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+       cusum AS peak_cusum, CAST(n AS BIGINT) AS n_days
+FROM pick WHERE rk = 1
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -887,4 +1168,9 @@ TIMESERIES_QUERIES = {
     # order (part of the driver's sample-window surface) never shifts
     "st_funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "ts_winsorized_daily_totals": (winsorized_daily_totals, WINSORIZED_SQL),
+    # round-9 additions APPEND (merged order is driver-sample surface)
+    "st_dau_wau_stickiness": (dau_wau_stickiness, DAU_WAU_SQL),
+    "st_time_to_convert": (time_to_convert, TIME_TO_CONVERT_SQL),
+    "ts_autocorrelation": (autocorrelation, AUTOCORR_SQL),
+    "ts_cusum_changepoints": (cusum_changepoints, CUSUM_SQL),
 }

@@ -50,6 +50,19 @@ NEVER_DRIVER_SAMPLED = {
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    # round-9 additions — unsampled by definition until a driver round
+    # hashes them (all are inside the r9 sample window)
+    "a16_retention_cohorts",
+    "a17_value_concentration",
+    "st_dau_wau_stickiness",
+    "st_time_to_convert",
+    "ts_autocorrelation",
+    "ts_cusum_changepoints",
+    "emb_dim_stats",
+    "txt_hapax_ratio",
+    "txt_readability_profile",
+    "smp_epoch_allocation",
+    "dd_shingle_df_spectrum",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
