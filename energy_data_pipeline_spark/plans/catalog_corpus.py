@@ -3927,15 +3927,22 @@ def epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the grand total, then pure arithmetic on the
     |sources|-sized frame. Epochs round to 4 BEFORE the allocated
     product so both engines multiply identical doubles."""
+    from pyspark.sql import Window
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     per = docs.groupBy("source").agg(
         F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("tokens")
     )
-    tot = per.agg(
-        F.sum("tokens").cast("bigint").alias("_t"),
-        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    # grand totals via an unpartitioned window over the |sources|-sized
+    # aggregate (a handful of rows on one partition) — NOT a second
+    # aggregate branch, which would re-scan the corpus
+    w_all = Window.partitionBy()
+    j = per.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_all).cast("bigint").alias("_t"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("_k"),
     )
-    j = per.crossJoin(F.broadcast(tot))
     raw_epochs = (F.col("_t") / F.col("_k")) / F.col("tokens")
     epochs = rnd(F.least(F.lit(SMP_EPOCH_CAP), raw_epochs), 4)
     return (

@@ -1728,22 +1728,30 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.to_date("ts")
     week = F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % 7)
     weekly = ev.select("user_id", week.alias("week")).distinct()
-    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    act = (
-        weekly.join(cohort, "user_id")
-        .groupBy(
-            "cohort_week",
-            F.floor(F.datediff("week", "cohort_week") / 7)
-            .cast("bigint")
-            .alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("active_users"))
-    )
-    sizes = cohort.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    # cohort via a user-partitioned window on the SAME frame (instead
+    # of a separate aggregate joined back): the whole query stays ONE
+    # event-stream scan — at 100 TB a second pass over events costs
+    # more than everything downstream combined
+    w_user = Window.partitionBy("user_id")
+    tagged = weekly.withColumn("cohort_week", F.min("week").over(w_user))
+    act = tagged.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
+    # every user appears at offset 0 (their own min week), so the
+    # cohort size IS the offset-0 row of the (tiny) activity table —
+    # read off via a cohort-partitioned window rather than a self-join,
+    # which would recompute the whole lineage (second events scan)
+    w_cohort = Window.partitionBy("cohort_week")
     return (
-        act.join(F.broadcast(sizes), "cohort_week")
+        act.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("week_offset") == 0, F.col("active_users"))
+            ).over(w_cohort),
+        )
         .select(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             "week_offset",

@@ -881,18 +881,25 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     day sized, never event volume), embarrassingly parallel."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # offset-tagged contribution: one frame serves BOTH counts (DAU =
+    # distinct users whose offset-0 contribution lands on the day), so
+    # the event stream is scanned exactly once
     span = du.select(
         "user_id",
-        F.explode(
+        F.posexplode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-        ).alias("wday"),
+        ).alias("off", "wday"),
     )
-    wau = span.groupBy("wday").agg(F.countDistinct("user_id").alias("wau"))
+    both = span.groupBy("wday").agg(
+        F.countDistinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
     return (
-        dau.join(wau, dau.day == wau.wday)
+        both.filter(F.col("dau") > 0)
         .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
             F.col("dau").cast("bigint").alias("dau"),
             F.col("wau").cast("bigint").alias("wau"),
             rnd(F.col("dau") / F.col("wau"), 6).alias("stickiness"),

@@ -605,3 +605,44 @@ def test_value_histogram_bounds_broadcast_back(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert "partial_count(" in plan or "partial_min(" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name,source,max_scans",
+    [
+        ("a16_retention_cohorts", "events.parquet", 1),
+        ("a17_value_concentration", "events.parquet", 1),
+        ("st_dau_wau_stickiness", "events.parquet", 1),
+        ("st_time_to_convert", "events.parquet", 1),
+        ("ts_autocorrelation", "events.parquet", 1),
+        ("ts_cusum_changepoints", "events.parquet", 1),
+        ("emb_dim_stats", "embeddings.parquet", 1),
+        ("txt_hapax_ratio", "documents.parquet", 1),
+        ("txt_readability_profile", "documents.parquet", 1),
+        ("smp_epoch_allocation", "documents.parquet", 1),
+        ("dd_shingle_df_spectrum", "documents.parquet", 1),
+    ],
+)
+def test_round9_queries_are_single_scan(spark, name, source, max_scans):
+    """Every round-9 query reads its source exactly once: the cohort
+    size / grand total / DAU sides are derived from the first pass via
+    windows or conditional aggregates, never a second aggregate branch
+    over the raw table (at 100 TB the second scan dwarfs everything
+    downstream). All partial-aggregate before their one shuffle; no
+    sort-merge joins or cartesian products anywhere."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count(source) <= max_scans, f"{plan.count(source)} scans of {source}"
+    assert "partial_" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_to_convert_pushes_type_filter(spark):
+    """st_time_to_convert's two-type slice must reach the scan as an
+    In() pushed filter — the conversion pair is a fraction of the
+    stream and the scan must skip the rest."""
+    fn, _ = CATALOG["st_time_to_convert"]
+    plan = plan_of(fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(event_type" in ln for ln in pushed), pushed
