@@ -97,6 +97,7 @@ _SAMPLE_PRIORITY = [
     "txt_readability_profile",
     "smp_epoch_allocation",
     "dd_shingle_df_spectrum",
+    "sk_key_skew_report",
     # backfill to 50 slots with the least-recently-hashed entries
     # (last driver hash in round 2-7).
     "t7_incomplete_days_backfill",
@@ -104,7 +105,6 @@ _SAMPLE_PRIORITY = [
     "t8_accumulating_merge",
     "dd_embedding_near_dups",
     "smp_stratified_mix_sample",
-    "smp_train_val_test_split",
 ]
 assert set(_SAMPLE_PRIORITY) <= set(_ALL_QUERIES), (
     "catalog sample-priority list drifted: "

@@ -1207,6 +1207,99 @@ FROM events GROUP BY event_type
 """
 
 
+# --- SK: join-key skew diagnostic ------------------------------------
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate join/agg key: the skew numbers that decide whether
+    a shuffle needs salting — top-1 and top-10 key share of the rows,
+    max/mean frequency ratio, and distinct-key count. This is the
+    measurement sk_salted_event_totals' salt_factor is tuned from; run
+    it BEFORE burning a round on a straggling join.
+
+    One frequency aggregate per key column (map-side combine), then
+    windows over the KEY-sized frequency table only. The two key
+    columns share one events scan via a conditional two-key rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("user_id").alias("key_col"),
+                        F.col("user_id").cast("string").alias("k"),
+                    ),
+                    F.struct(
+                        F.lit("event_type").alias("key_col"),
+                        F.col("event_type").alias("k"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.key_col", "s.k")
+        .groupBy("key_col", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = Window.partitionBy("key_col")
+    w_rank = Window.partitionBy("key_col").orderBy(
+        F.col("c").desc(), F.col("k").asc()
+    )
+    ranked = freq.select(
+        "key_col",
+        "c",
+        F.row_number().over(w_rank).alias("_rk"),
+        F.sum("c").over(w_all).alias("_tot"),
+        F.count(F.lit(1)).over(w_all).alias("_nk"),
+        F.max("c").over(w_all).alias("_mx"),
+    )
+    return (
+        ranked.groupBy("key_col")
+        .agg(
+            F.max("_nk").cast("bigint").alias("n_keys"),
+            F.max("_tot").cast("bigint").alias("n_rows"),
+            rnd(
+                F.max(F.when(F.col("_rk") == 1, F.col("c"))) / F.max("_tot"), 6
+            ).alias("top1_share"),
+            rnd(
+                F.sum(F.when(F.col("_rk") <= 10, F.col("c")).otherwise(0))
+                / F.max("_tot"),
+                6,
+            ).alias("top10_share"),
+            # double BEFORE the product: max_count x key_count overflows
+            # int64 under ANSI at crawl scale (1e10 rows x 1e9 keys)
+            rnd(
+                F.max("_mx").cast("double") * F.max("_nk") / F.max("_tot"), 6
+            ).alias("max_over_mean"),
+        )
+        .orderBy("key_col")
+    )
+
+
+KEY_SKEW_SQL = """
+WITH pairs AS (
+  SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'event_type' AS key_col, event_type AS k FROM events
+), freq AS (
+  SELECT key_col, k, count(*) AS c FROM pairs GROUP BY 1, 2
+), ranked AS (
+  SELECT key_col, c,
+         row_number() OVER (PARTITION BY key_col
+                            ORDER BY c DESC, k ASC) AS rk,
+         sum(c) OVER (PARTITION BY key_col) AS tot,
+         count(*) OVER (PARTITION BY key_col) AS nk,
+         max(c) OVER (PARTITION BY key_col) AS mx
+  FROM freq
+)
+SELECT key_col,
+       CAST(max(nk) AS BIGINT) AS n_keys,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       round(max(CASE WHEN rk = 1 THEN c END) * 1.0 / max(tot), 6) AS top1_share,
+       round(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) * 1.0 / max(tot), 6)
+         AS top10_share,
+       round(max(mx) * 1.0 * max(nk) / max(tot), 6) AS max_over_mean
+FROM ranked GROUP BY 1
+"""
+
+
 # --- O1/O2: sorted timeseries panel with limit ----------------------------
 # Reference: wind_dashboard.json panel 1 — SELECT ... ORDER BY timestamp;
 # deterministic under LIMIT via the event_id tiebreak.
@@ -1911,4 +2004,5 @@ EXT_QUERIES = {
     # round-9 additions APPEND (merged order is driver-sample surface)
     "a16_retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "a17_value_concentration": (value_concentration, CONCENTRATION_SQL),
+    "sk_key_skew_report": (key_skew_report, KEY_SKEW_SQL),
 }

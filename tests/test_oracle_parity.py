@@ -63,6 +63,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_readability_profile",
     "smp_epoch_allocation",
     "dd_shingle_df_spectrum",
+    "sk_key_skew_report",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

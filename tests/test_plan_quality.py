@@ -621,6 +621,7 @@ def test_value_histogram_bounds_broadcast_back(spark):
         ("txt_readability_profile", "documents.parquet", 1),
         ("smp_epoch_allocation", "documents.parquet", 1),
         ("dd_shingle_df_spectrum", "documents.parquet", 1),
+        ("sk_key_skew_report", "events.parquet", 1),
     ],
 )
 def test_round9_queries_are_single_scan(spark, name, source, max_scans):
