@@ -423,6 +423,55 @@ def _pair_overlap_counts(
     return common, sizes
 
 
+def pair_overlap_scored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = NGRAM_MAX_DF,
+    pins_out: list | None = None,
+) -> DataFrame:
+    """(id1, id2, n_common, n1, n2) — the one frame EVERY exact
+    set-overlap scorer derives from (Jaccard and containment differ
+    only in a final scalar). Callers that run more than one scorer on
+    the same corpus should build this once, persist it, and apply
+    their scalars to the shared frame: the inverted-index self-join is
+    the entire cost, the scalars are free."""
+    common, sizes = _pair_overlap_counts(
+        df, id_col, text_col, n, max_doc_freq, pins_out
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return common.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
+
+
+def jaccard_from_overlap(scored: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard scalar over a ``pair_overlap_scored`` frame."""
+    return (
+        scored.withColumn(
+            "jaccard",
+            rnd(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def containment_from_overlap(scored: DataFrame, threshold: float) -> DataFrame:
+    """Broder containment scalar over a ``pair_overlap_scored`` frame."""
+    return (
+        scored.withColumn(
+            "containment",
+            rnd(F.col("n_common") / F.least("n1", "n2"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -446,20 +495,9 @@ def ngram_jaccard_pairs(
     The df filter is a count window partitioned by shingle: one shuffle
     that also pre-partitions both self-join sides on the join key.
     """
-    common, sizes = _pair_overlap_counts(
-        df, id_col, text_col, n, max_doc_freq, pins_out
-    )
-    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
-    return (
-        common.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
-        .withColumn(
-            "jaccard",
-            rnd(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+    return jaccard_from_overlap(
+        pair_overlap_scored(df, id_col, text_col, n, max_doc_freq, pins_out),
+        threshold,
     )
 
 
@@ -486,20 +524,9 @@ def containment_pairs(
     same lower-bound caveat) as :func:`ngram_jaccard_pairs`; cost is
     identical — only the final scalar differs.
     """
-    common, sizes = _pair_overlap_counts(
-        df, id_col, text_col, n, max_doc_freq, pins_out
-    )
-    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
-    return (
-        common.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
-        .withColumn(
-            "containment",
-            rnd(F.col("n_common") / F.least("n1", "n2"), 6),
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id1", "id2", "containment")
+    return containment_from_overlap(
+        pair_overlap_scored(df, id_col, text_col, n, max_doc_freq, pins_out),
+        threshold,
     )
 
 

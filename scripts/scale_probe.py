@@ -566,6 +566,47 @@ def main():
         ev = synth_events(spark, n)
         results[f"funnel_{label}"] = timed(lambda e=ev: noop(funnel_shape(e)))
 
+    # retention cohorts (a16) at 20x events: ONE (user, week) distinct
+    # is the only event-volume shuffle; the cohort window + rollup run
+    # over the entity x week frame (10k users x ~9 weeks here), so 20x
+    # events should buy ~the scan, like rfm/funnel.
+    def retention_shape(ev):
+        d = F.to_date("ts")
+        week = F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % 7)
+        weekly = ev.select("user_id", week.alias("week")).distinct()
+        w_user = Window.partitionBy("user_id")
+        tagged = weekly.withColumn("cohort_week", F.min("week").over(w_user))
+        return tagged.groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).alias("off"),
+        ).agg(F.count_distinct("user_id").alias("active"))
+
+    # DAU/WAU (st_dau_wau_stickiness) at 20x events: the 7x
+    # contribution explode runs over the DISTINCT (day, user) frame
+    # (entity x day), so the fan-out cost is pinned by entities, not
+    # event volume — wall should track the distinct's scan+shuffle.
+    def dau_wau_shape(ev):
+        du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+        span = du.select(
+            "user_id",
+            F.posexplode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("off", "wday"),
+        )
+        return span.groupBy("wday").agg(
+            F.count_distinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+
+    for label, n in [("0.6M", 600_000), ("12M", 12_000_000)]:
+        ev = synth_events(spark, n)
+        results[f"retention_{label}"] = timed(
+            lambda e=ev: noop(retention_shape(e))
+        )
+        results[f"dau_wau_{label}"] = timed(lambda e=ev: noop(dau_wau_shape(e)))
+
     # RFM segmentation (a14_rfm_segments) at 20x events: the three
     # global ntile sorts run over the ENTITY-sized profile (10k users
     # here), so 20x the events buys only the bigger profile aggregation
@@ -603,6 +644,12 @@ def main():
             results["funnel_12M"] / results["funnel_0.6M"], 2
         ),
         "rfm_20x_events": round(results["rfm_12M"] / results["rfm_0.6M"], 2),
+        "retention_20x_events": round(
+            results["retention_12M"] / results["retention_0.6M"], 2
+        ),
+        "dau_wau_20x_events": round(
+            results["dau_wau_12M"] / results["dau_wau_0.6M"], 2
+        ),
         "span_trim_20x_docs": round(
             results["span_trim_100k"] / results["span_trim_5k"], 2
         ),
