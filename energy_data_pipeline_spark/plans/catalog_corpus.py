@@ -4054,6 +4054,150 @@ FROM df GROUP BY 1 ORDER BY 1
 """
 
 
+# --- shared pinned (doc_id, token, n) frame for distribution queries ---
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, token, n) combined table, pinned once per snapshot
+    via plan_cache: ONE explode absorbed by a map-side partial
+    aggregate. Every token-distribution query downstream (entropy,
+    divergence) composes on this frame instead of re-tokenizing — at
+    100 TB the explode is the dominant cost and must run once."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        per_doc = (
+            docs.select("doc_id", F.explode(T.words("text")).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return per_doc, [(per_doc, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("doc_token_counts", sf_dir), build)
+
+
+# --- per-document token entropy (vocabulary-diversity quality signal) ---
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution — the
+    vocabulary-diversity quality gate: near-zero entropy flags
+    single-token spam and keyword stuffing, unusually high entropy
+    flags random-character soup; curation pipelines band-pass on it.
+
+    Composes on the shared pinned (doc, token, n) frame; the entropy
+    is one grouped aggregate over it (sum over p ln p with the doc
+    total via a let-bound window-free identity: entropy =
+    ln(N) - sum(n ln n)/N, which needs only per-group sums — no second
+    pass, no window). Rounded to 4."""
+    per_doc = _doc_token_counts(spark, sf_dir)
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            rnd(
+                F.log(F.sum("n"))
+                - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+                4,
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_ENTROPY_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (
+    SELECT doc_id, unnest({DUCK_WORDS.format(col="text")}) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS token_entropy
+FROM dt GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- per-source Jensen-Shannon divergence vs the whole corpus ---
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the full corpus's — the distribution-shift monitor
+    a mixture-curation pipeline trends per ingest source: a source
+    drifting from the corpus (template floods, language shift, spam
+    bursts) spikes its JSD long before downstream evals move.
+
+    Scale shape: composes on the shared pinned (doc, token, n) frame;
+    the doc→source dim rides in as a broadcast, then ONE (source,
+    token) combine. The corpus-wide token count attaches via a
+    token-partitioned window over the SAME frame — a groupBy+join-back
+    would sort-merge two vocabulary-sized relations; the window needs
+    only the one hash shuffle on the token. The q-side sum over tokens
+    ABSENT from a source — naively a |sources|×|vocab| cross join —
+    collapses algebraically: absent tokens contribute q·ln2, so their
+    total is (1 − Σ_present q)·ln 2, computable from the present rows
+    alone. The per-source totals and the grand total ride back as
+    broadcasts (|sources| rows and 1 row). JSD is in nats, rounded to
+    6."""
+    from pyspark.sql import Window
+
+    per_doc = _doc_token_counts(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    st = (
+        per_doc.join(F.broadcast(docs), "doc_id")
+        .groupBy("source", "w")
+        .agg(F.sum("n").alias("n"))
+    )
+    srctot = st.groupBy("source").agg(F.sum("n").alias("s"))
+    grand = srctot.agg(F.sum("s").alias("t"))
+    p = F.col("n") / F.col("s")
+    q = F.col("gn") / F.col("t")
+    ln2 = float(__import__("math").log(2.0))
+    return (
+        st.withColumn("gn", F.sum("n").over(Window.partitionBy("w")))
+        .join(F.broadcast(srctot), "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            rnd(
+                0.5 * F.sum(p * F.log(2.0 * p / (p + q)))
+                + 0.5
+                * (
+                    F.sum(q * F.log(2.0 * q / (p + q)))
+                    + (1.0 - F.sum(q)) * ln2
+                ),
+                6,
+            ).alias("jsd_vs_corpus")
+        )
+        .orderBy("source")
+    )
+
+
+JS_DIVERGENCE_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (
+    SELECT doc_id, unnest({DUCK_WORDS.format(col="text")}) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+), st AS (
+  SELECT source, w, sum(n) AS n
+  FROM dt JOIN documents USING (doc_id)
+  GROUP BY 1, 2
+), gt AS (SELECT w, sum(n) AS gn FROM st GROUP BY 1),
+srctot AS (SELECT source, sum(n) AS s FROM st GROUP BY 1),
+grand AS (SELECT sum(s) AS t FROM srctot)
+SELECT source,
+       round(0.5 * sum((n*1.0/s) * ln(2.0*(n*1.0/s)/((n*1.0/s)+(gn*1.0/t))))
+           + 0.5 * (sum((gn*1.0/t) * ln(2.0*(gn*1.0/t)/((n*1.0/s)+(gn*1.0/t))))
+                    + (1 - sum(gn*1.0/t)) * ln(2)), 6) AS jsd_vs_corpus
+FROM st JOIN gt USING (w) JOIN srctot USING (source) CROSS JOIN grand
+GROUP BY source
+ORDER BY source
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -4138,4 +4282,7 @@ CORPUS_QUERIES = {
     "txt_readability_profile": (readability_profile, READABILITY_SQL),
     "smp_epoch_allocation": (epoch_allocation, EPOCH_ALLOC_SQL),
     "dd_shingle_df_spectrum": (shingle_df_spectrum, SHINGLE_SPECTRUM_SQL),
+    # round-9 session-2 additions APPEND (merged order is sample surface)
+    "txt_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
+    "txt_js_divergence_sources": (js_divergence_sources, JS_DIVERGENCE_SQL),
 }

@@ -1972,6 +1972,94 @@ FROM raw
 """
 
 
+# --- Z-order layout plan: multi-dimensional clustering for data skipping ---
+_Z_BITS = 10  # 10 bits per dimension → 20-bit Morton code
+_Z_FILE_SHIFT = 14  # file = top 6 Morton bits → ≤64 key-range files
+
+
+def _morton(col_hi: F.Column, col_lo: F.Column) -> F.Column:
+    """Bit-interleaved (Morton / Z-order) code of two _Z_BITS-wide
+    values — col_hi takes the odd bit positions. Pure JVM integer
+    expressions (shift/mask/multiply), whole-stage-codegen friendly."""
+    terms = []
+    for i in range(_Z_BITS):
+        bit_hi = F.shiftright(col_hi, i).bitwiseAND(F.lit(1))
+        bit_lo = F.shiftright(col_lo, i).bitwiseAND(F.lit(1))
+        terms.append(bit_hi * F.lit(4**i * 2) + bit_lo * F.lit(4**i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout plan over the event stream — the
+    data-layout optimization behind multi-dimensional data skipping
+    (Delta OPTIMIZE ZORDER, Iceberg sort orders): interleave the bits
+    of the two query dimensions (user bucket, day bucket) so files
+    cluster in BOTH, letting min/max file stats prune either predicate.
+    Output: one row per planned file (a fixed Morton-prefix key range)
+    with its row count and per-dimension spread — the before/after
+    evidence a compaction job logs.
+
+    Scale shape: the Morton code is a pure integer expression inside
+    the scan projection; the plan is ONE map-side-combined groupBy on
+    the file prefix (≤2^(20−shift) groups). Files are fixed KEY-RANGE
+    buckets, not equal-count splits — equal-count needs a distributed
+    range-partitioned sort (what a real write path does with
+    repartitionByRange); a key-range plan needs no sort at all and the
+    row-count column makes any density skew visible to the planner."""
+    ev = load_table(spark, sf_dir, "events")
+    ub = (F.col("user_id") % F.lit(1 << _Z_BITS)).cast("int")
+    db = (
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        % F.lit(1 << _Z_BITS)
+    ).cast("int")
+    coded = ev.select(
+        ub.alias("ub"), db.alias("db"), _morton(ub, db).alias("zkey")
+    )
+    return (
+        coded.groupBy(
+            F.shiftright("zkey", _Z_FILE_SHIFT).cast("bigint").alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("ub").alias("n_user_buckets"),
+            F.countDistinct("db").alias("n_day_buckets"),
+            F.min("zkey").cast("bigint").alias("z_min"),
+            F.max("zkey").cast("bigint").alias("z_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_sql() -> str:
+    def spread(col: str, hi: bool) -> str:
+        return " + ".join(
+            f"((({col} >> {i}) & 1) * {4**i * (2 if hi else 1)})"
+            for i in range(_Z_BITS)
+        )
+
+    return f"""
+WITH base AS (
+  SELECT CAST(user_id % {1 << _Z_BITS} AS INT) AS ub,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              % {1 << _Z_BITS} AS INT) AS db
+  FROM events
+), z AS (
+  SELECT ub, db, {spread('ub', True)} + {spread('db', False)} AS zkey
+  FROM base
+)
+SELECT CAST(zkey >> {_Z_FILE_SHIFT} AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT ub) AS BIGINT) AS n_user_buckets,
+       CAST(count(DISTINCT db) AS BIGINT) AS n_day_buckets,
+       CAST(min(zkey) AS BIGINT) AS z_min,
+       CAST(max(zkey) AS BIGINT) AS z_max
+FROM z GROUP BY 1 ORDER BY file_id
+"""
+
+
 EXT_QUERIES = {
     "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
@@ -2005,4 +2093,6 @@ EXT_QUERIES = {
     "a16_retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "a17_value_concentration": (value_concentration, CONCENTRATION_SQL),
     "sk_key_skew_report": (key_skew_report, KEY_SKEW_SQL),
+    # round-9 session-2 additions APPEND (merged order is sample surface)
+    "lay_zorder_compaction_plan": (zorder_compaction_plan, _zorder_sql()),
 }

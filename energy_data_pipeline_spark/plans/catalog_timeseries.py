@@ -1157,6 +1157,129 @@ FROM pick WHERE rk = 1
 """
 
 
+# --- Markov transition matrix over per-user event sequences ---
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) pair, how often a user's next event is
+    `to_type` given the current is `from_type`, with the conditional
+    probability. The sequence-mining primitive behind next-action
+    prediction features and anomalous-flow detection.
+
+    Scale shape: ONE events scan; the lead() window shuffles the
+    stream once on user_id (each user's timeline sorts independently —
+    no global sort), the pair count is a map-side-combined groupBy
+    over a |types|² domain, and the row-normalization runs as a window
+    over that tiny matrix, never a second pass. Ordering ties break on
+    event_id so both engines see the same successor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return (
+        counts.withColumn(
+            "p_transition", rnd(F.col("n_transitions") / row_total, 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions,
+       round(count(*) * 1.0 /
+             sum(count(*)) OVER (PARTITION BY from_type), 6) AS p_transition
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+"""
+
+
+# --- SCD2 history build: dominant activity type per user over time ---
+def scd2_dominant_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    each user's dominant daily event type, collapsed into validity
+    ranges [valid_from, valid_to] over consecutive observations — the
+    change-data-capture shape that turns an append-only fact stream
+    into a versioned dimension. Runs of the same dominant type merge
+    (gap days with no events don't split a run — observation
+    semantics, the standard SCD2-from-events convention).
+
+    Scale shape: ONE events scan into a (user, day, type) map-side-
+    combined aggregate — the only event-volume shuffle; the daily-mode
+    rank, the two run-id row_numbers (the gaps-and-islands trick) and
+    the final range collapse all run over the user×day-sized frame.
+    Mode ties break on type name so both engines pick one winner."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", "day").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+    )
+    dom = daily.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+    rn_all = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    rn_type = F.row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy("day")
+    )
+    runs = dom.select(
+        "user_id",
+        "day",
+        F.col("event_type").alias("dominant_type"),
+        (rn_all - rn_type).alias("_grp"),
+    )
+    return (
+        runs.groupBy("user_id", "dominant_type", "_grp")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("valid_to"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .select("user_id", "dominant_type", "valid_from", "valid_to", "n_days")
+        .orderBy("user_id", "valid_from", "dominant_type")
+    )
+
+
+SCD2_HISTORY_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), dom AS (
+  SELECT user_id, day, event_type FROM (
+    SELECT user_id, day, event_type,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY n DESC, event_type) AS rk
+    FROM daily) WHERE rk = 1
+), runs AS (
+  SELECT user_id, day, event_type AS dominant_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY day)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY day) AS grp
+  FROM dom
+)
+SELECT user_id, dominant_type,
+       strftime(min(day), '%Y-%m-%d') AS valid_from,
+       strftime(max(day), '%Y-%m-%d') AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM runs GROUP BY user_id, dominant_type, grp
+ORDER BY user_id, valid_from, dominant_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -1180,4 +1303,13 @@ TIMESERIES_QUERIES = {
     "st_time_to_convert": (time_to_convert, TIME_TO_CONVERT_SQL),
     "ts_autocorrelation": (autocorrelation, AUTOCORR_SQL),
     "ts_cusum_changepoints": (cusum_changepoints, CUSUM_SQL),
+    # round-9 session-2 additions APPEND (merged order is sample surface)
+    "st_event_transition_matrix": (
+        event_transition_matrix,
+        TRANSITION_MATRIX_SQL,
+    ),
+    "cdc_scd2_type_history": (
+        scd2_dominant_type_history,
+        SCD2_HISTORY_SQL,
+    ),
 }

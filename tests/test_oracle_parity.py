@@ -64,6 +64,21 @@ NEVER_DRIVER_SAMPLED = {
     "smp_epoch_allocation",
     "dd_shingle_df_spectrum",
     "sk_key_skew_report",
+    # round-9 session-2 additions (the seven adapted TPC-H shapes that
+    # complete the 22-shape sweep) — outside the r9 50-slot sample
+    # window, so their first driver hash lands in a later round.
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_delay_priority_audit",
+    "q16_part_supplier_variety",
+    "q20_candidate_suppliers",
+    "q21_sole_slow_shipper",
+    "st_event_transition_matrix",
+    "cdc_scd2_type_history",
+    "txt_token_entropy",
+    "txt_js_divergence_sources",
+    "lay_zorder_compaction_plan",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

@@ -647,3 +647,103 @@ def test_time_to_convert_pushes_type_filter(spark):
     plan = plan_of(fn(spark, SF))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("In(event_type" in ln for ln in pushed), pushed
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q11_important_parts",
+        "q12_delay_priority_audit",
+        "q16_part_supplier_variety",
+        "q20_candidate_suppliers",
+        "q21_sole_slow_shipper",
+    ],
+)
+def test_tpch_completion_single_fact_scan_no_smj(spark, name):
+    """The seven adapted shapes that complete the 22-shape TPC-H sweep
+    each read lineitem exactly once (the correlated subqueries are
+    decorrelated into windows over pair-sized aggregates, never a
+    join-back that re-derives the fact subtree), join every dim via
+    broadcast, and partial-aggregate before their one fact shuffle."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan, plan[:2000]
+
+
+def test_tpch_completion_dim_filters_reach_scans(spark):
+    """Each adapted shape's selective dim predicate must land in
+    PushedFilters at the dim scan (LIKE-contains for Q9, NOT/IN for
+    Q16, prefix-LIKE for Q20, status equality for Q21, region for Q2)
+    — never a post-join residual."""
+    expectations = {
+        "q2_min_cost_supplier": ["EqualTo(r_name,EUROPE)", "EqualTo(p_size,15)"],
+        "q9_product_type_profit": ["StringContains(p_name,bolt)"],
+        "q11_important_parts": ["EqualTo(n_name,NATION_7)"],
+        "q12_delay_priority_audit": ["GreaterThanOrEqual(l_shipdate,"],
+        "q16_part_supplier_variety": [
+            "Not(EqualTo(p_brand,Brand#45))",
+            "Not(StringStartsWith(p_type,MEDIUM))",
+            "LessThan(s_acctbal,0.0)",
+        ],
+        "q20_candidate_suppliers": [
+            "StringStartsWith(p_name,small)",
+            "In(n_name, [NATION_3,NATION_4,NATION_5])",
+        ],
+        "q21_sole_slow_shipper": ["EqualTo(o_orderstatus,F)"],
+    }
+    for name, frags in expectations.items():
+        fn, _ = CATALOG[name]
+        plan = plan_of(fn(spark, SF))
+        pushed = "\n".join(
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        )
+        for frag in frags:
+            assert frag in pushed, (name, frag, pushed)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "st_event_transition_matrix",
+        "cdc_scd2_type_history",
+        "lay_zorder_compaction_plan",
+    ],
+)
+def test_round9b_event_queries_single_scan(spark, name):
+    """The transition matrix, the SCD2 history build and the Z-order
+    layout plan each read events exactly once; everything after the
+    first shuffle runs on pair-/user×day-/file-sized frames. No
+    sort-merge joins, no cartesian, and the aggregate paths partial-
+    aggregate before the shuffle (the Morton groupBy and the daily
+    combine are map-side-combined)."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    if name != "st_event_transition_matrix":  # windows before first agg
+        assert "partial_" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["txt_token_entropy", "txt_js_divergence_sources"]
+)
+def test_round9b_distribution_queries_reuse_pinned_tokens(spark, name):
+    """Entropy and JS divergence compose on the ONE pinned
+    (doc, token, n) frame — the plan must read it via
+    InMemoryTableScan (the explode runs once per snapshot, not once
+    per query), and the JSD's absent-token side must be the algebraic
+    residual, never a |sources|x|vocab| cross join of the vocabulary."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
