@@ -655,15 +655,17 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type, size) group, with a brand/type/size exclusion list
     and a supplier blacklist. partsupp is absent, so lineitem's
     distinct (partkey, suppkey) pairs stand in; the complaints
-    predicate becomes s_acctbal < 0. Plan: ONE distinct-pair dedup
-    shuffle over the fact scan (two columns only), the part dim
-    filter broadcast onto the pairs, the blacklist as a broadcast
-    LEFT ANTI join (the NOT-IN decorrelation — sound because
-    s_suppkey is never null), then count distinct per group."""
+    predicate becomes s_acctbal < 0. Plan: the part-attribute filter
+    and the supplier blacklist apply BEFORE the distinct-pair dedup —
+    both are sound there (the filter touches only part attributes
+    riding the broadcast join; the anti-join removes whole suppliers
+    independent of dedup), so the one fact-volume shuffle deduplicates
+    only the qualifying slice instead of every pair. The blacklist is
+    a broadcast LEFT ANTI join (the NOT-IN decorrelation — sound
+    because s_suppkey is never null), then count distinct per group."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     qual_part = part.filter(
         (F.col("p_brand") != "Brand#45")
         & (~F.col("p_type").startswith("MEDIUM"))
@@ -671,12 +673,15 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     blacklist = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        pairs.join(F.broadcast(qual_part), pairs.l_partkey == F.col("p_partkey"))
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(qual_part), li.l_partkey == F.col("p_partkey"))
         .join(
             F.broadcast(blacklist),
-            pairs.l_suppkey == F.col("s_suppkey"),
+            li.l_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
+        .select("l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")

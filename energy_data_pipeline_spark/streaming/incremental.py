@@ -441,6 +441,56 @@ WATERMARK_OUTPUT_SCHEMA = StructType(
 )
 
 
+def hll_register_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> None:
+    """Incremental HyperLogLog register maintenance: each micro-batch
+    computes its own (bucket, rho) partial registers and MAX-merges
+    them into a persistent register table — the streaming
+    approximate-COUNT-DISTINCT whose state is ≤ m rows FOREVER,
+    regardless of how many events or distinct keys flow through.
+
+    This is the mergeability property doing real work: the register
+    table after any sequence of micro-batches is bit-identical to the
+    batch registers over the union of their rows (md5 hashing — no
+    seeded JVM hash, no RNG), so the converged streaming estimate
+    EQUALS the batch query's (`sk_hll_distinct_report`). Re-delivered
+    rows are absorbed by MAX (idempotent), so at-least-once sources
+    need no dedup in front. The merge runs over ≤ 2m rows per batch —
+    the 100 TB cost lives entirely in the per-batch map-side register
+    fold.
+    """
+    from ..operators import sketches as SK
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = SK.hll_registers(batch_df, key_col)
+        try:
+            existing = spark.read.parquet(table_path)
+            merged = SK.merge_registers(existing, delta)
+        except Exception:  # first batch: no table yet
+            merged = delta.select("bucket", "rho")
+        # ≤ m rows: stage to driver, rewrite atomically via overwrite
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(table_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _update_watermark(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],

@@ -79,6 +79,8 @@ NEVER_DRIVER_SAMPLED = {
     "txt_token_entropy",
     "txt_js_divergence_sources",
     "lay_zorder_compaction_plan",
+    "sk_hll_distinct_report",
+    "sk_cms_heavy_hitters",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

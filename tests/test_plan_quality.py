@@ -747,3 +747,30 @@ def test_round9b_distribution_queries_reuse_pinned_tokens(spark, name):
     assert "InMemoryTableScan" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_register_aggregate_is_single_distinct_pass(spark):
+    """The HLL report must be: one events scan → one distinct shuffle →
+    a 256-row register aggregate. The exact count must read off the
+    register frame's n_keys sums — never a second count-distinct branch
+    over the raw stream."""
+    fn, _ = CATALOG["sk_hll_distinct_report"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan, plan[:2000]
+
+
+def test_cms_sketch_builds_from_pinned_per_key_counts(spark):
+    """CMS linearity: the sketch and the top-k probe must BOTH read the
+    pinned per-user aggregate (InMemoryTableScan — one raw-events
+    pass), and the probe side must join the sketch as a broadcast,
+    never shuffle the sketch against the probes."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["sk_cms_heavy_hitters"]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan

@@ -504,3 +504,51 @@ def test_interval_join_stream_left_outer_emits_abandonment(spark, dirs):
     assert len(by_left[2]) == 1, by_left[2]
     assert by_left[2][0]["right_id"] is None
     assert by_left[2][0]["lag_seconds"] is None
+
+
+def test_hll_register_stream_converges_to_batch_registers(spark, dirs):
+    """Streaming HLL register maintenance: two micro-batched halves plus
+    a full redelivery of the first half must converge to EXACTLY the
+    batch registers over the union (MAX-merge absorbs both the split
+    and the duplicates), and the converged estimate must equal the
+    batch estimate to the last bit."""
+    from energy_data_pipeline_spark.operators import sketches as SK
+    from energy_data_pipeline_spark.streaming.incremental import (
+        hll_register_stream,
+        read_event_stream,
+    )
+
+    half1 = [(i, i, 100 + i, "click", 1.0) for i in range(40)]
+    half2 = [(100 + i, 50 + i, 200 + i, "view", 2.0) for i in range(40)]
+
+    _mk_batch(spark, half1).write.mode("append").parquet(dirs["landing"])
+    hll_register_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        dirs["ckpt"],
+    )
+    # second half + a FULL redelivery of half1 (at-least-once source)
+    _mk_batch(spark, half2).write.mode("append").parquet(dirs["landing"])
+    _mk_batch(
+        spark, [(1000 + i, m, u, t, v) for (i, m, u, t, v) in half1]
+    ).write.mode("append").parquet(dirs["landing"])
+    hll_register_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        dirs["ckpt"],
+    )
+
+    streamed = {
+        (r["bucket"], r["rho"])
+        for r in spark.read.parquet(dirs["table"]).collect()
+    }
+    batch_reg = SK.hll_registers(
+        _mk_batch(spark, half1 + half2), "user_id"
+    )
+    expected = {(r["bucket"], r["rho"]) for r in batch_reg.collect()}
+    assert streamed == expected
+
+    est_stream = SK.hll_estimate(spark.read.parquet(dirs["table"])).collect()[0]
+    est_batch = SK.hll_estimate(batch_reg).collect()[0]
+    assert est_stream["hll_estimate"] == est_batch["hll_estimate"]
+    assert est_stream["n_registers_used"] == est_batch["n_registers_used"]
