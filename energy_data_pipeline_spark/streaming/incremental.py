@@ -491,6 +491,73 @@ def hll_register_stream(
     q.awaitTermination()
 
 
+def cms_sketch_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> None:
+    """Incremental Count-Min sketch maintenance: each micro-batch folds
+    its rows into per-(row, bucket) counter deltas and SUM-merges them
+    into a persistent d×w counter table — streaming heavy-hitter state
+    bounded at d·w rows forever. CMS is LINEAR, so the merged table
+    after any micro-batch split equals the batch sketch over the union
+    of the rows exactly (md5 hashing, engine-deterministic); unlike the
+    HLL register MAX-merge this one is NOT redelivery-idempotent
+    (counters add), so it belongs behind the checkpointed exactly-once
+    source this writer configures."""
+    from ..plans.catalog_ext import _CMS_D, _CMS_W
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
+        bucket = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("row_i").cast("string"),
+                        F.lit(":"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % F.lit(_CMS_W)
+        delta = (
+            batch_df.select(F.col(key_col), F.explode(rows_arr).alias("row_i"))
+            .groupBy(F.col("row_i"), bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        try:
+            existing = spark.read.parquet(table_path)
+            merged = (
+                existing.select("row_i", "bucket", "c")
+                .unionByName(delta)
+                .groupBy("row_i", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        except Exception:  # first batch: no table yet
+            merged = delta
+        rows = merged.collect()  # ≤ d*w rows by construction
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(table_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _update_watermark(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],

@@ -758,3 +758,58 @@ def test_publish_dashboard_snapshot_atomic_versions(spark, sf_small, tmp_path):
         spark, root, "ts_daily_peak_hours", version=m1["version"]
     )
     assert old.count() == peaks_v1.count()
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, sf_small, tmp_path):
+    """Z-order compaction: after the rewrite, a narrow range predicate
+    on EITHER clustered dimension (user_id, ts) must touch a strict
+    subset of files — judged from the parquet footer min/max alone,
+    the same metadata a data-skipping reader uses. A time-sorted
+    layout (the naive compaction) prunes ts but NOT user_id; z-order
+    must beat it on the user dimension while still pruning time."""
+    from energy_data_pipeline_spark.jobs.compaction import (
+        skipping_effectiveness,
+        zorder_rewrite,
+    )
+    from energy_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    n_before = ev.count()
+
+    zpath = str(tmp_path / "events_zorder")
+    zorder_rewrite(ev, zpath, n_files=8)
+    out = spark.read.parquet(zpath)
+    assert out.count() == n_before
+    assert set(out.columns) == set(ev.columns)
+
+    # the naive alternative: sort by time only
+    tpath = str(tmp_path / "events_timesort")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+
+    users = sorted(r["user_id"] for r in ev.select("user_id").distinct().collect())
+    lo_u, hi_u = users[0], users[max(0, len(users) // 20 - 1)]  # ~5% of users
+    z_user = skipping_effectiveness(spark, zpath, "user_id", lo_u, hi_u)
+    t_user = skipping_effectiveness(spark, tpath, "user_id", lo_u, hi_u)
+    # z-order prunes the user dimension; the time-sorted layout cannot
+    assert z_user["fraction_touched"] < 1.0, z_user
+    assert z_user["fraction_touched"] < t_user["fraction_touched"], (
+        z_user,
+        t_user,
+    )
+
+    # and it still prunes time better than reading everything
+    import datetime as _dt
+
+    z_time = skipping_effectiveness(
+        spark,
+        zpath,
+        "ts",
+        _dt.datetime(2024, 1, 1),
+        _dt.datetime(2024, 1, 3),
+    )
+    assert z_time["fraction_touched"] < 1.0, z_time

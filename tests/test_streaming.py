@@ -552,3 +552,74 @@ def test_hll_register_stream_converges_to_batch_registers(spark, dirs):
     est_batch = SK.hll_estimate(batch_reg).collect()[0]
     assert est_stream["hll_estimate"] == est_batch["hll_estimate"]
     assert est_stream["n_registers_used"] == est_batch["n_registers_used"]
+
+
+def test_cms_sketch_stream_equals_batch_sketch(spark, dirs):
+    """CMS linearity under micro-batching: streaming the rows in two
+    halves must produce EXACTLY the batch sketch over their union —
+    same (row, bucket, count) triples — and the min-over-rows estimate
+    for every key must upper-bound its true count."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.plans.catalog_ext import _CMS_D, _CMS_W
+    from energy_data_pipeline_spark.streaming.incremental import (
+        cms_sketch_stream,
+        read_event_stream,
+    )
+
+    half1 = [(i, i, 100 + i % 7, "click", 1.0) for i in range(30)]
+    half2 = [(100 + i, 40 + i, 100 + i % 5, "view", 2.0) for i in range(30)]
+
+    _mk_batch(spark, half1).write.mode("append").parquet(dirs["landing"])
+    cms_sketch_stream(
+        read_event_stream(spark, dirs["landing"]), dirs["table"], dirs["ckpt"]
+    )
+    _mk_batch(spark, half2).write.mode("append").parquet(dirs["landing"])
+    cms_sketch_stream(
+        read_event_stream(spark, dirs["landing"]), dirs["table"], dirs["ckpt"]
+    )
+
+    streamed = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(dirs["table"]).collect()
+    }
+
+    batch = _mk_batch(spark, half1 + half2)
+    rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("row_i").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(_CMS_W)
+    expected = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in batch.select("user_id", F.explode(rows_arr).alias("row_i"))
+        .groupBy(F.col("row_i"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert streamed == expected
+
+    # estimate(key) = min over rows of its bucket counters >= true count
+    true_counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import hashlib
+
+    for uid, n in true_counts.items():
+        est = min(
+            streamed[(i, int(hashlib.md5(f"{i}:{uid}".encode()).hexdigest()[:8], 16) % _CMS_W)]
+            for i in range(_CMS_D)
+        )
+        assert est >= n, (uid, est, n)
