@@ -4212,6 +4212,100 @@ ORDER BY source
 """
 
 
+# --- embedding covariance matrix (PCA / whitening input) ---
+def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding dimensions —
+    the d×d statistic every PCA / whitening / Mahalanobis-distance
+    stage of an embedding-QC pipeline starts from, in scalar long form
+    (di, dj, cov).
+
+    Scale shape: covariance decomposes into sums of outer products —
+    cov(i,j) = (Σ vᵢvⱼ − Σvᵢ·Σvⱼ/n)/(n−1) — so the d(d+1)/2 product
+    terms are generated per row by a nested array transform (a NARROW
+    expression: no self-join of the exploded frame, which would
+    shuffle corpus×d rows twice) and folded by ONE map-side-combined
+    groupBy into d(d+1)/2 cells. The per-dimension sums ride back as a
+    d-row broadcast. The oracle uses the SAME sum-of-products algebra,
+    so the two engines fold identical addends and rounding to 6
+    absorbs ordering ulps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    pairs = F.flatten(
+        F.transform(
+            e,
+            lambda v, i: F.transform(
+                F.slice(e, i + 1, F.size(e) - i),
+                # cast BEFORE the multiply: float32*float32 rounds the
+                # product to float32, the oracle multiplies doubles
+                lambda w, j: F.struct(
+                    i.alias("di"),
+                    (i + j).alias("dj"),
+                    (v.cast("double") * w.cast("double")).alias("prod"),
+                ),
+            ),
+        )
+    )
+    sums = (
+        emb.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            (F.col("p.di") + 1).alias("di"), (F.col("p.dj") + 1).alias("dj")
+        )
+        .agg(F.sum("p.prod").alias("s_ij"), F.count(F.lit(1)).alias("n"))
+    )
+    # the d per-dimension sums ride back as ONE broadcast array row
+    # (joining a dim_sums frame twice would re-derive its scan twice —
+    # three embeddings reads total instead of two)
+    dim_sums = (
+        emb.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy((F.col("i") + 1).alias("i"))
+        .agg(F.sum(F.col("v").cast("double")).alias("s"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "s"))).alias("_sums")
+        )
+    )
+    s_at = lambda d: F.element_at(  # noqa: E731
+        F.col("_sums"), F.col(d).cast("int")
+    ).getField("s")
+    return (
+        sums.crossJoin(F.broadcast(dim_sums))
+        .withColumn("s_i", s_at("di"))
+        .withColumn("s_j", s_at("dj"))
+        .select(
+            F.col("di").cast("bigint").alias("di"),
+            F.col("dj").cast("bigint").alias("dj"),
+            rnd(
+                (F.col("s_ij") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("di", "dj")
+    )
+
+
+COVARIANCE_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+), prods AS (
+  SELECT a.i AS di, b.i AS dj,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS s_ij,
+         count(*) AS n
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+), dim_sums AS (
+  SELECT i, sum(CAST(v AS DOUBLE)) AS s FROM x GROUP BY 1
+)
+SELECT CAST(di AS BIGINT) AS di, CAST(dj AS BIGINT) AS dj,
+       round((s_ij - sa.s * sb.s / n) / (n - 1), 6) AS cov
+FROM prods
+JOIN dim_sums sa ON di = sa.i
+JOIN dim_sums sb ON dj = sb.i
+ORDER BY di, dj
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -4299,4 +4393,5 @@ CORPUS_QUERIES = {
     # round-9 session-2 additions APPEND (merged order is sample surface)
     "txt_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
     "txt_js_divergence_sources": (js_divergence_sources, JS_DIVERGENCE_SQL),
+    "emb_covariance_matrix": (covariance_matrix, COVARIANCE_SQL),
 }

@@ -1990,6 +1990,51 @@ FROM raw
 """
 
 
+# --- OLAP ROLLUP: subtotal lattice with grouping ids ---
+def type_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(event_type, day) — the OLAP subtotal lattice
+    (detail rows, per-type subtotals, grand total) in ONE pass with
+    grouping_id disambiguating the levels. Spark expands the rollup
+    into a single Expand+aggregate (one scan, one shuffle, partial
+    aggregation per grouping set — never one aggregate job per level);
+    the engines' grouping-bit conventions agree here by construction
+    (first rollup column = high bit). NULL group labels are rendered
+    as 'ALL' so the output is scalar-stable for the driver hash."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return (
+        ev.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(
+                F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")
+            ).alias("day"),
+            "grp_id",
+            "n_events",
+            "total_value",
+        )
+        .orderBy(F.col("grp_id").desc(), "event_type", "day")
+    )
+
+
+TYPE_DAY_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL') AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+         AS grp_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+ORDER BY grp_id DESC, event_type, day
+"""
+
+
 # --- Z-order layout plan: multi-dimensional clustering for data skipping ---
 _Z_BITS = 10  # 10 bits per dimension → 20-bit Morton code
 _Z_FILE_SHIFT = 14  # file = top 6 Morton bits → ≤64 key-range files
@@ -2297,4 +2342,5 @@ EXT_QUERIES = {
     "lay_zorder_compaction_plan": (zorder_compaction_plan, _zorder_sql()),
     "sk_hll_distinct_report": (hll_distinct_report, HLL_REPORT_SQL),
     "sk_cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
+    "a18_type_day_rollup": (type_day_rollup, TYPE_DAY_ROLLUP_SQL),
 }

@@ -81,6 +81,8 @@ NEVER_DRIVER_SAMPLED = {
     "lay_zorder_compaction_plan",
     "sk_hll_distinct_report",
     "sk_cms_heavy_hitters",
+    "a18_type_day_rollup",
+    "emb_covariance_matrix",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

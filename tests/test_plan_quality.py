@@ -774,3 +774,32 @@ def test_cms_sketch_builds_from_pinned_per_key_counts(spark):
     assert "InMemoryTableScan" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """The ROLLUP lattice must compile to ONE Expand + aggregate over a
+    single events scan (Spark's grouping-sets expansion) — never one
+    aggregate job per subtotal level — with partial aggregation before
+    the shuffle."""
+    fn, _ = CATALOG["a18_type_day_rollup"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "Expand" in plan, plan[:2000]
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_covariance_is_narrow_fold_not_self_join(spark):
+    """The covariance query must generate its d(d+1)/2 product terms by
+    a narrow array transform folded in ONE map-side-combined groupBy —
+    never by self-joining the exploded (vec, dim) frame, which would
+    shuffle corpus x d rows twice. The d dimension sums ride back as
+    ONE broadcast array row (BroadcastNestedLoopJoin with a 1-row
+    build side — the repo's scalar-broadcast pattern); embeddings is
+    read at most twice (products + sums)."""
+    fn, _ = CATALOG["emb_covariance_matrix"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("embeddings.parquet") <= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "partial_" in plan
