@@ -2354,3 +2354,75 @@ def test_pq_train_handles_fewer_vectors_than_k(spark):
     for r in codes:
         for mi in range(pq.PQ_M):
             assert 0 <= r[f"code{mi}"] < 12
+
+
+class TestSketchPrimitives:
+    """operators/sketches.py kernel invariants — independently checked
+    against Python's hashlib so the Spark expressions and the DuckDB
+    oracle can't share a common bug."""
+
+    def test_hll_hash_matches_python_md5(self, spark):
+        import hashlib
+
+        from energy_data_pipeline_spark.operators import sketches as SK
+
+        df = spark.createDataFrame([(k,) for k in (0, 1, 42, 10**12)], "k long")
+        got = {
+            r["k"]: r["hv"]
+            for r in df.select("k", SK.hll_hash(F.col("k")).alias("hv")).collect()
+        }
+        for k, hv in got.items():
+            expected = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            assert hv == expected, (k, hv, expected)
+
+    def test_hll_rho_counts_leading_zeros(self, spark):
+        """rho over the 52-bit word: w with bit_length b → 53 − b; the
+        all-zeros word → 53 (sentinel). Checked on constructed hv
+        values where the word is exact."""
+        from energy_data_pipeline_spark.operators import sketches as SK
+
+        # hv = w * 256 + bucket: choose bucket 0 so w = hv >> 8 exactly
+        cases = [
+            (1 << 8, 52),          # w = 1 → bit_length 1 → rho 52
+            ((1 << 51) << 8, 1),   # w = 2^51 → bit_length 52 → rho 1
+            (0, 53),               # w = 0 → sentinel
+            ((3 << 10) << 8, 41),  # w = 3*2^10 → bit_length 12 → rho 41
+        ]
+        df = spark.createDataFrame([(hv,) for hv, _ in cases], "hv long")
+        got = [
+            r["rho"]
+            for r in df.select(SK.hll_rho(F.col("hv")).alias("rho")).collect()
+        ]
+        assert got == [rho for _, rho in cases]
+
+    def test_merge_registers_is_max_and_idempotent(self, spark):
+        from energy_data_pipeline_spark.operators import sketches as SK
+
+        a = spark.createDataFrame(
+            [(0, 3), (1, 5)], "bucket long, rho int"
+        )
+        b = spark.createDataFrame(
+            [(0, 7), (2, 2)], "bucket long, rho int"
+        )
+        merged = {
+            (r["bucket"], r["rho"])
+            for r in SK.merge_registers(a, b).collect()
+        }
+        assert merged == {(0, 7), (1, 5), (2, 2)}
+        # self-merge is a no-op (idempotent under redelivery)
+        again = {
+            (r["bucket"], r["rho"])
+            for r in SK.merge_registers(a, a).collect()
+        }
+        assert again == {(0, 3), (1, 5)}
+
+    def test_hll_estimate_error_within_bound_at_1k_keys(self, spark):
+        """1000 distinct keys >> m=256 registers: the raw harmonic
+        estimator engages (no linear-counting) and must land within
+        3 standard errors (3 · 1.04/√256 ≈ 19.5%)."""
+        from energy_data_pipeline_spark.operators import sketches as SK
+
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        reg = SK.hll_registers(df, "k")
+        est = SK.hll_estimate(reg).collect()[0]["hll_estimate"]
+        assert abs(est - 1000) / 1000 < 0.195, est
