@@ -1990,6 +1990,154 @@ FROM raw
 """
 
 
+# --- grouped HLL: daily distinct-user estimates next to exact ---
+from ..operators.sketches import HLL_ALPHA as _HLL_ALPHA  # noqa: E402
+from ..operators.sketches import HLL_M as _HLL_M  # noqa: E402
+
+
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HyperLogLog distinct-user estimate next to the exact
+    count — the grouped form of ``sk_hll_distinct_report`` and the
+    shape a reporting pipeline actually runs (one register set per
+    group, folded in the same shuffle as the group-by). At 100 TB the
+    register table is |days|×m rows regardless of traffic. Same md5
+    register algebra (operators/sketches.py), same linear-counting
+    correction, per group."""
+    from ..operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    keyed = (
+        ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .select("day", SK.hll_hash(F.col("user_id")).alias("hv"))
+    )
+    reg = keyed.groupBy(
+        "day", SK.hll_bucket(F.col("hv")).alias("bucket")
+    ).agg(
+        F.max(SK.hll_rho(F.col("hv"))).alias("rho"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    m = float(_HLL_M)
+    agg = reg.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("sp"),
+        F.count(F.lit(1)).cast("double").alias("used"),
+        F.sum("n_keys").cast("bigint").alias("n_exact"),
+    )
+    raw = F.lit(_HLL_ALPHA) * m * m / (F.col("sp") + (m - F.col("used")))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("used") < m),
+        F.lit(m) * F.log(F.lit(m) / (m - F.col("used"))),
+    ).otherwise(raw)
+    return agg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_exact",
+        rnd(est, 4).alias("hll_estimate"),
+    ).orderBy("day")
+
+
+HLL_DAILY_SQL = f"""
+WITH dk AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+h AS (
+  SELECT day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+              AS BIGINT) AS hv
+  FROM dk
+), reg AS (
+  SELECT day, hv & {_HLL_M - 1} AS bucket,
+         max(CASE WHEN (hv >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(hv >> 8)) END) AS rho,
+         count(*) AS n_keys
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT day, sum(power(CAST(2 AS DOUBLE), -rho)) AS sp,
+         CAST(count(*) AS DOUBLE) AS used,
+         sum(n_keys) AS n_exact
+  FROM reg GROUP BY 1
+), e AS (
+  SELECT day, n_exact, used,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+           / (sp + ({float(_HLL_M)!r} - used)) AS raw
+  FROM agg
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(CASE WHEN raw <= 2.5 * {float(_HLL_M)!r}
+                   AND used < {float(_HLL_M)!r}
+             THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                                         / ({float(_HLL_M)!r} - used))
+             ELSE raw END, 4) AS hll_estimate
+FROM e ORDER BY day
+"""
+
+
+# --- Pareto concentration: how few users carry the value ---
+def pareto_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 table: the minimum number (and fraction) of top users
+    whose summed value reaches 50 / 80 / 90 % of the grand total — the
+    concentration statement behind whale-account dashboards and
+    value-weighted sampling decisions.
+
+    Scale shape: ONE events scan into the per-user aggregate; the
+    ordered cumulative window runs over the USER-sized profile (the
+    repo's established stratum-sized-window rule — an ordered
+    unpartitioned window over raw events would be the scale-killer,
+    over the entity profile it is |users| rows). Per-user totals round
+    to 4 BEFORE ranking; the cumulative sum folds in the identical
+    deterministic order in both engines, so the boundary compare
+    cannot drift."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        rnd(F.sum("value"), 4).alias("total")
+    )
+    w_ord = Window.orderBy(F.col("total").desc(), F.col("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("total").desc(), F.col("user_id")))
+        .alias("rk"),
+        F.sum("total").over(w_ord).alias("cum"),
+        F.sum("total").over(w_all).alias("grand"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"),
+    )
+    pcts = F.explode(F.array(F.lit(50), F.lit(80), F.lit(90))).alias("pct")
+    return (
+        ranked.select("rk", "cum", "grand", "n_users", pcts)
+        .filter(F.col("cum") >= F.col("grand") * F.col("pct") / 100.0)
+        .groupBy("pct")
+        .agg(
+            F.min("rk").cast("bigint").alias("n_users_needed"),
+            rnd(F.min("rk") / F.max("n_users"), 6).alias("user_fraction"),
+        )
+        .select(F.col("pct").cast("bigint").alias("pct"), "n_users_needed", "user_fraction")
+        .orderBy("pct")
+    )
+
+
+PARETO_SQL = """
+WITH per_user AS (
+  SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY 1
+), ranked AS (
+  SELECT total,
+         row_number() OVER (ORDER BY total DESC, user_id) AS rk,
+         sum(total) OVER (ORDER BY total DESC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+         sum(total) OVER () AS grand,
+         count(*) OVER () AS n_users
+  FROM per_user
+)
+SELECT CAST(t.pct AS BIGINT) AS pct,
+       CAST(min(rk) AS BIGINT) AS n_users_needed,
+       round(min(rk) * 1.0 / max(n_users), 6) AS user_fraction
+FROM ranked, (VALUES (50), (80), (90)) t(pct)
+WHERE cum >= grand * t.pct / 100.0
+GROUP BY t.pct ORDER BY pct
+"""
+
+
 # --- OLAP ROLLUP: subtotal lattice with grouping ids ---
 def type_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP(event_type, day) — the OLAP subtotal lattice
@@ -2124,8 +2272,6 @@ FROM z GROUP BY 1 ORDER BY file_id
 
 
 # --- HyperLogLog distinct-count sketch with accuracy report ---
-from ..operators.sketches import HLL_ALPHA as _HLL_ALPHA  # noqa: E402
-from ..operators.sketches import HLL_M as _HLL_M  # noqa: E402
 
 
 def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2343,4 +2489,6 @@ EXT_QUERIES = {
     "sk_hll_distinct_report": (hll_distinct_report, HLL_REPORT_SQL),
     "sk_cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL),
     "a18_type_day_rollup": (type_day_rollup, TYPE_DAY_ROLLUP_SQL),
+    "sk_hll_daily_users": (hll_daily_users, HLL_DAILY_SQL),
+    "a19_pareto_value_share": (pareto_value_share, PARETO_SQL),
 }

@@ -1280,6 +1280,80 @@ ORDER BY user_id, valid_from, dominant_type
 """
 
 
+# --- seasonality strength: how much of the variance is the daily cycle ---
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the fraction of hourly-total variance explained
+    by the hour-of-day profile: var(hour-of-day means) / var(hourly
+    series). Near 1 → the series IS its daily cycle (schedule-driven
+    load); near 0 → no daily seasonality. The one-number screen before
+    fitting any seasonal model or calendar-slot imputer.
+
+    Scale shape: ONE events scan into the (type, day, hour) aggregate;
+    the hour-of-day means attach to that SAME frame as a window over
+    (type, hour) with a first-row flag, so the profile statistics fall
+    out of the one final groupBy instead of a second aggregate branch
+    (which would re-derive the frame and scan events twice). Variances
+    are computed from explicit sums (n, Σx, Σx²) — the identical
+    algebra in both engines — rather than var_samp, whose streaming
+    implementations may disagree in the last ulps; hourly totals round
+    to 4 before squaring so both engines square identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(rnd(F.sum("value"), 4).alias("v"))
+    w_hr = Window.partitionBy("event_type", "hr")
+    annotated = hourly.withColumn(
+        "m", F.sum("v").over(w_hr) / F.count(F.lit(1)).over(w_hr)
+    ).withColumn(
+        "rn", F.row_number().over(w_hr.orderBy("day"))
+    )
+    first = F.col("rn") == 1
+    stats = annotated.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("v").alias("s_t"),
+        F.sum(F.col("v") * F.col("v")).alias("ss_t"),
+        F.sum(F.when(first, 1).otherwise(0)).alias("n_p"),
+        F.sum(F.when(first, F.col("m")).otherwise(0.0)).alias("s_p"),
+        F.sum(F.when(first, F.col("m") * F.col("m")).otherwise(0.0)).alias(
+            "ss_p"
+        ),
+    )
+    var = lambda ss, s, n: (  # noqa: E731
+        (F.col(ss) - F.col(s) * F.col(s) / F.col(n)) / (F.col(n) - 1)
+    )
+    return stats.select(
+        "event_type",
+        rnd(var("ss_p", "s_p", "n_p") / var("ss_t", "s_t", "n_t"), 6).alias(
+            "seasonality_strength"
+        ),
+    ).orderBy("event_type")
+
+
+SEASONALITY_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hr,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2, 3
+), total_stats AS (
+  SELECT event_type, count(*) AS n_t, sum(v) AS s_t, sum(v * v) AS ss_t
+  FROM hourly GROUP BY 1
+), prof AS (
+  SELECT event_type, hr, sum(v) / count(*) AS m FROM hourly GROUP BY 1, 2
+), prof_stats AS (
+  SELECT event_type, count(*) AS n_p, sum(m) AS s_p, sum(m * m) AS ss_p
+  FROM prof GROUP BY 1
+)
+SELECT event_type,
+       round(((ss_p - s_p * s_p / n_p) / (n_p - 1))
+             / ((ss_t - s_t * s_t / n_t) / (n_t - 1)), 6)
+         AS seasonality_strength
+FROM total_stats JOIN prof_stats USING (event_type)
+ORDER BY event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -1312,4 +1386,5 @@ TIMESERIES_QUERIES = {
         scd2_dominant_type_history,
         SCD2_HISTORY_SQL,
     ),
+    "ts_seasonality_strength": (seasonality_strength, SEASONALITY_SQL),
 }

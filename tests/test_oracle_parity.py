@@ -83,6 +83,9 @@ NEVER_DRIVER_SAMPLED = {
     "sk_cms_heavy_hitters",
     "a18_type_day_rollup",
     "emb_covariance_matrix",
+    "sk_hll_daily_users",
+    "a19_pareto_value_share",
+    "ts_seasonality_strength",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

@@ -803,3 +803,24 @@ def test_covariance_is_narrow_fold_not_self_join(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "partial_" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sk_hll_daily_users",
+        "a19_pareto_value_share",
+        "ts_seasonality_strength",
+    ],
+)
+def test_round9c_queries_single_scan(spark, name):
+    """Daily HLL, the Pareto table and seasonality strength each read
+    events exactly once; every later step runs on day×register-,
+    user-, or type-sized frames. Partial aggregation before the one
+    fact shuffle; no sort-merge joins or cartesian products."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
