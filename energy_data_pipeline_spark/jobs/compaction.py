@@ -29,9 +29,13 @@ __all__ = ["zorder_rewrite", "skipping_effectiveness"]
 
 def zorder_key(user_col: Column, day_col: Column) -> Column:
     """The (user bucket, day bucket) Morton key used by both the layout
-    plan and this rewrite — one definition, shared."""
-    ub = (user_col % F.lit(1 << _Z_BITS)).cast("int")
-    db = (day_col % F.lit(1 << _Z_BITS)).cast("int")
+    plan and this rewrite — one definition, shared. pmod, not %: a
+    timestamp before the day epoch makes datediff negative, and a
+    sign-following % would hand _morton a negative bucket whose
+    shiftright sign-extends into a garbage code — pmod keeps both
+    buckets in [0, 2^_Z_BITS)."""
+    ub = F.pmod(user_col, F.lit(1 << _Z_BITS)).cast("int")
+    db = F.pmod(day_col, F.lit(1 << _Z_BITS)).cast("int")
     return _morton(ub, db)
 
 

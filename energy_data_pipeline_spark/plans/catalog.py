@@ -44,67 +44,63 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
-    # round-9 retests: the two round-8 red rows (array-output
-    # canonicalization), now reshaped to scalar long form — fronted so
-    # the driver re-hashes the fix first.
-    "emb_quantize_int8",
-    "emb_label_centroids",
-    # never driver-hashed through round 8 (union of CORRECTNESS_r01-r08
-    # keys vs the catalog) — 31 entries, rotated into the 50-slot
-    # sample window this round.
-    "mm_feature_extract",
-    "mm_frame_plan",
-    "emb_norm_outliers",
-    "smp_token_budget_plan",
-    "smp_dsir_weights",
-    "smp_exact_k_sample",
-    "smp_purged_mix_report",
-    "a12_multigrain_rollup",
-    "a14_rfm_segments",
-    "a15_value_histogram",
-    "j6_purchases_asof_views",
-    "j7_clicks_in_purchase_spans",
-    "p12_numeric_extraction",
-    "p14_key_and_map_lookup",
-    "p16_month_chunks",
-    "p17_geocode_cascade",
-    "o1_recent_events_sorted",
-    "sk_salted_event_totals",
-    "st_funnel_conversion",
-    "ts_winsorized_daily_totals",
-    "emb_label_affinity",
-    "txt_doc_chunks",
-    "txt_perplexity_buckets",
-    "txt_zipf_alpha",
-    "r2_pivot_daily_type_totals",
-    "q6_revenue_uplift",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # round-9 NEW queries — never driver-hashed by definition, slotted
-    # inside the 50-entry window so their first external hash lands
-    # this round instead of next.
-    "a16_retention_cohorts",
-    "a17_value_concentration",
-    "st_dau_wau_stickiness",
-    "st_time_to_convert",
-    "ts_autocorrelation",
-    "ts_cusum_changepoints",
-    "emb_dim_stats",
-    "txt_hapax_ratio",
-    "txt_readability_profile",
-    "smp_epoch_allocation",
-    "dd_shingle_df_spectrum",
-    "sk_key_skew_report",
-    # backfill to 50 slots with the least-recently-hashed entries
-    # (last driver hash in round 2-7).
-    "t7_incomplete_days_backfill",
-    "j5_fuzzy_type_lookup",
-    "t8_accumulating_merge",
-    "dd_embedding_near_dups",
-    "smp_stratified_mix_sample",
+    # round-10 rotation: the 19 catalog entries never hashed by the
+    # driver through round 9 (union of CORRECTNESS_r01-r09 keys vs the
+    # catalog — all round-9 session-2 additions). Fronted so the r10
+    # gate closes external verification at 171/171.
+    "st_event_transition_matrix",
+    "cdc_scd2_type_history",
+    "ts_seasonality_strength",
+    "txt_token_entropy",
+    "txt_js_divergence_sources",
+    "emb_covariance_matrix",
+    "lay_zorder_compaction_plan",
+    "sk_hll_distinct_report",
+    "sk_cms_heavy_hitters",
+    "a18_type_day_rollup",
+    "sk_hll_daily_users",
+    "a19_pareto_value_share",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_delay_priority_audit",
+    "q16_part_supplier_variety",
+    "q20_candidate_suppliers",
+    "q21_sole_slow_shipper",
+    # backfill the remaining 31 slots with the least-recently-hashed
+    # entries (last driver hash round 5-7), oldest first, so recency
+    # of external proof stays roughly uniform across the catalog.
+    "smp_train_val_test_split",
+    "smp_corpus_mix_report",
+    "txt_ngram_topk",
+    "txt_vocab_topk",
+    "a10_distinct_event_types",
+    "a11_daily_rollup",
+    "a13_moving_avg_7d",
+    "a1_hourly_sum_by_type",
+    "a2_window_total",
+    "a3_count_distinct_users",
+    "a4_topk_users_by_value",
+    "a5_watermark_per_user",
+    "a6_day_completeness",
+    "a7_calendar_profile",
+    "a8_nunique_users_per_type",
+    "a9_value_stats",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "dd_dedup_purged_corpus",
+    "dd_dup_clusters",
+    "dd_exact_dup_groups",
+    "dd_fingerprint_clusters",
+    "dd_minhash_lsh_near_dups",
+    "dd_ngram_jaccard_near_dups",
+    "dd_simhash_near_dups",
+    "j1_dim_join_agg",
+    "j2_supplier_window_activity",
+    "j3_customers_without_orders",
+    "o3_dedup_keep_first",
+    "o4_dedup_keep_last",
+    "o5_union_slices",
 ]
 assert set(_SAMPLE_PRIORITY) <= set(_ALL_QUERIES), (
     "catalog sample-priority list drifted: "

@@ -2221,10 +2221,13 @@ def zorder_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange); a key-range plan needs no sort at all and the
     row-count column makes any density skew visible to the planner."""
     ev = load_table(spark, sf_dir, "events")
-    ub = (F.col("user_id") % F.lit(1 << _Z_BITS)).cast("int")
-    db = (
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-        % F.lit(1 << _Z_BITS)
+    # pmod, not %: pre-epoch timestamps make datediff negative, and a
+    # sign-following % would feed _morton a negative bucket whose
+    # shiftright sign-extends into a garbage code
+    ub = F.pmod(F.col("user_id"), F.lit(1 << _Z_BITS)).cast("int")
+    db = F.pmod(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")),
+        F.lit(1 << _Z_BITS),
     ).cast("int")
     coded = ev.select(
         ub.alias("ub"), db.alias("db"), _morton(ub, db).alias("zkey")
@@ -2253,8 +2256,10 @@ def _zorder_sql() -> str:
 
     return f"""
 WITH base AS (
-  SELECT CAST(user_id % {1 << _Z_BITS} AS INT) AS ub,
-         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+  SELECT CAST(((user_id % {1 << _Z_BITS}) + {1 << _Z_BITS})
+              % {1 << _Z_BITS} AS INT) AS ub,
+         CAST(((datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                % {1 << _Z_BITS}) + {1 << _Z_BITS})
               % {1 << _Z_BITS} AS INT) AS db
   FROM events
 ), z AS (

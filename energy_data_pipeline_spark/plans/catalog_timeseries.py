@@ -1320,14 +1320,20 @@ def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ss_p"
         ),
     )
-    var = lambda ss, s, n: (  # noqa: E731
-        (F.col(ss) - F.col(s) * F.col(s) / F.col(n)) / (F.col(n) - 1)
+    # n>1 guard + NULLIF denominator: a type with a single hourly row
+    # (or a zero total variance) must yield NULL in BOTH engines — an
+    # unguarded (n-1) divides by zero, where Spark and DuckDB disagree
+    var = lambda ss, s, n: F.when(  # noqa: E731
+        F.col(n) > 1,
+        (F.col(ss) - F.col(s) * F.col(s) / F.col(n)) / (F.col(n) - 1),
     )
     return stats.select(
         "event_type",
-        rnd(var("ss_p", "s_p", "n_p") / var("ss_t", "s_t", "n_t"), 6).alias(
-            "seasonality_strength"
-        ),
+        rnd(
+            var("ss_p", "s_p", "n_p")
+            / F.nullif(var("ss_t", "s_t", "n_t"), F.lit(0.0)),
+            6,
+        ).alias("seasonality_strength"),
     ).orderBy("event_type")
 
 
@@ -1346,8 +1352,8 @@ WITH hourly AS (
   FROM prof GROUP BY 1
 )
 SELECT event_type,
-       round(((ss_p - s_p * s_p / n_p) / (n_p - 1))
-             / ((ss_t - s_t * s_t / n_t) / (n_t - 1)), 6)
+       round(((ss_p - s_p * s_p / n_p) / NULLIF(n_p - 1, 0))
+             / NULLIF((ss_t - s_t * s_t / n_t) / NULLIF(n_t - 1, 0), 0), 6)
          AS seasonality_strength
 FROM total_stats JOIN prof_stats USING (event_type)
 ORDER BY event_type

@@ -441,6 +441,149 @@ WATERMARK_OUTPUT_SCHEMA = StructType(
 )
 
 
+# --- versioned atomic state publish for the sketch sinks ------------------
+# foreachBatch is AT-LEAST-ONCE even with a checkpoint: a crash after
+# the state write but before the checkpoint commit replays the batch
+# with the SAME batch_id. The sketch sinks therefore (a) record the
+# last-applied batch_id inside the published pointer and skip replays,
+# and (b) publish each new state as an immutable version directory
+# flipped live by an atomic pointer rename — a crash mid-publish leaves
+# the previous version intact and readable, never a partial table.
+_SKETCH_POINTER = "_LATEST"
+
+
+def _sketch_state_read(
+    spark: SparkSession, table_path: str
+) -> tuple[DataFrame | None, int, int]:
+    """Return (state_df | None, version, last_applied_batch_id).
+
+    Only a MISSING pointer means "no state yet"; a pointer that exists
+    but whose version directory fails to load raises — silently
+    treating a corrupt table as first-batch would reset accumulated
+    registers/counters forever (the r9 ADVICE failure mode)."""
+    import os
+
+    ptr = os.path.join(table_path, _SKETCH_POINTER)
+    if not os.path.exists(ptr):
+        return None, 0, -1
+    with open(ptr, encoding="ascii") as fh:
+        version_s, batch_s = fh.read().split()
+    version, last_batch = int(version_s), int(batch_s)
+    vdir = os.path.join(table_path, f"v{version:08d}")
+    return spark.read.parquet(vdir), version, last_batch
+
+
+def _sketch_state_publish(
+    df: DataFrame, table_path: str, version: int, batch_id: int
+) -> None:
+    """Write ``df`` as version ``version+1`` then atomically flip the
+    pointer (tmp file + ``os.replace``). Old versions are pruned
+    best-effort AFTER the flip, keeping the previous one as a
+    crash-recovery fallback."""
+    import os
+    import shutil
+
+    new_version = version + 1
+    vdir = os.path.join(table_path, f"v{new_version:08d}")
+    df.coalesce(1).write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(table_path, f".{_SKETCH_POINTER}.tmp")
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(f"{new_version} {batch_id}\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(table_path, _SKETCH_POINTER))
+    for name in os.listdir(table_path):
+        if name.startswith("v") and name < f"v{version:08d}":
+            shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
+
+
+def read_sketch_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Snapshot read of the latest published sketch state (HLL
+    registers or CMS counters)."""
+    df, _, _ = _sketch_state_read(spark, table_path)
+    if df is None:
+        raise FileNotFoundError(f"no sketch state published at {table_path}")
+    return df
+
+
+def _hll_apply_batch(
+    batch_df: DataFrame, batch_id: int, table_path: str, key_col: str
+) -> bool:
+    """One foreachBatch application of the HLL register sink (module
+    level so the replay-skip path is directly testable). Returns True
+    if the batch was applied, False if skipped as a replay."""
+    from ..operators import sketches as SK
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    existing, version, last_applied = _sketch_state_read(spark, table_path)
+    if batch_id <= last_applied:  # crash-replay of a published batch
+        return False
+    delta = SK.hll_registers(batch_df, key_col)
+    if existing is not None:
+        merged = SK.merge_registers(existing, delta)
+    else:
+        merged = delta.select("bucket", "rho")
+    # ≤ m rows: stage to driver, publish atomically
+    rows = merged.collect()
+    _sketch_state_publish(
+        spark.createDataFrame(rows, merged.schema), table_path, version, batch_id
+    )
+    return True
+
+
+def _cms_apply_batch(
+    batch_df: DataFrame, batch_id: int, table_path: str, key_col: str
+) -> bool:
+    """One foreachBatch application of the CMS counter sink (module
+    level so the replay-skip path is directly testable). Returns True
+    if the batch was applied, False if skipped as a replay."""
+    from ..plans.catalog_ext import _CMS_D, _CMS_W
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    existing, version, last_applied = _sketch_state_read(spark, table_path)
+    if batch_id <= last_applied:  # crash-replay of a published batch
+        return False
+    rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("row_i").cast("string"),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(_CMS_W)
+    delta = (
+        batch_df.select(F.col(key_col), F.explode(rows_arr).alias("row_i"))
+        .groupBy(F.col("row_i"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if existing is not None:
+        merged = (
+            existing.select("row_i", "bucket", "c")
+            .unionByName(delta)
+            .groupBy("row_i", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        merged = delta
+    rows = merged.collect()  # ≤ d*w rows by construction
+    _sketch_state_publish(
+        spark.createDataFrame(rows, merged.schema), table_path, version, batch_id
+    )
+    return True
+
+
 def hll_register_stream(
     stream_df: DataFrame,
     table_path: str,
@@ -458,28 +601,16 @@ def hll_register_stream(
     batch registers over the union of their rows (md5 hashing — no
     seeded JVM hash, no RNG), so the converged streaming estimate
     EQUALS the batch query's (`sk_hll_distinct_report`). Re-delivered
-    rows are absorbed by MAX (idempotent), so at-least-once sources
-    need no dedup in front. The merge runs over ≤ 2m rows per batch —
+    ROWS are absorbed by MAX (idempotent) and replayed BATCHES are
+    skipped via the pointer's last-applied batch_id, so at-least-once
+    delivery needs no dedup in front. State publishes through the
+    versioned atomic pointer flip — a crash mid-publish never corrupts
+    accumulated registers. The merge runs over ≤ 2m rows per batch —
     the 100 TB cost lives entirely in the per-batch map-side register
     fold.
     """
-    from ..operators import sketches as SK
-
-    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        delta = SK.hll_registers(batch_df, key_col)
-        try:
-            existing = spark.read.parquet(table_path)
-            merged = SK.merge_registers(existing, delta)
-        except Exception:  # first batch: no table yet
-            merged = delta.select("bucket", "rho")
-        # ≤ m rows: stage to driver, rewrite atomically via overwrite
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(table_path)
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _hll_apply_batch(batch_df, batch_id, table_path, key_col)
 
     q = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -502,51 +633,18 @@ def cms_sketch_stream(
     into a persistent d×w counter table — streaming heavy-hitter state
     bounded at d·w rows forever. CMS is LINEAR, so the merged table
     after any micro-batch split equals the batch sketch over the union
-    of the rows exactly (md5 hashing, engine-deterministic); unlike the
-    HLL register MAX-merge this one is NOT redelivery-idempotent
-    (counters add), so it belongs behind the checkpointed exactly-once
-    source this writer configures."""
-    from ..plans.catalog_ext import _CMS_D, _CMS_W
-
-    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
-        bucket = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("row_i").cast("string"),
-                        F.lit(":"),
-                        F.col(key_col).cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long") % F.lit(_CMS_W)
-        delta = (
-            batch_df.select(F.col(key_col), F.explode(rows_arr).alias("row_i"))
-            .groupBy(F.col("row_i"), bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        try:
-            existing = spark.read.parquet(table_path)
-            merged = (
-                existing.select("row_i", "bucket", "c")
-                .unionByName(delta)
-                .groupBy("row_i", "bucket")
-                .agg(F.sum("c").alias("c"))
-            )
-        except Exception:  # first batch: no table yet
-            merged = delta
-        rows = merged.collect()  # ≤ d*w rows by construction
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(table_path)
+    of the rows exactly (md5 hashing, engine-deterministic). Unlike the
+    HLL register MAX-merge the SUM-merge is NOT redelivery-idempotent
+    (counters add), and foreachBatch is at-least-once even with a
+    checkpoint (a crash after the publish but before the checkpoint
+    commit replays the batch) — so the sink makes ITSELF idempotent:
+    the published pointer records the last-applied batch_id and a
+    replayed batch_id is skipped before any counter is touched. State
+    publishes through the versioned atomic pointer flip, so a crash
+    mid-publish leaves the previous counters intact rather than
+    resetting the sketch."""
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _cms_apply_batch(batch_df, batch_id, table_path, key_col)
 
     q = (
         stream_df.writeStream.foreachBatch(_merge)

@@ -50,7 +50,14 @@ def main() -> int:
 
     names = list(CATALOG)
     if args.only:
-        names = [n for n in args.only.split(",") if n in CATALOG]
+        requested = [n for n in args.only.split(",") if n]
+        unknown = sorted(set(requested) - set(CATALOG))
+        if unknown:
+            # a typo'd name silently shrinking the sweep is a
+            # false-green hazard in the gate replica — hard error
+            print(f"unknown query names in --only: {', '.join(unknown)}")
+            sys.exit(2)
+        names = requested
     fails, rows_only = [], []
     t0 = time.time()
     for i, name in enumerate(names, 1):

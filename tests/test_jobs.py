@@ -813,3 +813,33 @@ def test_zorder_rewrite_prunes_both_dimensions(spark, sf_small, tmp_path):
         _dt.datetime(2024, 1, 3),
     )
     assert z_time["fraction_touched"] < 1.0, z_time
+
+
+def test_zorder_key_pre_epoch_days_stay_in_range(spark):
+    """A timestamp before the day epoch makes datediff negative; the
+    Morton key must still land in [0, 2^(2*_Z_BITS)) — a sign-following
+    % would sign-extend through shiftright into a garbage code and
+    silently destroy clustering for pre-epoch data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs.compaction import zorder_key
+    from energy_data_pipeline_spark.plans.catalog_ext import _Z_BITS
+
+    df = spark.createDataFrame(
+        [
+            (7, dt.datetime(2019, 3, 5, 4)),   # well before the epoch
+            (1023, dt.datetime(2023, 12, 31, 23)),  # one day before
+            (5, dt.datetime(2024, 6, 1, 12)),  # after (unchanged path)
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    keys = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("user_id"), day).alias("z")
+        ).collect()
+    ]
+    assert all(0 <= k < 1 << (2 * _Z_BITS) for k in keys), keys

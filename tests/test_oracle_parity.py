@@ -10,63 +10,15 @@ from energy_data_pipeline_spark.plans.catalog import CATALOG
 from .oracle_harness import compare, duck_connection
 
 # Queries the DRIVER's 50-query correctness sample has never hashed in
-# any round (union of CORRECTNESS_r01-r08 keys vs the catalog; the r08
-# sample confirmed the insertion-order-prefix hypothesis and hashed 48
-# previously-unsampled entries, pruned here) — their green status rests
-# entirely on this suite, so they carry the `parity_extended` marker:
-# `pytest -m parity_extended` re-runs exactly these after a refactor.
-# Round 9 promotes ALL of this list into the 50-slot sample window
-# (plans/catalog.py _SAMPLE_PRIORITY), so after the r09 driver run this
-# set should drop to (near) empty.
+# any round (union of CORRECTNESS_r01-r09 keys vs the catalog; r09
+# hashed its full 50-slot sample green, leaving only the round-9
+# session-2 additions below) — their green status rests on this suite
+# plus scripts/full_sweep.py, so they carry the `parity_extended`
+# marker: `pytest -m parity_extended` re-runs exactly these after a
+# refactor. Round 10 fronts ALL 19 in the 50-slot sample window
+# (plans/catalog.py _SAMPLE_PRIORITY), so after the r10 driver run this
+# set should drop to empty and external verification closes at 171/171.
 NEVER_DRIVER_SAMPLED = {
-    "emb_norm_outliers",
-    "smp_token_budget_plan",
-    "smp_dsir_weights",
-    "smp_exact_k_sample",
-    "smp_purged_mix_report",
-    "a12_multigrain_rollup",
-    "a14_rfm_segments",
-    "a15_value_histogram",
-    "j6_purchases_asof_views",
-    "j7_clicks_in_purchase_spans",
-    "p12_numeric_extraction",
-    "p14_key_and_map_lookup",
-    "p16_month_chunks",
-    "p17_geocode_cascade",
-    "o1_recent_events_sorted",
-    "sk_salted_event_totals",
-    "st_funnel_conversion",
-    "ts_winsorized_daily_totals",
-    "emb_label_affinity",
-    "txt_doc_chunks",
-    "txt_perplexity_buckets",
-    "txt_zipf_alpha",
-    "mm_feature_extract",
-    "mm_frame_plan",
-    "r2_pivot_daily_type_totals",
-    "q6_revenue_uplift",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # round-9 additions — unsampled by definition until a driver round
-    # hashes them (all are inside the r9 sample window)
-    "a16_retention_cohorts",
-    "a17_value_concentration",
-    "st_dau_wau_stickiness",
-    "st_time_to_convert",
-    "ts_autocorrelation",
-    "ts_cusum_changepoints",
-    "emb_dim_stats",
-    "txt_hapax_ratio",
-    "txt_readability_profile",
-    "smp_epoch_allocation",
-    "dd_shingle_df_spectrum",
-    "sk_key_skew_report",
-    # round-9 session-2 additions (the seven adapted TPC-H shapes that
-    # complete the 22-shape sweep) — outside the r9 50-slot sample
-    # window, so their first driver hash lands in a later round.
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_parts",

@@ -516,6 +516,7 @@ def test_hll_register_stream_converges_to_batch_registers(spark, dirs):
     from energy_data_pipeline_spark.streaming.incremental import (
         hll_register_stream,
         read_event_stream,
+        read_sketch_table,
     )
 
     half1 = [(i, i, 100 + i, "click", 1.0) for i in range(40)]
@@ -540,7 +541,7 @@ def test_hll_register_stream_converges_to_batch_registers(spark, dirs):
 
     streamed = {
         (r["bucket"], r["rho"])
-        for r in spark.read.parquet(dirs["table"]).collect()
+        for r in read_sketch_table(spark, dirs["table"]).collect()
     }
     batch_reg = SK.hll_registers(
         _mk_batch(spark, half1 + half2), "user_id"
@@ -548,7 +549,9 @@ def test_hll_register_stream_converges_to_batch_registers(spark, dirs):
     expected = {(r["bucket"], r["rho"]) for r in batch_reg.collect()}
     assert streamed == expected
 
-    est_stream = SK.hll_estimate(spark.read.parquet(dirs["table"])).collect()[0]
+    est_stream = SK.hll_estimate(
+        read_sketch_table(spark, dirs["table"])
+    ).collect()[0]
     est_batch = SK.hll_estimate(batch_reg).collect()[0]
     assert est_stream["hll_estimate"] == est_batch["hll_estimate"]
     assert est_stream["n_registers_used"] == est_batch["n_registers_used"]
@@ -565,6 +568,7 @@ def test_cms_sketch_stream_equals_batch_sketch(spark, dirs):
     from energy_data_pipeline_spark.streaming.incremental import (
         cms_sketch_stream,
         read_event_stream,
+        read_sketch_table,
     )
 
     half1 = [(i, i, 100 + i % 7, "click", 1.0) for i in range(30)]
@@ -581,7 +585,7 @@ def test_cms_sketch_stream_equals_batch_sketch(spark, dirs):
 
     streamed = {
         (r["row_i"], r["bucket"]): r["c"]
-        for r in spark.read.parquet(dirs["table"]).collect()
+        for r in read_sketch_table(spark, dirs["table"]).collect()
     }
 
     batch = _mk_batch(spark, half1 + half2)
@@ -623,3 +627,106 @@ def test_cms_sketch_stream_equals_batch_sketch(spark, dirs):
             for i in range(_CMS_D)
         )
         assert est >= n, (uid, est, n)
+
+
+def test_cms_sketch_replay_batch_is_skipped(spark, dirs):
+    """foreachBatch is at-least-once: a crash after the state publish
+    but before the checkpoint commit replays the batch with the SAME
+    batch_id. The CMS SUM-merge is not row-idempotent, so the sink
+    must skip an already-applied batch_id — counters identical after
+    the replay, and the apply function reports the skip."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        read_sketch_table,
+    )
+
+    batch = _mk_batch(spark, [(i, i, 100 + i % 3, "click", 1.0) for i in range(20)])
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id") is True
+    before = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    # crash-replay: same batch_id redelivered
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id") is False
+    after = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert after == before
+    # the NEXT batch id still applies
+    batch2 = _mk_batch(spark, [(100, 50, 999, "view", 2.0)])
+    assert _cms_apply_batch(batch2, 1, dirs["table"], "user_id") is True
+    total_after = sum(
+        r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+        if r["row_i"] == 0
+    )
+    assert total_after == sum(c for (ri, _), c in before.items() if ri == 0) + 1
+
+
+def test_hll_register_replay_batch_is_skipped(spark, dirs):
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _hll_apply_batch,
+        read_sketch_table,
+    )
+
+    batch = _mk_batch(spark, [(i, i, 100 + i, "click", 1.0) for i in range(20)])
+    assert _hll_apply_batch(batch, 0, dirs["table"], "user_id") is True
+    before = {
+        (r["bucket"], r["rho"])
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert _hll_apply_batch(batch, 0, dirs["table"], "user_id") is False
+    after = {
+        (r["bucket"], r["rho"])
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert after == before
+
+
+def test_sketch_publish_crash_leaves_previous_version_readable(spark, dirs):
+    """A crash mid-publish (partial new version dir written, pointer
+    NOT yet flipped) must leave the previously published state fully
+    readable — the versioned pointer layout's whole point. And a
+    pointer whose version dir is corrupt must RAISE, never silently
+    reset to 'first batch'."""
+    import os
+    import shutil
+
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        _sketch_state_read,
+        read_sketch_table,
+    )
+
+    batch = _mk_batch(spark, [(i, i, 100 + i % 3, "click", 1.0) for i in range(10)])
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id")
+    good = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+
+    # simulate a crash mid-publish of version 2: partial dir, no flip
+    partial = os.path.join(dirs["table"], "v00000002")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage not parquet")
+    got = {
+        (r["row_i"], r["bucket"]): r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert got == good
+    # recovery: the next batch applies on top of the intact version 1
+    shutil.rmtree(partial)
+    batch2 = _mk_batch(spark, [(100, 50, 999, "view", 2.0)])
+    assert _cms_apply_batch(batch2, 1, dirs["table"], "user_id")
+    assert read_sketch_table(spark, dirs["table"]).count() > 0
+
+    # corrupt the CURRENT version dir: read must raise, not reset
+    _, version, _ = _sketch_state_read(spark, dirs["table"])
+    vdir = os.path.join(dirs["table"], f"v{version:08d}")
+    shutil.rmtree(vdir)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_sketch_table(spark, dirs["table"])

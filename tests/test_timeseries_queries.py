@@ -1,0 +1,60 @@
+
+
+def test_seasonality_strength_degenerate_slice_is_null_both_engines(
+    spark, tmp_path
+):
+    """An event type with a SINGLE hourly row has no variance to
+    explain: both engines must emit NULL (not raise / inf) — the
+    unguarded (n-1) division is a cross-engine parity break."""
+    import datetime as dt
+
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        SEASONALITY_SQL,
+        seasonality_strength,
+    )
+
+    from .oracle_harness import compare, duck_connection
+
+    rows = [
+        # 'lonely' — one single hourly bucket → n_t = 1 → NULL
+        (1, dt.datetime(2024, 1, 1, 3, 15), 10, "lonely", 5.0),
+        # 'steady' — several hours so the normal path still computes
+        (2, dt.datetime(2024, 1, 1, 1, 0), 11, "steady", 1.0),
+        (3, dt.datetime(2024, 1, 1, 2, 0), 11, "steady", 4.0),
+        (4, dt.datetime(2024, 1, 2, 1, 0), 11, "steady", 2.0),
+        (5, dt.datetime(2024, 1, 2, 2, 0), 11, "steady", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    # plain single-file parquet (pyarrow), matching the driver's
+    # testdata layout — DuckDB reads `<name>.parquet` as a FILE
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf_degenerate")
+    os.makedirs(sf)
+    table = pa.Table.from_pandas(df.toPandas())
+    for name in (
+        "events region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        # only events is queried; the rest are view-registration stubs
+        pq.write_table(table, f"{sf}/{name}.parquet")
+
+    out = {
+        r["event_type"]: r["seasonality_strength"]
+        for r in seasonality_strength(spark, sf).collect()
+    }
+    assert out["lonely"] is None
+    assert out["steady"] is not None
+
+    con = duck_connection(sf)
+    try:
+        report = compare(seasonality_strength(spark, sf), con, SEASONALITY_SQL)
+        assert report["ok"], report["issues"]
+    finally:
+        con.close()
