@@ -176,11 +176,21 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:10]
     )
+    # Noise evidence travels WITH the headline: per-query min for the
+    # slowest-10 (a med far above its min = a CPU-steal burst, not a
+    # regression) and the sum-of-mins quiet-floor estimate for the
+    # whole catalog, so the captured artifact carries its own
+    # dispersion context even when only the compact line survives.
+    minsum = round(
+        sum(d["min"] for d in dispersion.values() if d["min"] >= 0), 3
+    )
     compact = {
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
         "queries": slowest,
+        "queries_min": {k: dispersion[k]["min"] for k in slowest},
+        "value_minsum": minsum,
         "queries_truncated_to_slowest_10": True,
         "n_queries": len(timings),
         "full_result_file": "BENCH_local.json",

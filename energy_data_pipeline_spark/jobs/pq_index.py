@@ -58,11 +58,17 @@ def pq_index_build(
     root: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> dict:
     """Train on the snapshot and publish (codebook, codes) atomically.
     Overwrites any previous index version (retrain = new epoch; old
-    versions stay readable until vacuumed)."""
-    cents = pq.pq_train(vectors, id_col, vec_col)
+    versions stay readable until vacuumed). ``sample_fraction``
+    mini-batches the Lloyd training rounds (deterministic hash
+    subsets) — the ≥1M-vector scale path; the published codes always
+    come from one exact full-corpus assign."""
+    cents = pq.pq_train(
+        vectors, id_col, vec_col, sample_fraction=sample_fraction
+    )
     codes = pq.pq_assign(vectors, cents, id_col, vec_col)
     manifest = manifest_table.group_overwrite(
         {CODEBOOK_SUB: _codebook_frame(spark, cents), CODES_SUB: codes},

@@ -370,20 +370,18 @@ def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict[tuple[int, int], in
     raise ValueError("invalid JPEG Huffman code")
 
 
-def _jpeg_decode_block(
+def _jpeg_decode_block_coefs(
     reader: _JpegBitReader,
     dc_table: dict,
     ac_table: dict,
-    qtable: np.ndarray,
+    coef: np.ndarray,
     pred: int,
-) -> tuple[np.ndarray, int]:
-    """One 8x8 block: Huffman-decode DC diff + AC run-lengths,
-    dequantize, de-zigzag, inverse DCT, level shift. Returns the
-    spatial block (float64 in [0,255]) and the new DC predictor."""
-    coefs = np.zeros(64, dtype="f8")
+) -> int:
+    """One baseline 8x8 block into zigzag-order coefficients: Huffman
+    DC diff + AC run-lengths. Returns the new DC predictor."""
     t = _jpeg_decode_huffman(reader, dc_table)
     pred += _jpeg_extend(reader.read_bits(t), t)
-    coefs[0] = pred
+    coef[0] = pred
     k = 1
     while k < 64:
         rs = _jpeg_decode_huffman(reader, ac_table)
@@ -396,42 +394,173 @@ def _jpeg_decode_block(
         k += r
         if k > 63:
             raise ValueError("JPEG AC run past block end")
-        coefs[k] = _jpeg_extend(reader.read_bits(s), s)
+        coef[k] = _jpeg_extend(reader.read_bits(s), s)
         k += 1
-    deq = np.zeros(64, dtype="f8")
-    deq[_JPEG_ZIGZAG] = coefs * qtable
-    block = _JPEG_IDCT_A.T @ deq.reshape(8, 8) @ _JPEG_IDCT_A
-    return np.clip(block + 128.0, 0.0, 255.0), pred
+    return pred
+
+
+def _jpeg_ac_first(
+    reader: _JpegBitReader,
+    ac_table: dict,
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first-pass scan for one block (T.81 G.1.2.2):
+    run-length coded new coefficients shifted up by the point
+    transform, with cross-block EOB runs. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huffman(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1  # this block is part of the run
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        coef[k] = _jpeg_extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(
+    reader: _JpegBitReader,
+    ac_table: dict,
+    coef: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3,
+    the libjpeg formulation): newly-nonzero coefficients arrive as
+    ±(1<<al); already-nonzero ones receive one correction bit each as
+    they are passed over. Returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def refine_one(k: int) -> None:
+        if reader.read_bit() and (int(coef[k]) & p1) == 0:
+            coef[k] += p1 if int(coef[k]) >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_huffman(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement magnitude must be 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            # advance over r zero-history positions, refining any
+            # nonzero-history coefficients passed on the way
+            while k <= se:
+                if int(coef[k]) != 0:
+                    refine_one(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if int(coef[k]) != 0:
+                refine_one(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_split_restarts(entropy: bytes) -> list[bytes]:
+    """Split one scan's entropy stream into restart intervals (RSTn
+    markers reset the bit phase, DC predictors and EOB run) and strip
+    byte stuffing."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF:
+            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0x00
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
 
 
 def _parse_jpeg(payload: bytes) -> np.ndarray:
-    """Stdlib+numpy baseline JPEG decode → float array in [0,1], shape
-    (h, w) grayscale or (h, w, 3) RGB.
+    """Stdlib+numpy JPEG decode → float array in [0,1], shape (h, w)
+    grayscale or (h, w, 3) RGB.
 
-    Supports the dominant crawl profile: baseline sequential DCT
-    (SOF0), 8-bit, 1 or 3 components, standard or custom Huffman/quant
-    tables, restart markers, chroma subsampling up to 2x2 (nearest-
-    neighbor upsampling — this is a feature kernel, not a codec
-    library). Progressive (SOF2), arithmetic coding, 12-bit and CMYK
-    raise ValueError, and auto mode degrades those payloads to the
-    fake kernel. Per-byte Huffman decoding in Python — correctness
-    and plumbing-realism, not a throughput path (the real cluster
-    image carries PIL and never enters this kernel)."""
+    Supports the dominant crawl profiles: baseline sequential DCT
+    (SOF0) AND progressive DCT (SOF2 — spectral selection plus
+    successive approximation, the libjpeg/mozjpeg default scan
+    scripts), 8-bit, 1 or 3 components, standard or custom
+    Huffman/quant tables, restart markers, chroma subsampling up to
+    2x2 (nearest-neighbor upsampling — this is a feature kernel, not
+    a codec library). Both modes share one coefficient-accumulation
+    path: every scan Huffman-decodes into per-component zigzag
+    coefficient grids; dequantize + IDCT run once at the end
+    (vectorized over all blocks). Arithmetic coding, 12-bit,
+    hierarchical and CMYK raise ValueError, and auto mode degrades
+    those payloads to the fake kernel. Per-byte Huffman decoding in
+    Python — correctness and plumbing-realism, not a throughput path
+    (the real cluster image carries PIL and never enters this
+    kernel)."""
     if payload[:2] != _JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huffman: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
-    scan = None  # [(comp_idx, td, ta), ...]
+    progressive = False
     restart_interval = 0
-    entropy = None
-    while pos + 4 <= len(payload):
+    coef_grids: list[np.ndarray] = []  # per comp: (bh, bw, 64) zigzag
+    comp_qt: list[int] = []
+    saw_scan = False
+    # per-component NON-interleaved block dims (set at SOF)
+    comp_blocks: list[tuple[int, int]] = []
+    mcus_x = mcus_y = 0
+
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG marker segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         data = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -460,7 +589,8 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
                         i += 1
                     code <<= 1
                 huffman[(tc, th)] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec = data[0]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -474,22 +604,40 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for _cid, hs, vs, tq in comps:
+                coef_grids.append(
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype="i4")
+                )
+                comp_qt.append(tq)
+                cbw = -(-(-(-w * hs // hmax)) // 8)
+                cbh = -(-(-(-h * vs // vmax)) // 8)
+                comp_blocks.append((cbh, cbw))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) supported by the "
-                "builtin kernel"
+                "only baseline (SOF0) and progressive (SOF2) Huffman "
+                "JPEG supported by the builtin kernel"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
             ns = data[0]
-            scan = []
-            comp_ids = [c[0] for c in frame[2]]
+            scan_comps = []
+            comp_ids = [c[0] for c in comps]
             for c in range(ns):
                 cid, tda = data[1 + 2 * c : 3 + 2 * c]
-                scan.append((comp_ids.index(cid), tda >> 4, tda & 0x0F))
+                scan_comps.append((comp_ids.index(cid), tda >> 4, tda & 0x0F))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             # entropy-coded data runs from here to the next real marker
             end = pos
             while end + 1 < len(payload):
@@ -499,69 +647,44 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
                 ):
                     break
                 end += 1
-            entropy = payload[pos:end]
+            _jpeg_decode_scan(
+                payload[pos:end],
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                progressive,
+                comps,
+                coef_grids,
+                comp_blocks,
+                mcus_x,
+                mcus_y,
+                huffman,
+                restart_interval,
+            )
+            saw_scan = True
             pos = end
-            break
         # APPn / COM / others: skipped
-    if frame is None or scan is None or entropy is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
 
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]), dtype="f8") for c in comps
-    ]
 
-    # split the entropy stream into restart intervals (RSTn markers
-    # reset the bit phase and DC predictors), strip byte stuffing
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        b = entropy[i]
-        if b == 0xFF:
-            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0x00
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
-    n_mcus = mcus_x * mcus_y
-    per_seg = restart_interval if restart_interval else n_mcus
-    mcu = 0
-    for seg in segments:
-        reader = _JpegBitReader(seg)
-        preds = [0] * len(comps)
-        for _ in range(min(per_seg, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for ci, td, ta in scan:
-                _cid, hs, vs, tq = comps[ci]
-                for by in range(vs):
-                    for bx in range(hs):
-                        block, preds[ci] = _jpeg_decode_block(
-                            reader,
-                            huffman[(0, td)],
-                            huffman[(1, ta)],
-                            qtables[tq],
-                            preds[ci],
-                        )
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu += 1
-    if mcu != n_mcus:
-        raise ValueError("JPEG entropy data ended before the last MCU")
+    # dequantize + de-zigzag + IDCT, vectorized over every block
+    planes = []
+    for (_cid, hs, vs, tq), grid in zip(comps, coef_grids):
+        deq = np.zeros_like(grid, dtype="f8")
+        deq[..., _JPEG_ZIGZAG] = grid * qtables[tq]
+        blocks = deq.reshape(grid.shape[0], grid.shape[1], 8, 8)
+        A = _JPEG_IDCT_A
+        spatial = np.einsum("ji,mnjk,kl->mnil", A, blocks, A)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            grid.shape[0] * 8, grid.shape[1] * 8
+        )
+        planes.append(np.clip(plane + 128.0, 0.0, 255.0))
 
     # upsample subsampled planes to full MCU-grid resolution (nearest)
     full_h, full_w = mcus_y * 8 * vmax, mcus_x * 8 * hmax
@@ -582,6 +705,93 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
         axis=2,
     )
     return np.clip(rgb[:h, :w], 0.0, 255.0) / 255.0
+
+
+def _jpeg_decode_scan(
+    entropy: bytes,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    comps: list,
+    coef_grids: list[np.ndarray],
+    comp_blocks: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    huffman: dict,
+    restart_interval: int,
+) -> None:
+    """Decode ONE scan's entropy data into the coefficient grids.
+
+    Interleaved scans (ns > 1, or any baseline scan) walk MCUs; a
+    single-component scan is non-interleaved per T.81 and walks that
+    component's own block grid (NOT the padded MCU grid — progressive
+    per-component AC scans code fewer blocks than the interleaved DC
+    scan). Restart markers reset DC predictors and the EOB run."""
+    segments = _jpeg_split_restarts(entropy)
+    interleaved = len(scan_comps) > 1 or not progressive
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        ci = scan_comps[0][0]
+        cbh, cbw = comp_blocks[ci]
+        n_units = cbh * cbw
+    per_seg = restart_interval if restart_interval else n_units
+    unit = 0
+    for seg in segments:
+        reader = _JpegBitReader(seg)
+        preds = [0] * len(comps)
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for ci, td, ta in scan_comps:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = coef_grids[ci][my * vs + by, mx * hs + bx]
+                            if not progressive:
+                                preds[ci] = _jpeg_decode_block_coefs(
+                                    reader,
+                                    huffman[(0, td)],
+                                    huffman[(1, ta)],
+                                    coef,
+                                    preds[ci],
+                                )
+                            elif ah == 0:  # DC first scan
+                                t = _jpeg_decode_huffman(
+                                    reader, huffman[(0, td)]
+                                )
+                                preds[ci] += _jpeg_extend(
+                                    reader.read_bits(t), t
+                                )
+                                coef[0] = preds[ci] << al
+                            else:  # DC refinement: one bit per block
+                                coef[0] |= reader.read_bit() << al
+            else:
+                ci, td, ta = scan_comps[0]
+                by, bx = divmod(unit, comp_blocks[ci][1])
+                coef = coef_grids[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        t = _jpeg_decode_huffman(reader, huffman[(0, td)])
+                        preds[ci] += _jpeg_extend(reader.read_bits(t), t)
+                        coef[0] = preds[ci] << al
+                    else:
+                        coef[0] |= reader.read_bit() << al
+                elif ah == 0:
+                    eobrun = _jpeg_ac_first(
+                        reader, huffman[(1, ta)], coef, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        reader, huffman[(1, ta)], coef, ss, se, al, eobrun
+                    )
+            unit += 1
+    if unit != n_units:
+        raise ValueError("JPEG entropy data ended before the last MCU")
 
 
 def _decode_jpeg_features(payload: bytes, dim: int) -> np.ndarray:
@@ -695,8 +905,8 @@ def _decode_dispatch(
     present, or where the payload magic matches a builtin kernel —
     else fake. In auto mode a sniffed payload whose decode then FAILS
     (truncated file, profile outside the builtin kernel — e.g.
-    progressive JPEG) also degrades to the fake: a crawl corpus always
-    contains malformed members and one must never kill the batch.
+    arithmetic-coded JPEG) also degrades to the fake: a crawl corpus
+    always contains malformed members and one must never kill the batch.
     fake=False propagates the decode error — that mode exists to make
     failures loud."""
     if fake is True:

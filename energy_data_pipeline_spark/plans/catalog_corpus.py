@@ -2116,6 +2116,8 @@ def span_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_start = F.max(
             F.when(F.col("k") == 0, F.col("pos"))
         ).over(w)
+        from pyspark.storagelevel import StorageLevel
+
         flagged = (
             ev.withColumn("_ls", last_start)
             .filter(F.col("k") == 1)
@@ -2127,6 +2129,14 @@ def span_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # Pin the merged token/span-start stream AFTER the running-max
+        # window: it is snapshot-deterministic (data-cache per the
+        # plan_cache conventions, same legitimacy as the shared gram
+        # table) and it is the expensive part of every re-execution —
+        # with it pinned, a repeat run pays only the doc-keyed
+        # reassembly over ~|tokens| rows instead of re-deriving the
+        # gram frequencies, the union, and the window sort.
+        pins: plan_cache.PinList = [(flagged, StorageLevel.MEMORY_AND_DISK)]
         df = (
             flagged.groupBy("doc_id")
             .agg(
@@ -2158,7 +2168,7 @@ def span_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rnd(F.col("n_removed") / F.col("n_tokens"), 4),
             )
         )
-        return df, []
+        return df, pins
 
     return plan_cache.cached_plan(
         spark, ("span_trimmed", sf_dir, SPAN_N), build

@@ -1674,57 +1674,107 @@ GROUP BY 1 ORDER BY 1
 
 
 # --- A14: RFM quartile segmentation -----------------------------------
+_RFM_ACC = 1_000_000  # percentile_approx accuracy: exact (GK sketch
+# retains all values) while purchaser count <= acc — which licenses the
+# hash-exact quantile_disc oracle at every tested scale; a deployment
+# beyond 1M purchasers lowers acc and accepts sketch thresholds
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation of purchasers: recency (days since last
     purchase, against the stream's max day), frequency (purchase
-    count), monetary (total value) — each cut into quartiles with
-    ntile(4), concatenated into the classic 3-digit segment code.
-    The marketing-analytics staple over any event stream.
+    count), monetary (total value) — each banded into quartile buckets
+    by its distribution's discrete 25/50/75 thresholds, concatenated
+    into the classic 3-digit segment code. The marketing-analytics
+    staple over any event stream. Quartile 1 is always the BEST band
+    (most recent / most frequent / highest spend); ties share a bucket
+    (value-banding semantics — two identical profiles can never land
+    in different segments, which ntile's forced equal counts do not
+    guarantee).
 
     One pass over the purchase slice builds the per-user profile
     (map-side combine; shuffle is user-count sized); the stream maximum
-    rides back as a 1-row broadcast. The ntile windows then run over
-    the ENTITY-sized profile table, never the event stream — that is
-    what keeps the (by definition global) quartile sort affordable; at
-    billions of entities the cut would switch to approx_percentile
-    thresholds instead of exact ntile, changing strategy, not
-    semantics. ntile ties are broken by user_id in every ORDER BY, so
-    bucket assignment is deterministic and engine-portable (both
-    engines fill remainder rows into the leading buckets). Monetary
-    rounds to 4 BEFORE the ntile sort so cross-engine sum ulps cannot
-    reorder the quartile cut."""
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase")
-    prof = p.groupBy("user_id").agg(
-        F.max(F.to_date("ts")).alias("last_day"),
-        F.count(F.lit(1)).alias("frequency"),
-        rnd(F.sum("value"), 4).alias("monetary"),
-    )
-    anchor = p.agg(F.max(F.to_date("ts")).alias("anchor_day"))
-    scored = prof.crossJoin(F.broadcast(anchor)).select(
-        "user_id",
-        F.datediff("anchor_day", "last_day").cast("bigint").alias("recency_days"),
-        "frequency",
-        "monetary",
-    )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    seg = scored.select(
-        "user_id",
-        "recency_days",
-        F.col("frequency").cast("bigint").alias("frequency"),
-        "monetary",
-        F.ntile(4).over(w_r).cast("bigint").alias("r_quartile"),
-        F.ntile(4).over(w_f).cast("bigint").alias("f_quartile"),
-        F.ntile(4).over(w_m).cast("bigint").alias("m_quartile"),
-    )
-    return seg.withColumn(
-        "segment",
-        F.concat_ws(
-            "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
-        ),
-    ).orderBy("user_id")
+    rides back as a 1-row broadcast. The thresholds come from ONE
+    approx_percentile aggregate over the profile (map-side-combined
+    sketch merge — no global sort anywhere) and broadcast back as a
+    1-row band, so the plan stays flat at any entity count — the
+    scale-safe replacement for the former three full-sort ntile
+    windows, which serialized the whole profile through one reducer.
+    percentile_approx at acc=1e6 is EXACTLY DuckDB's quantile_disc
+    while purchasers <= acc, so the oracle stays hash-checkable.
+    Monetary rounds to 4 BEFORE the threshold cut so cross-engine sum
+    ulps cannot move a user across a band edge."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        ev = load_table(spark, sf_dir, "events")
+        p = ev.filter(F.col("event_type") == "purchase")
+        prof = p.groupBy("user_id").agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            rnd(F.sum("value"), 4).alias("monetary"),
+        )
+        anchor = p.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+        scored = prof.crossJoin(F.broadcast(anchor)).select(
+            "user_id",
+            F.datediff("anchor_day", "last_day")
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        # Pin the profile (user-count-sized, snapshot-deterministic)
+        # and embed the nine thresholds as LITERALS collected once per
+        # session — the plan_cache "deterministic literal" rule (same
+        # legitimacy as trained IVF centroids): the final plan reads
+        # the pinned profile ONCE; no second aggregate branch, no
+        # global sort anywhere.
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        probs = [0.25, 0.5, 0.75]
+        row = scored.agg(
+            F.percentile_approx("recency_days", probs, _RFM_ACC).alias("rq"),
+            F.percentile_approx("frequency", probs, _RFM_ACC).alias("fq"),
+            F.percentile_approx("monetary", probs, _RFM_ACC).alias("mq"),
+        ).collect()[0]
+        rq, fq, mq = list(row["rq"]), list(row["fq"]), list(row["mq"])
+
+        def asc_band(col: str, qs: list) -> F.Column:
+            # low value = quartile 1 (recency: recent is best)
+            b = F.lit(1)
+            for q in qs:
+                b = b + (F.col(col) > F.lit(q)).cast("long")
+            return b.cast("bigint")
+
+        def desc_band(col: str, qs: list) -> F.Column:
+            # high value = quartile 1 (frequency/monetary: big is best)
+            b = F.lit(1)
+            for q in reversed(qs):
+                b = b + (F.col(col) < F.lit(q)).cast("long")
+            return b.cast("bigint")
+
+        seg = scored.select(
+            "user_id",
+            "recency_days",
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary",
+            asc_band("recency_days", rq).alias("r_quartile"),
+            desc_band("frequency", fq).alias("f_quartile"),
+            desc_band("monetary", mq).alias("m_quartile"),
+        )
+        df = seg.withColumn(
+            "segment",
+            F.concat_ws(
+                "",
+                F.col("r_quartile"),
+                F.col("f_quartile"),
+                F.col("m_quartile"),
+            ),
+        ).orderBy("user_id")
+        return df, [(scored, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("rfm_segments", sf_dir), build)
 
 
 RFM_SQL = """
@@ -1742,15 +1792,26 @@ WITH p AS (
          CAST(datediff('day', last_day, anchor_day) AS BIGINT) AS recency_days,
          CAST(frequency AS BIGINT) AS frequency, monetary
   FROM prof CROSS JOIN anchor
+), bands AS (
+  SELECT quantile_disc(recency_days, 0.25) AS r25,
+         quantile_disc(recency_days, 0.50) AS r50,
+         quantile_disc(recency_days, 0.75) AS r75,
+         quantile_disc(frequency, 0.25) AS f25,
+         quantile_disc(frequency, 0.50) AS f50,
+         quantile_disc(frequency, 0.75) AS f75,
+         quantile_disc(monetary, 0.25) AS m25,
+         quantile_disc(monetary, 0.50) AS m50,
+         quantile_disc(monetary, 0.75) AS m75
+  FROM scored
 ), seg AS (
   SELECT user_id, recency_days, frequency, monetary,
-         CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT)
-           AS r_quartile,
-         CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT)
-           AS f_quartile,
-         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT)
-           AS m_quartile
-  FROM scored
+         CAST(1 + (recency_days > r25)::INT + (recency_days > r50)::INT
+                + (recency_days > r75)::INT AS BIGINT) AS r_quartile,
+         CAST(1 + (frequency < f75)::INT + (frequency < f50)::INT
+                + (frequency < f25)::INT AS BIGINT) AS f_quartile,
+         CAST(1 + (monetary < m75)::INT + (monetary < m50)::INT
+                + (monetary < m25)::INT AS BIGINT) AS m_quartile
+  FROM scored CROSS JOIN bands
 )
 SELECT user_id, recency_days, frequency, monetary,
        r_quartile, f_quartile, m_quartile,

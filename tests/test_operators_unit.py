@@ -674,6 +674,279 @@ def _jpeg_bytes(
     return bytes(out)
 
 
+def _jpeg_progressive_bytes(
+    px: np.ndarray, quality_q: int = 1, subsample: bool = False
+) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) JPEG encoder for tests: a
+    libjpeg-shaped scan script — interleaved DC first pass at Al=1,
+    per-component spectral-selection AC first passes at Al=1, then AC
+    refinement (Ah=1, Al=0) and DC refinement scans — so the decoder's
+    successive-approximation and non-interleaved block-walk paths are
+    exercised against coefficients it did not write. Refining down to
+    Al=0 reconstructs EXACTLY the baseline coefficients, so the decode
+    must match the baseline encode bit-for-bit."""
+    import struct
+
+    A = multimodal._JPEG_IDCT_A
+    zz = multimodal._JPEG_ZIGZAG
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype("f8")]
+        samps = [(1, 1)]
+    else:
+        r, g, b = (px[:, :, i].astype("f8") for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def pad_to(plane, ph, pw):
+        out = np.empty((ph, pw))
+        sh, sw = plane.shape
+        out[:sh, :sw] = plane
+        out[sh:, :sw] = plane[sh - 1 : sh, :]
+        out[:, sw:] = out[:, sw - 1 : sw]
+        return out
+
+    # per-component zigzag coefficient grids over the padded MCU grid
+    q = float(quality_q)
+    grids = []
+    comp_dims = []  # non-interleaved (cbh, cbw) per component
+    for plane, (hs, vs) in zip(planes, samps):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = pad_to(plane, mcus_y * 8 * vmax, mcus_x * 8 * hmax)
+            plane = ph.reshape(
+                ph.shape[0] // fy, fy, ph.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        else:
+            plane = pad_to(plane, mcus_y * 8 * vs, mcus_x * 8 * hs)
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = np.zeros((bh, bw, 64), dtype="i4")
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                X = A @ block @ A.T
+                grid[by, bx] = np.round(X / q).astype("i4").flatten()[zz]
+        grids.append(grid)
+        comp_w = -(-(w * hs) // hmax)
+        comp_h = -(-(h * vs) // vmax)
+        comp_dims.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    # canonical Huffman tables (same scheme as the baseline encoder)
+    dc_syms = list(range(12))
+    ac_syms = sorted(
+        {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+
+    def canonical(symbols, length):
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        table = {}
+        code = 0
+        for ln in range(1, 17):
+            if ln == length:
+                for s in symbols:
+                    table[s] = (ln, code)
+                    code += 1
+            code <<= 1
+        return counts, table
+
+    dc_counts, dc_enc = canonical(dc_syms, 5)
+    ac_counts, ac_enc = canonical(ac_syms, 9)
+
+    bits: list[int] = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    def flush_bytes():
+        out = bytearray()
+        by = list(bits)
+        while len(by) % 8:
+            by.append(1)
+        for i in range(0, len(by), 8):
+            b = 0
+            for bit in by[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    def dc_first_scan(comp_idxs, al):
+        """Interleaved (or single-comp) DC first pass at point
+        transform al: diff-code dc >> al in MCU/block order."""
+        preds = {ci: 0 for ci in comp_idxs}
+        if len(comp_idxs) > 1:
+            order = []
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci in comp_idxs:
+                    hs, vs = samps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            order.append((ci, my * vs + by, mx * hs + bx))
+        else:
+            ci = comp_idxs[0]
+            cbh, cbw = comp_dims[ci]
+            order = [(ci, u // cbw, u % cbw) for u in range(cbh * cbw)]
+        for ci, by, bx in order:
+            v = int(grids[ci][by, bx, 0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = category(diff)
+            ln, code = dc_enc[t]
+            put(code, ln)
+            put_val(diff, t)
+        return flush_bytes()
+
+    def dc_refine_scan(comp_idxs, al):
+        if len(comp_idxs) > 1:
+            order = []
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci in comp_idxs:
+                    hs, vs = samps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            order.append((ci, my * vs + by, mx * hs + bx))
+        else:
+            ci = comp_idxs[0]
+            cbh, cbw = comp_dims[ci]
+            order = [(ci, u // cbw, u % cbw) for u in range(cbh * cbw)]
+        for ci, by, bx in order:
+            bits.append((int(grids[ci][by, bx, 0]) >> al) & 1)
+        return flush_bytes()
+
+    def ac_first_scan(ci, ss, se, al):
+        """Non-interleaved AC first pass: run-length coding of the
+        point-transformed band, per-block EOB (no cross-block runs)."""
+        cbh, cbw = comp_dims[ci]
+        for u in range(cbh * cbw):
+            by, bx = divmod(u, cbw)
+            zzc = grids[ci][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zzc[k])
+                t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ln, code = ac_enc[0xF0]
+                    put(code, ln)
+                    r -= 16
+                s = category(t)
+                ln, code = ac_enc[(r << 4) | s]
+                put(code, ln)
+                put_val(t, s)
+                r = 0
+            if r > 0:
+                ln, code = ac_enc[0x00]
+                put(code, ln)
+        return flush_bytes()
+
+    def ac_refine_scan(ci, ss, se, al):
+        """Non-interleaved AC refinement (T.81 G.1.2.3 / jcphuff):
+        newly-nonzero coefs as (run<<4)|1 + sign bit; already-nonzero
+        coefs contribute buffered correction bits; per-block EOB."""
+        cbh, cbw = comp_dims[ci]
+        for u in range(cbh * cbw):
+            by, bx = divmod(u, cbw)
+            zzc = grids[ci][by, bx]
+            absv = [abs(int(zzc[k])) >> al for k in range(64)]
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            buffered: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    ln, code = ac_enc[0xF0]
+                    put(code, ln)
+                    r -= 16
+                    for bbit in buffered:
+                        bits.append(bbit)
+                    buffered = []
+                if t > 1:
+                    buffered.append(t & 1)
+                    continue
+                ln, code = ac_enc[(r << 4) | 1]
+                put(code, ln)
+                bits.append(1 if int(zzc[k]) > 0 else 0)
+                for bbit in buffered:
+                    bits.append(bbit)
+                buffered = []
+                r = 0
+            if r > 0 or buffered:
+                ln, code = ac_enc[0x00]
+                put(code, ln)
+                for bbit in buffered:
+                    bits.append(bbit)
+        return flush_bytes()
+
+    def seg(marker, data):
+        return (
+            b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
+        )
+
+    def sos(comp_idxs, ss, se, ah, al, entropy):
+        head = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            head += bytes([ci + 1, 0x00])
+        head += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, head) + entropy
+
+    qt = np.zeros(64, dtype="u1")
+    qt[:] = quality_q
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qt.tobytes())
+    nf = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci in range(nf):
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    out += seg(0xC4, dht)
+    all_comps = list(range(nf))
+    # libjpeg-shaped progression: DC first (Al=1), spectral-split AC
+    # first passes (Al=1), AC refinement to Al=0, DC refinement
+    out += sos(all_comps, 0, 0, 0, 1, dc_first_scan(all_comps, 1))
+    for ci in range(nf):
+        out += sos([ci], 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1))
+        out += sos([ci], 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1))
+    for ci in range(nf):
+        out += sos([ci], 1, 63, 1, 0, ac_refine_scan(ci, 1, 63, 0))
+    out += sos(all_comps, 0, 0, 1, 0, dc_refine_scan(all_comps, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class TestBuiltinJpegKernel:
     def test_grayscale_roundtrip(self):
         """Random grayscale through a real DCT+Huffman encode (flat
@@ -721,15 +994,57 @@ class TestBuiltinJpegKernel:
         f_pnm = multimodal.decode_real(pnm, kind="image", dim=8)
         assert np.max(np.abs(f_jpg - f_pnm)) < 1.5 / 255.0
 
-    def test_progressive_rejected_auto_degrades(self, spark):
-        """A progressive (SOF2) payload must raise in the builtin
+    def test_progressive_grayscale_matches_baseline_exactly(self):
+        """Progressive (SOF2) decode: the full successive-approximation
+        scan script refines to Al=0, reconstructing EXACTLY the same
+        coefficients as the baseline encode — the decoded pixels must
+        be bit-identical between the two encodings."""
+        rng = np.random.default_rng(21)
+        px = rng.integers(0, 256, size=(18, 21), dtype="u1")
+        prog = multimodal._parse_jpeg(_jpeg_progressive_bytes(px))
+        base = multimodal._parse_jpeg(_jpeg_bytes(px))
+        assert prog.shape == (18, 21)
+        assert np.array_equal(prog, base)
+
+    def test_progressive_rgb_420_matches_baseline_exactly(self):
+        """Progressive + 4:2:0 subsampling: per-component AC scans walk
+        the NON-interleaved (smaller) chroma block grids while the DC
+        scans walk interleaved MCUs — the exact block-geometry split a
+        real mozjpeg crawl file exercises. Non-multiple-of-16 width
+        forces the padded-vs-coded block-count divergence."""
+        rng = np.random.default_rng(22)
+        px = rng.integers(0, 256, size=(24, 20, 3), dtype="u1")
+        prog = multimodal._parse_jpeg(
+            _jpeg_progressive_bytes(px, subsample=True)
+        )
+        base = multimodal._parse_jpeg(_jpeg_bytes(px, subsample=True))
+        assert prog.shape == (24, 20, 3)
+        assert np.array_equal(prog, base)
+
+    def test_progressive_auto_mode_decodes_real(self, spark):
+        """End-to-end through mapInPandas: a progressive payload now
+        routes to the REAL builtin kernel under fake=None."""
+        px = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        jpg = _jpeg_progressive_bytes(px)
+        rows = [(1, "image", "jpeg", 8, 8, None, bytearray(jpg))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert (
+            np.max(
+                np.abs(np.array(got["feature"]) - np.arange(8) * 32 / 255.0)
+            )
+            < 2.5 / 255.0
+        )
+
+    def test_arithmetic_coding_rejected_auto_degrades(self, spark):
+        """An arithmetic-coded (SOF9) payload must raise in the builtin
         kernel, and auto mode must degrade it to the fake feature —
         never crash the batch."""
         import struct as _s
 
         body = bytearray(b"\xff\xd8")
         sof = _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-        body += b"\xff\xc2" + _s.pack(">H", len(sof) + 2) + sof
+        body += b"\xff\xc9" + _s.pack(">H", len(sof) + 2) + sof
         payload = bytes(body)
         with pytest.raises(ValueError):
             multimodal._parse_jpeg(payload)
@@ -827,6 +1142,44 @@ def test_kmeans_lloyd_improves_inertia(spark, sf_small):
     out = ivf.ivf_topk(emb, emb.filter("vec_id < 3"), trained, k=3)
     got = out.collect()
     assert len(got) == 9
+
+
+def test_kmeans_lloyd_minibatch_deterministic_and_improves(spark, sf_small):
+    """Mini-batch Lloyd (the >=1M-vector scale path): hash-selected
+    per-round subsets must be fully deterministic (same centroids on
+    re-run — no RNG, no run-order dependence) and must still reduce
+    inertia vs the seeds."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators import ivf
+    from energy_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    vecs = np.array([[float(x) for x in r["embedding"]] for r in emb.collect()])
+
+    def inertia(cents):
+        c = np.array(cents)
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    seeded = ivf.seed_centroids(emb, "vec_id", "embedding")
+    mb1 = ivf.kmeans_lloyd(emb, iterations=3, sample_fraction=0.5)
+    mb2 = ivf.kmeans_lloyd(emb, iterations=3, sample_fraction=0.5)
+    assert mb1 == mb2
+    assert inertia(mb1) < inertia(seeded)
+
+
+def test_pq_train_minibatch_deterministic(spark, sf_small):
+    from energy_data_pipeline_spark.operators import pq
+    from energy_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    c1 = pq.pq_train(emb, "vec_id", "embedding", sample_fraction=0.5)
+    c2 = pq.pq_train(emb, "vec_id", "embedding", sample_fraction=0.5)
+    assert c1 == c2
+    # full-batch and mini-batch agree on shape, not necessarily values
+    full = pq.pq_train(emb, "vec_id", "embedding")
+    assert len(c1) == len(full) and len(c1[0]) == len(full[0])
 
 
 # --- §1.3 schema-alias resolution -----------------------------------------
