@@ -1980,6 +1980,28 @@ def _span_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned gram → distinct-doc-frequency table over ``_span_pos`` —
+    the second intermediate the audit and the trim SHARE (both need
+    every gram's document frequency; computing it twice re-aggregated
+    the full positional table per query). Snapshot-deterministic →
+    data-cache per the plan_cache conventions."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        pos = _span_pos(spark, sf_dir)
+        gram_df = pos.groupBy("g").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        return gram_df, [(gram_df, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("dup_span_gram_df", sf_dir, SPAN_N), build
+    )
+
+
 def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage — the gram-wise
     approximation of ExactSubstr dedup (Lee et al. 2021, "Deduplicating
@@ -2006,9 +2028,7 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         pos = _span_pos(spark, sf_dir)
         pins: plan_cache.PinList = []
-        gram_df = pos.groupBy("g").agg(
-            F.countDistinct("doc_id").alias("_df")
-        )
+        gram_df = _span_gram_df(spark, sf_dir)
         df = (
             pos.join(gram_df, "g")
             .groupBy("doc_id")
@@ -2084,9 +2104,7 @@ def span_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         n = SPAN_N
         pos = _span_pos(spark, sf_dir)
-        gram_df = pos.groupBy("g").agg(
-            F.countDistinct("doc_id").alias("_df")
-        )
+        gram_df = _span_gram_df(spark, sf_dir)
         dup_starts = (
             pos.join(
                 gram_df.filter(F.col("_df") >= 2).select("g"), "g"

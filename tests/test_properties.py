@@ -499,3 +499,36 @@ def test_dsir_weights_favor_target_source(spark, sf_small):
         .collect()
     }
     assert means[True] > means[False], means
+
+
+# --- progressive JPEG == baseline JPEG on ANY image ----------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    h=st.integers(min_value=4, max_value=25),
+    w=st.integers(min_value=4, max_value=25),
+    color=st.booleans(),
+    subsample=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_jpeg_decodes_identically_to_baseline(
+    h, w, color, subsample, seed
+):
+    """For ANY image content/geometry, the progressive scan script
+    refined to Al=0 carries exactly the baseline coefficients — decode
+    of both encodings must be bit-identical (successive-approximation
+    refinement, EOB-run, ZRL and non-interleaved block-walk paths all
+    sit under this one invariant)."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators import multimodal
+
+    from .test_operators_unit import _jpeg_bytes, _jpeg_progressive_bytes
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype="u1")
+    sub = subsample and color
+    base = multimodal._parse_jpeg(_jpeg_bytes(px, subsample=sub))
+    prog = multimodal._parse_jpeg(_jpeg_progressive_bytes(px, subsample=sub))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
