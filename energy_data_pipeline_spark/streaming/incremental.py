@@ -533,6 +533,81 @@ def _hll_apply_batch(
     return True
 
 
+def _hll_daily_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_col: str,
+    ts_col: str,
+) -> bool:
+    """One foreachBatch application of the GROUPED daily HLL sink:
+    per-(day, bucket) registers MAX-merged into the persistent table.
+    Returns True if applied, False if skipped as a replay."""
+    from ..operators import sketches as SK
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    existing, version, last_applied = _sketch_state_read(spark, table_path)
+    if batch_id <= last_applied:  # crash-replay of a published batch
+        return False
+    day = F.to_date(ts_col)
+    keyed = (
+        batch_df.select(day.alias("day"), F.col(key_col))
+        .distinct()
+        .select("day", SK.hll_hash(F.col(key_col)).alias("hv"))
+    )
+    delta = keyed.groupBy(
+        "day", SK.hll_bucket(F.col("hv")).alias("bucket")
+    ).agg(F.max(SK.hll_rho(F.col("hv"))).alias("rho"))
+    if existing is not None:
+        merged = (
+            existing.select("day", "bucket", "rho")
+            .unionByName(delta)
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+    else:
+        merged = delta
+    rows = merged.collect()  # |days| x m rows — retention-bounded
+    _sketch_state_publish(
+        spark.createDataFrame(rows, merged.schema), table_path, version, batch_id
+    )
+    return True
+
+
+def hll_daily_register_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Incremental GROUPED HyperLogLog maintenance — the streaming twin
+    of ``sk_hll_daily_users``: one register set per day, MAX-merged
+    across micro-batches, so a reporting pipeline reads per-day
+    distinct-user estimates from |days|×m rows of state no matter how
+    many events flow through. Same md5 register algebra as the batch
+    query (bit-exact convergence), same replay-skip + versioned atomic
+    pointer publish as the plain register sink; re-delivered rows are
+    absorbed by MAX per (day, bucket). The driver-side merge collects
+    |days|×m rows — bounded by retention, not traffic; a deployment
+    with unbounded history would partition the state table by day and
+    rewrite only the days present in the batch."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _hll_daily_apply_batch(batch_df, batch_id, table_path, key_col, ts_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _cms_apply_batch(
     batch_df: DataFrame, batch_id: int, table_path: str, key_col: str
 ) -> bool:

@@ -824,3 +824,30 @@ def test_round9c_queries_single_scan(spark, name):
     assert "partial_" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_segments_has_no_window_and_single_scan(spark):
+    """The round-10 RFM rewrite: quartile thresholds are collected once
+    and embedded as literals, so the physical plan must contain NO
+    Window operator (the former three full-sort ntile windows
+    serialized the whole profile through one reducer) and exactly ONE
+    events scan. The output orderBy is the only global sort left —
+    presentation-bounded by |users|."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["a14_rfm_segments"]
+    plan = plan_of(fn(spark, SF))
+    assert "Window" not in plan, plan[:2000]
+    # the query reads the PINNED profile; the parquet scans live only
+    # inside the InMemoryRelation's one-time materialization subtree
+    # (profile + 1-row anchor branch — the per-execution path reads
+    # the cache, so ≤ 2 distinct build-time scan nodes and none
+    # outside it). explain("formatted") repeats nodes across the AQE
+    # initial/final renderings, so count DISTINCT node ids.
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    import re as _re
+
+    scan_ids = set(_re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 2, (scan_ids, plan[:2000])
+    assert "SortMergeJoin" not in plan

@@ -730,3 +730,54 @@ def test_sketch_publish_crash_leaves_previous_version_readable(spark, dirs):
 
     with _pytest.raises(Exception):
         read_sketch_table(spark, dirs["table"])
+
+
+def test_hll_daily_register_stream_converges_to_batch(spark, dirs):
+    """The grouped daily HLL sink: two micro-batched halves plus a full
+    redelivery must converge to EXACTLY the per-(day, bucket) registers
+    of the batch computation over the union — the sk_hll_daily_users
+    reporting shape maintained incrementally."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.operators import sketches as SK
+    from energy_data_pipeline_spark.streaming.incremental import (
+        hll_daily_register_stream,
+        read_event_stream,
+        read_sketch_table,
+    )
+
+    # minutes spread rows over two days (1440 min/day)
+    half1 = [(i, i * 60, 100 + i, "click", 1.0) for i in range(30)]
+    half2 = [(100 + i, 1440 + i * 30, 50 + i, "view", 2.0) for i in range(30)]
+
+    _mk_batch(spark, half1).write.mode("append").parquet(dirs["landing"])
+    hll_daily_register_stream(
+        read_event_stream(spark, dirs["landing"]), dirs["table"], dirs["ckpt"]
+    )
+    _mk_batch(spark, half2).write.mode("append").parquet(dirs["landing"])
+    _mk_batch(
+        spark, [(1000 + i, m, u, t, v) for (i, m, u, t, v) in half1]
+    ).write.mode("append").parquet(dirs["landing"])
+    hll_daily_register_stream(
+        read_event_stream(spark, dirs["landing"]), dirs["table"], dirs["ckpt"]
+    )
+
+    streamed = {
+        (str(r["day"]), r["bucket"], r["rho"])
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    batch = _mk_batch(spark, half1 + half2)
+    keyed = (
+        batch.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .select("day", SK.hll_hash(F.col("user_id")).alias("hv"))
+    )
+    expected = {
+        (str(r["day"]), r["bucket"], r["rho"])
+        for r in keyed.groupBy(
+            "day", SK.hll_bucket(F.col("hv")).alias("bucket")
+        )
+        .agg(F.max(SK.hll_rho(F.col("hv"))).alias("rho"))
+        .collect()
+    }
+    assert streamed == expected
