@@ -83,10 +83,20 @@ def main() -> int:
         elif i % 25 == 0:
             print(f"[{i}/{len(names)}] ... green so far", flush=True)
     wall = time.time() - t0
+    # plan-cache headroom: LRU eviction past _MAX_ENTRIES unpersists
+    # pins and causes rebuild storms every bench round — surface the
+    # occupancy after a full catalog pass so growth is caught here,
+    # not as a mystery perf regression
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    n_memo = len(plan_cache._MEMO)
+    cache_note = f"plan-cache {n_memo}/{plan_cache._MAX_ENTRIES} entries"
+    if n_memo >= plan_cache._MAX_ENTRIES - 8:
+        cache_note += " — HEADROOM LOW, raise _MAX_ENTRIES or prune pins"
     print(
         f"\nsweep: {len(names) - len(fails)}/{len(names)} green "
         f"({len(rows_only)} rows-only) in {wall:.0f}s at {args.sf_dir} "
-        f"tz={args.tz}"
+        f"tz={args.tz} [{cache_note}]"
     )
     for name, issues in fails:
         print(f"  FAIL {name}: {issues}")
