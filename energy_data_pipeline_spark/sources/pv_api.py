@@ -122,6 +122,33 @@ def pv_records_df(bodies: DataFrame, body_col: str = "body") -> DataFrame:
     return bodies.mapInPandas(parse, schema=PV_RECORD_SCHEMA)
 
 
+def urllib_xml_fetcher(
+    url_for: Callable[[dict], str], timeout_s: float = 30.0
+) -> Callable[[dict], list[dict]]:
+    """A REAL executor-side fetcher for ``rest.run_fetch``: GET the
+    task's URL over stdlib urllib, parse the XML payload into record
+    rows. The HTTP session is created LAZILY inside the closure on its
+    first call, so the fetcher cloudpickles to executors cleanly (an
+    OpenerDirector holds unpicklable state) and each worker keeps one
+    session — the distributed twin of the reference's driver-side
+    aiohttp loop (nambu_backfill.py:57-128). Non-200 / non-XML bodies
+    yield [] (run_fetch's retry-then-skip semantics)."""
+    session: list[Transport] = []
+
+    def fetch(task: dict) -> list[dict]:
+        if not session:
+            session.append(urllib_transport(timeout_s))
+        status, _ctype, body = session[0]("GET", url_for(task))
+        if status != 200:
+            return []
+        return [
+            _record_row(rec)
+            for rec in parse_pv_payload(body.decode("utf-8", "replace"))
+        ]
+
+    return fetch
+
+
 # ---------------------------------------------------------------- CSV portal
 
 # transport(method, url, *, data=None, headers=None)
@@ -129,6 +156,56 @@ def pv_records_df(bodies: DataFrame, body_col: str = "body") -> DataFrame:
 # One callable carries the session state (cookies) across the two steps —
 # exactly what aiohttp.ClientSession / requests.Session provide.
 Transport = Callable[..., tuple[int, str, bytes]]
+
+
+def urllib_transport(timeout_s: float = 30.0) -> Transport:
+    """A REAL ``Transport`` over the stdlib — ``urllib.request`` with an
+    ``http.cookiejar`` session, so the two-step cookie handshake works
+    against a live server with zero third-party dependencies. Each call
+    to this factory is one SESSION (one cookie jar), matching the
+    aiohttp.ClientSession lifetime in the reference
+    (namdong_collect_pv.py:181-262). Form dicts are urlencoded for
+    POST; non-2xx responses return their status rather than raising, so
+    the caller's skip-and-continue semantics hold. Tests drive it
+    hermetically against a loopback ``http.server``; deployments point
+    it at the real portal — the transport seam is no longer a stub."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+    from http.cookiejar import CookieJar
+
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(CookieJar())
+    )
+
+    def transport(
+        method: str,
+        url: str,
+        *,
+        data: dict[str, str] | bytes | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> tuple[int, str, bytes]:
+        body: bytes | None = None
+        if data is not None:
+            body = (
+                urllib.parse.urlencode(data).encode("ascii")
+                if isinstance(data, dict)
+                else data
+            )
+        req = urllib.request.Request(
+            url, data=body, headers=headers or {}, method=method.upper()
+        )
+        try:
+            with opener.open(req, timeout=timeout_s) as resp:
+                return (
+                    resp.status,
+                    resp.headers.get("Content-Type", ""),
+                    resp.read(),
+                )
+        except urllib.error.HTTPError as e:  # non-2xx still has a body
+            return e.code, e.headers.get("Content-Type", ""), e.read()
+
+    return transport
 
 
 def split_by_month(date_s: str, date_e: str) -> list[tuple[str, str]]:

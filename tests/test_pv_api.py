@@ -176,3 +176,151 @@ def test_download_csv_months_handshake_and_sniff():
     assert methods == ["GET", "POST"] * 3
     post = t.calls[1]
     assert post[2]["strDateS"] == "20240115" and post[2]["menuCd"] == "M1"
+
+
+def test_urllib_transport_live_cookie_handshake():
+    """The REAL stdlib transport against a live loopback http.server:
+    the GET must collect the session cookie, the POST must present it
+    back with the urlencoded form + Referer, and download_csv_months
+    must accept the CSV — the whole portal protocol over actual
+    sockets, hermetically."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from energy_data_pipeline_spark.sources.pv_api import urllib_transport
+
+    seen = {"posts": []}
+
+    class Portal(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Set-Cookie", "JSESSIONID=live123; Path=/")
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html>portal</html>")
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            form = dict(
+                urllib.parse.parse_qsl(self.rfile.read(length).decode())
+            )
+            seen["posts"].append(
+                {
+                    "cookie": self.headers.get("Cookie"),
+                    "referer": self.headers.get("Referer"),
+                    "form": form,
+                }
+            )
+            if self.headers.get("Cookie") != "JSESSIONID=live123":
+                # no session: the portal would serve an HTML error page
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(b"<html>login required</html>")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv; charset=euc-kr")
+            self.end_headers()
+            self.wfile.write(
+                f"ymd,hogi,gen\n{form['strDateS']},1,42.5\n".encode()
+            )
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Portal)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        got = download_csv_months(
+            urllib_transport(timeout_s=5.0),
+            main_url_for=lambda ds, de: f"{base}/main.do?s={ds}&e={de}",
+            csv_url=f"{base}/csvDown.do",
+            form_base={"menuCd": "M1"},
+            date_s="20240110",
+            date_e="20240215",
+        )
+    finally:
+        srv.shutdown()
+
+    assert [(ds, de) for ds, de, _ in got] == [
+        ("20240110", "20240131"),
+        ("20240201", "20240215"),
+    ]
+    assert got[0][2].startswith(b"ymd,hogi\n") or got[0][2].startswith(
+        b"ymd,hogi,gen\n"
+    )
+    # the session cookie collected on GET rode the POSTs
+    assert all(p["cookie"] == "JSESSIONID=live123" for p in seen["posts"])
+    assert all("main.do" in p["referer"] for p in seen["posts"])
+    assert seen["posts"][0]["form"]["strDateS"] == "20240110"
+
+
+def test_urllib_xml_fetcher_distributed_fanout_live(spark):
+    """End-to-end over REAL sockets: a task table fans out via
+    rest.run_fetch/mapInPandas, each EXECUTOR worker GETs its task's
+    URL from a loopback XML server through the lazy per-worker urllib
+    session, parses the payload, and the typed rows land back in a
+    DataFrame — the reference's asyncio collector as a distributed
+    Spark stage, hermetically."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from energy_data_pipeline_spark.sources.pv_api import (
+        PV_RECORD_SCHEMA,
+        urllib_xml_fetcher,
+    )
+    from energy_data_pipeline_spark.sources.rest import (
+        fetch_task_table,
+        run_fetch,
+    )
+
+    class Api(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = dict(
+                urllib.parse.parse_qsl(urllib.parse.urlparse(self.path).query)
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "application/xml")
+            self.end_headers()
+            self.wfile.write(
+                (
+                    "<resp><items><item>"
+                    f"<ymd>{q['ymd']}</ymd><gencd>{q['gencd']}</gencd>"
+                    f"<hogi>{q['hogi']}</hogi><ipptnm>plant</ipptnm>"
+                    "<qvodgen>10.5</qvodgen><qhorgen01>1.0</qhorgen01>"
+                    "</item></items></resp>"
+                ).encode()
+            )
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Api)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        tasks = fetch_task_table(
+            spark, ["20240101", "20240102"], [("G1", 1), ("G2", 2)]
+        )
+        fetcher = urllib_xml_fetcher(
+            lambda t: f"{base}/pv?ymd={t['ymd']}&gencd={t['gencd']}"
+            f"&hogi={t['hogi']}"
+        )
+        got = run_fetch(tasks, fetcher, PV_RECORD_SCHEMA).collect()
+    finally:
+        srv.shutdown()
+
+    assert len(got) == 4
+    by_key = {(r["ymd"], r["gencd"], r["hogi"]) for r in got}
+    assert by_key == {
+        ("20240101", "G1", "1"),
+        ("20240101", "G2", "2"),
+        ("20240102", "G1", "1"),
+        ("20240102", "G2", "2"),
+    }
+    assert all(r["qvodgen"] == "10.5" for r in got)
+    assert all(r["hours"]["qhorgen01"] == "1.0" for r in got)
