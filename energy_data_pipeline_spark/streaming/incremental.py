@@ -608,6 +608,44 @@ def hll_daily_register_stream(
     q.awaitTermination()
 
 
+def cms_estimate_keys(
+    spark: SparkSession, table_path: str, keys: Sequence
+) -> DataFrame:
+    """Point-query the STREAMED Count-Min state: for each key, the
+    min-over-rows of its d bucket counters — the upper-bound frequency
+    estimate, served from |keys|×d probe rows joined against the
+    broadcast d×w counter table (the same probe shape as the batch
+    `sk_cms_heavy_hitters`, but over state a stream maintained). This
+    is the serving-side half of the streaming sketch: the sink keeps
+    the counters current; dashboards call this without touching the
+    event stream."""
+    from ..plans.catalog_ext import _CMS_D, _CMS_W
+
+    counters = read_sketch_table(spark, table_path)
+    # keys probe by their STRING form — the sink hashes
+    # CAST(key AS STRING), so str(k) reproduces its buckets exactly
+    probes = spark.createDataFrame(
+        [(str(k),) for k in keys], "key string"
+    ).select(
+        "key", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("row_i")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("key"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(_CMS_W)
+    return (
+        probes.select("key", "row_i", bucket.alias("bucket"))
+        .join(F.broadcast(counters), ["row_i", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
 def _cms_apply_batch(
     batch_df: DataFrame, batch_id: int, table_path: str, key_col: str
 ) -> bool:

@@ -781,3 +781,40 @@ def test_hll_daily_register_stream_converges_to_batch(spark, dirs):
         .collect()
     }
     assert streamed == expected
+
+
+def test_cms_estimate_keys_serves_streamed_state(spark, dirs):
+    """The serving half of the streaming CMS: point estimates read
+    from the maintained counter table must upper-bound every key's
+    true count, be exact for keys with no collisions at toy scale,
+    and return 0 for never-seen keys."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.streaming.incremental import (
+        cms_estimate_keys,
+        cms_sketch_stream,
+        read_event_stream,
+    )
+
+    rows = [(i, i, 100 + i % 4, "click", 1.0) for i in range(40)]
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+    cms_sketch_stream(
+        read_event_stream(spark, dirs["landing"]), dirs["table"], dirs["ckpt"]
+    )
+
+    true = {
+        r["user_id"]: r["n"]
+        for r in _mk_batch(spark, rows)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["key"]: r["cms_estimate"]
+        for r in cms_estimate_keys(
+            spark, dirs["table"], [100, 101, 102, 103, 999_999]
+        ).collect()
+    }
+    for uid in (100, 101, 102, 103):
+        assert got[str(uid)] >= true[uid], (uid, got, true)
+    assert got["999999"] == 0
