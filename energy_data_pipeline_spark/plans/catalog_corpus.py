@@ -1960,7 +1960,18 @@ def _span_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned positional-gram table (doc_id, idx, g) shared by the
     dup-span audit and the ExactSubstr trim transform — ONE explode
     over the corpus feeds both (memoized + pinned under its own key,
-    so either query primes the other)."""
+    so either query primes the other).
+
+    ``g`` is the gram's xxhash64 FINGERPRINT, not the string: the
+    round-10 probe measured the string-keyed gram shuffle superlinear
+    at 1M docs (each 8-word gram is ~45 bytes of shuffle key; the
+    8-byte key cut the 1M-doc audit 45 → 23 s and the trim 80 → 45 s).
+    Collision bound: P ≈ n²/2⁶⁵ — 6e-10 at the sf0.01 gate (150k
+    grams), and at 10¹² grams the expected few-dozen merged pairs are
+    noise orders below the dedup signal (MinHash/SimHash fingerprint
+    far more aggressively). Deterministic, engine-local — the DuckDB
+    oracle keeps exact strings, so a collision would surface as a gate
+    mismatch rather than hide."""
     from . import plan_cache
 
     def build():
@@ -1970,22 +1981,23 @@ def _span_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos = docs.select(
             "doc_id",
             F.posexplode(T.shingles(F.col("text"), SPAN_N)).alias(
-                "idx", "g"
+                "idx", "_gs"
             ),
-        )
+        ).select("doc_id", "idx", F.xxhash64("_gs").alias("g"))
         return pos, [(pos, StorageLevel.MEMORY_AND_DISK)]
 
     return plan_cache.cached_plan(
-        spark, ("dup_span_pos", sf_dir, SPAN_N), build
+        spark, ("dup_span_pos_h64", sf_dir, SPAN_N), build
     )
 
 
 def _span_gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinned gram → distinct-doc-frequency table over ``_span_pos`` —
-    the second intermediate the audit and the trim SHARE (both need
-    every gram's document frequency; computing it twice re-aggregated
-    the full positional table per query). Snapshot-deterministic →
-    data-cache per the plan_cache conventions."""
+    """Pinned gram-fingerprint → distinct-doc-frequency table over
+    ``_span_pos`` — the second intermediate the audit and the trim
+    SHARE (both need every gram's document frequency; computing it
+    twice re-aggregated the full positional table per query).
+    Snapshot-deterministic → data-cache per the plan_cache
+    conventions."""
     from . import plan_cache
 
     def build():
@@ -1998,7 +2010,7 @@ def _span_gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         return gram_df, [(gram_df, StorageLevel.MEMORY_AND_DISK)]
 
     return plan_cache.cached_plan(
-        spark, ("dup_span_gram_df", sf_dir, SPAN_N), build
+        spark, ("dup_span_gram_df_h64", sf_dir, SPAN_N), build
     )
 
 
