@@ -402,7 +402,15 @@ def _pair_overlap_counts(
     denominators, so capped pairs get a score lower bound).
     """
     sh = _pin(doc_shingles(fan_out(df), id_col, text_col, n), pins_out=pins_out)
-    inv = sh.select(id_col, F.explode("shingle_set").alias("sh"))
+    # the inverted index carries xxhash64 FINGERPRINTS, not shingle
+    # strings: the window + self-join below shuffle on this key, and a
+    # ~45-byte gram string as the shuffle key measured superlinear at
+    # 1M docs (round-10 span probe — 8-byte keys were 7.8x faster on
+    # the analogous audit). Collision P ≈ n²/2⁶⁵; pair counts only
+    # ever reference doc ids, never the gram text.
+    inv = sh.select(
+        id_col, F.explode("shingle_set").alias("_s")
+    ).select(id_col, F.xxhash64("_s").alias("sh"))
     if max_doc_freq is not None:
         wdf = Window.partitionBy("sh")
         inv = (

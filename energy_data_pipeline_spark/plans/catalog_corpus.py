@@ -3128,7 +3128,12 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic bucket risk (unlike a similarity self-join). At 100 TB
     the train-gram set would ride as a bloom filter on the eval scan;
     the exact set join here is the oracle-checkable reference
-    semantics and is linear either way."""
+    semantics and is linear either way. Grams travel as xxhash64
+    fingerprints — the distinct and the join shuffle 8-byte keys, not
+    ~45-byte strings (the round-10 span probe measured string keys
+    superlinear at 1M docs); counts never need the gram text, and a
+    collision (P ≈ n²/2⁶⁵) would FAIL the string-keyed oracle gate
+    rather than hide."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     tagged = sampling.train_val_test_split(
         docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
@@ -3138,16 +3143,21 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
-            ).alias("g")
+            ).alias("_g")
         )
+        .select(F.xxhash64("_g").alias("g"))
         .distinct()
     )
-    eval_grams = tagged.filter(F.col("split") != "train").select(
-        "doc_id",
-        "split",
-        F.explode(F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))).alias(
-            "g"
-        ),
+    eval_grams = (
+        tagged.filter(F.col("split") != "train")
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+            ).alias("_g"),
+        )
+        .select("doc_id", "split", F.xxhash64("_g").alias("g"))
     )
     return (
         eval_grams.join(train_grams, "g")
@@ -4071,9 +4081,12 @@ def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = neardup.doc_shingles(
         fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text", n=3
     )
+    # df counts key on the 8-byte xxhash64 fingerprint, not the gram
+    # string (the histogram never needs the text; string shuffle keys
+    # measured superlinear at 1M docs in the round-10 span probe)
     inv = sh.filter(F.size("shingle_set") > 0).select(
-        F.explode("shingle_set").alias("g")
-    )
+        F.explode("shingle_set").alias("_g")
+    ).select(F.xxhash64("_g").alias("g"))
     df_ = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
         df_.groupBy(
