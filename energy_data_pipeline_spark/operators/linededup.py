@@ -64,6 +64,13 @@ def dedup_lines(
             F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
         )
         .withColumn("_elig", F.size(words(F.col("line"))) >= min_words)
+        # first-occurrence identity travels as an 8-byte xxhash64
+        # fingerprint: the groupBy + join below shuffle on this key,
+        # and a full line as the shuffle key is unbounded (collision
+        # P ≈ n²/2⁶⁵; the string-keyed DuckDB oracle would fail the
+        # gate loudly on one). The line TEXT stays in this pinned
+        # frame for the reassembly hash only.
+        .withColumn("_lh", F.xxhash64("line"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if pins_out is not None:
@@ -71,14 +78,14 @@ def dedup_lines(
 
     firsts = (
         lines.filter(F.col("_elig"))
-        .groupBy("line")
+        .groupBy("_lh")
         .agg(F.min(F.struct(id_col, "idx")).alias("_first"))
     )
     # eligibility is a pure function of the line text, so an ineligible
     # line can never match `firsts` (which holds only eligible lines) —
     # the left join leaves its `_first` NULL and the keep rule below
     # admits it unconditionally
-    marked = lines.join(firsts, "line", "left").withColumn(
+    marked = lines.join(firsts, "_lh", "left").withColumn(
         "_keep",
         (~F.col("_elig"))
         | (F.col("_first") == F.struct(F.col(id_col), F.col("idx"))),
