@@ -106,6 +106,7 @@ def media_capabilities() -> dict[str, bool]:
         # decodes for real" from "fake only"
         "builtin:png": True,
         "builtin:jpeg": True,
+        "builtin:gif": True,
         "builtin:pnm": True,
         "builtin:wav": True,
     }
@@ -138,6 +139,8 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "png"
     if kind == "image" and payload[:2] == _JPEG_MAGIC:
         return "jpeg"
+    if kind == "image" and payload[:6] in _GIF_MAGICS:
+        return "gif"
     return None
 
 
@@ -794,6 +797,139 @@ def _jpeg_decode_scan(
         raise ValueError("JPEG entropy data ended before the last MCU")
 
 
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW decompress (LSB-first bit packing, CLEAR/END
+    codes, growing code width capped at 12 bits) → palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def _parse_gif(payload: bytes) -> np.ndarray:
+    """Stdlib+numpy GIF decode of the FIRST frame → float RGB array in
+    [0,1], shape (h, w, 3).
+
+    GIF87a/89a, global and local color tables, interlaced and
+    sequential row order, full LZW with dictionary growth to 12 bits
+    and mid-stream CLEAR resets. Extension blocks (graphic control,
+    comments, application) are skipped; for animations the first image
+    descriptor wins — the feature kernel's contract is one
+    representative frame (frame COUNTS belong to the metadata columns,
+    not the pixel path). Transparency is ignored (the transparent index
+    renders its palette color) — a featurizer wants deterministic
+    pixels, not compositing."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype="u1", count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+        iflags = payload[pos + 8]
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                payload, dtype="u1", count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(
+            _gif_lzw_decode(bytes(data), mcs, w * h), dtype="i4"
+        ).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [
+                    np.arange(0, h, 8),
+                    np.arange(4, h, 8),
+                    np.arange(2, h, 4),
+                    np.arange(1, h, 2),
+                ]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        rgb = table[np.clip(idx, 0, len(table) - 1)].astype("f8") / 255.0
+        return rgb  # first frame only
+    raise ValueError("GIF contained no image descriptor")
+
+
+def _decode_gif_features(payload: bytes, dim: int) -> np.ndarray:
+    """GIF builtin kernel: decode first frame → grayscale → dim×dim
+    area resample → per-column mean intensity (identical feature
+    contract to the PNG, JPEG, PNM and PIL paths)."""
+    arr = _parse_gif(payload)
+    gray = arr.mean(axis=2)
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _decode_jpeg_features(payload: bytes, dim: int) -> np.ndarray:
     """JPEG builtin kernel: decode → grayscale → dim×dim area resample →
     per-column mean intensity (identical feature contract to the PNG,
@@ -881,6 +1017,8 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
         return _decode_png_features(payload, dim)
     if builtin == "jpeg":
         return _decode_jpeg_features(payload, dim)
+    if builtin == "gif":
+        return _decode_gif_features(payload, dim)
     if builtin == "wav":
         return _decode_wav_features(payload, dim)
     if caps.get(kind, False):
