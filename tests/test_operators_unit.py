@@ -315,6 +315,7 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
     assert {k for k in caps if k.startswith("builtin:")} == {
         "builtin:png",
         "builtin:jpeg",
+        "builtin:gif",
         "builtin:pnm",
         "builtin:wav",
     }
@@ -1065,6 +1066,228 @@ class TestBuiltinJpegKernel:
         media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
         got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
         assert np.max(np.abs(np.array(got["feature"]) - np.arange(8) * 32 / 255.0)) < 2.5 / 255.0
+
+
+def _gif_lzw_encode(indices, min_code_size, clear_every=None):
+    """Independent GIF-variant LZW compressor for tests: LSB-first bit
+    packing, CLEAR emitted up front (and optionally mid-stream every
+    ``clear_every`` data codes, to exercise the decoder's reset path),
+    code width growth to 12 bits, dictionary frozen at 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    def reset():
+        return {(i,): i for i in range(clear)}
+
+    put(clear)
+    table = reset()
+    next_code = end + 1
+    buf = ()
+    emitted = 0
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf])
+        emitted += 1
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = (int(px),)
+        if clear_every and emitted % clear_every == 0:
+            put(clear)
+            table = reset()
+            next_code = end + 1
+            width = min_code_size + 1
+    if buf:
+        put(table[buf])
+    put(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    *,
+    version=b"89a",
+    interlace=False,
+    local_palette=False,
+    extensions=(),
+    extra_frames=(),
+    clear_every=None,
+):
+    """Minimal GIF encoder for tests (independent of the decoder).
+
+    ``idx`` is an (h, w) array of palette indices; ``palette`` an (n, 3)
+    uint8 array. ``extra_frames`` appends further image descriptors
+    (animation) — the builtin decoder must return the FIRST frame only.
+    """
+    import struct as _s
+
+    h, w = idx.shape
+    n = len(palette)
+    size_bits = max(1, (n - 1).bit_length())
+    padded = np.zeros((2 ** size_bits, 3), dtype="u1")
+    padded[:n] = palette
+    out = bytearray(b"GIF" + version)
+    flags = (0x80 | (size_bits - 1)) if not local_palette else 0
+    out += _s.pack("<HH", w, h) + bytes([flags, 0, 0])
+    if not local_palette:
+        out += padded.tobytes()
+    out += b"".join(extensions)
+
+    def frame(fidx):
+        fh, fw = fidx.shape
+        blk = bytearray(b"\x2c" + _s.pack("<HHHH", 0, 0, fw, fh))
+        iflags = (0x40 if interlace else 0) | (
+            (0x80 | (size_bits - 1)) if local_palette else 0
+        )
+        blk.append(iflags)
+        if local_palette:
+            blk += padded.tobytes()
+        rows = fidx
+        if interlace:
+            order = np.concatenate(
+                [
+                    np.arange(0, fh, 8),
+                    np.arange(4, fh, 8),
+                    np.arange(2, fh, 4),
+                    np.arange(1, fh, 2),
+                ]
+            )
+            rows = fidx[order]
+        mcs = max(2, size_bits)
+        blk.append(mcs)
+        lzw = _gif_lzw_encode(rows.ravel(), mcs, clear_every=clear_every)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blk.append(len(chunk))
+            blk += chunk
+        blk.append(0)
+        return bytes(blk)
+
+    out += frame(idx)
+    for extra in extra_frames:
+        out += frame(extra)
+    out += b"\x3b"
+    return bytes(out)
+
+
+_GIF_GRAY_PAL = np.stack([np.arange(256)] * 3, axis=1).astype("u1")
+
+
+class TestBuiltinGifKernel:
+    def test_grayscale_gradient_roundtrip(self):
+        # column j = j*16 via a 256-gray palette; decoded pixels must be
+        # exactly palette[idx]/255
+        idx = np.tile((np.arange(16) * 16).astype("u1"), (16, 1))
+        arr = multimodal._parse_gif(_gif_bytes(idx, _GIF_GRAY_PAL))
+        assert arr.shape == (16, 16, 3)
+        assert np.allclose(arr[:, :, 0], idx / 255.0, atol=1e-12)
+
+    def test_gif87a_and_rgb_palette(self):
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype="u1")
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype="u1")
+        arr = multimodal._parse_gif(_gif_bytes(idx, pal, version=b"87a"))
+        assert np.allclose(arr * 255.0, pal[idx], atol=1e-12)
+
+    def test_interlaced_matches_sequential(self):
+        rng = np.random.RandomState(7)
+        idx = rng.randint(0, 256, size=(19, 13)).astype("u1")  # non-mult-of-8
+        seq = multimodal._parse_gif(_gif_bytes(idx, _GIF_GRAY_PAL))
+        inter = multimodal._parse_gif(
+            _gif_bytes(idx, _GIF_GRAY_PAL, interlace=True)
+        )
+        assert np.array_equal(seq, inter)
+
+    def test_local_palette_and_midstream_clear(self):
+        rng = np.random.RandomState(11)
+        idx = rng.randint(0, 64, size=(32, 32)).astype("u1")
+        pal = rng.randint(0, 256, size=(64, 3)).astype("u1")
+        plain = multimodal._parse_gif(_gif_bytes(idx, pal))
+        local = multimodal._parse_gif(
+            _gif_bytes(idx, pal, local_palette=True, clear_every=37)
+        )
+        assert np.array_equal(plain, local)
+        assert np.allclose(plain * 255.0, pal[idx], atol=1e-12)
+
+    def test_kwkwk_constant_image(self):
+        # a constant image forces the KwKwK code-equals-table-size case
+        # on the second code of every run
+        idx = np.full((24, 24), 5, dtype="u1")
+        arr = multimodal._parse_gif(_gif_bytes(idx, _GIF_GRAY_PAL))
+        assert np.allclose(arr, 5 / 255.0, atol=1e-12)
+
+    def test_dictionary_growth_past_initial_width(self):
+        # 96×96 of 256-palette noise ⇒ thousands of dictionary entries,
+        # driving code width 9 → 12 bits and the 4096 freeze
+        rng = np.random.RandomState(3)
+        idx = rng.randint(0, 256, size=(96, 96)).astype("u1")
+        arr = multimodal._parse_gif(_gif_bytes(idx, _GIF_GRAY_PAL))
+        assert np.allclose(arr[:, :, 0] * 255.0, idx, atol=1e-12)
+
+    def test_extensions_skipped_first_frame_wins(self):
+        gce = b"\x21\xf9\x04\x08\x0a\x00\x00\x00"  # graphic control
+        comment = b"\x21\xfe\x05hello\x00"
+        first = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        second = np.full((8, 8), 200, dtype="u1")
+        payload = _gif_bytes(
+            first,
+            _GIF_GRAY_PAL,
+            extensions=(gce, comment),
+            extra_frames=(second,),
+        )
+        arr = multimodal._parse_gif(payload)
+        assert np.allclose(arr[:, :, 0], first / 255.0, atol=1e-12)
+
+    def test_feature_contract_matches_pnm(self):
+        # identical pixels through GIF and PNM must produce identical
+        # features (the shared grayscale→resample→column-mean contract)
+        raster = np.full((16, 16), 120, dtype="u1")
+        gif = _gif_bytes(raster, _GIF_GRAY_PAL)
+        pnm = b"P5 16 16 255\n" + raster.tobytes()
+        f_gif = multimodal.decode_real(gif, kind="image", dim=8)
+        f_pnm = multimodal.decode_real(pnm, kind="image", dim=8)
+        assert np.allclose(f_gif, f_pnm, atol=1e-12)
+        assert np.allclose(f_gif, 120.0 / 255.0, atol=1e-12)
+
+    def test_truncated_stream_raises(self):
+        idx = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        payload = _gif_bytes(idx, _GIF_GRAY_PAL)
+        with pytest.raises(ValueError):
+            multimodal._parse_gif(payload[: len(payload) // 2])
+
+    def test_capability_probe_reports_gif_builtin(self):
+        assert multimodal.media_capabilities()["builtin:gif"] is True
+
+    def test_auto_mode_decodes_real_gif_payload(self, spark):
+        """End-to-end through mapInPandas: a genuine GIF payload decodes
+        with the REAL builtin kernel under fake=None."""
+        idx = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        gif = _gif_bytes(idx, _GIF_GRAY_PAL)
+        rows = [(1, "image", "gif", 8, 8, None, bytearray(gif))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert np.allclose(
+            got["feature"], np.arange(8) * 32 / 255.0, atol=1e-12
+        )
 
 
 def test_auto_mode_routes_builtin_rows_real_others_fake(spark):
