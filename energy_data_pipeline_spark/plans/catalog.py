@@ -44,6 +44,10 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
+    # round-10 continuation: brand-new entries front the window so
+    # their first external hash lands this round
+    "sk_hll_split_overlap",
+    "sk_binned_quantiles",
     # round-10 rotation: the 19 catalog entries never hashed by the
     # driver through round 9 (union of CORRECTNESS_r01-r09 keys vs the
     # catalog — all round-9 session-2 additions). Fronted so the r10

@@ -2517,6 +2517,355 @@ ORDER BY true_count DESC, user_id
 """
 
 
+# --- HLL set algebra: cross-source overlap via register MAX-merge ---
+
+
+def hll_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-document overlap between every pair of corpus sources,
+    estimated from HyperLogLog registers by inclusion-exclusion:
+    |A∩B| ≈ E(A) + E(B) − E(A∪B), where E(A∪B) comes from MAX-merging
+    the two register tables — never from revisiting the data.
+
+    This is the 100 TB split-contamination triage shape: each source's
+    register table is ≤ m rows built in one pass, pairs combine at
+    |S|²×m cost regardless of corpus volume, and the registers persist
+    so a new source compares against every old one without rescanning
+    them. The exact overlap (a fingerprint self-join) rides along as
+    the audit column the same way ``n_exact`` does in
+    ``sk_hll_distinct_report``. Same md5 register algebra as
+    operators/sketches.py; negative inclusion-exclusion estimates are
+    clamped to 0 in both engines.
+
+    Prepared-plan memoized with the (source, fp) frame PINNED — it is
+    snapshot-deterministic and feeds three branches (registers + both
+    sides of the exact-audit self-join), so documents is scanned once,
+    not three times."""
+    from ..operators import sketches as SK
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        fp = (
+            load_table(spark, sf_dir, "documents")
+            .select("source", F.md5(F.col("text")).alias("fp"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return _hll_overlap_frame(fp, SK), [
+            (fp, StorageLevel.MEMORY_AND_DISK)
+        ]
+
+    return plan_cache.cached_plan(
+        spark, ("hll_split_overlap", sf_dir, _HLL_M), build
+    )
+
+
+def _hll_overlap_frame(fp: DataFrame, SK) -> DataFrame:
+    m = float(_HLL_M)
+    keyed = fp.select("source", SK.hll_hash(F.col("fp")).alias("hv"))
+    reg = keyed.groupBy(
+        "source", SK.hll_bucket(F.col("hv")).alias("bucket")
+    ).agg(F.max(SK.hll_rho(F.col("hv"))).alias("rho"))
+
+    def estimate(grouped: DataFrame, keys: list[str], out: str) -> DataFrame:
+        agg = grouped.agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("sp"),
+            F.count(F.lit(1)).cast("double").alias("used"),
+        )
+        raw = (
+            F.lit(_HLL_ALPHA) * m * m / (F.col("sp") + (m - F.col("used")))
+        )
+        est = F.when(
+            (raw <= 2.5 * m) & (F.col("used") < m),
+            F.lit(m) * F.log(F.lit(m) / (m - F.col("used"))),
+        ).otherwise(raw)
+        return agg.select(*keys, est.alias(out))
+
+    per_src = estimate(reg.groupBy("source"), ["source"], "est")
+    srcs = reg.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    pair_reg = (
+        F.broadcast(pairs)
+        .join(
+            reg.alias("r"),
+            (F.col("r.source") == F.col("source_a"))
+            | (F.col("r.source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    union_est = estimate(
+        pair_reg.groupBy("source_a", "source_b"),
+        ["source_a", "source_b"],
+        "est_union",
+    )
+    exact = (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = per_src.select(
+        F.col("source").alias("source_a"), F.col("est").alias("hll_a")
+    )
+    eb = per_src.select(
+        F.col("source").alias("source_b"), F.col("est").alias("hll_b")
+    )
+    return (
+        pairs.join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .join(F.broadcast(union_est), ["source_a", "source_b"])
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+            rnd(F.col("hll_a"), 4).alias("hll_a"),
+            rnd(F.col("hll_b"), 4).alias("hll_b"),
+            rnd(F.col("est_union"), 4).alias("hll_union"),
+            rnd(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("hll_a") + F.col("hll_b") - F.col("est_union"),
+                ),
+                4,
+            ).alias("hll_overlap"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+HLL_OVERLAP_SQL = f"""
+WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents),
+h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(fp), 1, 15))::UBIGINT AS BIGINT) AS hv
+  FROM fp
+), reg AS (
+  SELECT source, hv & {_HLL_M - 1} AS bucket,
+         max(CASE WHEN (hv >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(hv >> 8)) END) AS rho
+  FROM h GROUP BY 1, 2
+), est1 AS (
+  SELECT source,
+         CASE WHEN raw <= 2.5 * {float(_HLL_M)!r} AND used < {float(_HLL_M)!r}
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                                          / ({float(_HLL_M)!r} - used))
+              ELSE raw END AS est
+  FROM (
+    SELECT source,
+           CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+             / (sum(power(CAST(2 AS DOUBLE), -rho))
+                + ({float(_HLL_M)!r} - CAST(count(*) AS DOUBLE))) AS raw,
+           CAST(count(*) AS DOUBLE) AS used
+    FROM reg GROUP BY source
+  )
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM reg) a
+  JOIN (SELECT DISTINCT source FROM reg) b ON a.source < b.source
+), preg AS (
+  SELECT p.source_a, p.source_b, r.bucket, max(r.rho) AS rho
+  FROM pairs p JOIN reg r
+    ON r.source = p.source_a OR r.source = p.source_b
+  GROUP BY 1, 2, 3
+), uest AS (
+  SELECT source_a, source_b,
+         CASE WHEN raw <= 2.5 * {float(_HLL_M)!r} AND used < {float(_HLL_M)!r}
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                                          / ({float(_HLL_M)!r} - used))
+              ELSE raw END AS est_union
+  FROM (
+    SELECT source_a, source_b,
+           CAST({_HLL_ALPHA!r} AS DOUBLE) * {float(_HLL_M * _HLL_M)!r}
+             / (sum(power(CAST(2 AS DOUBLE), -rho))
+                + ({float(_HLL_M)!r} - CAST(count(*) AS DOUBLE))) AS raw,
+           CAST(count(*) AS DOUBLE) AS used
+    FROM preg GROUP BY 1, 2
+  )
+), ex AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         count(*) AS exact_overlap
+  FROM fp x JOIN fp y ON x.fp = y.fp AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(coalesce(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+       round(ea.est, 4) AS hll_a,
+       round(eb.est, 4) AS hll_b,
+       round(u.est_union, 4) AS hll_union,
+       round(greatest(0.0, ea.est + eb.est - u.est_union), 4) AS hll_overlap
+FROM pairs p
+JOIN est1 ea ON ea.source = p.source_a
+JOIN est1 eb ON eb.source = p.source_b
+JOIN uest u ON u.source_a = p.source_a AND u.source_b = p.source_b
+LEFT JOIN ex ON ex.source_a = p.source_a AND ex.source_b = p.source_b
+ORDER BY p.source_a, p.source_b
+"""
+
+
+# --- mergeable binned-quantile sketch next to the exact quantiles ---
+
+_QSKETCH_BINS = 64
+_QSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a fixed-width binned histogram — the
+    third mergeable-sketch family next to HLL (distinct) and Count-Min
+    (frequency). Bin counts merge by plain addition, so per-partition
+    (or per-micro-batch) partials fold inside one shuffle and the
+    global sketch is ≤ {bins} rows at any data volume; the estimate
+    interpolates linearly inside the covering bin.
+
+    Execution shape: one stats pass (min/max/count + the exact
+    quantiles as the audit column, one aggregate), collected as a
+    deterministic 1-row literal (same plan_cache deterministic-literal
+    category as the RFM thresholds and IVF centroids), then ONE
+    histogram scan with the bounds embedded — two scans total, no
+    crossJoin re-evaluation of the stats subtree. Exact quantiles use
+    Spark ``percentile`` == DuckDB ``quantile_cont`` (linear
+    interpolation, parity established by txt_length_percentiles).
+    Prepared-plan memoized: the stats literals are collected once per
+    session (deterministic-literal rule), repeat invocations pay only
+    the histogram scan."""
+    from . import plan_cache
+
+    return plan_cache.cached_plan(
+        spark,
+        ("binned_quantiles", sf_dir, _QSKETCH_BINS, _QSKETCH_QS),
+        lambda: (_binned_quantiles_frame(spark, sf_dir), []),
+    )
+
+
+def _binned_quantiles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = float(_QSKETCH_BINS)
+    qarr = [float(q) for q in _QSKETCH_QS]
+    stats = ev.agg(
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.percentile("value", F.array(*[F.lit(q) for q in qarr])).alias(
+            "ex"
+        ),
+    ).collect()[0]
+    lo, hi, n, ex = stats["lo"], stats["hi"], stats["n"], stats["ex"]
+    width = (hi - lo) / b  # IEEE double — identical to the SQL (hi-lo)/B
+    bin_col = (
+        F.when(F.lit(hi) == F.lit(lo), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast(
+                    "int"
+                ),
+                F.lit(_QSKETCH_BINS - 1),
+            )
+        )
+        .alias("bin")
+    )
+    hist = ev.select(bin_col).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # ≤ bins rows: bounded single-partition window by construction
+    cum = hist.select("bin", "cnt", F.sum("cnt").over(w_cum).alias("cum"))
+    qs = spark.createDataFrame(
+        [(q, e) for q, e in zip(qarr, ex)], "q double, exact double"
+    )
+    picked = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum") >= F.col("q") * F.lit(n))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (F.col("q") * F.lit(n) - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return picked.select(
+        F.col("q").alias("quantile"),
+        rnd(F.col("exact"), 6).alias("exact_value"),
+        rnd(est, 6).alias("sketch_estimate"),
+        rnd(F.abs(est - F.col("exact")), 6).alias("abs_error"),
+    ).orderBy("quantile")
+
+
+QSKETCH_SQL = f"""
+WITH b AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events
+), binned AS (
+  SELECT CASE WHEN b.hi = b.lo THEN 0
+              ELSE least(CAST(floor((value - b.lo)
+                                    / ((b.hi - b.lo) / {float(_QSKETCH_BINS)!r}))
+                              AS INT), {_QSKETCH_BINS - 1}) END AS bin
+  FROM events, b
+), hist AS (
+  SELECT bin, CAST(count(*) AS DOUBLE) AS cnt FROM binned GROUP BY 1
+), cum AS (
+  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist
+), qs AS (
+  SELECT CAST(unnest([{", ".join(repr(float(q)) for q in _QSKETCH_QS)}])
+              AS DOUBLE) AS q,
+         unnest(quantile_cont(value,
+                [{", ".join(repr(float(q)) for q in _QSKETCH_QS)}])) AS exact
+  FROM events
+), picked AS (
+  SELECT q, exact, bin, cnt, cum,
+         row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM qs JOIN cum ON cum >= q * (SELECT n FROM b)
+)
+SELECT q AS quantile,
+       round(exact, 6) AS exact_value,
+       round((SELECT lo FROM b)
+             + ((SELECT hi FROM b) - (SELECT lo FROM b))
+               / {float(_QSKETCH_BINS)!r}
+               * (bin + (q * (SELECT n FROM b) - (cum - cnt)) / cnt),
+             6) AS sketch_estimate,
+       round(abs((SELECT lo FROM b)
+                 + ((SELECT hi FROM b) - (SELECT lo FROM b))
+                   / {float(_QSKETCH_BINS)!r}
+                   * (bin + (q * (SELECT n FROM b) - (cum - cnt)) / cnt)
+                 - exact),
+             6) AS abs_error
+FROM picked WHERE rn = 1
+ORDER BY quantile
+"""
+
+binned_quantiles.__doc__ = binned_quantiles.__doc__.format(
+    bins=_QSKETCH_BINS
+)
+
+
 EXT_QUERIES = {
     "t7_incomplete_days_backfill": (incomplete_days_backfill, T7_SQL),
     "j5_fuzzy_type_lookup": (fuzzy_type_lookup, _j5_sql()),
@@ -2557,4 +2906,9 @@ EXT_QUERIES = {
     "a18_type_day_rollup": (type_day_rollup, TYPE_DAY_ROLLUP_SQL),
     "sk_hll_daily_users": (hll_daily_users, HLL_DAILY_SQL),
     "a19_pareto_value_share": (pareto_value_share, PARETO_SQL),
+    # round-10 continuation additions APPEND (merged order is sample
+    # surface); both are ALSO fronted in catalog._SAMPLE_PRIORITY so the
+    # r10 gate hashes them first-time
+    "sk_hll_split_overlap": (hll_split_overlap, HLL_OVERLAP_SQL),
+    "sk_binned_quantiles": (binned_quantiles, QSKETCH_SQL),
 }

@@ -38,6 +38,10 @@ NEVER_DRIVER_SAMPLED = {
     "sk_hll_daily_users",
     "a19_pareto_value_share",
     "ts_seasonality_strength",
+    # round-10 continuation additions (fronted in _SAMPLE_PRIORITY for
+    # their first external hash this round)
+    "sk_hll_split_overlap",
+    "sk_binned_quantiles",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
