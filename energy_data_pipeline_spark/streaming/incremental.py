@@ -769,6 +769,148 @@ def cms_sketch_stream(
     q.awaitTermination()
 
 
+def _hist_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> bool:
+    """One foreachBatch application of the histogram bin sink (module
+    level so the replay-skip path is directly testable). Returns True
+    if the batch was applied, False if skipped as a replay."""
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    existing, version, last_applied = _sketch_state_read(spark, table_path)
+    if batch_id <= last_applied:  # crash-replay of a published batch
+        return False
+    width = (hi - lo) / float(bins)
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    delta = (
+        batch_df.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if existing is not None:
+        merged = (
+            existing.select("bin", "c")
+            .unionByName(delta)
+            .groupBy("bin")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        merged = delta
+    rows = merged.collect()  # ≤ bins rows by construction
+    _sketch_state_publish(
+        spark.createDataFrame(rows, merged.schema),
+        table_path,
+        version,
+        batch_id,
+    )
+    return True
+
+
+def histogram_sketch_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    bins: int = 64,
+) -> None:
+    """Incremental binned-histogram maintenance — the streaming twin of
+    ``sk_binned_quantiles`` and the third streaming sketch sink next to
+    the HLL register MAX-merge and the CMS counter SUM-merge. Each
+    micro-batch folds its rows into per-bin count deltas and SUM-merges
+    them into a persistent ≤ ``bins``-row table; histograms are LINEAR,
+    so the merged table after any micro-batch split equals the batch
+    histogram over the union of the rows exactly.
+
+    The bounds are part of the SINK CONTRACT, fixed up front (e.g. from
+    a historical snapshot): a stream cannot re-derive global min/max
+    without reprocessing, so out-of-range values CLAMP into the edge
+    bins — that only flattens the extreme-tail estimates, never loses
+    counts. Like the CMS sink, the SUM-merge is not
+    redelivery-idempotent, so the published pointer records the
+    last-applied batch_id and replayed batches are skipped before any
+    bin is touched; publication goes through the versioned atomic
+    pointer flip."""
+    if not hi > lo:
+        raise ValueError(f"histogram bounds need hi > lo, got [{lo}, {hi})")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _hist_apply_batch(
+            batch_df, batch_id, table_path, value_col, lo, hi, bins
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def histogram_quantiles(
+    spark: SparkSession,
+    table_path: str,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Serve quantile estimates from the STREAMED histogram state —
+    the same covering-bin linear interpolation as the batch
+    ``sk_binned_quantiles``, evaluated over the ≤ ``bins``-row table
+    the sink maintains (dashboards call this without touching the
+    event stream). Returns (quantile, estimate) per requested q."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / float(bins)
+    hist = read_sketch_table(spark, table_path)
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # ≤ bins rows: bounded single-partition window by construction
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        F.col("c").cast("double").alias("cnt"),
+        F.sum(F.col("c").cast("double")).over(w_cum).alias("cum"),
+        F.sum(F.col("c").cast("double")).over(w_all).alias("n"),
+    )
+    q_df = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return (
+        F.broadcast(q_df)
+        .join(cum, F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bin")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("q").alias("quantile"), est.alias("estimate"))
+        .orderBy("quantile")
+    )
+
+
 def _update_watermark(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],

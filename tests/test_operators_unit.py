@@ -1998,7 +1998,10 @@ class TestManifestTable:
         def writer(i):
             barrier.wait()
             tmp = str(d / f"_CURRENT.tmp.{i}")
-            for _ in range(50):
+            # 300 tries: under whole-suite + concurrent-Spark host load a
+            # writer has lost the CAS 50 straight times (one flake in the
+            # round-10 session); the bound only guards infinite loops
+            for _ in range(300):
                 with open(tmp, "w") as f:
                     f.write(f"m{i}")
                 try:

@@ -818,3 +818,110 @@ def test_cms_estimate_keys_serves_streamed_state(spark, dirs):
     for uid in (100, 101, 102, 103):
         assert got[str(uid)] >= true[uid], (uid, got, true)
     assert got["999999"] == 0
+
+
+def test_histogram_sketch_stream_equals_batch_bins(spark, dirs):
+    """Histogram linearity under micro-batching: streaming the rows in
+    two halves must produce EXACTLY the batch bin counts over their
+    union, and the served quantile estimates must sit within one bin
+    width of the exact quantiles."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        histogram_quantiles,
+        histogram_sketch_stream,
+        read_event_stream,
+        read_sketch_table,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 64
+    half1 = [(i, i, 100, "click", float((i * 7) % 100)) for i in range(50)]
+    half2 = [(100 + i, i, 200, "view", float((i * 13) % 100)) for i in range(50)]
+
+    _mk_batch(spark, half1).write.mode("append").parquet(dirs["landing"])
+    histogram_sketch_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        dirs["ckpt"],
+        lo=lo,
+        hi=hi,
+        bins=bins,
+    )
+    _mk_batch(spark, half2).write.mode("append").parquet(dirs["landing"])
+    histogram_sketch_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        dirs["ckpt"],
+        lo=lo,
+        hi=hi,
+        bins=bins,
+    )
+
+    streamed = {
+        r["bin"]: r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    width = (hi - lo) / bins
+    batch = _mk_batch(spark, half1 + half2)
+    expected = {
+        r["bin"]: r["c"]
+        for r in batch.select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast(
+                        "int"
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert streamed == expected
+
+    served = {
+        r["quantile"]: r["estimate"]
+        for r in histogram_quantiles(
+            spark, dirs["table"], [0.5, 0.9], lo, hi, bins
+        ).collect()
+    }
+    exact = batch.agg(
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.9))).alias("ex")
+    ).collect()[0]["ex"]
+    assert abs(served[0.5] - exact[0]) <= width
+    assert abs(served[0.9] - exact[1]) <= width
+
+
+def test_histogram_sketch_replay_and_clamping(spark, dirs):
+    """A replayed batch_id is skipped before any bin is touched, and
+    out-of-range values clamp into the edge bins (counts never lost)."""
+    import pytest as _pytest
+
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _hist_apply_batch,
+        histogram_sketch_stream,
+        read_sketch_table,
+    )
+
+    # values straddle the [10, 20) contract bounds: -5 clamps to bin 0,
+    # 25 and 10_000 clamp to the top bin
+    batch = _mk_batch(
+        spark,
+        [(1, 0, 1, "click", -5.0), (2, 1, 1, "view", 25.0),
+         (3, 2, 1, "view", 10_000.0), (4, 3, 1, "view", 15.0)],
+    )
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 10.0, 20.0, 4) is True
+    before = {
+        r["bin"]: r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert before == {0: 1, 3: 2, 2: 1}
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 10.0, 20.0, 4) is False
+    after = {
+        r["bin"]: r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert after == before
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch_stream(None, dirs["table"], dirs["ckpt"], lo=5.0, hi=5.0)
