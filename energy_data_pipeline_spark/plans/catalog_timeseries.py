@@ -1360,6 +1360,75 @@ ORDER BY event_type
 """
 
 
+# --- EWMA: exponentially weighted daily smoothing, alpha = 1/2 ---
+
+_EWMA_TAPS = 16  # 0.5^15 ≈ 3e-5: the truncated tail is noise-level
+
+
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily totals per event
+    type — the recursive smoother s_t = α·x_t + (1-α)·s_{t-1} expressed
+    as its equivalent 16-tap FIR kernel over observation lags, with the
+    weights renormalized over the taps that exist (series heads shrink
+    the kernel instead of biasing toward zero).
+
+    α is fixed at 1/2 so EVERY kernel weight is an exact power of two:
+    multiplication by 2^-k is exact in IEEE doubles, the numerator adds
+    identical addends in identical order in both engines, and the
+    4-rounded result hashes identically — a non-dyadic α would put
+    libm ``pow`` (not correctly-rounded, engine-dependent ulps) into
+    the oracle contract. Inputs are the already-4-rounded daily totals
+    (same rule as a13_moving_avg_7d). The window runs over the
+    per-(type, day) aggregate — |types| × |days| rows, never
+    event-sized; the 16 lag taps share ONE window spec, so Spark
+    evaluates them in a single pass over each partition."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(rnd(F.sum("value"), 4).alias("day_total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.coalesce(F.col("day_total") * F.lit(1.0), F.lit(0.0))
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_TAPS):
+        tap = F.lag("day_total", k).over(w)
+        num = num + F.coalesce(tap * F.lit(0.5**k), F.lit(0.0))
+        den = den + F.when(tap.isNull(), F.lit(0.0)).otherwise(
+            F.lit(0.5**k)
+        )
+    return daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        rnd(num / den, 4).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+def _ewma_sql() -> str:
+    num_terms = ["coalesce(day_total * 1.0, 0.0)"]
+    den_terms = ["1.0"]
+    for k in range(1, _EWMA_TAPS):
+        num_terms.append(f"coalesce(lag(day_total, {k}) OVER w * {0.5**k!r}, 0.0)")
+        den_terms.append(
+            f"CASE WHEN lag(day_total, {k}) OVER w IS NULL"
+            f" THEN 0.0 ELSE {0.5**k!r} END"
+        )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(sum(value), 4) AS day_total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, day_total,
+       round(({num}) / ({den}), 4) AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -1393,4 +1462,7 @@ TIMESERIES_QUERIES = {
         SCD2_HISTORY_SQL,
     ),
     "ts_seasonality_strength": (seasonality_strength, SEASONALITY_SQL),
+    # round-10 continuation additions APPEND (merged order is sample
+    # surface); also fronted in catalog._SAMPLE_PRIORITY
+    "ts_ewma_daily": (ewma_daily, _ewma_sql()),
 }

@@ -42,6 +42,7 @@ NEVER_DRIVER_SAMPLED = {
     # their first external hash this round)
     "sk_hll_split_overlap",
     "sk_binned_quantiles",
+    "ts_ewma_daily",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
