@@ -5,7 +5,7 @@
 SF001 := /root/testdata/sf0.01
 SF01  := /root/testdata/sf0.1
 
-.PHONY: test sweep sweep01 sweep-only bench parity-extended audit
+.PHONY: test sweep sweep01 sweep-only bench parity-extended audit probe
 
 test:
 	python -m pytest tests/ -x -q
@@ -36,3 +36,8 @@ bench:
 # per-query source-scan count audit (flags any query reading a source >= 3x)
 audit:
 	python scripts/plan_scan_audit.py
+
+# growth-curve scale probes (writes scale_probe_results.json; quiet
+# host required — concurrent Spark jobs poison the medians)
+probe:
+	python scripts/probe_round10b.py

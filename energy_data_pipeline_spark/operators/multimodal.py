@@ -728,13 +728,14 @@ def _jpeg_decode_scan(
 ) -> None:
     """Decode ONE scan's entropy data into the coefficient grids.
 
-    Interleaved scans (ns > 1, or any baseline scan) walk MCUs; a
-    single-component scan is non-interleaved per T.81 and walks that
-    component's own block grid (NOT the padded MCU grid — progressive
-    per-component AC scans code fewer blocks than the interleaved DC
-    scan). Restart markers reset DC predictors and the EOB run."""
+    Interleaved scans (ns > 1) walk MCUs; ANY single-component scan is
+    non-interleaved per T.81 §A.2 — baseline included, so a legal SOF0
+    file coded as three separate one-component scans walks each
+    component's own block grid in raster order (NOT the padded MCU
+    grid; with subsampling the two grids differ in both block count
+    and order). Restart markers reset DC predictors and the EOB run."""
     segments = _jpeg_split_restarts(entropy)
-    interleaved = len(scan_comps) > 1 or not progressive
+    interleaved = len(scan_comps) > 1
     if interleaved:
         n_units = mcus_x * mcus_y
     else:
@@ -777,7 +778,15 @@ def _jpeg_decode_scan(
                 ci, td, ta = scan_comps[0]
                 by, bx = divmod(unit, comp_blocks[ci][1])
                 coef = coef_grids[ci][by, bx]
-                if ss == 0:
+                if not progressive:  # baseline non-interleaved: full block
+                    preds[ci] = _jpeg_decode_block_coefs(
+                        reader,
+                        huffman[(0, td)],
+                        huffman[(1, ta)],
+                        coef,
+                        preds[ci],
+                    )
+                elif ss == 0:
                     if ah == 0:
                         t = _jpeg_decode_huffman(reader, huffman[(0, td)])
                         preds[ci] += _jpeg_extend(reader.read_bits(t), t)
@@ -1011,16 +1020,32 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
         img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
         arr = np.asarray(img, dtype="float64") / 255.0
         return arr.mean(axis=0)
-    if builtin == "pnm":
-        return _decode_pnm_features(payload, dim)
-    if builtin == "png":
-        return _decode_png_features(payload, dim)
-    if builtin == "jpeg":
-        return _decode_jpeg_features(payload, dim)
-    if builtin == "gif":
-        return _decode_gif_features(payload, dim)
-    if builtin == "wav":
-        return _decode_wav_features(payload, dim)
+    if builtin is not None:
+        import wave
+        import zlib
+
+        kernel = {
+            "pnm": _decode_pnm_features,
+            "png": _decode_png_features,
+            "jpeg": _decode_jpeg_features,
+            "gif": _decode_gif_features,
+            "wav": _decode_wav_features,
+        }[builtin]
+        try:
+            return kernel(payload, dim)
+        except (
+            IndexError,  # truncated payload: slicing past the end
+            KeyError,
+            EOFError,
+            OverflowError,
+            struct.error,  # truncated fixed-width header fields
+            zlib.error,  # corrupt PNG deflate stream
+            wave.Error,  # malformed WAV container
+        ) as e:
+            # corrupt members are a fact of any crawl corpus — surface
+            # them uniformly as ValueError so fake=False stays loud and
+            # auto mode degrades per row instead of killing the batch
+            raise ValueError(f"corrupt {builtin} payload: {e}") from e
     if caps.get(kind, False):
         raise NotImplementedError(
             f"kind={kind!r}: library installed but no real kernel written "

@@ -97,3 +97,72 @@ def hll_estimate(reg: DataFrame) -> DataFrame:
         F.col("used").cast("bigint").alias("n_registers_used"),
         est.alias("hll_estimate"),
     )
+
+
+def cms_bucket(row_i: Column, key: Column, w: int) -> Column:
+    """Count-Min bucket for hash row ``row_i`` and ``key`` — md5 of
+    "row:key" truncated to 32 bits, mod the table width. THE single
+    definition shared by the batch sketch (sk_cms_heavy_hitters), the
+    streaming counter sink and the point-query server: those three are
+    only correct if they hash bit-identically, so none may inline its
+    own copy. Keys hash by their engine CAST-to-string form."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        row_i.cast("string"), F.lit(":"), key.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(w)
+    )
+
+
+def binned_quantile_estimates(
+    hist: DataFrame, qs, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """(quantile, estimate) from a fixed-width (bin, cnt) histogram via
+    covering-bin linear interpolation: the first bin whose cumulative
+    mass reaches q·n supplies ``lo + width·(bin + (q·n − cum_prev)/cnt)``
+    with n the histogram's own total mass. THE single definition shared
+    by the batch sk_binned_quantiles and the streaming
+    histogram_quantiles server — the batch/streaming convergence
+    guarantee only holds while both interpolate identically. The
+    windows run over ≤ ``bins`` rows by construction."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    width = (hi - lo) / float(bins)
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        F.col("cnt").cast("double").alias("cnt"),
+        F.sum(F.col("cnt").cast("double")).over(w_cum).alias("cum"),
+        F.sum(F.col("cnt").cast("double")).over(w_all).alias("n"),
+    )
+    q_df = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return (
+        F.broadcast(q_df)
+        .join(cum, F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bin")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("q").alias("quantile"), est.alias("estimate"))
+        .orderBy("quantile")
+    )

@@ -2449,22 +2449,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = plan_cache.cached_plan(
         spark, ("cms_per_user", sf_dir), build
     )
+    from ..operators.sketches import cms_bucket
+
     rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
-    bucket = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("row_i").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % F.lit(_CMS_W)
+    bucket = cms_bucket(F.col("row_i"), F.col("user_id"), _CMS_W)
     sketch = (
         per_user.select(
             "user_id", "n", F.explode(rows_arr).alias("row_i")
@@ -2759,18 +2747,21 @@ def binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _binned_quantiles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sketches import binned_quantile_estimates
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     b = float(_QSKETCH_BINS)
     qarr = [float(q) for q in _QSKETCH_QS]
     stats = ev.agg(
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
-        F.count(F.lit(1)).cast("double").alias("n"),
         F.percentile("value", F.array(*[F.lit(q) for q in qarr])).alias(
             "ex"
         ),
     ).collect()[0]
-    lo, hi, n, ex = stats["lo"], stats["hi"], stats["n"], stats["ex"]
+    lo, hi, ex = stats["lo"], stats["hi"], stats["ex"]
     width = (hi - lo) / b  # IEEE double — identical to the SQL (hi-lo)/B
     bin_col = (
         F.when(F.lit(hi) == F.lit(lo), F.lit(0))
@@ -2787,48 +2778,38 @@ def _binned_quantiles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.select(bin_col).groupBy("bin").agg(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )
-    w_cum = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )  # ≤ bins rows: bounded single-partition window by construction
-    cum = hist.select("bin", "cnt", F.sum("cnt").over(w_cum).alias("cum"))
-    qs = spark.createDataFrame(
+    # estimate via THE shared covering-bin interpolation (also serves
+    # the streamed state in streaming/incremental.histogram_quantiles)
+    est = binned_quantile_estimates(hist, qarr, lo, hi, _QSKETCH_BINS)
+    exact_df = spark.createDataFrame(
         [(q, e) for q, e in zip(qarr, ex)], "q double, exact double"
     )
-    picked = (
-        F.broadcast(qs)
-        .join(cum, F.col("cum") >= F.col("q") * F.lit(n))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q").orderBy("bin")
+    return (
+        est.join(F.broadcast(exact_df), est["quantile"] == exact_df["q"])
+        .select(
+            "quantile",
+            rnd(F.col("exact"), 6).alias("exact_value"),
+            rnd(F.col("estimate"), 6).alias("sketch_estimate"),
+            rnd(F.abs(F.col("estimate") - F.col("exact")), 6).alias(
+                "abs_error"
             ),
         )
-        .filter(F.col("rn") == 1)
+        .orderBy("quantile")
     )
-    est = F.lit(lo) + F.lit(width) * (
-        F.col("bin")
-        + (F.col("q") * F.lit(n) - (F.col("cum") - F.col("cnt")))
-        / F.col("cnt")
-    )
-    return picked.select(
-        F.col("q").alias("quantile"),
-        rnd(F.col("exact"), 6).alias("exact_value"),
-        rnd(est, 6).alias("sketch_estimate"),
-        rnd(F.abs(est - F.col("exact")), 6).alias("abs_error"),
-    ).orderBy("quantile")
 
 
 QSKETCH_SQL = f"""
-WITH b AS (
-  SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM events
+WITH ev AS (
+  SELECT value FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+  FROM ev
 ), binned AS (
   SELECT CASE WHEN b.hi = b.lo THEN 0
               ELSE least(CAST(floor((value - b.lo)
                                     / ((b.hi - b.lo) / {float(_QSKETCH_BINS)!r}))
                               AS INT), {_QSKETCH_BINS - 1}) END AS bin
-  FROM events, b
+  FROM ev, b
 ), hist AS (
   SELECT bin, CAST(count(*) AS DOUBLE) AS cnt FROM binned GROUP BY 1
 ), cum AS (
@@ -2842,19 +2823,19 @@ WITH b AS (
 ), picked AS (
   SELECT q, exact, bin, cnt, cum,
          row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
-  FROM qs JOIN cum ON cum >= q * (SELECT n FROM b)
+  FROM qs JOIN cum ON cum >= q * (SELECT sum(cnt) FROM hist)
 )
 SELECT q AS quantile,
        round(exact, 6) AS exact_value,
        round((SELECT lo FROM b)
              + ((SELECT hi FROM b) - (SELECT lo FROM b))
                / {float(_QSKETCH_BINS)!r}
-               * (bin + (q * (SELECT n FROM b) - (cum - cnt)) / cnt),
+               * (bin + (q * (SELECT sum(cnt) FROM hist) - (cum - cnt)) / cnt),
              6) AS sketch_estimate,
        round(abs((SELECT lo FROM b)
                  + ((SELECT hi FROM b) - (SELECT lo FROM b))
                    / {float(_QSKETCH_BINS)!r}
-                   * (bin + (q * (SELECT n FROM b) - (cum - cnt)) / cnt)
+                   * (bin + (q * (SELECT sum(cnt) FROM hist) - (cum - cnt)) / cnt)
                  - exact),
              6) AS abs_error
 FROM picked WHERE rn = 1

@@ -454,32 +454,62 @@ _SKETCH_POINTER = "_LATEST"
 
 def _sketch_state_read(
     spark: SparkSession, table_path: str
-) -> tuple[DataFrame | None, int, int]:
-    """Return (state_df | None, version, last_applied_batch_id).
+) -> tuple[DataFrame | None, int, int, str]:
+    """Return (state_df | None, version, last_applied_batch_id,
+    stream_id).
 
     Only a MISSING pointer means "no state yet"; a pointer that exists
     but whose version directory fails to load raises — silently
     treating a corrupt table as first-batch would reset accumulated
-    registers/counters forever (the r9 ADVICE failure mode)."""
+    registers/counters forever (the r9 ADVICE failure mode).
+
+    ``stream_id`` (second pointer line; "" in pre-upgrade pointers)
+    identifies WHICH stream's batch_id sequence ``last_applied`` came
+    from: Structured Streaming batch_ids restart at 0 under a fresh
+    checkpoint, so a bare batch_id guard would silently drop every
+    batch of a re-checkpointed stream until it outran the old counter.
+
+    Pointer and version I/O is deliberately driver-local POSIX (same
+    deployment seam as sinks/manifest_table's lock CAS): table_path
+    must be on a filesystem the driver sees — local disk, NFS, or a
+    FUSE-mounted object store. An S3/GCS-native deployment swaps this
+    for a conditional PUT behind the same two functions."""
     import os
 
     ptr = os.path.join(table_path, _SKETCH_POINTER)
     if not os.path.exists(ptr):
-        return None, 0, -1
+        return None, 0, -1, ""
     with open(ptr, encoding="ascii") as fh:
-        version_s, batch_s = fh.read().split()
+        lines = fh.read().splitlines()
+    version_s, batch_s = lines[0].split()
+    stream_id = lines[1] if len(lines) > 1 else ""
     version, last_batch = int(version_s), int(batch_s)
     vdir = os.path.join(table_path, f"v{version:08d}")
-    return spark.read.parquet(vdir), version, last_batch
+    return spark.read.parquet(vdir), version, last_batch, stream_id
+
+
+def _replay_guard(
+    batch_id: int, last_applied: int, stream_id: str, stored_stream: str
+) -> bool:
+    """True iff this batch is a crash-replay that must be skipped: the
+    batch_id comparison is only meaningful within ONE stream's
+    checkpointed sequence, so a different stream identity (fresh
+    checkpoint, second stream onto the same table) always applies."""
+    return stream_id == stored_stream and batch_id <= last_applied
 
 
 def _sketch_state_publish(
-    df: DataFrame, table_path: str, version: int, batch_id: int
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    batch_id: int,
+    stream_id: str = "",
 ) -> None:
     """Write ``df`` as version ``version+1`` then atomically flip the
     pointer (tmp file + ``os.replace``). Old versions are pruned
     best-effort AFTER the flip, keeping the previous one as a
-    crash-recovery fallback."""
+    crash-recovery fallback. See ``_sketch_state_read`` for the
+    driver-local-filesystem seam and the stream_id contract."""
     import os
     import shutil
 
@@ -488,7 +518,7 @@ def _sketch_state_publish(
     df.coalesce(1).write.mode("overwrite").parquet(vdir)
     tmp = os.path.join(table_path, f".{_SKETCH_POINTER}.tmp")
     with open(tmp, "w", encoding="ascii") as fh:
-        fh.write(f"{new_version} {batch_id}\n")
+        fh.write(f"{new_version} {batch_id}\n{stream_id}\n")
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(table_path, _SKETCH_POINTER))
@@ -500,14 +530,18 @@ def _sketch_state_publish(
 def read_sketch_table(spark: SparkSession, table_path: str) -> DataFrame:
     """Snapshot read of the latest published sketch state (HLL
     registers or CMS counters)."""
-    df, _, _ = _sketch_state_read(spark, table_path)
+    df, _, _, _ = _sketch_state_read(spark, table_path)
     if df is None:
         raise FileNotFoundError(f"no sketch state published at {table_path}")
     return df
 
 
 def _hll_apply_batch(
-    batch_df: DataFrame, batch_id: int, table_path: str, key_col: str
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_col: str,
+    stream_id: str = "",
 ) -> bool:
     """One foreachBatch application of the HLL register sink (module
     level so the replay-skip path is directly testable). Returns True
@@ -517,8 +551,10 @@ def _hll_apply_batch(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    existing, version, last_applied = _sketch_state_read(spark, table_path)
-    if batch_id <= last_applied:  # crash-replay of a published batch
+    existing, version, last_applied, stored_stream = _sketch_state_read(
+        spark, table_path
+    )
+    if _replay_guard(batch_id, last_applied, stream_id, stored_stream):
         return False
     delta = SK.hll_registers(batch_df, key_col)
     if existing is not None:
@@ -528,7 +564,11 @@ def _hll_apply_batch(
     # ≤ m rows: stage to driver, publish atomically
     rows = merged.collect()
     _sketch_state_publish(
-        spark.createDataFrame(rows, merged.schema), table_path, version, batch_id
+        spark.createDataFrame(rows, merged.schema),
+        table_path,
+        version,
+        batch_id,
+        stream_id,
     )
     return True
 
@@ -539,6 +579,7 @@ def _hll_daily_apply_batch(
     table_path: str,
     key_col: str,
     ts_col: str,
+    stream_id: str = "",
 ) -> bool:
     """One foreachBatch application of the GROUPED daily HLL sink:
     per-(day, bucket) registers MAX-merged into the persistent table.
@@ -548,8 +589,10 @@ def _hll_daily_apply_batch(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    existing, version, last_applied = _sketch_state_read(spark, table_path)
-    if batch_id <= last_applied:  # crash-replay of a published batch
+    existing, version, last_applied, stored_stream = _sketch_state_read(
+        spark, table_path
+    )
+    if _replay_guard(batch_id, last_applied, stream_id, stored_stream):
         return False
     day = F.to_date(ts_col)
     keyed = (
@@ -571,7 +614,11 @@ def _hll_daily_apply_batch(
         merged = delta
     rows = merged.collect()  # |days| x m rows — retention-bounded
     _sketch_state_publish(
-        spark.createDataFrame(rows, merged.schema), table_path, version, batch_id
+        spark.createDataFrame(rows, merged.schema),
+        table_path,
+        version,
+        batch_id,
+        stream_id,
     )
     return True
 
@@ -595,8 +642,14 @@ def hll_daily_register_stream(
     with unbounded history would partition the state table by day and
     rewrite only the days present in the batch."""
 
+    import os
+
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        _hll_daily_apply_batch(batch_df, batch_id, table_path, key_col, ts_col)
+        _hll_daily_apply_batch(
+            batch_df, batch_id, table_path, key_col, ts_col, stream_id
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -619,25 +672,25 @@ def cms_estimate_keys(
     is the serving-side half of the streaming sketch: the sink keeps
     the counters current; dashboards call this without touching the
     event stream."""
+    from ..operators.sketches import cms_bucket
     from ..plans.catalog_ext import _CMS_D, _CMS_W
 
     counters = read_sketch_table(spark, table_path)
-    # keys probe by their STRING form — the sink hashes
-    # CAST(key AS STRING), so str(k) reproduces its buckets exactly
-    probes = spark.createDataFrame(
-        [(str(k),) for k in keys], "key string"
-    ).select(
-        "key", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("row_i")
+    # keys probe through the ENGINE's cast-to-string (one homogeneous
+    # key type per call, same as the sink's key column) — Python str()
+    # diverges from Spark's rendering for booleans, Decimals and
+    # timestamps, which would silently probe the wrong buckets
+    probes = (
+        spark.createDataFrame([(k,) for k in keys], ["key_raw"])
+        .select(F.col("key_raw").cast("string").alias("key"))
+        .select(
+            "key",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_CMS_D)])
+            ).alias("row_i"),
+        )
     )
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("key"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % F.lit(_CMS_W)
+    bucket = cms_bucket(F.col("row_i"), F.col("key"), _CMS_W)
     return (
         probes.select("key", "row_i", bucket.alias("bucket"))
         .join(F.broadcast(counters), ["row_i", "bucket"], "left")
@@ -647,7 +700,11 @@ def cms_estimate_keys(
 
 
 def _cms_apply_batch(
-    batch_df: DataFrame, batch_id: int, table_path: str, key_col: str
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key_col: str,
+    stream_id: str = "",
 ) -> bool:
     """One foreachBatch application of the CMS counter sink (module
     level so the replay-skip path is directly testable). Returns True
@@ -657,25 +714,15 @@ def _cms_apply_batch(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    existing, version, last_applied = _sketch_state_read(spark, table_path)
-    if batch_id <= last_applied:  # crash-replay of a published batch
+    existing, version, last_applied, stored_stream = _sketch_state_read(
+        spark, table_path
+    )
+    if _replay_guard(batch_id, last_applied, stream_id, stored_stream):
         return False
+    from ..operators.sketches import cms_bucket
+
     rows_arr = F.array(*[F.lit(i) for i in range(_CMS_D)])
-    bucket = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("row_i").cast("string"),
-                    F.lit(":"),
-                    F.col(key_col).cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % F.lit(_CMS_W)
+    bucket = cms_bucket(F.col("row_i"), F.col(key_col), _CMS_W)
     delta = (
         batch_df.select(F.col(key_col), F.explode(rows_arr).alias("row_i"))
         .groupBy(F.col("row_i"), bucket.alias("bucket"))
@@ -692,7 +739,11 @@ def _cms_apply_batch(
         merged = delta
     rows = merged.collect()  # ≤ d*w rows by construction
     _sketch_state_publish(
-        spark.createDataFrame(rows, merged.schema), table_path, version, batch_id
+        spark.createDataFrame(rows, merged.schema),
+        table_path,
+        version,
+        batch_id,
+        stream_id,
     )
     return True
 
@@ -722,8 +773,12 @@ def hll_register_stream(
     the 100 TB cost lives entirely in the per-batch map-side register
     fold.
     """
+    import os
+
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        _hll_apply_batch(batch_df, batch_id, table_path, key_col)
+        _hll_apply_batch(batch_df, batch_id, table_path, key_col, stream_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -756,8 +811,12 @@ def cms_sketch_stream(
     publishes through the versioned atomic pointer flip, so a crash
     mid-publish leaves the previous counters intact rather than
     resetting the sketch."""
+    import os
+
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        _cms_apply_batch(batch_df, batch_id, table_path, key_col)
+        _cms_apply_batch(batch_df, batch_id, table_path, key_col, stream_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -777,16 +836,35 @@ def _hist_apply_batch(
     lo: float,
     hi: float,
     bins: int,
+    stream_id: str = "",
 ) -> bool:
     """One foreachBatch application of the histogram bin sink (module
     level so the replay-skip path is directly testable). Returns True
-    if the batch was applied, False if skipped as a replay."""
+    if the batch was applied, False if skipped as a replay.
+
+    The published state carries (lo, hi, bins) as constant columns —
+    the bin counts are meaningless without their bounds, so the sink
+    REFUSES to merge into a table built under a different contract,
+    and the serving side reads the bounds instead of trusting the
+    caller. NULL values are dropped before binning (a NULL is not an
+    observation; binning it would skew an edge bin — and would land in
+    DIFFERENT edge bins in the batch twin)."""
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    existing, version, last_applied = _sketch_state_read(spark, table_path)
-    if batch_id <= last_applied:  # crash-replay of a published batch
+    existing, version, last_applied, stored_stream = _sketch_state_read(
+        spark, table_path
+    )
+    if _replay_guard(batch_id, last_applied, stream_id, stored_stream):
         return False
+    if existing is not None:
+        meta = existing.select("lo", "hi", "bins").first()
+        if (meta["lo"], meta["hi"], meta["bins"]) != (lo, hi, bins):
+            raise ValueError(
+                f"histogram sink contract mismatch: table {table_path} was "
+                f"built with (lo={meta['lo']}, hi={meta['hi']}, "
+                f"bins={meta['bins']}), got (lo={lo}, hi={hi}, bins={bins})"
+            )
     width = (hi - lo) / float(bins)
     bin_col = F.least(
         F.greatest(
@@ -798,7 +876,8 @@ def _hist_apply_batch(
         F.lit(bins - 1),
     )
     delta = (
-        batch_df.select(bin_col.alias("bin"))
+        batch_df.filter(F.col(value_col).isNotNull())
+        .select(bin_col.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -811,12 +890,20 @@ def _hist_apply_batch(
         )
     else:
         merged = delta
+    merged = merged.select(
+        "bin",
+        "c",
+        F.lit(lo).alias("lo"),
+        F.lit(hi).alias("hi"),
+        F.lit(bins).alias("bins"),
+    )
     rows = merged.collect()  # ≤ bins rows by construction
     _sketch_state_publish(
         spark.createDataFrame(rows, merged.schema),
         table_path,
         version,
         batch_id,
+        stream_id,
     )
     return True
 
@@ -850,9 +937,13 @@ def histogram_sketch_stream(
     if not hi > lo:
         raise ValueError(f"histogram bounds need hi > lo, got [{lo}, {hi})")
 
+    import os
+
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _hist_apply_batch(
-            batch_df, batch_id, table_path, value_col, lo, hi, bins
+            batch_df, batch_id, table_path, value_col, lo, hi, bins, stream_id
         )
 
     q = (
@@ -869,45 +960,36 @@ def histogram_quantiles(
     spark: SparkSession,
     table_path: str,
     qs: Sequence[float],
-    lo: float,
-    hi: float,
-    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+    bins: int | None = None,
 ) -> DataFrame:
-    """Serve quantile estimates from the STREAMED histogram state —
-    the same covering-bin linear interpolation as the batch
-    ``sk_binned_quantiles``, evaluated over the ≤ ``bins``-row table
-    the sink maintains (dashboards call this without touching the
-    event stream). Returns (quantile, estimate) per requested q."""
-    from pyspark.sql import Window
+    """Serve quantile estimates from the STREAMED histogram state via
+    the SAME covering-bin interpolation as the batch
+    ``sk_binned_quantiles`` (one shared implementation:
+    operators/sketches.binned_quantile_estimates — the two cannot
+    drift). The sink's (lo, hi, bins) contract is READ FROM THE STATE
+    rather than trusted from the caller; passing them explicitly is a
+    cross-check that raises on mismatch instead of silently serving
+    quantiles against the wrong bounds. Returns (quantile, estimate)
+    per requested q."""
+    from ..operators.sketches import binned_quantile_estimates
 
-    width = (hi - lo) / float(bins)
     hist = read_sketch_table(spark, table_path)
-    w_cum = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )  # ≤ bins rows: bounded single-partition window by construction
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "bin",
-        F.col("c").cast("double").alias("cnt"),
-        F.sum(F.col("c").cast("double")).over(w_cum).alias("cum"),
-        F.sum(F.col("c").cast("double")).over(w_all).alias("n"),
-    )
-    q_df = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    est = F.lit(lo) + F.lit(width) * (
-        F.col("bin")
-        + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-        / F.col("cnt")
-    )
-    return (
-        F.broadcast(q_df)
-        .join(cum, F.col("cum") >= F.col("q") * F.col("n"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("q").orderBy("bin")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(F.col("q").alias("quantile"), est.alias("estimate"))
-        .orderBy("quantile")
+    meta = hist.select("lo", "hi", "bins").first()
+    s_lo, s_hi, s_bins = meta["lo"], meta["hi"], meta["bins"]
+    for name, given, stored in (
+        ("lo", lo, s_lo),
+        ("hi", hi, s_hi),
+        ("bins", bins, s_bins),
+    ):
+        if given is not None and given != stored:
+            raise ValueError(
+                f"histogram contract mismatch: caller expects {name}="
+                f"{given}, state at {table_path} was built with {stored}"
+            )
+    return binned_quantile_estimates(
+        hist.select("bin", F.col("c").alias("cnt")), qs, s_lo, s_hi, s_bins
     )
 
 

@@ -497,12 +497,16 @@ def _jpeg_bytes(
     quality_q: int = 1,
     subsample: bool = False,
     restart_interval: int = 0,
+    separate_scans: bool = False,
 ) -> bytes:
     """Minimal baseline-JPEG encoder for tests: real DCT + canonical
     Huffman entropy coding (flat quant table of ``quality_q``), so the
     builtin decoder is exercised against ground truth it did not
     write. Grayscale (h, w) or RGB (h, w, 3); ``subsample`` emits
-    4:2:0 chroma; ``restart_interval`` emits DRI + RSTn markers."""
+    4:2:0 chroma; ``restart_interval`` emits DRI + RSTn markers;
+    ``separate_scans`` emits one SOS per component (T.81 §A.2
+    NON-interleaved baseline: each scan walks its component's OWN
+    block grid in raster order, not the padded MCU grid)."""
     import struct
 
     A = multimodal._JPEG_IDCT_A
@@ -600,52 +604,72 @@ def _jpeg_bytes(
         return bytes(out)
 
     q = float(quality_q)
-    preds = [0] * len(planes)
-    entropy = bytearray()
-    n_mcus = mcus_x * mcus_y
-    emitted = 0
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            entropy.extend(flush_bytes())
-            entropy.extend(b"\xff" + bytes([0xD0 + ((emitted) % 8)]))
-            emitted += 1
-            preds = [0] * len(planes)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (plane, (hs, vs)) in enumerate(zip(comp_planes, samps)):
-            for by_ in range(vs):
-                for bx in range(hs):
-                    y0 = (my * vs + by_) * 8
-                    x0 = (mx * hs + bx) * 8
-                    block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    X = A @ block @ A.T
-                    qz = np.round(X / q).astype("i4")
-                    zzc = qz.flatten()[zz]
-                    diff = int(zzc[0]) - preds[ci]
-                    preds[ci] = int(zzc[0])
-                    t = category(diff)
-                    ln, code = dc_enc[t]
-                    put(code, ln)
-                    put_val(diff, t)
-                    run = 0
-                    last_nz = max(np.nonzero(zzc)[0]) if np.any(zzc) else 0
-                    for k in range(1, 64):
-                        v = int(zzc[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run >= 16:
-                            ln, code = ac_enc[0xF0]
-                            put(code, ln)
-                            run -= 16
-                        s = category(v)
-                        ln, code = ac_enc[(run << 4) | s]
-                        put(code, ln)
-                        put_val(v, s)
-                        run = 0
-                    if last_nz < 63:
-                        ln, code = ac_enc[0x00]
-                        put(code, ln)
-    entropy.extend(flush_bytes())
+
+    def encode_block(plane, y0, x0, pred):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        X = A @ block @ A.T
+        qz = np.round(X / q).astype("i4")
+        zzc = qz.flatten()[zz]
+        diff = int(zzc[0]) - pred
+        t = category(diff)
+        ln, code = dc_enc[t]
+        put(code, ln)
+        put_val(diff, t)
+        run = 0
+        last_nz = max(np.nonzero(zzc)[0]) if np.any(zzc) else 0
+        for k in range(1, 64):
+            v = int(zzc[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_enc[0xF0]
+                put(code, ln)
+                run -= 16
+            s = category(v)
+            ln, code = ac_enc[(run << 4) | s]
+            put(code, ln)
+            put_val(v, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_enc[0x00]
+            put(code, ln)
+        return int(zzc[0])
+
+    scan_blobs: list[bytes] = []
+    if separate_scans:
+        assert not restart_interval, "separate_scans test mode has no DRI"
+        for plane, (hs, vs) in zip(comp_planes, samps):
+            pred = 0
+            cbw = -(-(-(-w * hs // hmax)) // 8)
+            cbh = -(-(-(-h * vs // vmax)) // 8)
+            for by_ in range(cbh):
+                for bx in range(cbw):
+                    pred = encode_block(plane, by_ * 8, bx * 8, pred)
+            scan_blobs.append(flush_bytes())
+        entropy = bytearray()
+    else:
+        preds = [0] * len(planes)
+        entropy = bytearray()
+        n_mcus = mcus_x * mcus_y
+        emitted = 0
+        for mcu in range(n_mcus):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                entropy.extend(flush_bytes())
+                entropy.extend(b"\xff" + bytes([0xD0 + ((emitted) % 8)]))
+                emitted += 1
+                preds = [0] * len(planes)
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (plane, (hs, vs)) in enumerate(zip(comp_planes, samps)):
+                for by_ in range(vs):
+                    for bx in range(hs):
+                        preds[ci] = encode_block(
+                            plane,
+                            (my * vs + by_) * 8,
+                            (mx * hs + bx) * 8,
+                            preds[ci],
+                        )
+        entropy.extend(flush_bytes())
 
     def seg(marker, data):
         return b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
@@ -665,12 +689,18 @@ def _jpeg_bytes(
     out += seg(0xC4, dht)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nf])
-    for ci in range(nf):
-        sos += bytes([ci + 1, 0x00])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += entropy
+    if separate_scans:
+        for ci in range(nf):
+            sos = bytes([1, ci + 1, 0x00]) + b"\x00\x3f\x00"
+            out += seg(0xDA, sos)
+            out += scan_blobs[ci]
+    else:
+        sos = bytes([nf])
+        for ci in range(nf):
+            sos += bytes([ci + 1, 0x00])
+        sos += b"\x00\x3f\x00"
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1053,6 +1083,55 @@ class TestBuiltinJpegKernel:
         media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
         got = multimodal.extract_features(media, fake=None, dim=4).collect()[0]
         assert got["feature"] == multimodal._fake_decode(payload, 4).tolist()
+
+    def test_baseline_separate_scans_match_interleaved(self):
+        """T.81 §A.2: a baseline file coded as one SOS per component is
+        NON-interleaved — each scan walks its component's own block
+        grid. With 4:2:0 chroma and non-multiple-of-16 dims the
+        component grids differ from the MCU grid in both block count
+        and order, so this catches any MCU-walk shortcut."""
+        rng = np.random.RandomState(5)
+        px = rng.randint(0, 256, size=(20, 28, 3)).astype("u1")
+        inter = multimodal._parse_jpeg(_jpeg_bytes(px, subsample=True))
+        sep = multimodal._parse_jpeg(
+            _jpeg_bytes(px, subsample=True, separate_scans=True)
+        )
+        assert np.array_equal(inter, sep)
+        # grayscale: component grid == MCU grid, still must roundtrip
+        g = np.tile((np.arange(16) * 16).astype("u1"), (16, 1))
+        assert np.array_equal(
+            multimodal._parse_jpeg(_jpeg_bytes(g)),
+            multimodal._parse_jpeg(_jpeg_bytes(g, separate_scans=True)),
+        )
+
+    def test_truncated_payloads_raise_valueerror_and_auto_degrades(
+        self, spark
+    ):
+        """Corrupt crawl members must surface as ValueError from
+        decode_real (not IndexError/struct.error) so auto mode degrades
+        per row instead of killing the mapInPandas batch."""
+        px = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        idx = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        truncated = [
+            b"GIF89a\x10\x00",  # header cut mid logical-screen-descriptor
+            _gif_bytes(idx, _GIF_GRAY_PAL)[:20],
+            _jpeg_bytes(px)[:24],  # cut inside a marker segment
+            b"\xff\xd8\xff\xc0\x00\x05\x08\x00",  # short SOF payload
+        ]
+        for payload in truncated:
+            with pytest.raises(ValueError):
+                multimodal.decode_real(payload, kind="image", dim=4)
+        rows = [
+            (i, "image", "bin", 8, 8, None, bytearray(p))
+            for i, p in enumerate(truncated)
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = {
+            r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, fake=None, dim=4).collect()
+        }
+        for i, p in enumerate(truncated):
+            assert got[i] == multimodal._fake_decode(bytes(p), 4).tolist()
 
     def test_capability_probe_reports_jpeg_builtin(self):
         assert multimodal.media_capabilities()["builtin:jpeg"] is True

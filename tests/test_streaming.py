@@ -925,3 +925,70 @@ def test_histogram_sketch_replay_and_clamping(spark, dirs):
     assert after == before
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram_sketch_stream(None, dirs["table"], dirs["ckpt"], lo=5.0, hi=5.0)
+
+
+def test_sketch_sink_fresh_stream_identity_applies(spark, dirs):
+    """batch_ids restart at 0 under a fresh checkpoint: a bare
+    batch_id guard would silently drop every batch of the new stream.
+    The pointer records the stream identity, so batch 0 from a
+    DIFFERENT stream applies (and adopts the new identity), while a
+    replay within one stream still skips."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        read_sketch_table,
+    )
+
+    batch = _mk_batch(spark, [(1, 0, 7, "click", 1.0)])
+    assert _cms_apply_batch(batch, 5, dirs["table"], "user_id", "ckptA") is True
+    # same stream, replayed id: skipped
+    assert _cms_apply_batch(batch, 5, dirs["table"], "user_id", "ckptA") is False
+    # NEW stream (fresh checkpoint): batch 0 < 5 must still apply
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", "ckptB") is True
+    total = sum(
+        r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+        if r["row_i"] == 0
+    )
+    assert total == 2  # applied once per stream, replay dropped
+    # and the new identity's own replay is now skipped
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", "ckptB") is False
+
+
+def test_histogram_sink_rejects_contract_mismatch(spark, dirs):
+    """Bin counts are meaningless without their bounds: merging under
+    different (lo, hi, bins) must raise, and the serving side must
+    reject a caller whose expected bounds disagree with the state."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _hist_apply_batch,
+        histogram_quantiles,
+    )
+
+    batch = _mk_batch(spark, [(1, 0, 1, "click", 5.0)])
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 10.0, 4) is True
+    with pytest.raises(ValueError, match="contract mismatch"):
+        _hist_apply_batch(batch, 1, dirs["table"], "value", 0.0, 20.0, 4)
+    with pytest.raises(ValueError, match="contract mismatch"):
+        histogram_quantiles(spark, dirs["table"], [0.5], lo=0.0, hi=99.0)
+    # matching (or omitted) bounds serve from the STORED contract
+    got = histogram_quantiles(spark, dirs["table"], [0.5]).collect()
+    assert len(got) == 1
+
+
+def test_histogram_sink_drops_null_values(spark, dirs):
+    """A NULL value is not an observation: it must not be binned (the
+    batch twin and the sink would otherwise disagree on WHICH edge bin
+    swallows it)."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _hist_apply_batch,
+        read_sketch_table,
+    )
+
+    batch = _mk_batch(
+        spark, [(1, 0, 1, "click", 2.0), (2, 1, 1, "click", None)]
+    )
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 8.0, 4) is True
+    bins = {
+        r["bin"]: r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert bins == {1: 1}  # only the real observation counted
