@@ -49,6 +49,7 @@ _SAMPLE_PRIORITY = [
     "sk_hll_split_overlap",
     "sk_binned_quantiles",
     "ts_ewma_daily",
+    "ts_cross_correlation",
     # round-10 rotation: the 19 catalog entries never hashed by the
     # driver through round 9 (union of CORRECTNESS_r01-r09 keys vs the
     # catalog — all round-9 session-2 additions). Fronted so the r10

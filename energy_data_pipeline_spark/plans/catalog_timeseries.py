@@ -1429,6 +1429,106 @@ ORDER BY event_type, day
 """
 
 
+# --- cross-correlation: lead/lag between two event-type series ---
+
+_XCORR_LAGS = tuple(range(-3, 4))
+
+
+def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag Pearson correlation between the click and purchase
+    daily-total series: r(lag) of purchase(t) vs click(t − lag) for
+    lag ∈ [−3, +3] — does click volume LEAD purchase volume, and by
+    how many days? The classic causality-screening diagnostic next to
+    ``ts_autocorrelation`` (same series against itself).
+
+    Execution shape: ONE events scan → per-(type, day) totals (rounded
+    4 first, the repo sum-parity rule), the two series split and
+    joined per lag through a broadcast 7-row lag dimension —
+    |days| × |lags| joined rows, never event-sized. Pearson comes from
+    explicit n/Σx/Σy/Σxy/Σx²/Σy² sums (the seasonality-strength
+    convention — never corr(), whose streaming implementations drift
+    in the last ulps), with NULLIF guards for degenerate lags."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(rnd(F.sum("value"), 4).alias("total"))
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("p_day"), F.col("total").alias("x")
+    )
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("c_day"), F.col("total").alias("y")
+    )
+    lags = spark.createDataFrame(
+        [(int(v),) for v in _XCORR_LAGS], "lag int"
+    )
+    joined = (
+        p.crossJoin(F.broadcast(lags))
+        .join(
+            c,
+            F.col("c_day") == F.date_add(F.col("p_day"), -F.col("lag")),
+        )
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    denom = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        rnd(
+            F.when(
+                denom != 0.0,
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / denom,
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("lag")
+
+
+XCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS total
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), p AS (
+  SELECT day AS p_day, total AS x FROM daily WHERE event_type = 'purchase'
+), c AS (
+  SELECT day AS c_day, total AS y FROM daily WHERE event_type = 'click'
+), lags AS (
+  SELECT CAST(unnest([{", ".join(str(v) for v in _XCORR_LAGS)}]) AS INT)
+         AS lag
+), agg AS (
+  SELECT lag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p CROSS JOIN lags
+  JOIN c ON c_day = p_day - CAST(lag AS INT)
+  GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       round(CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) <> 0.0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS pearson_r
+FROM agg
+ORDER BY lag
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -1465,4 +1565,5 @@ TIMESERIES_QUERIES = {
     # round-10 continuation additions APPEND (merged order is sample
     # surface); also fronted in catalog._SAMPLE_PRIORITY
     "ts_ewma_daily": (ewma_daily, _ewma_sql()),
+    "ts_cross_correlation": (cross_correlation, XCORR_SQL),
 }

@@ -43,6 +43,7 @@ NEVER_DRIVER_SAMPLED = {
     "sk_hll_split_overlap",
     "sk_binned_quantiles",
     "ts_ewma_daily",
+    "ts_cross_correlation",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
