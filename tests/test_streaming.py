@@ -723,7 +723,7 @@ def test_sketch_publish_crash_leaves_previous_version_readable(spark, dirs):
     assert read_sketch_table(spark, dirs["table"]).count() > 0
 
     # corrupt the CURRENT version dir: read must raise, not reset
-    _, version, _ = _sketch_state_read(spark, dirs["table"])
+    _, version, _, _ = _sketch_state_read(spark, dirs["table"])
     vdir = os.path.join(dirs["table"], f"v{version:08d}")
     shutil.rmtree(vdir)
     import pytest as _pytest
