@@ -50,6 +50,7 @@ _SAMPLE_PRIORITY = [
     "sk_binned_quantiles",
     "ts_ewma_daily",
     "ts_cross_correlation",
+    "emb_pca_projection",
     # round-10 rotation: the 19 catalog entries never hashed by the
     # driver through round 9 (union of CORRECTNESS_r01-r09 keys vs the
     # catalog — all round-9 session-2 additions). Fronted so the r10

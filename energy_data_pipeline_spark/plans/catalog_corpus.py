@@ -4396,6 +4396,153 @@ ORDER BY di, dj
 """
 
 
+# --- PCA projection: the dimensionality-reduction stage over the
+# covariance statistic ---
+
+_PCA_K = 2
+_MEANS_SQL = """
+SELECT i, round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS m
+FROM (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _pca_basis(cov_rows, mean_rows, d: int):
+    """Shared Spark-side/oracle-side derivation: symmetric C from the
+    ROUNDED upper-triangle covariance rows (both engines produce the
+    hash-identical matrix — that is exactly what emb_covariance_matrix's
+    parity proves), numpy ``eigh``, top-K eigenvectors by eigenvalue
+    descending, sign fixed so each vector's largest-|component| is
+    positive (eigh's sign is otherwise arbitrary). Returns (basis,
+    offsets) where offset_k = mean·u_k folded in list order — the
+    centering constant both engines subtract as a literal."""
+    import numpy as np
+
+    C = np.zeros((d, d))
+    for di, dj, cov in cov_rows:
+        C[int(di) - 1, int(dj) - 1] = cov
+        C[int(dj) - 1, int(di) - 1] = cov
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:_PCA_K]
+    means = [0.0] * d
+    for i, m in mean_rows:
+        means[int(i) - 1] = float(m)
+    basis = []
+    offsets = []
+    for k in order:
+        u = V[:, k]
+        if u[int(np.argmax(np.abs(u)))] < 0:
+            u = -u
+        u = [float(x) for x in u]
+        c = 0.0
+        for i in range(d):  # sequential fold — mirrored by the oracle
+            c += means[i] * u[i]
+        basis.append(u)
+        offsets.append(c)
+    return basis, offsets
+
+
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top-2 principal components — the
+    dimensionality-reduction / visualization / whitening stage that
+    consumes ``emb_covariance_matrix``'s statistic.
+
+    Execution shape (the 100 TB pattern for PCA): the d×d covariance
+    folds DISTRIBUTED (reusing the covariance query's pinned
+    product-sum frames), the d×d eigendecomposition runs on the driver
+    (a 64×64 matrix — model-sized, same legitimacy as Lloyd centroids
+    under the plan_cache deterministic-literal rule), and the
+    projection streams as a NARROW per-row expression with the
+    eigenvectors embedded as literals — one embeddings scan, no
+    shuffle. Both engines project with the same sequential-fold dot
+    product over float32→double casts, so addends and order are
+    identical; the basis itself is bit-identical because both sides
+    run the same ``eigh`` on the hash-identical rounded covariance."""
+    from functools import reduce
+    from operator import add
+
+    from . import plan_cache
+
+    def build():
+        cov_rows = [
+            (r["di"], r["dj"], r["cov"])
+            for r in covariance_matrix(spark, sf_dir).collect()
+        ]
+        emb = load_table(spark, sf_dir, "embeddings")
+        mean_rows = [
+            (r["i"], r["m"])
+            for r in (
+                emb.select(F.posexplode("embedding").alias("i", "v"))
+                .groupBy((F.col("i") + 1).alias("i"))
+                .agg(
+                    rnd(
+                        F.sum(F.col("v").cast("double"))
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("m")
+                )
+                .collect()
+            )
+        ]
+        d = len(mean_rows)
+        basis, offsets = _pca_basis(cov_rows, mean_rows, d)
+        e = F.col("embedding")
+        cols = [F.col("vec_id"), F.col("label")]
+        for k, (u, c) in enumerate(zip(basis, offsets), start=1):
+            dot = reduce(
+                add,
+                [
+                    F.element_at(e, i + 1).cast("double") * F.lit(u[i])
+                    for i in range(d)
+                ],
+            )
+            cols.append(rnd(dot - F.lit(c), 6).alias(f"pc{k}"))
+        return emb.select(*cols).orderBy("vec_id"), []
+
+    return plan_cache.cached_plan(
+        spark, ("emb_pca_projection", sf_dir, _PCA_K), build
+    )
+
+
+def _pca_oracle_sql(sf_dir: str) -> str | None:
+    """Generated oracle: DuckDB computes the SAME rounded covariance
+    (COVARIANCE_SQL) and rounded means, the SAME numpy basis derives
+    from them (_pca_basis), and the projection is emitted as explicit
+    left-associated term sums so both engines fold identical addends
+    in identical order."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        cov_rows = con.execute(COVARIANCE_SQL).fetchall()
+        mean_rows = con.execute(_MEANS_SQL).fetchall()
+        con.close()
+        if not cov_rows or not mean_rows:
+            return None
+        d = len(mean_rows)
+        basis, offsets = _pca_basis(cov_rows, mean_rows, d)
+        pc_exprs = []
+        for k, (u, c) in enumerate(zip(basis, offsets), start=1):
+            terms = " + ".join(
+                f"CAST(embedding[{i + 1}] AS DOUBLE) * {u[i]!r}"
+                for i in range(d)
+            )
+            pc_exprs.append(f"round(({terms}) - {c!r}, 6) AS pc{k}")
+        return (
+            "SELECT vec_id, label, "
+            + ", ".join(pc_exprs)
+            + " FROM embeddings ORDER BY vec_id"
+        )
+    except Exception:
+        return None
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -4484,4 +4631,5 @@ CORPUS_QUERIES = {
     "txt_token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
     "txt_js_divergence_sources": (js_divergence_sources, JS_DIVERGENCE_SQL),
     "emb_covariance_matrix": (covariance_matrix, COVARIANCE_SQL),
+    "emb_pca_projection": (pca_projection, _pca_oracle_sql),
 }

@@ -44,6 +44,7 @@ NEVER_DRIVER_SAMPLED = {
     "sk_binned_quantiles",
     "ts_ewma_daily",
     "ts_cross_correlation",
+    "emb_pca_projection",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
