@@ -107,6 +107,7 @@ def media_capabilities() -> dict[str, bool]:
         "builtin:png": True,
         "builtin:jpeg": True,
         "builtin:gif": True,
+        "builtin:bmp": True,
         "builtin:pnm": True,
         "builtin:wav": True,
     }
@@ -141,6 +142,8 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "jpeg"
     if kind == "image" and payload[:6] in _GIF_MAGICS:
         return "gif"
+    if kind == "image" and payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
     return None
 
 
@@ -939,6 +942,73 @@ def _decode_gif_features(payload: bytes, dim: int) -> np.ndarray:
     return small.mean(axis=0)
 
 
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Stdlib+numpy BMP decode → float RGB array in [0,1], shape
+    (h, w, 3).
+
+    BITMAPINFOHEADER (and larger V4/V5 headers) with BI_RGB
+    (uncompressed) pixel data: 24-bit BGR, 32-bit BGRA (alpha
+    ignored), and 8-bit paletted; bottom-up AND top-down (negative
+    height) row orders; 4-byte row padding. RLE and bitfields
+    compression raise ValueError (auto mode degrades them per row)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (comp,) = struct.unpack("<I", payload[30:34])
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    if comp != 0:
+        raise ValueError(
+            f"only BI_RGB (uncompressed) BMP supported, got compression {comp}"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    palette = None
+    if bpp == 8:
+        n = clr_used or 256
+        pal_off = 14 + hdr_size
+        if len(payload) < pal_off + 4 * n:
+            raise ValueError("BMP palette truncated")
+        # stored BGRX → RGB
+        palette = np.frombuffer(
+            payload, dtype="u1", count=4 * n, offset=pal_off
+        ).reshape(n, 4)[:, 2::-1]
+    row_stride = ((w * bpp // 8) + 3) & ~3
+    if len(payload) < data_off + row_stride * h:
+        raise ValueError("BMP pixel data truncated")
+    raster = np.frombuffer(
+        payload, dtype="u1", count=row_stride * h, offset=data_off
+    ).reshape(h, row_stride)
+    if bpp == 8:
+        idx = raster[:, :w].astype("i4")
+        rgb = palette[np.clip(idx, 0, len(palette) - 1)].astype("f8") / 255.0
+    else:
+        nb = bpp // 8
+        px = raster[:, : w * nb].reshape(h, w, nb)
+        rgb = px[:, :, 2::-1].astype("f8") / 255.0  # BGR(A) → RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return rgb
+
+
+def _decode_bmp_features(payload: bytes, dim: int) -> np.ndarray:
+    """BMP builtin kernel: decode → grayscale → dim×dim area resample →
+    per-column mean intensity (identical feature contract to the PNG,
+    JPEG, GIF, PNM and PIL paths)."""
+    arr = _parse_bmp(payload)
+    gray = arr.mean(axis=2)
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _decode_jpeg_features(payload: bytes, dim: int) -> np.ndarray:
     """JPEG builtin kernel: decode → grayscale → dim×dim area resample →
     per-column mean intensity (identical feature contract to the PNG,
@@ -1029,6 +1099,7 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
             "png": _decode_png_features,
             "jpeg": _decode_jpeg_features,
             "gif": _decode_gif_features,
+            "bmp": _decode_bmp_features,
             "wav": _decode_wav_features,
         }[builtin]
         try:

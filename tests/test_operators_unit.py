@@ -316,6 +316,7 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
         "builtin:png",
         "builtin:jpeg",
         "builtin:gif",
+        "builtin:bmp",
         "builtin:pnm",
         "builtin:wav",
     }
@@ -1362,6 +1363,116 @@ class TestBuiltinGifKernel:
         idx = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
         gif = _gif_bytes(idx, _GIF_GRAY_PAL)
         rows = [(1, "image", "gif", 8, 8, None, bytearray(gif))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert np.allclose(
+            got["feature"], np.arange(8) * 32 / 255.0, atol=1e-12
+        )
+
+
+def _bmp_bytes(
+    px: np.ndarray,
+    bpp: int = 24,
+    top_down: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Minimal BMP encoder for tests: BITMAPINFOHEADER + BI_RGB pixel
+    data. ``px`` is (h, w, 3) RGB uint8 for 24/32 bpp, or (h, w)
+    palette indices with ``palette`` (n, 3) RGB for 8 bpp."""
+    import struct as _s
+
+    h, w = px.shape[:2]
+    pal_bytes = b""
+    if bpp == 8:
+        assert palette is not None
+        pal = np.zeros((len(palette), 4), dtype="u1")
+        pal[:, :3] = palette[:, ::-1]  # RGB → BGRX
+        pal_bytes = pal.tobytes()
+        rows = px.astype("u1")
+        nb = 1
+    else:
+        nb = bpp // 8
+        rows = np.zeros((h, w, nb), dtype="u1")
+        rows[:, :, :3] = px[:, :, ::-1]  # RGB → BGR(A)
+        if nb == 4:
+            rows[:, :, 3] = 255
+    stride = ((w * nb) + 3) & ~3
+    raster = np.zeros((h, stride), dtype="u1")
+    raster[:, : w * nb] = rows.reshape(h, w * nb)
+    if not top_down:
+        raster = raster[::-1]
+    data_off = 14 + 40 + len(pal_bytes)
+    body = raster.tobytes()
+    header = (
+        b"BM"
+        + _s.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + _s.pack(
+            "<IiiHHIIiiII",
+            40,
+            w,
+            -h if top_down else h,
+            1,
+            bpp,
+            0,
+            len(body),
+            2835,
+            2835,
+            len(palette) if bpp == 8 else 0,
+            0,
+        )
+    )
+    return header + pal_bytes + body
+
+
+class TestBuiltinBmpKernel:
+    def test_rgb24_feature_contract_matches_pnm(self):
+        raster = np.tile(np.array([60, 120, 180], dtype="u1"), (16, 16, 1))
+        bmp = _bmp_bytes(raster)
+        pnm = b"P6 16 16 255\n" + raster.tobytes()
+        f_bmp = multimodal.decode_real(bmp, kind="image", dim=8)
+        f_pnm = multimodal.decode_real(pnm, kind="image", dim=8)
+        assert np.allclose(f_bmp, f_pnm, atol=1e-12)
+
+    def test_bottom_up_and_top_down_agree(self):
+        rng = np.random.RandomState(9)
+        px = rng.randint(0, 256, size=(11, 7, 3)).astype("u1")  # odd stride
+        up = multimodal._parse_bmp(_bmp_bytes(px, top_down=False))
+        down = multimodal._parse_bmp(_bmp_bytes(px, top_down=True))
+        assert np.array_equal(up, down)
+        assert np.allclose(up * 255.0, px, atol=1e-12)
+
+    def test_bgra32_alpha_ignored(self):
+        px = np.tile(np.array([10, 20, 30], dtype="u1"), (8, 8, 1))
+        arr = multimodal._parse_bmp(_bmp_bytes(px, bpp=32))
+        assert np.allclose(arr * 255.0, px, atol=1e-12)
+
+    def test_8bit_palette(self):
+        rng = np.random.RandomState(4)
+        pal = rng.randint(0, 256, size=(256, 3)).astype("u1")
+        idx = rng.randint(0, 256, size=(9, 13)).astype("u1")
+        arr = multimodal._parse_bmp(_bmp_bytes(idx, bpp=8, palette=pal))
+        assert np.allclose(arr * 255.0, pal[idx], atol=1e-12)
+
+    def test_rle_rejected_and_truncation_raises(self):
+        px = np.zeros((4, 4, 3), dtype="u1")
+        good = _bmp_bytes(px)
+        rle = bytearray(good)
+        rle[30] = 1  # biCompression = BI_RLE8
+        with pytest.raises(ValueError, match="BI_RGB"):
+            multimodal._parse_bmp(bytes(rle))
+        with pytest.raises(ValueError):
+            multimodal.decode_real(good[:60], kind="image", dim=4)
+
+    def test_capability_probe_reports_bmp_builtin(self):
+        assert multimodal.media_capabilities()["builtin:bmp"] is True
+
+    def test_auto_mode_decodes_real_bmp_payload(self, spark):
+        g = np.repeat(
+            np.tile((np.arange(8) * 32).astype("u1"), (8, 1))[:, :, None],
+            3,
+            axis=2,
+        )
+        rows = [(1, "image", "bmp", 8, 8, None, bytearray(_bmp_bytes(g)))]
         media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
         got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
         assert np.allclose(
