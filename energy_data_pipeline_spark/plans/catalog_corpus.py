@@ -4276,6 +4276,76 @@ ORDER BY source
 
 
 # --- embedding covariance matrix (PCA / whitening input) ---
+def _cov_product_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned d(d+1)/2-cell product-sum table — the expensive covariance
+    pass (corpus × d(d+1)/2 exploded terms), a deterministic snapshot
+    statistic shared by emb_covariance_matrix AND emb_pca_projection
+    (one plan_cache entry, one embeddings scan between them)."""
+    from . import plan_cache
+
+    def _build():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = F.col("embedding")
+        pairs = F.flatten(
+            F.transform(
+                e,
+                lambda v, i: F.transform(
+                    F.slice(e, i + 1, F.size(e) - i),
+                    # cast BEFORE the multiply: float32*float32 rounds
+                    # the product to float32, the oracle multiplies
+                    # doubles
+                    lambda w, j: F.struct(
+                        i.alias("di"),
+                        (i + j).alias("dj"),
+                        (v.cast("double") * w.cast("double")).alias("prod"),
+                    ),
+                ),
+            )
+        )
+        s = (
+            emb.select(F.explode(pairs).alias("p"))
+            .groupBy(
+                (F.col("p.di") + 1).alias("di"),
+                (F.col("p.dj") + 1).alias("dj"),
+            )
+            .agg(F.sum("p.prod").alias("s_ij"), F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return s, [(s, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("cov_sums", sf_dir), _build)
+
+
+def _cov_dim_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned 1-row frame of the d per-dimension sums as ONE broadcast
+    array row (joining a dim_sums frame twice would re-derive its scan
+    twice); its two-level aggregate measured 1.7 s/rep warm at sf0.1 —
+    pure scheduler overhead for a 1-row result. Shared by
+    emb_covariance_matrix AND emb_pca_projection."""
+    from . import plan_cache
+
+    def _build():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        s = (
+            emb.select(F.posexplode("embedding").alias("i", "v"))
+            .groupBy((F.col("i") + 1).alias("i"))
+            .agg(F.sum(F.col("v").cast("double")).alias("s"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("i", "s"))).alias(
+                    "_sums"
+                )
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return s, [(s, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("cov_dim_sums", sf_dir), _build)
+
+
 def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle sample covariance of the embedding dimensions —
     the d×d statistic every PCA / whitening / Mahalanobis-distance
@@ -4291,68 +4361,8 @@ def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d-row broadcast. The oracle uses the SAME sum-of-products algebra,
     so the two engines fold identical addends and rounding to 6
     absorbs ordering ulps."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
-    pairs = F.flatten(
-        F.transform(
-            e,
-            lambda v, i: F.transform(
-                F.slice(e, i + 1, F.size(e) - i),
-                # cast BEFORE the multiply: float32*float32 rounds the
-                # product to float32, the oracle multiplies doubles
-                lambda w, j: F.struct(
-                    i.alias("di"),
-                    (i + j).alias("dj"),
-                    (v.cast("double") * w.cast("double")).alias("prod"),
-                ),
-            ),
-        )
-    )
-
-    # the product-sum table is the expensive pass (corpus × d(d+1)/2
-    # exploded terms) and is a deterministic snapshot statistic — pin
-    # it per snapshot like the other trained/derived index frames
-    from . import plan_cache
-
-    def _build_sums():
-        from pyspark.storagelevel import StorageLevel
-
-        s = (
-            emb.select(F.explode(pairs).alias("p"))
-            .groupBy(
-                (F.col("p.di") + 1).alias("di"),
-                (F.col("p.dj") + 1).alias("dj"),
-            )
-            .agg(F.sum("p.prod").alias("s_ij"), F.count(F.lit(1)).alias("n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        return s, [(s, StorageLevel.MEMORY_AND_DISK)]
-
-    sums = plan_cache.cached_plan(spark, ("cov_sums", sf_dir), _build_sums)
-    # the d per-dimension sums ride back as ONE broadcast array row
-    # (joining a dim_sums frame twice would re-derive its scan twice —
-    # three embeddings reads total instead of two); pinned like the
-    # product table — its two-level aggregate measured 1.7 s/rep warm
-    # at sf0.1, pure scheduler overhead for a 1-row result
-    def _build_dim_sums():
-        from pyspark.storagelevel import StorageLevel
-
-        s = (
-            emb.select(F.posexplode("embedding").alias("i", "v"))
-            .groupBy((F.col("i") + 1).alias("i"))
-            .agg(F.sum(F.col("v").cast("double")).alias("s"))
-            .agg(
-                F.array_sort(F.collect_list(F.struct("i", "s"))).alias(
-                    "_sums"
-                )
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        return s, [(s, StorageLevel.MEMORY_AND_DISK)]
-
-    dim_sums = plan_cache.cached_plan(
-        spark, ("cov_dim_sums", sf_dir), _build_dim_sums
-    )
+    sums = _cov_product_sums(spark, sf_dir)
+    dim_sums = _cov_dim_sums(spark, sf_dir)
     s_at = lambda d: F.element_at(  # noqa: E731
         F.col("_sums"), F.col(d).cast("int")
     ).getField("s")
@@ -4470,21 +4480,28 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["di"], r["dj"], r["cov"])
             for r in covariance_matrix(spark, sf_dir).collect()
         ]
+        if any(c is None for _, _, c in cov_rows):
+            # (n-1) = 0: covariance (and PCA) undefined for a
+            # single-vector snapshot — fail loudly, never a numpy
+            # TypeError deep in the basis build
+            raise ValueError(
+                "emb_pca_projection needs >= 2 embeddings; covariance "
+                "is NULL on this snapshot"
+            )
+        # means from the SAME pinned statistics the covariance uses:
+        # s_i from the shared _cov_dim_sums 1-row frame, n from the
+        # shared product-sum frame — no extra embeddings scan, and the
+        # rounded mean sits in the parity class emb_dim_stats gates
+        sums_row = _cov_dim_sums(spark, sf_dir).collect()[0]["_sums"]
+        n = _cov_product_sums(spark, sf_dir).select("n").first()["n"]
         emb = load_table(spark, sf_dir, "embeddings")
         mean_rows = [
             (r["i"], r["m"])
-            for r in (
-                emb.select(F.posexplode("embedding").alias("i", "v"))
-                .groupBy((F.col("i") + 1).alias("i"))
-                .agg(
-                    rnd(
-                        F.sum(F.col("v").cast("double"))
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias("m")
-                )
-                .collect()
+            for r in spark.createDataFrame(
+                [(e["i"], e["s"]) for e in sums_row], "i int, s double"
             )
+            .select("i", rnd(F.col("s") / F.lit(float(n)), 6).alias("m"))
+            .collect()
         ]
         d = len(mean_rows)
         basis, offsets = _pca_basis(cov_rows, mean_rows, d)

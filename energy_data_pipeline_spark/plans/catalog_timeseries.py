@@ -1478,9 +1478,19 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+    # greatest(0, ·) on each variance factor: a near-constant rounded
+    # series computes n*Σx² − (Σx)² a few ulps NEGATIVE, where DuckDB's
+    # sqrt hard-errors while Spark yields NaN — the same guard the
+    # rolling z-score uses
     denom = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.greatest(
+            F.lit(0.0),
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        )
+        * F.greatest(
+            F.lit(0.0),
+            F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
+        )
     )
     return agg.select(
         F.col("lag").cast("bigint").alias("lag"),
@@ -1520,9 +1530,11 @@ WITH daily AS (
 )
 SELECT CAST(lag AS BIGINT) AS lag,
        CAST(n AS BIGINT) AS n_days,
-       round(CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) <> 0.0
+       round(CASE WHEN sqrt(greatest(0.0, n * sxx - sx * sx)
+                            * greatest(0.0, n * syy - sy * sy)) <> 0.0
                   THEN (n * sxy - sx * sy)
-                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                       / sqrt(greatest(0.0, n * sxx - sx * sx)
+                              * greatest(0.0, n * syy - sy * sy))
              END, 6) AS pearson_r
 FROM agg
 ORDER BY lag
