@@ -1541,6 +1541,91 @@ ORDER BY lag
 """
 
 
+# --- robust spread + outlier profile: median / IQR / MAD ---
+
+
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust spread profile: median, IQR, MAD (median of
+    |x − median|) and the Tukey-fence outlier count
+    (x outside [q1 − 1.5·IQR, q3 + 1.5·IQR]) — the distribution-free
+    counterpart of ``ts_rolling_zscore_anomalies``'s mean/std scoring
+    and the calibration table a winsorization policy reads.
+
+    Two passes (the MAD's inner median forces it): pass 1 collects the
+    per-type quartiles (|types|×3 literals — deterministic-literal
+    rule), pass 2 computes MAD and fence counts in ONE aggregate with
+    the quartiles riding along as a broadcast 4-row frame. Exact
+    ``percentile`` ≡ ``quantile_cont`` both passes; both engines
+    evaluate the fence arithmetic on the same doubles in the same
+    shape, so boundary comparisons agree."""
+    ev = load_table(spark, sf_dir, "events")
+    qrows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("q")
+        )
+        .collect()
+    )
+    qframe = spark.createDataFrame(
+        [
+            (r["event_type"], float(r["q"][0]), float(r["q"][1]), float(r["q"][2]))
+            for r in qrows
+        ],
+        "event_type string, q1 double, med double, q3 double",
+    )
+    j = ev.join(F.broadcast(qframe), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        j.groupBy("event_type", "q1", "med", "q3")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "_mad"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(is_out.cast("long")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            rnd(F.col("med"), 6).alias("median"),
+            rnd(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+            rnd(F.col("_mad"), 6).alias("mad"),
+            "n_values",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.event_type, e.value, q1, med, q3
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type,
+       round(med, 6) AS median,
+       round(q3 - q1, 6) AS iqr,
+       round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+                       OR value > q3 + 1.5 * (q3 - q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM j
+GROUP BY event_type, q1, med, q3
+ORDER BY event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -1578,4 +1663,5 @@ TIMESERIES_QUERIES = {
     # surface); also fronted in catalog._SAMPLE_PRIORITY
     "ts_ewma_daily": (ewma_daily, _ewma_sql()),
     "ts_cross_correlation": (cross_correlation, XCORR_SQL),
+    "ts_mad_robust_outliers": (mad_robust_outliers, MAD_OUTLIERS_SQL),
 }

@@ -45,6 +45,7 @@ NEVER_DRIVER_SAMPLED = {
     "ts_ewma_daily",
     "ts_cross_correlation",
     "emb_pca_projection",
+    "ts_mad_robust_outliers",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
