@@ -1039,24 +1039,116 @@ def _decode_pnm_features(payload: bytes, dim: int) -> np.ndarray:
     return small.mean(axis=0)
 
 
+@lru_cache(maxsize=1)
+def _g711_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 µ-law byte → linear sample table (±32124 range)."""
+    out = np.empty(256, dtype="i4")
+    for b in range(256):
+        u = ~b & 0xFF
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        t = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        out[b] = -t if u & 0x80 else t
+    return out
+
+
+@lru_cache(maxsize=1)
+def _g711_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear sample table (±32256 range)."""
+    out = np.empty(256, dtype="i4")
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if a & 0x80 else -t
+    return out
+
+
+def _parse_wav_riff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Manual RIFF walk for WAVE payloads the stdlib ``wave`` module
+    rejects: IEEE float (format 3), A-law (6), µ-law (7), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, resolved via the SubFormat GUID's
+    leading format tag). Returns (normalized float64 samples, nch)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, _rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    if tag == 7:  # G.711 µ-law
+        x = (
+            _g711_mulaw_table()[np.frombuffer(data, dtype="u1")].astype(
+                "float64"
+            )
+            / 32768.0
+        )
+    elif tag == 6:  # G.711 A-law
+        x = (
+            _g711_alaw_table()[np.frombuffer(data, dtype="u1")].astype(
+                "float64"
+            )
+            / 32768.0
+        )
+    elif tag == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype("float64")
+    elif tag == 3 and bits == 64:
+        x = np.frombuffer(data, dtype="<f8").astype("float64")
+    elif tag == 1:
+        return _wav_pcm_samples(data, bits // 8), nch
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag} ({bits}-bit)")
+    return x, nch
+
+
+def _wav_pcm_samples(raw: bytes, sw: int) -> np.ndarray:
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    if sw == 1:  # 8-bit WAV is unsigned
+        return (
+            np.frombuffer(raw, dtype="u1").astype("float64") - 128.0
+        ) / 128.0
+    if sw == 4:
+        return (
+            np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
+        )
+    raise ValueError(f"unsupported WAV sample width {sw}")
+
+
 def _decode_wav_features(payload: bytes, dim: int) -> np.ndarray:
     """WAV builtin kernel (stdlib ``wave`` + numpy): mono-mix, split the
     sample stream into ``dim`` contiguous blocks, per-block RMS energy
-    in [0,1] — the audio analogue of the image column-mean feature."""
+    in [0,1] — the audio analogue of the image column-mean feature.
+    PCM decodes through the stdlib module; formats it rejects (IEEE
+    float, G.711 µ-law/A-law — the telephony-corpus formats) go
+    through the manual RIFF walk."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch, sw = w.getnchannels(), w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if sw == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
-    elif sw == 1:  # 8-bit WAV is unsigned
-        x = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
-    elif sw == 4:
-        x = np.frombuffer(raw, dtype="<i4").astype("float64") / 2147483648.0
-    else:
-        raise ValueError(f"unsupported WAV sample width {sw}")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        x = _wav_pcm_samples(raw, sw)
+    except wave.Error:
+        x, nch = _parse_wav_riff(payload)
     if nch > 1:
         x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
     if len(x) == 0:

@@ -367,6 +367,79 @@ def test_builtin_wav_stereo_monomix():
     assert np.allclose(feat, 0.25, atol=1e-12)
 
 
+def _wav_riff_bytes(
+    data: bytes, fmt_tag: int, nch: int = 1, bits: int = 8,
+    extensible: bool = False,
+) -> bytes:
+    """Hand-built RIFF/WAVE container for formats the stdlib wave
+    module cannot write (µ-law, A-law, IEEE float, EXTENSIBLE)."""
+    import struct as _s
+
+    rate = 8000
+    ba = nch * bits // 8
+    if extensible:
+        fmt = _s.pack(
+            "<HHIIHH", 0xFFFE, nch, rate, rate * ba, ba, bits
+        ) + _s.pack("<HHI", 22, bits, 1) + _s.pack("<H", fmt_tag) + b"\x00" * 14
+    else:
+        fmt = _s.pack("<HHIIHH", fmt_tag, nch, rate, rate * ba, ba, bits)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt + (b"\x00" if len(fmt) & 1 else b"")
+    chunks += b"data" + _s.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_builtin_wav_g711_tables_match_audioop():
+    # audioop is an INDEPENDENT G.711 implementation (stdlib C module):
+    # every one of the 256 µ-law and A-law codes must decode to the
+    # same linear value
+    import audioop
+
+    all_codes = bytes(range(256))
+    mu_ref = np.frombuffer(audioop.ulaw2lin(all_codes, 2), dtype="<i2")
+    a_ref = np.frombuffer(audioop.alaw2lin(all_codes, 2), dtype="<i2")
+    assert np.array_equal(multimodal._g711_mulaw_table(), mu_ref.astype("i4"))
+    assert np.array_equal(multimodal._g711_alaw_table(), a_ref.astype("i4"))
+
+
+def test_builtin_wav_mulaw_and_alaw_payloads():
+    # constant-amplitude µ-law/A-law streams → flat per-block RMS equal
+    # to the decoded amplitude
+    import audioop
+
+    pcm = np.full(800, 8192, dtype="<i2").tobytes()
+    for tag, enc in ((7, audioop.lin2ulaw), (6, audioop.lin2alaw)):
+        coded = enc(pcm, 2)
+        payload = _wav_riff_bytes(coded, tag)
+        feat = multimodal.decode_real(payload, kind="audio", dim=4)
+        decoded = (multimodal._g711_mulaw_table() if tag == 7
+                   else multimodal._g711_alaw_table())
+        level = abs(decoded[coded[0]]) / 32768.0
+        assert np.allclose(feat, level, atol=1e-12)
+
+
+def test_builtin_wav_float32_and_extensible():
+    samples = np.concatenate(
+        [np.full(100, 0.25, dtype="<f4"), np.full(100, 0.5, dtype="<f4")]
+    )
+    payload = _wav_riff_bytes(samples.tobytes(), 3, bits=32)
+    feat = multimodal.decode_real(payload, kind="audio", dim=2)
+    assert np.allclose(feat, [0.25, 0.5], atol=1e-12)
+    # EXTENSIBLE wrapper resolving to µ-law via the SubFormat tag
+    import audioop
+
+    coded = audioop.lin2ulaw(np.full(400, 4096, dtype="<i2").tobytes(), 2)
+    ext = _wav_riff_bytes(coded, 7, extensible=True)
+    feat2 = multimodal.decode_real(ext, kind="audio", dim=2)
+    assert feat2[0] == feat2[1] > 0.1
+
+
+def test_builtin_wav_unknown_format_raises():
+    with pytest.raises(ValueError, match="format tag"):
+        multimodal.decode_real(
+            _wav_riff_bytes(b"\x00" * 64, 2), kind="audio", dim=4
+        )  # ADPCM (tag 2) is not decodable by the builtin
+
+
 def test_builtin_pnm_kernel_column_means():
     # 8×8 grayscale gradient (column j = j*32), with a header comment —
     # the builtin P5 parser must skip it; feature = column means / 255
