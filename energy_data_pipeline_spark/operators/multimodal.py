@@ -110,6 +110,7 @@ def media_capabilities() -> dict[str, bool]:
         "builtin:bmp": True,
         "builtin:pnm": True,
         "builtin:wav": True,
+        "builtin:avi_mjpeg": True,
     }
 
 
@@ -144,6 +145,12 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "gif"
     if kind == "image" and payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
+    if (
+        kind == "video"
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    ):
+        return "avi_mjpeg"
     return None
 
 
@@ -1009,6 +1016,52 @@ def _decode_bmp_features(payload: bytes, dim: int) -> np.ndarray:
     return small.mean(axis=0)
 
 
+def _parse_avi_first_jpeg(payload: bytes) -> np.ndarray:
+    """Stdlib+numpy MJPEG-in-AVI decode of the FIRST video frame →
+    float RGB array (the representative-frame contract of the GIF
+    path; frame COUNTS belong to frame_sample_plan's metadata
+    columns).
+
+    Walks the RIFF chunk tree ('LIST' recursion, word alignment) for
+    the first ##dc/##db stream chunk whose body is a JPEG SOI, and
+    decodes it with the shared baseline+progressive JPEG kernel.
+    MJPEG variants that omit the DHT segment (legal in AVI, tables
+    implied) raise ValueError and degrade per row in auto mode."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(pos: int, end: int) -> bytes | None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                found = walk(body + 4, min(body + size, end))
+                if found is not None:
+                    return found
+            elif cid[2:4] in (b"dc", b"db"):
+                chunk = payload[body : body + size]
+                if chunk[:2] == _JPEG_MAGIC:
+                    return chunk
+            pos = body + size + (size & 1)
+        return None
+
+    frame = walk(12, len(payload))
+    if frame is None:
+        raise ValueError("AVI contains no decodable MJPEG frame")
+    return _parse_jpeg(frame)
+
+
+def _decode_avi_features(payload: bytes, dim: int) -> np.ndarray:
+    """AVI (MJPEG) builtin kernel: first frame → grayscale → dim×dim
+    area resample → per-column mean intensity (identical feature
+    contract to every other builtin path)."""
+    arr = _parse_avi_first_jpeg(payload)
+    gray = arr if arr.ndim == 2 else arr.mean(axis=2)
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _decode_jpeg_features(payload: bytes, dim: int) -> np.ndarray:
     """JPEG builtin kernel: decode → grayscale → dim×dim area resample →
     per-column mean intensity (identical feature contract to the PNG,
@@ -1193,6 +1246,7 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
             "gif": _decode_gif_features,
             "bmp": _decode_bmp_features,
             "wav": _decode_wav_features,
+            "avi_mjpeg": _decode_avi_features,
         }[builtin]
         try:
             return kernel(payload, dim)

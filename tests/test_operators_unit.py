@@ -319,6 +319,7 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
         "builtin:bmp",
         "builtin:pnm",
         "builtin:wav",
+        "builtin:avi_mjpeg",
     }
     lib_caps = {k: v for k, v in caps.items() if not k.startswith("builtin:")}
     if any(lib_caps.values()):  # pragma: no cover - libs-present cluster image
@@ -1551,6 +1552,69 @@ class TestBuiltinBmpKernel:
         assert np.allclose(
             got["feature"], np.arange(8) * 32 / 255.0, atol=1e-12
         )
+
+
+def _avi_bytes(frames: list[bytes]) -> bytes:
+    """Minimal MJPEG AVI container: RIFF('AVI ') with a dummy hdrl
+    LIST and a movi LIST holding one 00dc chunk per JPEG frame."""
+    import struct as _s
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + _s.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+class TestBuiltinAviMjpegKernel:
+    def test_first_frame_matches_direct_jpeg_decode(self):
+        px1 = np.tile((np.arange(16) * 16).astype("u1"), (16, 1))
+        px2 = np.full((16, 16), 200, dtype="u1")
+        avi = _avi_bytes([_jpeg_bytes(px1), _jpeg_bytes(px2)])
+        arr = multimodal._parse_avi_first_jpeg(avi)
+        assert np.array_equal(arr, multimodal._parse_jpeg(_jpeg_bytes(px1)))
+
+    def test_feature_contract_matches_image_path(self):
+        px = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        jpg = _jpeg_bytes(px)
+        f_avi = multimodal.decode_real(_avi_bytes([jpg]), kind="video", dim=8)
+        f_img = multimodal.decode_real(jpg, kind="image", dim=8)
+        assert np.allclose(f_avi, f_img, atol=1e-12)
+
+    def test_no_frame_and_truncation_raise(self):
+        empty = _avi_bytes([])
+        with pytest.raises(ValueError, match="no decodable"):
+            multimodal._parse_avi_first_jpeg(empty)
+        px = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        avi = _avi_bytes([_jpeg_bytes(px)])
+        with pytest.raises(ValueError):
+            multimodal.decode_real(avi[: len(avi) - 40], kind="video", dim=4)
+
+    def test_capability_probe_reports_avi_builtin(self):
+        assert multimodal.media_capabilities()["builtin:avi_mjpeg"] is True
+
+    def test_auto_mode_decodes_avi_video_real_others_fake(self, spark):
+        """Per-row routing for the VIDEO kind: an MJPEG AVI row decodes
+        with the real builtin kernel, an opaque mp4 row degrades."""
+        px = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        avi = _avi_bytes([_jpeg_bytes(px)])
+        rows = [
+            (1, "video", "avi", 8, 8, 1000, bytearray(avi)),
+            (2, "video", "mp4", 8, 8, 1000, bytearray(b"\x00\x00junkmp4")),
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = {
+            r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, fake=None, dim=8).collect()
+        }
+        assert np.max(np.abs(np.array(got[1]) - np.arange(8) * 32 / 255.0)) < 2.5 / 255.0
+        assert got[2] == multimodal._fake_decode(b"\x00\x00junkmp4", 8).tolist()
 
 
 def test_auto_mode_routes_builtin_rows_real_others_fake(spark):
