@@ -28,11 +28,12 @@ atomic single-file replace:
 Multi-writer coordination: commit goes through a pluggable
 ``compare_and_swap`` callable. The DEFAULT
 (``_locked_replace_if_unchanged``) serializes the read-check +
-``os.replace`` pair behind an ``O_CREAT|O_EXCL`` lock file — POSIX's
-one genuinely conditional primitive — so a lost update is rejected
-with ``CommitConflictError`` even for writers racing inside the same
-microsecond (writer A staged against version N, writer B committed N+1
-meanwhile → exactly one wins). This is still filesystem-local: on an
+``os.replace`` pair behind a kernel-mediated ``flock`` on a PERMANENT
+lock file — so a lost update is rejected with ``CommitConflictError``
+even for writers racing inside the same microsecond (writer A staged
+against version N, writer B committed N+1 meanwhile → exactly one
+wins), and a crashed holder's lock is released by the kernel rather
+than judged stale by mtime. This is still filesystem-local: on an
 object store (no atomic exclusive-create), supply the store's
 conditional primitive (If-Match PUT, a database row CAS, a lock
 service) through the same callable — that is precisely the feature a
@@ -109,114 +110,72 @@ def _replace_if_unchanged(current_path: str, tmp_path: str, expected: str | None
     _fsync_dir(os.path.dirname(current_path))
 
 
-# Lock acquisition bounds for the default commit CAS: a commit's
-# critical section is one read + one rename (microseconds), so a lock
-# older than _LOCK_STALE_S can only belong to a crashed holder and is
-# broken; _LOCK_TIMEOUT_S bounds how long a writer spins before giving
-# up with a conflict error.
+# Lock acquisition bound for the default commit CAS: a commit's
+# critical section is one read + one rename (microseconds), so a
+# writer that cannot acquire within _LOCK_TIMEOUT_S reports a conflict
+# rather than queueing forever behind a pathological backlog.
 _LOCK_TIMEOUT_S = 10.0
-_LOCK_STALE_S = 60.0
-
-
-def _break_stale_lock(lock: str, seen: os.stat_result) -> None:
-    """Break a crashed holder's lock via an EXCLUSIVE step.
-
-    The naive break (``os.unlink(lock)``) races: two waiters can both
-    pass the staleness check, the first unlinks + re-creates, and the
-    second then unlinks the first's FRESH lock — two writers enter the
-    commit critical section. Instead the breaker renames the stale
-    lock to a breaker-unique name first: ``os.rename`` succeeds for
-    exactly ONE breaker per inode (every loser gets FileNotFoundError
-    and just re-loops), so no two breakers can ever discard the same
-    lock. The renamed file's identity is then verified against the
-    stat that judged staleness — if the path was re-pointed at a fresh
-    lock between the stat and the rename, the fresh lock is restored
-    via ``os.link`` (which refuses to clobber if yet another waiter
-    already created a newer one) instead of destroyed.
-
-    Residual window: between this breaker's rename and a wronged
-    holder's next fstat-verify there are microseconds where a third
-    waiter could acquire; the post-acquisition inode verify in
-    ``_locked_replace_if_unchanged`` catches the wronged holder, and
-    the documented cure for byzantine multi-writer storms remains a
-    genuinely conditional backend CAS via ``compare_and_swap``."""
-    broken = f"{lock}.break.{os.getpid()}.{threading.get_ident()}"
-    try:
-        os.rename(lock, broken)
-    except FileNotFoundError:
-        return  # another breaker (or the holder's release) won — re-loop
-    try:
-        got = os.lstat(broken)
-        if (got.st_dev, got.st_ino) != (seen.st_dev, seen.st_ino):
-            # grabbed a FRESH lock created after the staleness stat —
-            # put it back (no-op if a newer lock already exists)
-            try:
-                os.link(broken, lock)
-            except FileExistsError:
-                pass
-    finally:
-        os.unlink(broken)
 
 
 def _locked_replace_if_unchanged(
     current_path: str, tmp_path: str, expected: str | None
 ) -> None:
     """DEFAULT commit CAS: the check->replace pair of
-    ``_replace_if_unchanged`` serialized behind an ``O_CREAT|O_EXCL``
-    lock file — atomic lock-file creation is the one genuinely
-    conditional primitive plain POSIX offers, and holding it across the
-    pair closes the read-check/replace TOCTOU window the unlocked
-    variant documents: two same-parent writers racing inside the same
-    microsecond now serialize, and exactly one commits. Still
-    filesystem-only; the injectable ``compare_and_swap`` seam remains
-    the route to object-store If-Match PUTs or a lock service. A lock
-    file older than ``_LOCK_STALE_S`` is treated as a crashed holder's
-    and broken (the critical section is microseconds)."""
+    ``_replace_if_unchanged`` serialized behind a kernel-mediated
+    ``flock(LOCK_EX)`` on a PERMANENT lock file, closing the
+    read-check/replace TOCTOU window the unlocked variant documents:
+    two same-parent writers racing inside the same microsecond now
+    serialize, and exactly one commits.
+
+    flock, not ``O_CREAT|O_EXCL``: an exclusive-create lock needs a
+    liveness judgment for crashed holders (mtime staleness) plus a
+    break step, and NO pure-rename break protocol is airtight — between
+    a mistaken breaker stealing a fresh holder's lock file and
+    restoring it, a third waiter's exclusive create succeeds while the
+    wronged holder is still inside the critical section (observed as a
+    double-entry under whole-suite host load). The kernel advisory lock
+    has neither problem: a crashed holder's lock is released by the
+    kernel the moment its fds close, concurrent holders are impossible
+    by construction, and stale-file cleanup is a non-issue because the
+    lock FILE is permanent and never unlinked (unlinking a locked path
+    would let a later writer lock a NEW inode while the old holder
+    still runs — the classic split-lock bug, so: never unlink).
+
+    Each acquirer opens its own fd, so the lock excludes both threads
+    in one process and separate processes (flock is per open-file-
+    description). Still filesystem-local; the injectable
+    ``compare_and_swap`` seam remains the route to object-store
+    If-Match PUTs or a lock service for multi-node writers."""
+    import fcntl
+
     lock = os.path.join(os.path.dirname(current_path), "._CURRENT.lock")
-    deadline = time.monotonic() + _LOCK_TIMEOUT_S
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            try:
-                st = os.stat(lock)
-                if time.time() - st.st_mtime > _LOCK_STALE_S:
-                    _break_stale_lock(lock, st)  # exclusive rename-break
-                    continue
-            except FileNotFoundError:
-                continue  # holder released between open and stat
-            if time.monotonic() > deadline:
-                os.remove(tmp_path)
-                raise CommitConflictError(
-                    f"could not acquire commit lock {lock} within "
-                    f"{_LOCK_TIMEOUT_S}s; another writer is committing"
-                ) from None
-            time.sleep(0.005)
-            continue
-        # post-acquisition verify: a racing stale-breaker could have
-        # renamed OUR fresh lock away in the window between create and
-        # here; holding an fd to an orphaned inode is not holding the
-        # lock, so confirm the path still names the file we created.
-        try:
-            cur = os.stat(lock)
-            mine = os.fstat(fd)
-            if (cur.st_dev, cur.st_ino) == (mine.st_dev, mine.st_ino):
-                break
-        except FileNotFoundError:
-            pass
-        os.close(fd)  # stolen — rejoin the acquisition loop
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
-        os.write(fd, str(os.getpid()).encode())
+        deadline = time.monotonic() + _LOCK_TIMEOUT_S
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except (BlockingIOError, InterruptedError):
+                if time.monotonic() > deadline:
+                    os.remove(tmp_path)
+                    raise CommitConflictError(
+                        f"could not acquire commit lock {lock} within "
+                        f"{_LOCK_TIMEOUT_S}s; another writer is committing"
+                    ) from None
+                time.sleep(0.005)
+        # holder identity for debugging crashed-writer postmortems
+        try:
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{os.getpid()}:{threading.get_ident()}".encode())
+        except OSError:
+            pass
         # module-global lookup on purpose: tests inject faults by
         # patching _replace_if_unchanged, and the locked default must
         # route through the same seam
         _replace_if_unchanged(current_path, tmp_path, expected)
     finally:
-        os.close(fd)
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        os.close(fd)  # releases the flock; the lock file stays
 
 
 def _manifest_path(table: str, name: str) -> str:

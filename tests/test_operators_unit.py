@@ -2283,12 +2283,16 @@ class TestManifestTable:
         assert mt.read_manifest(table)["version"] == n_writers
 
     def test_two_thread_stale_break_race_single_entrant(self, tmp_path, monkeypatch):
-        """Round-9 hardening: two waiters that BOTH judge a lock stale
-        must not both enter the commit critical section. Under the old
-        breaker (bare unlink) waiter B could unlink waiter A's freshly
-        re-created lock — here a stale lock is planted, many threads
-        race the full acquire path, and an instrumented critical
-        section asserts at most one thread is ever inside."""
+        """At most ONE writer may ever be inside the commit critical
+        section, even when a crashed holder's lock file is lying
+        around. The round-9 rename-based stale-breaker failed exactly
+        this invariant under whole-suite host load (a mistaken breaker
+        steals a fresh holder's lock; a third waiter acquires before
+        the restore) — the flock default has no break path at all: a
+        dead holder's leftover lock FILE carries no kernel lock, so it
+        excludes nobody, and concurrent holders are impossible by
+        construction. Planted dead-holder file + many racing threads +
+        an instrumented critical section assert single entry."""
         import threading
 
         from energy_data_pipeline_spark.sinks import manifest_table as mt
@@ -2299,7 +2303,7 @@ class TestManifestTable:
         lock = str(d / "._CURRENT.lock")
         with open(lock, "w") as f:
             f.write("dead-holder")
-        old = time.time() - 10 * mt._LOCK_STALE_S
+        old = time.time() - 600.0
         os.utime(lock, (old, old))
 
         inside = threading.Semaphore(1)
@@ -2351,40 +2355,61 @@ class TestManifestTable:
         assert not errors, errors
         assert not overlaps, overlaps
         assert sorted(committed) == list(range(n))
-        assert not os.path.exists(lock)  # released after the last commit
+        # the lock FILE is permanent by contract (unlinking a locked
+        # path is the split-lock bug); release is the fd close
+        assert os.path.exists(lock)
 
-    def test_stale_break_is_exclusive_and_preserves_fresh_lock(self, tmp_path):
-        """Unit contract of the rename-based breaker: (a) of two
-        breakers holding the same staleness stat, exactly one discards
-        the inode and the loser no-ops; (b) a breaker whose stat is
-        outdated (the path now names a FRESH lock) restores the fresh
-        lock instead of destroying it."""
+    def test_flock_commit_lock_contract(self, tmp_path):
+        """Unit contract of the flock commit lock: (a) a held kernel
+        lock makes a second writer time out with CommitConflictError
+        and clean up its staged tmp pointer; (b) releasing the lock
+        never unlinks the lock file (unlink would re-open the
+        split-lock race); (c) a LEFTOVER lock file with no kernel lock
+        (crashed holder) excludes nobody — acquisition is immediate."""
+        import fcntl
+
         from energy_data_pipeline_spark.sinks import manifest_table as mt
 
-        lock = str(tmp_path / "._CURRENT.lock")
+        d = tmp_path / "t"
+        d.mkdir()
+        current = str(d / "_CURRENT")
+        lock = str(d / "._CURRENT.lock")
+
+        def commit(name: str) -> None:
+            tmp = str(d / f"_CURRENT.tmp.{name}")
+            with open(tmp, "w") as f:
+                f.write(name)
+            mt._locked_replace_if_unchanged(
+                current, tmp, mt._read_current_name(str(d))
+            )
+
+        # (c) crashed holder's leftover file: no kernel lock, no wait
         with open(lock, "w") as f:
-            f.write("dead")
-        st = os.stat(lock)
-        # (a) two breakers, same stat: both calls succeed, lock gone
-        mt._break_stale_lock(lock, st)
-        mt._break_stale_lock(lock, st)  # loser path: FileNotFoundError swallowed
-        assert not os.path.exists(lock)
-        # (b) outdated stat vs a fresh lock: breaker must put it back
-        with open(lock, "w") as f:
-            f.write("stale-one")
-        # pin the stale inode with a hardlink so the fresh re-create
-        # cannot reuse it (ext4/tmpfs recycle inode numbers eagerly)
-        os.link(lock, lock + ".pin")
-        stale_st = os.stat(lock)
-        os.unlink(lock)
-        with open(lock, "w") as f:
-            f.write("fresh-holder")
-        fresh_st = os.stat(lock)
-        assert (stale_st.st_dev, stale_st.st_ino) != (fresh_st.st_dev, fresh_st.st_ino)
-        mt._break_stale_lock(lock, stale_st)
+            f.write("dead-holder")
+        old = time.time() - 600.0
+        os.utime(lock, (old, old))
+        commit("m1")
+        with open(current) as f:
+            assert f.read() == "m1"
+        # (b) the lock file survives release
         assert os.path.exists(lock)
-        with open(lock) as f:
-            assert f.read() == "fresh-holder"
+
+        # (a) a genuinely held kernel lock blocks until timeout
+        holder_fd = os.open(lock, os.O_WRONLY)
+        fcntl.flock(holder_fd, fcntl.LOCK_EX)
+        mt_timeout = mt._LOCK_TIMEOUT_S
+        mt._LOCK_TIMEOUT_S = 0.2
+        try:
+            with pytest.raises(mt.CommitConflictError, match="commit lock"):
+                commit("m2")
+            assert not os.path.exists(str(d / "_CURRENT.tmp.m2"))
+        finally:
+            mt._LOCK_TIMEOUT_S = mt_timeout
+            os.close(holder_fd)
+        # released: the next commit goes straight through
+        commit("m3")
+        with open(current) as f:
+            assert f.read() == "m3"
 
     def test_vacuum_trims_history_keeps_live(self, spark, tmp_path):
         import os
