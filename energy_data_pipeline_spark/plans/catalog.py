@@ -52,6 +52,8 @@ _SAMPLE_PRIORITY = [
     "ts_cross_correlation",
     "emb_pca_projection",
     "ts_mad_robust_outliers",
+    "txt_vocab_growth",
+    "dd_source_overlap_matrix",
     # round-10 rotation: the 19 catalog entries never hashed by the
     # driver through round 9 (union of CORRECTNESS_r01-r09 keys vs the
     # catalog — all round-9 session-2 additions). Fronted so the r10

@@ -4560,6 +4560,194 @@ def _pca_oracle_sql(sf_dir: str) -> str | None:
         return None
 
 
+# --- vocabulary growth (Heaps-law novelty curve) --------------------------
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law novelty curve: the corpus in ``VOCAB_GROWTH_BUCKETS``
+    ingestion-order slices (doc_id deciles), with per-slice new-token
+    counts, distinct-token counts, and the cumulative vocabulary. A
+    flattening new-token curve is the classic "corpus is saturating"
+    signal a data-curation dashboard trends; a slice whose novelty
+    ratio spikes flags an injected off-distribution source.
+
+    Shape & scale: bucket bounds come from a 1-row max(doc_id)
+    broadcast (no global sort / ntile — the decile is arithmetic), the
+    heavy lifting is ONE token-keyed groupBy of (bucket, token) pairs
+    (map-side combine absorbs the explode), and both reports derive
+    from that frame: first-occurrence attribution is min(bucket) per
+    token, per-slice width is a count per bucket. The only window runs
+    over the 10-row result. At 100 TB this is the vocab_topk shuffle
+    plus a 10-row join — nothing new materializes at corpus volume."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    nb = F.lit(VOCAB_GROWTH_BUCKETS)
+    tb = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                nb - 1, F.floor(F.col("doc_id") * nb / (F.col("mx") + 1))
+            )
+            .cast("int")
+            .alias("bucket"),
+            F.explode(T.words("text")).alias("token"),
+        )
+        .groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    per_bucket = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum("occ").alias("token_occurrences"),
+    )
+    firsts = (
+        tb.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+            "distinct_tokens",
+            "token_occurrences",
+        )
+        .withColumn("cum_vocab", F.sum("new_tokens").over(w))
+        .withColumn(
+            "novelty",
+            rnd(F.col("new_tokens") / F.col("distinct_tokens"), 6),
+        )
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+toks AS (
+  SELECT CAST(least({VOCAB_GROWTH_BUCKETS - 1},
+                    floor(doc_id * {VOCAB_GROWTH_BUCKETS} / (mx + 1))) AS INT)
+           AS bucket,
+         unnest({DUCK_WORDS.format(col='text')}) AS token
+  FROM documents, mx
+),
+tb AS (SELECT bucket, token, count(*) AS occ FROM toks GROUP BY 1, 2),
+per_bucket AS (
+  SELECT bucket, count(*) AS distinct_tokens,
+         CAST(sum(occ) AS BIGINT) AS token_occurrences
+  FROM tb GROUP BY 1
+),
+newt AS (
+  SELECT bucket, count(*) AS new_tokens
+  FROM (SELECT token, min(bucket) AS bucket FROM tb GROUP BY token)
+  GROUP BY 1
+)
+SELECT p.bucket,
+       coalesce(n.new_tokens, 0) AS new_tokens,
+       p.distinct_tokens,
+       p.token_occurrences,
+       CAST(sum(coalesce(n.new_tokens, 0))
+              OVER (ORDER BY p.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_vocab,
+       round(coalesce(n.new_tokens, 0) * 1.0 / p.distinct_tokens, 6)
+         AS novelty
+FROM per_bucket p LEFT JOIN newt n USING (bucket)
+ORDER BY p.bucket
+"""
+
+
+# --- cross-source duplication matrix --------------------------------------
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: for every source pair that
+    shares at least one document fingerprint, the shared-fingerprint
+    count and the fingerprint-set Jaccard. The curation decision this
+    feeds is source-level: a mirror pair (high Jaccard) gets one side
+    dropped wholesale, which is far cheaper than doc-level dedup
+    against the mirrored half.
+
+    Shape & scale: distinct (source, fp) first — the join input is the
+    deduped fingerprint set, not the corpus. The self-join keys on fp,
+    so the shuffle is fingerprint-hashed; per-fingerprint fan-out is
+    bounded by |sources|² regardless of how many documents share the
+    fingerprint (the distinct collapsed them). Output is at most
+    |sources|²/2 rows. No broadcast of anything corpus-sized."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "source", T.fingerprint("text").alias("fp")
+    ).distinct()
+    per_src = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_fp").alias("fps_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_fp").alias("fps_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "fps_a",
+            "fps_b",
+            rnd(
+                F.col("shared_fps")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("shared_fps")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("shared_fps").desc(),
+            F.col("source_a").asc(),
+            F.col("source_b").asc(),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(
+           {DUCK_WORDS.format(col='lower(text)')})), ' ')) AS fp
+  FROM documents
+),
+per_src AS (SELECT source, count(*) AS n_fp FROM fp GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared_fps
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_fps,
+       pa.n_fp AS fps_a, pb.n_fp AS fps_b,
+       round(shared_fps * 1.0 / (pa.n_fp + pb.n_fp - shared_fps), 6)
+         AS jaccard
+FROM pairs
+JOIN per_src pa ON pa.source = pairs.source_a
+JOIN per_src pb ON pb.source = pairs.source_b
+ORDER BY shared_fps DESC, source_a ASC, source_b ASC
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -4649,4 +4837,7 @@ CORPUS_QUERIES = {
     "txt_js_divergence_sources": (js_divergence_sources, JS_DIVERGENCE_SQL),
     "emb_covariance_matrix": (covariance_matrix, COVARIANCE_SQL),
     "emb_pca_projection": (pca_projection, _pca_oracle_sql),
+    # round-10 session-2 additions APPEND (merged order is sample surface)
+    "txt_vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
+    "dd_source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
 }

@@ -46,6 +46,8 @@ NEVER_DRIVER_SAMPLED = {
     "ts_cross_correlation",
     "emb_pca_projection",
     "ts_mad_robust_outliers",
+    "txt_vocab_growth",
+    "dd_source_overlap_matrix",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
