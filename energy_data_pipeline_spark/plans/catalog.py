@@ -54,6 +54,8 @@ _SAMPLE_PRIORITY = [
     "ts_mad_robust_outliers",
     "txt_vocab_growth",
     "dd_source_overlap_matrix",
+    "ts_linear_trend",
+    "a20_benford_digit_profile",
     # round-10 rotation: the 19 catalog entries never hashed by the
     # driver through round 9 (union of CORRECTNESS_r01-r09 keys vs the
     # catalog — all round-9 session-2 additions). Fronted so the r10

@@ -4573,19 +4573,20 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio spikes flags an injected off-distribution source.
 
     Shape & scale: bucket bounds come from a 1-row max(doc_id)
-    broadcast (no global sort / ntile — the decile is arithmetic), the
-    heavy lifting is ONE token-keyed groupBy of (bucket, token) pairs
-    (map-side combine absorbs the explode), and both reports derive
-    from that frame: first-occurrence attribution is min(bucket) per
-    token, per-slice width is a count per bucket. The only window runs
-    over the 10-row result. At 100 TB this is the vocab_topk shuffle
-    plus a 10-row join — nothing new materializes at corpus volume."""
+    broadcast over a doc_id-pruned scan (no global sort / ntile — the
+    decile is arithmetic), the heavy lifting is ONE token-keyed chain:
+    (bucket, token) counts, then per-token min(bucket) + the ≤10
+    (bucket, n) pairs as a collect_list, re-exploded so new-token
+    attribution, per-slice distinct counts and occurrence sums all
+    fall out of ONE tiny bucket-keyed aggregate — the corpus is
+    tokenized exactly once and nothing wider than |vocab|×10 rows ever
+    shuffles. The only window runs over the 10-row result."""
     from pyspark.sql import Window
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     mx = docs.agg(F.max("doc_id").alias("mx"))
     nb = F.lit(VOCAB_GROWTH_BUCKETS)
-    tb = (
+    per_tok = (
         docs.crossJoin(F.broadcast(mx))
         .select(
             F.least(
@@ -4597,30 +4598,34 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "token")
         .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("token")
+        .agg(
+            F.min("bucket").alias("fb"),
+            F.collect_list(F.struct("bucket", "occ")).alias("pairs"),
+        )
     )
-    per_bucket = tb.groupBy("bucket").agg(
+    expl = per_tok.select("fb", F.explode("pairs").alias("p"))
+    per_bucket = expl.groupBy(F.col("p.bucket").alias("bucket")).agg(
+        F.sum(
+            F.when(F.col("fb") == F.col("p.bucket"), 1).otherwise(0)
+        ).alias("new_tokens"),
         F.count(F.lit(1)).alias("distinct_tokens"),
-        F.sum("occ").alias("token_occurrences"),
-    )
-    firsts = (
-        tb.groupBy("token")
-        .agg(F.min("bucket").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("new_tokens"))
+        F.sum("p.occ").alias("token_occurrences"),
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        per_bucket.join(firsts, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
-            "distinct_tokens",
-            "token_occurrences",
-        )
-        .withColumn("cum_vocab", F.sum("new_tokens").over(w))
+        per_bucket.withColumn("cum_vocab", F.sum("new_tokens").over(w))
         .withColumn(
             "novelty",
             rnd(F.col("new_tokens") / F.col("distinct_tokens"), 6),
+        )
+        .select(
+            "bucket",
+            "new_tokens",
+            "distinct_tokens",
+            "token_occurrences",
+            "cum_vocab",
+            "novelty",
         )
         .orderBy("bucket")
     )
@@ -4675,51 +4680,73 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle is fingerprint-hashed; per-fingerprint fan-out is
     bounded by |sources|² regardless of how many documents share the
     fingerprint (the distinct collapsed them). Output is at most
-    |sources|²/2 rows. No broadcast of anything corpus-sized."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    fp = docs.select(
-        "source", T.fingerprint("text").alias("fp")
-    ).distinct()
-    per_src = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
-    pairs = (
-        fp.alias("a")
-        .join(
-            fp.alias("b"),
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.source") < F.col("b.source")),
+    |sources|²/2 rows. No broadcast of anything corpus-sized. The
+    (source, fp) frame is PINNED (snapshot-deterministic, feeds three
+    branches: per-source totals + both self-join sides) so documents
+    is scanned once, not three times — the same pin legitimacy as
+    sk_hll_split_overlap's exact-audit frame."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        fp = (
+            docs.select("source", T.fingerprint("text").alias("fp"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+        per_src = fp.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_fp")
         )
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-    )
-    pa = per_src.select(
-        F.col("source").alias("source_a"), F.col("n_fp").alias("fps_a")
-    )
-    pb = per_src.select(
-        F.col("source").alias("source_b"), F.col("n_fp").alias("fps_b")
-    )
-    return (
-        pairs.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "shared_fps",
-            "fps_a",
-            "fps_b",
-            rnd(
-                F.col("shared_fps")
-                / (F.col("fps_a") + F.col("fps_b") - F.col("shared_fps")),
-                6,
-            ).alias("jaccard"),
+        pairs = (
+            fp.alias("a")
+            .join(
+                fp.alias("b"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
         )
-        .orderBy(
-            F.col("shared_fps").desc(),
-            F.col("source_a").asc(),
-            F.col("source_b").asc(),
+        pa = per_src.select(
+            F.col("source").alias("source_a"), F.col("n_fp").alias("fps_a")
         )
+        pb = per_src.select(
+            F.col("source").alias("source_b"), F.col("n_fp").alias("fps_b")
+        )
+        df = (
+            pairs.join(F.broadcast(pa), "source_a")
+            .join(F.broadcast(pb), "source_b")
+            .select(
+                "source_a",
+                "source_b",
+                "shared_fps",
+                "fps_a",
+                "fps_b",
+                rnd(
+                    F.col("shared_fps")
+                    / (
+                        F.col("fps_a")
+                        + F.col("fps_b")
+                        - F.col("shared_fps")
+                    ),
+                    6,
+                ).alias("jaccard"),
+            )
+            .orderBy(
+                F.col("shared_fps").desc(),
+                F.col("source_a").asc(),
+                F.col("source_b").asc(),
+            )
+        )
+        return df, [(fp, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("source_overlap_matrix", sf_dir), build
     )
 
 

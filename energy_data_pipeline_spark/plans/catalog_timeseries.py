@@ -1626,6 +1626,153 @@ ORDER BY event_type
 """
 
 
+# --- per-type OLS trend over daily totals ---------------------------------
+def linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line over the daily-total series: slope
+    (value/day), intercept (fitted value at the series' first day) and
+    r² — the "is this metric growing, and how cleanly" panel next to
+    ts_day_over_day_change's noisy deltas.
+
+    Conventions shared with seasonality/zipf: daily totals round to 4
+    BEFORE the regression sums so both engines fold identical addends;
+    slope/intercept/r² come from explicit n/Σx/Σy/Σxy/Σxx/Σyy closed
+    forms (never an engine regression aggregate, whose streaming
+    implementations drift in the last ulps); degenerate series (a
+    single day, or zero x/y variance) emit NULL through the same
+    NULLIF/when guards in both engines. x is the day offset from the
+    type's own first day — integers, so every x product is IEEE-exact.
+    One events scan; the regression input is the |types|×|days| daily
+    frame and everything after is |types|-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(rnd(F.sum("value"), 4).alias("y"))
+    w = Window.partitionBy("event_type")
+    pts = daily.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w)).cast("double").alias("x"),
+        "y",
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when((F.col("n") > 1) & (dxx != 0.0), num / dxx)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        rnd(slope, 6).alias("slope"),
+        rnd((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        rnd(
+            F.when(
+                (F.col("n") > 1) & (dxx != 0.0) & (dyy != 0.0),
+                num * num / (dxx * dyy),
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+LINEAR_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
+                        day) AS DOUBLE) AS x,
+         y
+  FROM daily
+), s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       round(CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+         AS slope,
+       round((sy - CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+                   * sx) / n, 6) AS intercept,
+       round(CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
+                               AND n * syy - sy * sy <> 0
+                  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+         AS r2
+FROM s ORDER BY event_type
+"""
+
+
+# --- Benford first-digit profile (value fraud/QC screen) -------------------
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values (values ≥ 1)
+    against Benford's law — the classic fabricated-data / unit-mixup
+    screen: organically generated magnitudes track log10(1 + 1/d),
+    synthetic or truncated feeds pile onto specific digits.
+
+    The leading digit comes from the INTEGER part rendered as a string
+    (floor → bigint → substr) — integer-to-string is bit-identical
+    across engines, where a log10-based normalization would put libm
+    in the digit boundary itself (log10(1000) is not exactly 3 in every
+    libm). ONE scan into a 9-row aggregate; the total is a window sum
+    over those 9 rows (never a second pass over events); expected
+    shares are log10 of digit rationals, rounded to 6 where every
+    value is comfortably off the rounding boundary."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1.0)
+    digit = F.substring(
+        F.floor("value").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = ev.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    share = F.col("n") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.withColumn("total", total)
+        .select(
+            "digit",
+            "n",
+            rnd(share, 6).alias("share"),
+            rnd(benford, 6).alias("benford_share"),
+            rnd(rnd(share, 6) - rnd(benford, 6), 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         count(*) AS n
+  FROM events WHERE value >= 1.0 GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(round(n * 1.0 / total, 6)
+             - round(log10(1.0 + 1.0 / digit), 6), 6) AS deviation
+FROM c, t ORDER BY digit
+"""
+
+
 TIMESERIES_QUERIES = {
     "t1_missing_purchase_days": (missing_purchase_days, MISSING_DAYS_SQL),
     "t2_purchase_gap_islands": (purchase_gap_islands, GAP_ISLANDS_SQL),
@@ -1664,4 +1811,7 @@ TIMESERIES_QUERIES = {
     "ts_ewma_daily": (ewma_daily, _ewma_sql()),
     "ts_cross_correlation": (cross_correlation, XCORR_SQL),
     "ts_mad_robust_outliers": (mad_robust_outliers, MAD_OUTLIERS_SQL),
+    # round-10 session-2 additions APPEND (merged order is sample surface)
+    "ts_linear_trend": (linear_trend, LINEAR_TREND_SQL),
+    "a20_benford_digit_profile": (benford_digit_profile, BENFORD_SQL),
 }

@@ -48,6 +48,8 @@ NEVER_DRIVER_SAMPLED = {
     "ts_mad_robust_outliers",
     "txt_vocab_growth",
     "dd_source_overlap_matrix",
+    "ts_linear_trend",
+    "a20_benford_digit_profile",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

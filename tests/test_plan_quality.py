@@ -851,3 +851,61 @@ def test_rfm_segments_has_no_window_and_single_scan(spark):
     scan_ids = set(_re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) <= 2, (scan_ids, plan[:2000])
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,source",
+    [
+        ("ts_linear_trend", "events.parquet"),
+        ("a20_benford_digit_profile", "events.parquet"),
+    ],
+)
+def test_round10b_event_queries_single_scan(spark, name, source):
+    """The OLS trend and the Benford profile each read events exactly
+    ONCE: the regression runs on the |types|x|days| daily aggregate,
+    and the Benford total is a window over the 9-row digit counts —
+    never a second pass over the fact table. Partial aggregation
+    before the one fact shuffle; no sort-merge joins or cartesians."""
+    fn, _ = CATALOG[name]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count(source) == 1, plan[:2000]
+    assert "partial_" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_tokenizes_once(spark):
+    """txt_vocab_growth must tokenize the corpus exactly once: the
+    (bucket, token) counts chain into per-token (min-bucket,
+    collect_list) and re-explode, so new-token attribution and
+    per-slice widths come from ONE token-keyed pass. documents may
+    appear at most twice (the doc_id-pruned 1-row max anchor is the
+    second). Two Generates are allowed — the corpus words explode and
+    the re-explode of the ≤10-element per-token pairs list — but only
+    ONE may sit over the words split (corpus-sized)."""
+    fn, _ = CATALOG["txt_vocab_growth"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("documents.parquet") <= 2, plan[:2000]
+    import re as _re
+
+    gen_ids = set(_re.findall(r"Generate\s+\((\d+)\)", plan))
+    assert len(gen_ids) <= 2, (gen_ids, plan[:2000])
+    assert plan.count("split(text") <= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_reads_pinned_fp_frame(spark):
+    """dd_source_overlap_matrix pins the DISTINCT (source, fp) frame
+    (it feeds per-source totals plus both self-join sides), so the
+    per-execution plan reads the cache — documents is scanned only in
+    the InMemoryRelation's one-time materialization subtree."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["dd_source_overlap_matrix"]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    import re as _re
+
+    scan_ids = set(_re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 1, (scan_ids, plan[:2000])
