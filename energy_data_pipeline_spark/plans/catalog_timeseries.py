@@ -1729,8 +1729,16 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm). ONE scan into a 9-row aggregate; the total is a window sum
     over those 9 rows (never a second pass over events); expected
     shares are log10 of digit rationals, rounded to 6 where every
-    value is comfortably off the rounding boundary."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1.0)
+    value is comfortably off the rounding boundary. Non-finite values
+    are excluded EXPLICITLY: Spark's NaN compares greater-than-all (so
+    NaN/+inf would pass a bare >= 1 filter) and its double→bigint cast
+    silently clamps, where DuckDB's cast raises — the finite guard is
+    what keeps the two engines on the same rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 1.0)
+        & (F.col("value") < 1.0e18)
+        & ~F.isnan("value")
+    )
     digit = F.substring(
         F.floor("value").cast("bigint").cast("string"), 1, 1
     ).cast("int")
@@ -1762,7 +1770,9 @@ WITH c AS (
   SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
               AS INT) AS digit,
          count(*) AS n
-  FROM events WHERE value >= 1.0 GROUP BY 1
+  FROM events
+  WHERE value >= 1.0 AND value < 1.0e18 AND NOT isnan(value)
+  GROUP BY 1
 ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
 SELECT digit, CAST(n AS BIGINT) AS n,
        round(n * 1.0 / total, 6) AS share,

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from energy_data_pipeline_spark.plans import plan_cache  # noqa: E402
 from energy_data_pipeline_spark.plans.catalog_corpus import (  # noqa: E402
     source_overlap_matrix,
     vocab_growth,
@@ -88,9 +89,14 @@ def main() -> None:
         results[f"vocab_growth_{label}"] = timed(
             lambda: vocab_growth(spark, d).collect()
         )
-        results[f"source_overlap_{label}"] = timed(
-            lambda: source_overlap_matrix(spark, d).collect()
-        )
+        def overlap_cold():
+            # source_overlap_matrix pins its (source, fp) frame via
+            # plan_cache — clear per rep so every rep pays the full
+            # scan/tokenize/DISTINCT, not just the post-cache self-join
+            plan_cache.clear()
+            source_overlap_matrix(spark, d).collect()
+
+        results[f"source_overlap_{label}"] = timed(overlap_cold)
     summary = {
         "vocab_growth_10x": round(
             results["vocab_growth_1M"] / results["vocab_growth_100k"], 2

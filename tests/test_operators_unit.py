@@ -2282,7 +2282,7 @@ class TestManifestTable:
         }
         assert mt.read_manifest(table)["version"] == n_writers
 
-    def test_two_thread_stale_break_race_single_entrant(self, tmp_path, monkeypatch):
+    def test_flock_race_single_entrant_with_dead_holder_file(self, tmp_path, monkeypatch):
         """At most ONE writer may ever be inside the commit critical
         section, even when a crashed holder's lock file is lying
         around. The round-9 rename-based stale-breaker failed exactly
