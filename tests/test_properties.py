@@ -532,3 +532,125 @@ def test_progressive_jpeg_decodes_identically_to_baseline(
     prog = multimodal._parse_jpeg(_jpeg_progressive_bytes(px, subsample=sub))
     assert prog.shape == base.shape
     assert np.array_equal(prog, base)
+
+
+# --- round-10 session-2: OLS trend + Benford digit extraction ------------
+_trend_series = st.dictionaries(
+    st.sampled_from(["click", "view", "purchase"]),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # day offset
+            st.floats(min_value=0.01, max_value=500, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(series=_trend_series)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_linear_trend_matches_numpy_lstsq(spark, series, tmp_path_factory):
+    """ts_linear_trend's closed-form slope/intercept/r² must match an
+    independent numpy least-squares on the same (rounded) daily
+    totals, for ANY per-type series shape — including single-day
+    (NULL) and zero-variance cases."""
+    import datetime as dt
+
+    import numpy as np
+
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        linear_trend,
+    )
+
+    d = tmp_path_factory.mktemp("trend")
+    rows = []
+    for etype, pts in series.items():
+        for off, v in pts:
+            rows.append(
+                (
+                    etype,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(days=off, hours=3),
+                    float(v),
+                )
+            )
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["event_type"]: r for r in linear_trend(spark, str(d)).collect()
+    }
+    for etype, pts in series.items():
+        daily: dict[int, float] = {}
+        for off, v in pts:
+            daily[off] = daily.get(off, 0.0) + float(v)
+        days = sorted(daily)
+        x = np.array([day - days[0] for day in days], dtype=float)
+        y = np.array([round(daily[day], 4) for day in days], dtype=float)
+        r = got[etype]
+        assert r["n_days"] == len(days)
+        if len(days) < 2:
+            assert r["slope"] is None and r["r2"] is None
+            continue
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r["slope"] - slope) <= 1e-5, (etype, r, slope)
+        assert abs(r["intercept"] - intercept) <= 1e-5
+        yhat = slope * x + intercept
+        ss_res = float(((y - yhat) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        if ss_tot == 0.0:
+            assert r["r2"] is None  # zero y-variance: guard emits NULL
+        else:
+            assert abs(r["r2"] - (1.0 - ss_res / ss_tot)) <= 1e-5
+
+
+_benford_vals = st.lists(
+    st.one_of(
+        st.floats(min_value=0.0, max_value=1e19, allow_nan=False,
+                  allow_infinity=False),
+        st.just(float("nan")),
+        st.just(float("inf")),
+        st.just(9.999999999),
+        st.just(1e17),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(vals=_benford_vals)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_benford_digit_extraction_matches_python(spark, vals, tmp_path_factory):
+    """The Benford profile's digit counts must equal a pure-Python
+    reference (str(math.floor(v))[0]) over the SAME eligibility rule
+    (finite, 1 <= v < 1e18) — non-finite and overflow values never
+    reach the digit cast in either engine."""
+    import collections
+    import math
+
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        benford_digit_profile,
+    )
+
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("benford")
+    spark.createDataFrame(
+        [
+            (f"e{i}", dt.datetime(2024, 1, 1, i % 24), float(v))
+            for i, v in enumerate(vals)
+        ],
+        "event_id string, ts timestamp_ntz, value double",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    expect: collections.Counter = collections.Counter()
+    for v in vals:
+        if math.isfinite(v) and 1.0 <= v < 1.0e18:
+            expect[int(str(int(math.floor(v)))[0])] += 1
+    got = {r["digit"]: r["n"] for r in benford_digit_profile(spark, str(d)).collect()}
+    assert got == dict(expect)
