@@ -108,6 +108,7 @@ def media_capabilities() -> dict[str, bool]:
         "builtin:jpeg": True,
         "builtin:gif": True,
         "builtin:bmp": True,
+        "builtin:tiff": True,
         "builtin:pnm": True,
         "builtin:wav": True,
         "builtin:avi_mjpeg": True,
@@ -145,6 +146,8 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "gif"
     if kind == "image" and payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
+    if kind == "image" and payload[:4] in _TIFF_MAGICS:
+        return "tiff"
     if (
         kind == "video"
         and payload[:4] == b"RIFF"
@@ -1016,6 +1019,137 @@ def _decode_bmp_features(payload: bytes, dim: int) -> np.ndarray:
     return small.mean(axis=0)
 
 
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _packbits_decode(src: bytes, need: int) -> bytes:
+    """TIFF PackBits (RLE) decode — TIFF 6.0 §9: control byte n in
+    0..127 copies n+1 literals, 129..255 repeats the next byte 257−n
+    times, 128 is a no-op. Stops once ``need`` bytes are produced (a
+    strip's compressed stream may pad past the raster)."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < need:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(src):
+                raise ValueError("truncated PackBits stream")
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _parse_tiff(payload: bytes) -> np.ndarray:
+    """Stdlib+numpy baseline-TIFF decode → float array in [0,1], shape
+    (h, w) gray or (h, w, 3) RGB.
+
+    TIFF 6.0 baseline subset: both byte orders (II/MM), 8-bit samples,
+    chunky planar config, strip-organized raster (any RowsPerStrip),
+    compression 1 (none) or 32773 (PackBits), photometric 0/1
+    (bilevel-gray conventions; WhiteIsZero inverts) and 2 (RGB).
+    Tiled, planar, LZW/JPEG-compressed, predictor'd and >8-bit
+    variants raise ValueError — auto mode degrades them per row.
+    Inline IFD values are left-justified in the 4-byte field for BOTH
+    byte orders per spec, so the raw slice works unmodified."""
+    if payload[:4] not in _TIFF_MAGICS:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", payload[e : e + 8])
+        if typ not in type_fmt:
+            continue  # RATIONAL/ASCII metadata — irrelevant to the raster
+        size = type_size[typ] * cnt
+        if size <= 4:
+            raw = payload[e + 8 : e + 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", payload[e + 8 : e + 12])
+            raw = payload[voff : voff + size]
+        if len(raw) < size:
+            raise ValueError("truncated TIFF IFD value")
+        tags[tag] = list(struct.unpack(bo + type_fmt[typ] * cnt, raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF dimensions")
+    spp = one(277, 1)
+    if any(b != 8 for b in tags.get(258, [8] * spp)):
+        raise ValueError("builtin TIFF kernel supports 8-bit samples only")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF not supported")
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF needs >= 3 samples per pixel")
+    elif photo in (0, 1):
+        if spp != 1:
+            raise ValueError("gray TIFF with extra samples not supported")
+    else:
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or inconsistent")
+    rps = min(one(278, h), h)
+    if rps <= 0:
+        raise ValueError("bad TIFF RowsPerStrip")
+    row_bytes = w * spp
+    out = np.empty((h, row_bytes), dtype="u1")
+    row = 0
+    for soff, scnt in zip(offsets, counts):
+        if row >= h:
+            break
+        nrows = min(rps, h - row)
+        need = nrows * row_bytes
+        chunk = payload[soff : soff + scnt]
+        if comp == 1:
+            data = chunk
+        elif comp == 32773:
+            data = _packbits_decode(chunk, need)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        if len(data) < need:
+            raise ValueError("truncated TIFF strip")
+        out[row : row + nrows] = np.frombuffer(
+            data, dtype="u1", count=need
+        ).reshape(nrows, row_bytes)
+        row += nrows
+    if row < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    arr = out.reshape(h, w, spp).astype("float64") / 255.0
+    if photo == 0:
+        arr = 1.0 - arr
+    return arr[:, :, 0] if photo != 2 else arr[:, :, :3]
+
+
+def _decode_tiff_features(payload: bytes, dim: int) -> np.ndarray:
+    """TIFF builtin kernel: decode → grayscale → dim×dim area resample
+    → per-column mean intensity (identical feature contract to every
+    other builtin path)."""
+    arr = _parse_tiff(payload)
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _parse_avi_first_jpeg(payload: bytes) -> np.ndarray:
     """Stdlib+numpy MJPEG-in-AVI decode of the FIRST video frame →
     float RGB array (the representative-frame contract of the GIF
@@ -1245,6 +1379,7 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
             "jpeg": _decode_jpeg_features,
             "gif": _decode_gif_features,
             "bmp": _decode_bmp_features,
+            "tiff": _decode_tiff_features,
             "wav": _decode_wav_features,
             "avi_mjpeg": _decode_avi_features,
         }[builtin]

@@ -1554,6 +1554,176 @@ class TestBuiltinBmpKernel:
         )
 
 
+def _packbits_encode(row: bytes) -> bytes:
+    """Independent PackBits encoder (literal runs + repeat runs) for
+    the TIFF kernel tests — written from TIFF 6.0 §9, not from the
+    decoder under test."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def _tiff_bytes(
+    px: np.ndarray,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    packbits: bool = False,
+    photometric: int | None = None,
+) -> bytes:
+    """Minimal baseline-TIFF encoder for tests: header + raster strips
+    + one IFD with SHORT/LONG tags. ``px`` is (h, w) gray or (h, w, 3)
+    RGB uint8. Strip offsets/byte-counts always go through offset
+    arrays (never inline) so the offset-resolution path is exercised;
+    small scalar tags stay inline to exercise left-justified values."""
+    import struct as _s
+
+    bo = ">" if big_endian else "<"
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    photo = photometric if photometric is not None else (2 if spp == 3 else 1)
+    raster = px if photo != 0 else (255 - px)
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = raster[r0 : r0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    if pos % 2:
+        pos += 1  # word-align the IFD
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, vals: list[int], extra_off: int) -> tuple[bytes, bytes]:
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        packed = _s.pack(bo + fmt * len(vals), *vals)
+        if size <= 4:
+            return (
+                _s.pack(bo + "HHI", tag, typ, len(vals))
+                + packed
+                + b"\x00" * (4 - size),
+                b"",
+            )
+        return (
+            _s.pack(bo + "HHII", tag, typ, len(vals), extra_off),
+            packed,
+        )
+
+    tags: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [32773 if packbits else 1]),
+        (262, 3, [photo]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    n = len(tags)
+    extra_off = ifd_off + 2 + 12 * n + 4
+    entries, extras = [], []
+    for tag, typ, vals in tags:
+        e, x = entry(tag, typ, vals, extra_off)
+        entries.append(e)
+        extras.append(x)
+        extra_off += len(x)
+    body = b"".join(strips)
+    pad = b"\x00" * (ifd_off - 8 - len(body))
+    ifd = (
+        _s.pack(bo + "H", n)
+        + b"".join(entries)
+        + _s.pack(bo + "I", 0)
+        + b"".join(extras)
+    )
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + _s.pack(
+        bo + "I", ifd_off
+    )
+    return header + body + pad + ifd
+
+
+class TestBuiltinTiffKernel:
+    def test_rgb_feature_contract_matches_pnm(self):
+        raster = np.tile(np.array([60, 120, 180], dtype="u1"), (16, 16, 1))
+        f_tif = multimodal.decode_real(_tiff_bytes(raster), "image", dim=8)
+        pnm = b"P6 16 16 255\n" + raster.tobytes()
+        f_pnm = multimodal.decode_real(pnm, kind="image", dim=8)
+        assert np.allclose(f_tif, f_pnm, atol=1e-12)
+
+    def test_both_byte_orders_agree(self):
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, size=(13, 9, 3)).astype("u1")
+        le = multimodal._parse_tiff(_tiff_bytes(px, big_endian=False))
+        be = multimodal._parse_tiff(_tiff_bytes(px, big_endian=True))
+        assert np.array_equal(le, be)
+        assert np.allclose(le * 255.0, px, atol=1e-12)
+
+    def test_multi_strip_and_packbits_roundtrip(self):
+        rng = np.random.RandomState(7)
+        # long flat runs + noise: exercises both PackBits run kinds
+        px = np.where(
+            rng.rand(21, 17) < 0.5, 200, rng.randint(0, 256, (21, 17))
+        ).astype("u1")
+        plain = multimodal._parse_tiff(_tiff_bytes(px, rows_per_strip=4))
+        packed = multimodal._parse_tiff(
+            _tiff_bytes(px, rows_per_strip=4, packbits=True)
+        )
+        assert np.array_equal(plain, packed)
+        assert np.allclose(plain * 255.0, px, atol=1e-12)
+
+    def test_white_is_zero_inverts(self):
+        px = np.full((6, 6), 55, dtype="u1")
+        arr = multimodal._parse_tiff(_tiff_bytes(px, photometric=0))
+        assert np.allclose(arr * 255.0, 55.0, atol=1e-9)
+
+    def test_unsupported_variants_raise_value_error(self):
+        px = np.zeros((4, 4), dtype="u1")
+        good = bytearray(_tiff_bytes(px))
+        # flip compression SHORT (tag 259) to 5 (LZW): must reject
+        lzw = bytearray(good)
+        idx = bytes(good).rfind(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+        assert idx > 0  # tag 259 entry, little-endian, value inline
+        lzw[idx + 8] = 5
+        with pytest.raises(ValueError, match="compression"):
+            multimodal._parse_tiff(bytes(lzw))
+        with pytest.raises(ValueError):
+            multimodal.decode_real(bytes(good)[:40], kind="image", dim=4)
+
+    def test_capability_probe_reports_tiff_builtin(self):
+        assert multimodal.media_capabilities()["builtin:tiff"] is True
+
+    def test_auto_mode_decodes_real_tiff_payload(self, spark):
+        g = np.tile((np.arange(8) * 32).astype("u1"), (8, 1))
+        rows = [
+            (1, "image", "tiff", 8, 8, None, bytearray(_tiff_bytes(g)))
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert np.allclose(
+            got["feature"], np.arange(8) * 32 / 255.0, atol=1e-12
+        )
+
+
 def _avi_bytes(frames: list[bytes]) -> bytes:
     """Minimal MJPEG AVI container: RIFF('AVI ') with a dummy hdrl
     LIST and a movi LIST holding one 00dc chunk per JPEG frame."""
