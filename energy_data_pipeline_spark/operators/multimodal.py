@@ -1043,18 +1043,89 @@ def _packbits_decode(src: bytes, need: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(src: bytes, need: int) -> bytes:
+    """TIFF-variant LZW decode — TIFF 6.0 §13: MSB-first bit packing,
+    ClearCode 256 / EOI 257, first dictionary entry 258, and the
+    spec's "early change" (the code width grows one code EARLIER than
+    classic LZW, when the table reaches 2^width − 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    nbits = len(src) * 8
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated TIFF LZW stream")
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(
+            src[byte0 : (bitpos + width + 7) // 8], "big"
+        )
+        shift = ((bitpos + width + 7) // 8 * 8) - (bitpos + width)
+        bitpos += width
+        return (chunk >> shift) & ((1 << width) - 1)
+
+    while len(out) < need:
+        code = read(width)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code > 255 or not table:
+                raise ValueError("TIFF LZW stream must start with Clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        prev = entry
+        # early change, reader side: the decoder's table lags the
+        # writer's by the one pending entry (the first data code after
+        # Clear appends nothing), so the width bumps when table+1
+        # reaches 2^width − 1 — one code earlier than classic LZW and
+        # one entry earlier than the writer-side check
+        if len(table) + 1 >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tiff_undo_predictor2(data: bytes, nrows: int, w: int, spp: int) -> bytes:
+    """Undo TIFF Predictor 2 (horizontal differencing): cumulative sum
+    along each row per sample channel, mod 256."""
+    a = (
+        np.frombuffer(data, dtype="u1", count=nrows * w * spp)
+        .reshape(nrows, w, spp)
+        .astype("u4")
+    )
+    return (np.cumsum(a, axis=1) & 0xFF).astype("u1").tobytes()
+
+
 def _parse_tiff(payload: bytes) -> np.ndarray:
     """Stdlib+numpy baseline-TIFF decode → float array in [0,1], shape
     (h, w) gray or (h, w, 3) RGB.
 
-    TIFF 6.0 baseline subset: both byte orders (II/MM), 8-bit samples,
-    chunky planar config, strip-organized raster (any RowsPerStrip),
-    compression 1 (none) or 32773 (PackBits), photometric 0/1
-    (bilevel-gray conventions; WhiteIsZero inverts) and 2 (RGB).
-    Tiled, planar, LZW/JPEG-compressed, predictor'd and >8-bit
-    variants raise ValueError — auto mode degrades them per row.
-    Inline IFD values are left-justified in the 4-byte field for BOTH
-    byte orders per spec, so the raw slice works unmodified."""
+    TIFF 6.0 baseline subset + the common compressed variants: both
+    byte orders (II/MM), 8-bit samples, chunky planar config,
+    strip-organized raster (any RowsPerStrip), compression 1 (none),
+    5 (LZW incl. the spec's early-change), 8/32946 (Deflate, stdlib
+    zlib) or 32773 (PackBits), Predictor 2 (horizontal differencing),
+    photometric 0/1 (WhiteIsZero inverts) and 2 (RGB). Tiled, planar,
+    JPEG-compressed, float-predictor and >8-bit variants raise
+    ValueError — auto mode degrades them per row. Inline IFD values
+    are left-justified in the 4-byte field for BOTH byte orders per
+    spec, so the raw slice works unmodified."""
     if payload[:4] not in _TIFF_MAGICS:
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -1108,6 +1179,9 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
     counts = tags.get(279)
     if offsets is None or counts is None or len(offsets) != len(counts):
         raise ValueError("TIFF strip tables missing or inconsistent")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     rps = min(one(278, h), h)
     if rps <= 0:
         raise ValueError("bad TIFF RowsPerStrip")
@@ -1122,12 +1196,20 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
         chunk = payload[soff : soff + scnt]
         if comp == 1:
             data = chunk
+        elif comp == 5:
+            data = _tiff_lzw_decode(chunk, need)
+        elif comp in (8, 32946):
+            import zlib
+
+            data = zlib.decompress(chunk)
         elif comp == 32773:
             data = _packbits_decode(chunk, need)
         else:
             raise ValueError(f"unsupported TIFF compression {comp}")
         if len(data) < need:
             raise ValueError("truncated TIFF strip")
+        if predictor == 2:
+            data = _tiff_undo_predictor2(data, nrows, w, spp)
         out[row : row + nrows] = np.frombuffer(
             data, dtype="u1", count=need
         ).reshape(nrows, row_bytes)

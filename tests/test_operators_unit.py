@@ -1579,12 +1579,62 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-variant LZW encoder (MSB-first packing, Clear
+    256 / EOI 257, first entry 258, early code-width change) — written
+    from TIFF 6.0 §13, not from the decoder under test."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []
+    width = 9
+    d = {bytes([i]): i for i in range(256)}
+    nxt = 258
+
+    def emit(code: int) -> None:
+        bits.append((code, width))
+
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in d:
+            w = wc
+            continue
+        emit(d[w])
+        if nxt >= 4094:  # table full: flush with a mid-stream Clear
+            emit(CLEAR)
+            d = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        else:
+            d[wc] = nxt
+            nxt += 1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1  # early change, writer side
+        w = bytes([b])
+    if w:
+        emit(d[w])
+    emit(EOI)
+    out = bytearray()
+    acc, nacc = 0, 0
+    for code, cw in bits:
+        acc = (acc << cw) | code
+        nacc += cw
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_bytes(
     px: np.ndarray,
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     packbits: bool = False,
     photometric: int | None = None,
+    compression: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal baseline-TIFF encoder for tests: header + raster strips
     + one IFD with SHORT/LONG tags. ``px`` is (h, w) gray or (h, w, 3)
@@ -1593,7 +1643,10 @@ def _tiff_bytes(
     small scalar tags stay inline to exercise left-justified values."""
     import struct as _s
 
+    import zlib as _z
+
     bo = ">" if big_endian else "<"
+    comp = compression if compression is not None else (32773 if packbits else 1)
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     photo = photometric if photometric is not None else (2 if spp == 3 else 1)
@@ -1601,8 +1654,21 @@ def _tiff_bytes(
     rps = rows_per_strip or h
     strips = []
     for r0 in range(0, h, rps):
-        raw = raster[r0 : r0 + rps].tobytes()
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        block = raster[r0 : r0 + rps]
+        if predictor == 2:
+            b = block.reshape(block.shape[0], w, spp).astype("i2")
+            d = np.concatenate([b[:, :1], np.diff(b, axis=1)], axis=1)
+            raw = (d & 0xFF).astype("u1").tobytes()
+        else:
+            raw = block.tobytes()
+        strips.append(
+            {
+                1: lambda r: r,
+                5: _tiff_lzw_encode,
+                8: _z.compress,
+                32773: _packbits_encode,
+            }[comp](raw)
+        )
 
     pos = 8
     strip_offsets = []
@@ -1633,13 +1699,15 @@ def _tiff_bytes(
         (256, 4, [w]),
         (257, 4, [h]),
         (258, 3, [8] * spp),
-        (259, 3, [32773 if packbits else 1]),
+        (259, 3, [comp]),
         (262, 3, [photo]),
         (273, 4, strip_offsets),
         (277, 3, [spp]),
         (278, 4, [rps]),
         (279, 4, [len(s) for s in strips]),
     ]
+    if predictor != 1:
+        tags.append((317, 3, [predictor]))
     n = len(tags)
     extra_off = ifd_off + 2 + 12 * n + 4
     entries, extras = [], []
@@ -1699,15 +1767,45 @@ class TestBuiltinTiffKernel:
     def test_unsupported_variants_raise_value_error(self):
         px = np.zeros((4, 4), dtype="u1")
         good = bytearray(_tiff_bytes(px))
-        # flip compression SHORT (tag 259) to 5 (LZW): must reject
-        lzw = bytearray(good)
+        # flip compression SHORT (tag 259) to 7 (JPEG-in-TIFF): reject
+        jpg = bytearray(good)
         idx = bytes(good).rfind(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
         assert idx > 0  # tag 259 entry, little-endian, value inline
-        lzw[idx + 8] = 5
+        jpg[idx + 8] = 7
         with pytest.raises(ValueError, match="compression"):
-            multimodal._parse_tiff(bytes(lzw))
+            multimodal._parse_tiff(bytes(jpg))
         with pytest.raises(ValueError):
             multimodal.decode_real(bytes(good)[:40], kind="image", dim=4)
+
+    def test_lzw_roundtrip_crosses_width_boundaries(self):
+        rng = np.random.RandomState(11)
+        # 64x64 random RGB: ~4k LZW codes, crossing the 511 and 1023
+        # early-change boundaries in both encoder and decoder
+        px = rng.randint(0, 256, size=(64, 64, 3)).astype("u1")
+        arr = multimodal._parse_tiff(
+            _tiff_bytes(px, compression=5, rows_per_strip=64)
+        )
+        assert np.allclose(arr * 255.0, px, atol=1e-12)
+
+    def test_lzw_multistrip_and_big_endian(self):
+        rng = np.random.RandomState(13)
+        px = rng.randint(0, 256, size=(19, 11)).astype("u1")
+        arr = multimodal._parse_tiff(
+            _tiff_bytes(px, compression=5, rows_per_strip=5, big_endian=True)
+        )
+        assert np.allclose(arr * 255.0, px, atol=1e-12)
+
+    def test_deflate_and_predictor2_roundtrip(self):
+        rng = np.random.RandomState(17)
+        # smooth gradient + noise: the shape predictor 2 exists for
+        base = np.cumsum(rng.randint(0, 3, size=(15, 23, 3)), axis=1)
+        px = (base & 0xFF).astype("u1")
+        for comp in (5, 8):
+            arr = multimodal._parse_tiff(
+                _tiff_bytes(px, compression=comp, predictor=2,
+                            rows_per_strip=4)
+            )
+            assert np.allclose(arr * 255.0, px, atol=1e-12), comp
 
     def test_capability_probe_reports_tiff_builtin(self):
         assert multimodal.media_capabilities()["builtin:tiff"] is True
