@@ -245,11 +245,14 @@ def _parse_png(payload: bytes) -> np.ndarray:
     """Stdlib-only PNG decode (zlib inflate + per-scanline filter
     reconstruction) → float array in [0,1], shape (h, w) or (h, w, 3).
 
-    Supports the common compressed web-image shape: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced. Alpha is dropped (features are intensity-based);
-    palette indices resolve through PLTE. Anything outside that profile
-    raises ValueError and auto mode degrades to the fake kernel."""
+    Supports the common compressed web-image shapes: 8- and 16-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette, 8-bit), 4
+    (gray+alpha), 6 (RGBA), non-interlaced AND Adam7-interlaced (each
+    of the 7 passes is an independently filtered sub-image placed back
+    on the pass grid). Alpha is dropped (features are intensity-based);
+    palette indices resolve through PLTE; 16-bit samples are big-endian
+    per spec and normalize by 65535. Sub-8-bit depths raise ValueError
+    and auto mode degrades to the fake kernel."""
     import struct
     import zlib
 
@@ -257,6 +260,8 @@ def _parse_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = color_type = None
+    bit_depth = 8
+    interlace = 0
     idat = bytearray()
     palette = None
     while pos + 8 <= len(payload):
@@ -268,10 +273,14 @@ def _parse_png(payload: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8:
-                raise ValueError(f"builtin PNG kernel needs 8-bit depth, got {bit_depth}")
-            if interlace:
-                raise ValueError("interlaced PNG not supported by the builtin kernel")
+            if bit_depth not in (8, 16):
+                raise ValueError(
+                    f"builtin PNG kernel needs 8/16-bit depth, got {bit_depth}"
+                )
+            if bit_depth == 16 and color_type == 3:
+                raise ValueError("16-bit palette PNG is not legal")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, dtype="u1").reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -284,17 +293,54 @@ def _parse_png(payload: bytes) -> np.ndarray:
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG raster size mismatch")
-    rows = np.empty((height, stride), dtype="u1")
-    prev = np.zeros(stride, dtype="u1")
-    for y in range(height):
-        off = y * (stride + 1)
-        line = np.frombuffer(raw, dtype="u1", count=stride, offset=off + 1)
-        prev = _png_unfilter_row(raw[off], line, prev, channels)
-        rows[y] = prev
-    px = rows.reshape(height, width, channels)
+    sb = bit_depth // 8  # bytes per sample
+    bpp = channels * sb  # filter byte distance
+
+    def unfilter_block(raw: bytes, off: int, w: int, h: int) -> tuple[np.ndarray, int]:
+        """Reconstruct one filtered sub-image of w×h pixels starting at
+        byte ``off``; returns (rows bytes array, bytes consumed)."""
+        stride = w * bpp
+        rows = np.empty((h, stride), dtype="u1")
+        prev = np.zeros(stride, dtype="u1")
+        for y in range(h):
+            base = off + y * (stride + 1)
+            if base + 1 + stride > len(raw):
+                raise ValueError("PNG raster size mismatch")
+            line = np.frombuffer(raw, dtype="u1", count=stride, offset=base + 1)
+            prev = _png_unfilter_row(raw[base], line, prev, bpp)
+            rows[y] = prev
+        return rows, h * (stride + 1)
+
+    if interlace == 0:
+        if len(raw) != (width * bpp + 1) * height:
+            raise ValueError("PNG raster size mismatch")
+        rows, _ = unfilter_block(raw, 0, width, height)
+        grid = rows.reshape(height, width, bpp)
+    else:  # Adam7: 7 sub-images on the (x0, y0, dx, dy) pass grid
+        grid = np.zeros((height, width, bpp), dtype="u1")
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = unfilter_block(raw, off, pw, ph)
+            off += used
+            grid[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    if sb == 2:
+        px16 = grid.reshape(height, width * channels, 2)
+        vals = (
+            px16[:, :, 0].astype("u2") << 8 | px16[:, :, 1]
+        ).reshape(height, width, channels)
+        arr16 = vals.astype("float64") / 65535.0
+        px = arr16
+    else:
+        px = grid.reshape(height, width, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -303,7 +349,7 @@ def _parse_png(payload: bytes) -> np.ndarray:
         px = px[:, :, :1]  # drop alpha
     elif color_type == 6:
         px = px[:, :, :3]  # drop alpha
-    arr = px.astype("float64") / 255.0
+    arr = px if sb == 2 else px.astype("float64") / 255.0
     return arr[:, :, 0] if arr.shape[2] == 1 else arr
 
 

@@ -459,10 +459,19 @@ def test_builtin_pnm_rgb_and_resample():
     assert np.allclose(feat, 120.0 / 255.0, atol=1e-12)
 
 
-def _png_bytes(px: np.ndarray, color_type: int, filters=None, palette=None):
+def _png_bytes(
+    px: np.ndarray,
+    color_type: int,
+    filters=None,
+    palette=None,
+    bit_depth: int = 8,
+    interlace: bool = False,
+):
     """Minimal PNG encoder for tests: applies the REQUESTED filter type
     per scanline (cycling through ``filters``), so every unfilter path
-    of the builtin decoder is exercised against ground truth."""
+    of the builtin decoder is exercised against ground truth. 16-bit
+    samples are big-endian per spec; ``interlace`` emits the 7 Adam7
+    passes, each filtered independently."""
     import struct
     import zlib
 
@@ -476,36 +485,62 @@ def _png_bytes(px: np.ndarray, color_type: int, filters=None, palette=None):
 
     h, w = px.shape[:2]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    flat = px.reshape(h, w * channels).astype("i4")
-    bpp = channels
+    sb = bit_depth // 8
+    bpp = channels * sb
     filters = filters or [0]
-    raw = bytearray()
-    prev = np.zeros(w * channels, dtype="i4")
-    for y in range(h):
-        ft = filters[y % len(filters)]
-        line = flat[y]
-        out = np.empty_like(line)
-        for i in range(len(line)):
-            a = int(line[i - bpp]) if i >= bpp else 0
-            b = int(prev[i])
-            c = int(prev[i - bpp]) if i >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) >> 1
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            out[i] = (int(line[i]) - pred) & 0xFF
-        raw.append(ft)
-        raw.extend(out.astype("u1").tobytes())
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    grid = px.reshape(h, w, channels).astype("i4")
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        ph, pw = sub.shape[:2]
+        if sb == 1:
+            return sub.reshape(ph, pw * channels)
+        hi, lo = (sub >> 8) & 0xFF, sub & 0xFF
+        return np.stack([hi, lo], axis=-1).reshape(ph, pw * channels * 2)
+
+    def filter_image(flat: np.ndarray) -> bytes:
+        raw = bytearray()
+        prev = np.zeros(flat.shape[1], dtype="i4")
+        for y in range(flat.shape[0]):
+            ft = filters[y % len(filters)]
+            line = flat[y]
+            out = np.empty_like(line)
+            for i in range(len(line)):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (int(line[i]) - pred) & 0xFF
+            raw.append(ft)
+            raw.extend(out.astype("u1").tobytes())
+            prev = line
+        return bytes(raw)
+
+    if not interlace:
+        raw = filter_image(byte_rows(grid))
+    else:
+        parts = []
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = grid[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(filter_image(byte_rows(sub)))
+        raw = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         body += chunk(b"PLTE", palette.astype("u1").tobytes())
@@ -550,6 +585,47 @@ class TestBuiltinPngKernel:
         rgba = rng.integers(0, 256, size=(5, 4, 4), dtype="u1")
         arr = multimodal._parse_png(_png_bytes(rgba, color_type=6, filters=[1, 4]))
         assert np.allclose(arr, rgba[:, :, :3] / 255.0)
+
+    def test_adam7_interlaced_rgb_all_filters(self):
+        """Adam7: every pass is an independently filtered sub-image on
+        the (x0, y0, dx, dy) grid — odd dimensions make several passes
+        non-trivial and the last pass the full-width one."""
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(13, 11, 3), dtype="u1")
+        payload = _png_bytes(
+            px, color_type=2, filters=[0, 1, 2, 3, 4], interlace=True
+        )
+        arr = multimodal._parse_png(payload)
+        assert np.allclose(arr, px / 255.0)
+
+    def test_adam7_tiny_image_skips_empty_passes(self):
+        px = np.array([[5, 250], [120, 33]], dtype="u1")  # 2x2: passes 1,6,7
+        arr = multimodal._parse_png(
+            _png_bytes(px, color_type=0, interlace=True)
+        )
+        assert np.allclose(arr, px / 255.0)
+
+    def test_16bit_gray_and_rgb(self):
+        rng = np.random.default_rng(23)
+        g16 = rng.integers(0, 65536, size=(9, 7), dtype="u2")
+        arr = multimodal._parse_png(
+            _png_bytes(g16, color_type=0, bit_depth=16, filters=[0, 2, 1])
+        )
+        assert np.allclose(arr, g16 / 65535.0, atol=1e-12)
+        rgb16 = rng.integers(0, 65536, size=(6, 5, 3), dtype="u2")
+        arr = multimodal._parse_png(
+            _png_bytes(rgb16, color_type=2, bit_depth=16, filters=[4, 3])
+        )
+        assert np.allclose(arr, rgb16 / 65535.0, atol=1e-12)
+
+    def test_16bit_interlaced_roundtrip(self):
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 65536, size=(10, 9), dtype="u2")
+        arr = multimodal._parse_png(
+            _png_bytes(px, color_type=0, bit_depth=16, filters=[1, 4],
+                       interlace=True)
+        )
+        assert np.allclose(arr, px / 65535.0, atol=1e-12)
 
     def test_capability_probe_reports_png_builtin(self):
         assert multimodal.media_capabilities()["builtin:png"] is True
