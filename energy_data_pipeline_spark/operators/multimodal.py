@@ -109,6 +109,7 @@ def media_capabilities() -> dict[str, bool]:
         "builtin:gif": True,
         "builtin:bmp": True,
         "builtin:tiff": True,
+        "builtin:webp_lossless": True,
         "builtin:pnm": True,
         "builtin:wav": True,
         "builtin:avi_mjpeg": True,
@@ -148,6 +149,12 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "bmp"
     if kind == "image" and payload[:4] in _TIFF_MAGICS:
         return "tiff"
+    if (
+        kind == "image"
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        return "webp"
     if (
         kind == "video"
         and payload[:4] == b"RIFF"
@@ -998,6 +1005,478 @@ def _decode_gif_features(payload: bytes, dim: int) -> np.ndarray:
     return small.mean(axis=0)
 
 
+# ---------------------------------------------------------------- WEBP/VP8L
+# WebP lossless (VP8L) builtin decoder. Written from the public
+# "WebP Lossless Bitstream Specification"; lossy VP8/VP8X-animation
+# payloads raise ValueError so auto mode degrades them per row.
+
+
+class _VP8LBits:
+    """LSB-first bit reader over bytes (VP8L convention)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+class _VP8LCode:
+    """Canonical prefix code (DEFLATE-style assignment); decode reads
+    the code MSB-first, one bit at a time, against a (length, code) →
+    symbol table. Dict-based — correctness-first builtin kernel."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths: list[int]):
+        syms = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not syms:
+            raise ValueError("empty VP8L prefix code")
+        if len(syms) == 1:
+            self.single = syms[0][1]
+            self.table = {}
+            return
+        self.single = None
+        # Kraft check, then canonical assignment sorted by (len, sym)
+        if sum(2.0 ** -ln for ln, _ in syms) > 1.0 + 1e-9:
+            raise ValueError("over-subscribed VP8L prefix code")
+        syms.sort()
+        self.table = {}
+        code = 0
+        prev_len = syms[0][0]
+        for ln, s in syms:
+            code <<= ln - prev_len
+            prev_len = ln
+            self.table[(ln, code)] = s
+            code += 1
+
+    def decode(self, br: _VP8LBits) -> int:
+        if self.single is not None:
+            return self.single
+        acc = 0
+        for ln in range(1, 16):
+            acc = (acc << 1) | br.read(1)
+            s = self.table.get((ln, acc))
+            if s is not None:
+                return s
+        raise ValueError("corrupt VP8L prefix code stream")
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+
+def _vp8l_read_code(br: _VP8LBits, alphabet: int) -> _VP8LCode:
+    """One prefix code: the 'simple' 1-2 symbol form, or code lengths
+    coded with the 19-symbol code-length code (16/17/18 repeats)."""
+    if br.read(1):  # simple
+        n_sym = br.read(1) + 1
+        first_8bit = br.read(1)
+        lengths = [0] * alphabet
+        s0 = br.read(8 if first_8bit else 1)
+        if s0 >= alphabet:
+            raise ValueError("VP8L simple-code symbol out of range")
+        if n_sym == 1:
+            lengths[s0] = 1  # degenerate: zero bits read per symbol
+            return _VP8LCode(lengths)
+        s1 = br.read(8)
+        if s1 >= alphabet or s1 == s0:
+            raise ValueError("VP8L simple-code symbol out of range")
+        lengths[s0] = lengths[s1] = 1
+        return _VP8LCode(lengths)
+    n_codes = br.read(4) + 4
+    if n_codes > len(_VP8L_CL_ORDER):
+        raise ValueError("bad VP8L code-length count")
+    cl_lengths = [0] * 19
+    for i in range(n_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_code = _VP8LCode(cl_lengths)
+    # optional cap on the number of coded length-symbols
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        ln = cl_code.decode(br)
+        if ln < 16:
+            lengths[i] = ln
+            i += 1
+            if ln:
+                prev = ln
+        elif ln == 16:
+            rep = 3 + br.read(2)
+            lengths[i : i + rep] = [prev] * min(rep, alphabet - i)
+            i += rep
+        elif ln == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    if i > alphabet:
+        raise ValueError("VP8L code lengths overflow alphabet")
+    return _VP8LCode(lengths)
+
+
+def _vp8l_lz77_value(code: int, br: _VP8LBits) -> int:
+    """LZ77 length/distance prefix value (spec §4.2.2): 4 direct codes,
+    then (2 + code&1) << extra_bits + extra."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_dist_map() -> list[tuple[int, int]]:
+    """The 120-entry close-neighbor (dx, dy) map for distance codes
+    1..120, generated by the spec's ordering: increasing Euclidean
+    distance, ties preferring larger dy, then smaller |dx|, then
+    positive dx."""
+    cand = [
+        (dx, dy)
+        for dy in range(0, 9)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], abs(p[0]), p[0] < 0))
+    return cand[:120]
+
+
+_VP8L_DIST_MAP = _vp8l_dist_map()
+
+
+def _vp8l_entropy_image(
+    br: _VP8LBits, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode one VP8L spatially-coded image of w×h pixels → uint32
+    ARGB array (h, w). Handles color cache, LZ77 backward refs and
+    (at the top level) meta prefix-code groups."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError("bad VP8L color-cache size")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    meta = None
+    group_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        group_bits = br.read(3) + 2
+        mw = (w + (1 << group_bits) - 1) >> group_bits
+        mh = (h + (1 << group_bits) - 1) >> group_bits
+        meta = _vp8l_entropy_image(br, mw, mh, False)
+        idx = ((meta >> 8) & 0xFFFF).astype("i8")
+        meta = idx
+        n_groups = int(idx.max()) + 1
+    groups = []
+    for _ in range(n_groups):
+        green = _vp8l_read_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
+        red = _vp8l_read_code(br, 256)
+        blue = _vp8l_read_code(br, 256)
+        alpha = _vp8l_read_code(br, 256)
+        dist = _vp8l_read_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    out = np.zeros(w * h, dtype="u4")
+    pos = 0
+    total = w * h
+
+    def insert(px: int) -> None:
+        if cache is not None:
+            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[int(meta[(y >> group_bits), (x >> group_bits)])]
+        else:
+            g = groups[0]
+        green_c, red_c, blue_c, alpha_c, dist_c = g
+        s = green_c.decode(br)
+        if s < 256:
+            r = red_c.decode(br)
+            b = blue_c.decode(br)
+            a = alpha_c.decode(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            insert(px)
+            pos += 1
+        elif s < 256 + 24:
+            length = _vp8l_lz77_value(s - 256, br)
+            dcode = _vp8l_lz77_value(dist_c.decode(br), br)
+            if dcode > 120:
+                distance = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                distance = max(1, dy * w + dx)
+            if distance > pos or pos + length > total:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - distance])
+                out[pos] = px
+                insert(px)
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache hit without a color cache")
+            px = cache[s - 256 - 24]
+            out[pos] = px
+            insert(px)
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _vp8l_avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype("u2") + b) >> 1
+
+
+def _vp8l_predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """The 14 spatial predictors (per-channel uint8 vectors)."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype="u1")
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T).astype("u1")
+    if mode == 6:
+        return _vp8l_avg2(L, TL).astype("u1")
+    if mode == 7:
+        return _vp8l_avg2(L, T).astype("u1")
+    if mode == 8:
+        return _vp8l_avg2(TL, T).astype("u1")
+    if mode == 9:
+        return _vp8l_avg2(T, TR).astype("u1")
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR)).astype("u1")
+    if mode == 11:  # Select
+        p = L.astype("i4") + T - TL
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return np.clip(L.astype("i4") + T - TL, 0, 255).astype("u1")
+    if mode == 13:  # ClampAddSubtractHalf
+        avg = _vp8l_avg2(L, T).astype("i4")
+        return np.clip(avg + (avg - TL) // 2, 0, 255).astype("u1")
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _parse_vp8l(payload: bytes) -> np.ndarray:
+    """WebP lossless decode → float RGB array in [0,1], shape (h, w, 3).
+
+    Full VP8L feature set: canonical/simple prefix codes with the
+    19-symbol code-length code, color cache, LZ77 backward references
+    (plain + 2-D neighbor-map distances), meta prefix-code groups, and
+    all four transforms (predictor, cross-color, subtract-green,
+    color-indexing incl. sub-byte pixel bundling), applied in reverse
+    order. Lossy VP8 and VP8X containers raise ValueError.
+
+    Fidelity caveat (documented, not hidden): the Select/
+    ClampAddSubtract tie-break details and the neighbor-map ordering
+    come from the public spec text; the test suite verifies them
+    against an independent encoder built from the same spec — real
+    libwebp output exercising those exact corners has no ground truth
+    in this container."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WEBP payload")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"VP8L":
+            vp8l = payload[pos + 8 : pos + 8 + size]
+            break
+        if cid in (b"VP8 ", b"VP8X"):
+            raise ValueError("lossy/extended WebP not supported by builtin kernel")
+        pos += 8 + size + (size & 1)
+    if vp8l is None or len(vp8l) < 5:
+        raise ValueError("WEBP contains no VP8L chunk")
+    if vp8l[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _VP8LBits(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []
+    seen = set()
+    palette = None
+    packed_bits = 0
+    eff_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            size_bits = br.read(3) + 2
+            bw = (eff_w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            data = _vp8l_entropy_image(br, bw, bh, False)
+            transforms.append(("predictor", size_bits, data))
+        elif ttype == 1:  # cross-color
+            size_bits = br.read(3) + 2
+            bw = (eff_w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            data = _vp8l_entropy_image(br, bw, bh, False)
+            transforms.append(("cross_color", size_bits, data))
+        elif ttype == 2:
+            transforms.append(("subtract_green", 0, None))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _vp8l_entropy_image(br, n_colors, 1, False)
+            pal = pal_img[0].astype("u4")
+            # palette entries are component-wise delta-coded
+            acc = np.zeros(4, dtype="u1")
+            palette = np.zeros((n_colors, 4), dtype="u1")
+            for i in range(n_colors):
+                cur = np.array(
+                    [
+                        (pal[i] >> 24) & 0xFF,
+                        (pal[i] >> 16) & 0xFF,
+                        (pal[i] >> 8) & 0xFF,
+                        pal[i] & 0xFF,
+                    ],
+                    dtype="u2",
+                )
+                acc = ((acc + cur) & 0xFF).astype("u1")
+                palette[i] = acc
+            if n_colors <= 2:
+                packed_bits = 3
+            elif n_colors <= 4:
+                packed_bits = 2
+            elif n_colors <= 16:
+                packed_bits = 1
+            eff_w = (w + (1 << packed_bits) - 1) >> packed_bits if packed_bits else w
+            transforms.append(("color_index", n_colors, None))
+    argb = _vp8l_entropy_image(br, eff_w, h, True)
+    # inverse transforms, reverse reading order
+    for name, p1, data in reversed(transforms):
+        if name == "color_index":
+            if packed_bits:
+                px_per = 1 << packed_bits
+                bits = 8 >> packed_bits
+                green = (argb >> 8) & 0xFF
+                idx = np.zeros((h, eff_w * px_per), dtype="u4")
+                for k in range(px_per):
+                    idx[:, k::px_per] = (green >> (k * bits)) & ((1 << bits) - 1)
+                idx = idx[:, :w]
+            else:
+                idx = (argb >> 8) & 0xFF
+            if int(idx.max()) >= p1:
+                raise ValueError("VP8L palette index out of range")
+            pal32 = (
+                palette[:, 0].astype("u4") << 24
+                | palette[:, 1].astype("u4") << 16
+                | palette[:, 2].astype("u4") << 8
+                | palette[:, 3]
+            )
+            argb = pal32[idx]
+        elif name == "subtract_green":
+            g = (argb >> 8) & 0xFF
+            r = ((argb >> 16) & 0xFF) + g
+            b = (argb & 0xFF) + g
+            argb = (
+                (argb & 0xFF00FF00)
+                | ((r & 0xFF).astype("u4") << 16)
+                | (b & 0xFF)
+            )
+        elif name == "cross_color":
+            size_bits, data = p1, data
+            gh, gw = argb.shape
+
+            def s8(v: int) -> int:
+                return v - 256 if v >= 128 else v
+
+            out = argb.copy()
+            for y in range(gh):
+                trow = data[y >> size_bits]
+                for x in range(gw):
+                    t = int(trow[x >> size_bits])
+                    g2r = s8((t >> 0) & 0xFF)  # stored in blue channel
+                    g2b = s8((t >> 8) & 0xFF)  # stored in green channel
+                    r2b = s8((t >> 16) & 0xFF)  # stored in red channel
+                    px = int(out[y, x])
+                    a = (px >> 24) & 0xFF
+                    r = (px >> 16) & 0xFF
+                    g = (px >> 8) & 0xFF
+                    b = px & 0xFF
+                    gs = s8(g)
+                    r = (r + ((g2r * gs) >> 5)) & 0xFF
+                    rs = s8(r)
+                    b = (b + ((g2b * gs) >> 5)) & 0xFF
+                    b = (b + ((r2b * rs) >> 5)) & 0xFF
+                    out[y, x] = (a << 24) | (r << 16) | (g << 8) | b
+            argb = out
+        elif name == "predictor":
+            size_bits, data = p1, data
+            gh, gw = argb.shape
+            ch = np.zeros((gh, gw, 4), dtype="u1")
+            ch[:, :, 0] = (argb >> 24) & 0xFF
+            ch[:, :, 1] = (argb >> 16) & 0xFF
+            ch[:, :, 2] = (argb >> 8) & 0xFF
+            ch[:, :, 3] = argb & 0xFF
+            for y in range(gh):
+                for x in range(gw):
+                    if x == 0 and y == 0:
+                        pred = np.array([255, 0, 0, 0], dtype="u1")
+                    elif y == 0:
+                        pred = ch[0, x - 1]  # top row: forced L
+                    elif x == 0:
+                        pred = ch[y - 1, 0]  # left column: forced T
+                    else:
+                        mode = int((data[y >> size_bits, x >> size_bits] >> 8) & 0xFF)
+                        L = ch[y, x - 1]
+                        T = ch[y - 1, x]
+                        TL = ch[y - 1, x - 1]
+                        # TR of the last column wraps to this row's
+                        # first pixel (libwebp memory-layout behavior)
+                        TR = ch[y - 1, x + 1] if x + 1 < gw else ch[y, 0]
+                        pred = _vp8l_predict(mode, L, T, TL, TR)
+                    ch[y, x] = (ch[y, x].astype("u2") + pred) & 0xFF
+            argb = (
+                ch[:, :, 0].astype("u4") << 24
+                | ch[:, :, 1].astype("u4") << 16
+                | ch[:, :, 2].astype("u4") << 8
+                | ch[:, :, 3].astype("u4")
+            )
+    rgb = np.stack(
+        [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF], axis=-1
+    )
+    return rgb.astype("float64") / 255.0
+
+
+def _decode_webp_features(payload: bytes, dim: int) -> np.ndarray:
+    """WEBP (VP8L lossless) builtin kernel: decode → grayscale →
+    dim×dim area resample → per-column mean intensity (identical
+    feature contract to every other builtin path)."""
+    arr = _parse_vp8l(payload)
+    gray = arr.mean(axis=2)
+    small = _area_resample_axis(_area_resample_axis(gray, dim, 0), dim, 1)
+    return small.mean(axis=0)
+
+
 def _parse_bmp(payload: bytes) -> np.ndarray:
     """Stdlib+numpy BMP decode → float RGB array in [0,1], shape
     (h, w, 3).
@@ -1508,6 +1987,7 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
             "gif": _decode_gif_features,
             "bmp": _decode_bmp_features,
             "tiff": _decode_tiff_features,
+            "webp": _decode_webp_features,
             "wav": _decode_wav_features,
             "avi_mjpeg": _decode_avi_features,
         }[builtin]

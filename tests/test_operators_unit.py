@@ -1898,6 +1898,500 @@ class TestBuiltinTiffKernel:
         )
 
 
+class _VP8LWriter:
+    """LSB-first bit writer (the VP8L convention) for the independent
+    test encoder."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes are emitted MSB-of-code first."""
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for j, b in enumerate(self.bits[i : i + 8]):
+                byte |= b << j
+            out.append(byte)
+        return bytes(out)
+
+
+def _vp8l_huff_lengths(freq: dict[int, int], alphabet: int) -> list[int]:
+    """Plain heap Huffman code lengths (small test alphabets never
+    exceed the 15-bit cap)."""
+    import heapq
+
+    items = [(f, s) for s, f in freq.items() if f > 0]
+    if not items:
+        raise ValueError("empty histogram")
+    lengths = [0] * alphabet
+    if len(items) == 1:
+        lengths[items[0][1]] = 1
+        return lengths
+    heap = [(f, s, (s,)) for f, s in items]
+    heapq.heapify(heap)
+    depth = {s: 0 for _, s in items}
+    while len(heap) > 1:
+        f1, t1, m1 = heapq.heappop(heap)
+        f2, t2, m2 = heapq.heappop(heap)
+        for s in m1 + m2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), m1 + m2))
+    for s, d in depth.items():
+        assert d <= 15, "test image too adversarial for plain Huffman"
+        lengths[s] = d
+    return lengths
+
+
+def _vp8l_canonical(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """DEFLATE-style canonical codes: symbol → (code, length). Must
+    match the decoder's assignment exactly."""
+    syms = sorted((ln, s) for s, ln in enumerate(lengths) if ln > 0)
+    out = {}
+    code = 0
+    prev = syms[0][0]
+    for ln, s in syms:
+        code <<= ln - prev
+        prev = ln
+        out[s] = (code, ln)
+        code += 1
+    return out
+
+
+_VP8L_CL_ORDER_T = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+
+def _vp8l_emit_code(wr: _VP8LWriter, lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Emit one prefix code (simple form for ≤2 symbols, else the full
+    code-length-code path, one length symbol per alphabet entry — no
+    16/17/18 repeats, which is valid if verbose) and return the
+    canonical symbol table for payload emission."""
+    present = [s for s, ln in enumerate(lengths) if ln > 0]
+    if len(present) <= 2:
+        wr.write(1, 1)  # simple
+        wr.write(len(present) - 1, 1)
+        first_8bit = 1 if present[0] > 1 else 0
+        wr.write(first_8bit, 1)
+        wr.write(present[0], 8 if first_8bit else 1)
+        if len(present) == 2:
+            wr.write(present[1], 8)
+            return {present[0]: (0, 1), present[1]: (1, 1)}
+        return {present[0]: (0, 0)}
+    wr.write(0, 1)  # full
+    cl_freq: dict[int, int] = {}
+    for ln in lengths:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths = _vp8l_huff_lengths(cl_freq, 19)
+    wr.write(19 - 4, 4)
+    for sym in _VP8L_CL_ORDER_T:
+        wr.write(cl_lengths[sym], 3)
+    wr.write(0, 1)  # no max_symbol cap
+    cl_table = _vp8l_canonical(cl_lengths)
+    for ln in lengths:
+        c, cl = cl_table[ln]
+        wr.write_code(c, cl)
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_lz77_code(value: int) -> tuple[int, int, int]:
+    """Inverse of the decoder's LZ77 prefix-value mapping: value →
+    (prefix code, extra-bit count, extra bits)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    n = x.bit_length() - 1
+    if x < 3 << (n - 1):
+        return 2 * n, n - 1, x - (2 << (n - 1))
+    return 2 * n + 1, n - 1, x - (3 << (n - 1))
+
+
+def _vp8l_entropy_emit(
+    wr: _VP8LWriter,
+    argb: np.ndarray,
+    cache_bits: int = 0,
+    use_lz77: bool = False,
+) -> None:
+    """Emit one spatially-coded image (no meta groups): tokenize into
+    literals / distance-1 and distance-width runs / cache hits, build
+    Huffman codes from the token histograms, then write codes +
+    tokens."""
+    h, w = argb.shape
+    flat = [int(v) for v in argb.reshape(-1)]
+    total = len(flat)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+
+    def cidx(px: int) -> int:
+        return (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    tokens = []  # ("lit", px) | ("ref", length, distance) | ("cache", idx)
+    pos = 0
+    while pos < total:
+        px = flat[pos]
+        run_len = 0
+        if use_lz77 and pos > 0:
+            for dist in (1, w):
+                if dist > pos:
+                    continue
+                ln = 0
+                while pos + ln < total and flat[pos + ln] == flat[pos + ln - dist]:
+                    ln += 1
+                    if ln >= 4096:
+                        break
+                if ln > run_len:
+                    run_len, run_dist = ln, dist
+        if run_len >= 3:
+            tokens.append(("ref", run_len, run_dist))
+            for k in range(run_len):
+                if cache is not None:
+                    cache[cidx(flat[pos + k])] = flat[pos + k]
+            pos += run_len
+            continue
+        if cache is not None and cache[cidx(px)] == px:
+            tokens.append(("cache", cidx(px)))
+        else:
+            tokens.append(("lit", px))
+            if cache is not None:
+                cache[cidx(px)] = px
+        pos += 1
+
+    g_freq: dict[int, int] = {}
+    r_freq: dict[int, int] = {}
+    b_freq: dict[int, int] = {}
+    a_freq: dict[int, int] = {}
+    d_freq: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            g_freq[(px >> 8) & 0xFF] = g_freq.get((px >> 8) & 0xFF, 0) + 1
+            r_freq[(px >> 16) & 0xFF] = r_freq.get((px >> 16) & 0xFF, 0) + 1
+            b_freq[px & 0xFF] = b_freq.get(px & 0xFF, 0) + 1
+            a_freq[(px >> 24) & 0xFF] = a_freq.get((px >> 24) & 0xFF, 0) + 1
+        elif t[0] == "ref":
+            lc, _, _ = _vp8l_lz77_code(t[1])
+            g_freq[256 + lc] = g_freq.get(256 + lc, 0) + 1
+            dc, _, _ = _vp8l_lz77_code(t[2] + 120)
+            d_freq[dc] = d_freq.get(dc, 0) + 1
+        else:
+            g_freq[280 + t[1]] = g_freq.get(280 + t[1], 0) + 1
+    if not r_freq:
+        r_freq[0] = b_freq[0] = a_freq[0] = 1
+    if not d_freq:
+        d_freq[0] = 1
+
+    wr.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        wr.write(cache_bits, 4)
+    # caller decides whether the meta bit exists (subimages skip it)
+    g_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    g_tab = _vp8l_emit_code(wr, _vp8l_huff_lengths(g_freq, g_alpha))
+    r_tab = _vp8l_emit_code(wr, _vp8l_huff_lengths(r_freq, 256))
+    b_tab = _vp8l_emit_code(wr, _vp8l_huff_lengths(b_freq, 256))
+    a_tab = _vp8l_emit_code(wr, _vp8l_huff_lengths(a_freq, 256))
+    d_tab = _vp8l_emit_code(wr, _vp8l_huff_lengths(d_freq, 40))
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            wr.write_code(*g_tab[(px >> 8) & 0xFF])
+            wr.write_code(*r_tab[(px >> 16) & 0xFF])
+            wr.write_code(*b_tab[px & 0xFF])
+            wr.write_code(*a_tab[(px >> 24) & 0xFF])
+        elif t[0] == "ref":
+            lc, ln_bits, ln_extra = _vp8l_lz77_code(t[1])
+            wr.write_code(*g_tab[256 + lc])
+            wr.write(ln_extra, ln_bits)
+            dc, d_bits, d_extra = _vp8l_lz77_code(t[2] + 120)
+            wr.write_code(*d_tab[dc])
+            wr.write(d_extra, d_bits)
+        else:
+            wr.write_code(*g_tab[280 + t[1]])
+
+
+def _vp8l_delta_s8(t: int, c: int) -> int:
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _webp_bytes(
+    rgb: np.ndarray,
+    cache_bits: int = 0,
+    use_lz77: bool = False,
+    subtract_green: bool = False,
+    predictor_size_bits: int | None = None,
+    cross_color: tuple[int, int, int] | None = None,
+    palette: bool = False,
+) -> bytes:
+    """Independent VP8L (WebP lossless) encoder for tests — the
+    bitstream layer (bit order, prefix codes, LZ77 values, cache
+    hashing, transform signalling) is written from the public lossless
+    bitstream spec, not from the decoder under test. Supports
+    literals / distance-coded runs / color cache, and the four
+    transforms: subtract-green, per-tile predictors (cycling through
+    all 14 modes), cross-color with fixed elements, and color-indexing
+    with sub-byte bundling. The predictor-mode FORMULAS are the one
+    shared piece (imported from the module) — the roundtrip verifies
+    the residual/inverse pairing, not the mode definitions themselves,
+    which have no independent ground truth in this container."""
+    import struct as _s
+
+    h, w = rgb.shape[:2]
+    a = np.full((h, w), 255, dtype="u4")
+    argb = (
+        a << 24
+        | rgb[:, :, 0].astype("u4") << 16
+        | rgb[:, :, 1].astype("u4") << 8
+        | rgb[:, :, 2].astype("u4")
+    )
+    wr = _VP8LWriter()
+    wr.write(w - 1, 14)
+    wr.write(h - 1, 14)
+    wr.write(0, 1)  # alpha hint
+    wr.write(0, 3)  # version
+    eff = argb
+
+    def emit_sub(img: np.ndarray) -> None:
+        _vp8l_entropy_emit(wr, img)  # subimages: no meta bit exists
+
+    if palette:
+        colors: list[int] = []
+        index_of: dict[int, int] = {}
+        for v in eff.reshape(-1):
+            v = int(v)
+            if v not in index_of:
+                index_of[v] = len(colors)
+                colors.append(v)
+        n = len(colors)
+        assert n <= 256
+        wr.write(1, 1)
+        wr.write(3, 2)  # color indexing
+        wr.write(n - 1, 8)
+        deltas = np.zeros((1, n), dtype="u4")
+        prev = 0
+        for i, c in enumerate(colors):
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
+            deltas[0, i] = d
+            prev = c
+        emit_sub(deltas)
+        idx = np.vectorize(lambda v: index_of[int(v)])(eff).astype("u4")
+        if n <= 2:
+            pb = 3
+        elif n <= 4:
+            pb = 2
+        elif n <= 16:
+            pb = 1
+        else:
+            pb = 0
+        if pb:
+            per = 1 << pb
+            bits = 8 >> pb
+            ew = (w + per - 1) // per
+            packed = np.zeros((h, ew), dtype="u4")
+            for k in range(per):
+                cols = idx[:, k::per]
+                packed[:, : cols.shape[1]] |= cols << (k * bits)
+            eff = (packed << 8) | (np.uint32(255) << 24)
+        else:
+            eff = (idx << 8) | (np.uint32(255) << 24)
+
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        wr.write(1, 1)
+        wr.write(1, 2)
+        size_bits = 2
+        wr.write(size_bits - 2, 3)
+        gh, gw = eff.shape
+        bw = (gw + 3) // 4
+        bh = (gh + 3) // 4
+        elem = (
+            np.uint32(0xFF) << 24
+            | np.uint32(r2b & 0xFF) << 16
+            | np.uint32(g2b & 0xFF) << 8
+            | np.uint32(g2r & 0xFF)
+        )
+        emit_sub(np.full((bh, bw), elem, dtype="u4"))
+        out = eff.copy()
+        for y in range(gh):
+            for x in range(gw):
+                px = int(out[y, x])
+                aa = (px >> 24) & 0xFF
+                r = (px >> 16) & 0xFF
+                g = (px >> 8) & 0xFF
+                b = px & 0xFF
+                rr = (r - _vp8l_delta_s8(g2r & 0xFF, g)) & 0xFF
+                bb = (b - _vp8l_delta_s8(g2b & 0xFF, g) - _vp8l_delta_s8(r2b & 0xFF, r)) & 0xFF
+                out[y, x] = (aa << 24) | (rr << 16) | (g << 8) | bb
+        eff = out
+
+    if subtract_green:
+        wr.write(1, 1)
+        wr.write(2, 2)
+        g = (eff >> 8) & 0xFF
+        r = (((eff >> 16) & 0xFF) - g) & 0xFF
+        b = ((eff & 0xFF) - g) & 0xFF
+        eff = (eff & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+    if predictor_size_bits is not None:
+        sb = predictor_size_bits
+        wr.write(1, 1)
+        wr.write(0, 2)
+        wr.write(sb - 2, 3)
+        gh, gw = eff.shape
+        bw = (gw + (1 << sb) - 1) >> sb
+        bh = (gh + (1 << sb) - 1) >> sb
+        modes = np.fromfunction(
+            lambda y, x: (y * bw + x) % 14, (bh, bw), dtype="i8"
+        ).astype("u4")
+        emit_sub((np.uint32(0xFF) << 24) | (modes << 8))
+        from energy_data_pipeline_spark.operators.multimodal import (
+            _vp8l_predict,
+        )
+
+        ch = np.zeros((gh, gw, 4), dtype="u1")
+        ch[:, :, 0] = (eff >> 24) & 0xFF
+        ch[:, :, 1] = (eff >> 16) & 0xFF
+        ch[:, :, 2] = (eff >> 8) & 0xFF
+        ch[:, :, 3] = eff & 0xFF
+        res = np.zeros_like(ch)
+        for y in range(gh):
+            for x in range(gw):
+                if x == 0 and y == 0:
+                    pred = np.array([255, 0, 0, 0], dtype="u1")
+                elif y == 0:
+                    pred = ch[0, x - 1]
+                elif x == 0:
+                    pred = ch[y - 1, 0]
+                else:
+                    mode = int(modes[y >> sb, x >> sb])
+                    tr = ch[y - 1, x + 1] if x + 1 < gw else ch[y, 0]
+                    pred = _vp8l_predict(
+                        mode, ch[y, x - 1], ch[y - 1, x], ch[y - 1, x - 1], tr
+                    )
+                res[y, x] = (ch[y, x].astype("i4") - pred) & 0xFF
+        eff = (
+            res[:, :, 0].astype("u4") << 24
+            | res[:, :, 1].astype("u4") << 16
+            | res[:, :, 2].astype("u4") << 8
+            | res[:, :, 3].astype("u4")
+        )
+
+    wr.write(0, 1)  # end of transforms
+    # main image: cache header, then the meta bit (which only exists at
+    # the top level), then codes + tokens
+    wr.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        wr.write(cache_bits, 4)
+    wr.write(0, 1)  # no meta prefix codes
+    # delegate code+token emission by replaying _vp8l_entropy_emit sans
+    # its own cache header: inline the same logic via a temp writer
+    tmp = _VP8LWriter()
+    _vp8l_entropy_emit(tmp, eff, cache_bits=cache_bits, use_lz77=use_lz77)
+    skip = 1 + (4 if cache_bits else 0)
+    wr.bits.extend(tmp.bits[skip:])
+    stream = b"\x2f" + wr.tobytes()
+    chunk = b"VP8L" + _s.pack("<I", len(stream)) + stream
+    if len(stream) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+class TestBuiltinWebpKernel:
+    def _roundtrip(self, px: np.ndarray, **kw) -> None:
+        arr = multimodal._parse_vp8l(_webp_bytes(px, **kw))
+        assert np.allclose(arr * 255.0, px, atol=1e-12), kw
+
+    def test_literals_full_canonical_codes(self):
+        rng = np.random.RandomState(5)
+        self._roundtrip(rng.randint(0, 256, size=(11, 13, 3)).astype("u1"))
+
+    def test_two_color_simple_codes(self):
+        px = np.where(
+            np.indices((8, 9)).sum(axis=0) % 2, 250, 3
+        ).astype("u1")
+        self._roundtrip(np.repeat(px[:, :, None], 3, axis=2))
+
+    def test_color_cache_and_lz77_runs(self):
+        rng = np.random.RandomState(6)
+        base = rng.randint(0, 4, size=(16, 16, 3)).astype("u1") * 80
+        base[4:9] = base[3]  # vertical runs → distance-w refs
+        base[12, :] = 7  # horizontal run → distance-1 refs
+        self._roundtrip(base, cache_bits=4, use_lz77=True)
+
+    def test_subtract_green_transform(self):
+        rng = np.random.RandomState(8)
+        self._roundtrip(
+            rng.randint(0, 256, size=(9, 7, 3)).astype("u1"),
+            subtract_green=True,
+        )
+
+    def test_predictor_transform_all_14_modes(self):
+        rng = np.random.RandomState(9)
+        # 16x16 at 4px tiles = 4x4 = 16 tiles → modes 0..13 all appear
+        self._roundtrip(
+            rng.randint(0, 256, size=(16, 16, 3)).astype("u1"),
+            predictor_size_bits=2,
+        )
+
+    def test_cross_color_transform(self):
+        rng = np.random.RandomState(10)
+        self._roundtrip(
+            rng.randint(0, 256, size=(10, 11, 3)).astype("u1"),
+            cross_color=(13, -22, 5),
+        )
+
+    def test_palette_bundled_and_unbundled(self):
+        rng = np.random.RandomState(12)
+        pal = rng.randint(0, 256, size=(13, 3)).astype("u1")  # ≤16 → bundle
+        idx = rng.randint(0, 13, size=(9, 21))
+        self._roundtrip(pal[idx], palette=True)
+        pal = rng.randint(0, 256, size=(40, 3)).astype("u1")  # no bundling
+        idx = rng.randint(0, 40, size=(7, 9))
+        self._roundtrip(pal[idx], palette=True)
+
+    def test_stacked_transforms(self):
+        rng = np.random.RandomState(14)
+        self._roundtrip(
+            rng.randint(0, 256, size=(12, 12, 3)).astype("u1"),
+            subtract_green=True,
+            predictor_size_bits=3,
+            cache_bits=3,
+            use_lz77=True,
+        )
+
+    def test_lossy_and_truncation_raise(self):
+        import struct as _s
+
+        lossy = b"RIFF" + _s.pack("<I", 12) + b"WEBPVP8 " + _s.pack("<I", 0)
+        with pytest.raises(ValueError, match="lossy"):
+            multimodal._parse_vp8l(lossy)
+        good = _webp_bytes(np.zeros((4, 4, 3), dtype="u1"))
+        with pytest.raises(ValueError):
+            multimodal._parse_vp8l(good[:24])
+
+    def test_capability_probe_and_auto_mode(self, spark):
+        assert multimodal.media_capabilities()["builtin:webp_lossless"]
+        g = np.repeat(
+            np.tile((np.arange(8) * 32).astype("u1"), (8, 1))[:, :, None],
+            3,
+            axis=2,
+        )
+        rows = [(1, "image", "webp", 8, 8, None, bytearray(_webp_bytes(g)))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert np.allclose(
+            got["feature"], np.arange(8) * 32 / 255.0, atol=1e-12
+        )
+
+
 def _avi_bytes(frames: list[bytes]) -> bytes:
     """Minimal MJPEG AVI container: RIFF('AVI ') with a dummy hdrl
     LIST and a movi LIST holding one 00dc chunk per JPEG frame."""
