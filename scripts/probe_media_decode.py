@@ -28,7 +28,9 @@ from tests.test_operators_unit import (  # noqa: E402
     _bmp_bytes,
     _gif_bytes,
     _jpeg_bytes,
+    _tiff_bytes,
     _wav_riff_bytes,
+    _webp_bytes,
 )
 
 
@@ -64,6 +66,8 @@ def main() -> None:
             ),
         ),
         ("video", "avi", _avi_bytes([_jpeg_bytes(gray)])),
+        ("image", "tiff", _tiff_bytes(px, compression=5, predictor=2)),
+        ("image", "webp", _webp_bytes(px, cache_bits=4, use_lz77=True)),
     ]
     results: dict[str, float] = {}
     for label, n in (("2k", 2_000), ("20k", 20_000)):
