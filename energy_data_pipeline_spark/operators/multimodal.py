@@ -1145,17 +1145,22 @@ def _vp8l_lz77_value(code: int, br: _VP8LBits) -> int:
 
 def _vp8l_dist_map() -> list[tuple[int, int]]:
     """The 120-entry close-neighbor (dx, dy) map for distance codes
-    1..120, generated by the spec's ordering: increasing Euclidean
-    distance, ties preferring larger dy, then smaller |dx|, then
-    positive dx."""
+    1..120. The candidate set is EXACTLY the spec's plane: dy in 0..7,
+    dx in −7..8 (libwebp decodes the plane code as yoffset = code >> 4,
+    xoffset = 8 − (code & 0xF)) — 16×7 + 8 = 120 entries, none
+    dropped. Ordered by increasing Euclidean distance, ties preferring
+    larger dy, then smaller |dx|, then positive dx (matches the spec
+    table through the codes an encoder actually emits; the deep-tail
+    tie order has no independent ground truth in this container)."""
     cand = [
         (dx, dy)
-        for dy in range(0, 9)
-        for dx in range(-8, 9)
+        for dy in range(0, 8)
+        for dx in range(-7, 9)
         if dy > 0 or dx > 0
     ]
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], abs(p[0]), p[0] < 0))
-    return cand[:120]
+    assert len(cand) == 120
+    return cand
 
 
 _VP8L_DIST_MAP = _vp8l_dist_map()
@@ -1276,7 +1281,10 @@ def _vp8l_predict(mode: int, L, T, TL, TR) -> np.ndarray:
         return np.clip(L.astype("i4") + T - TL, 0, 255).astype("u1")
     if mode == 13:  # ClampAddSubtractHalf
         avg = _vp8l_avg2(L, T).astype("i4")
-        return np.clip(avg + (avg - TL) // 2, 0, 255).astype("u1")
+        d = avg - TL
+        # C truncating division (libwebp), not Python floor: −3/2 → −1
+        half = np.sign(d) * (np.abs(d) >> 1)
+        return np.clip(avg + half, 0, 255).astype("u1")
     raise ValueError(f"bad VP8L predictor mode {mode}")
 
 

@@ -2062,6 +2062,21 @@ def _vp8l_entropy_emit(
                 cache[cidx(px)] = px
         pos += 1
 
+    from energy_data_pipeline_spark.operators.multimodal import (
+        _VP8L_DIST_MAP,
+    )
+
+    # prefer the 2-D neighbor-map codes where the distance is in the
+    # map for this width (exercises the decoder's dcode <= 120 branch);
+    # plain distances are value + 120
+    map_code = {
+        max(1, dy * w + dx): i + 1
+        for i, (dx, dy) in reversed(list(enumerate(_VP8L_DIST_MAP)))
+    }
+
+    def dist_value(d: int) -> int:
+        return map_code.get(d, d + 120)
+
     g_freq: dict[int, int] = {}
     r_freq: dict[int, int] = {}
     b_freq: dict[int, int] = {}
@@ -2077,7 +2092,7 @@ def _vp8l_entropy_emit(
         elif t[0] == "ref":
             lc, _, _ = _vp8l_lz77_code(t[1])
             g_freq[256 + lc] = g_freq.get(256 + lc, 0) + 1
-            dc, _, _ = _vp8l_lz77_code(t[2] + 120)
+            dc, _, _ = _vp8l_lz77_code(dist_value(t[2]))
             d_freq[dc] = d_freq.get(dc, 0) + 1
         else:
             g_freq[280 + t[1]] = g_freq.get(280 + t[1], 0) + 1
@@ -2107,7 +2122,7 @@ def _vp8l_entropy_emit(
             lc, ln_bits, ln_extra = _vp8l_lz77_code(t[1])
             wr.write_code(*g_tab[256 + lc])
             wr.write(ln_extra, ln_bits)
-            dc, d_bits, d_extra = _vp8l_lz77_code(t[2] + 120)
+            dc, d_bits, d_extra = _vp8l_lz77_code(dist_value(t[2]))
             wr.write_code(*d_tab[dc])
             wr.write(d_extra, d_bits)
         else:
