@@ -317,6 +317,8 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
         "builtin:jpeg",
         "builtin:gif",
         "builtin:bmp",
+        "builtin:tiff",
+        "builtin:webp_lossless",
         "builtin:pnm",
         "builtin:wav",
         "builtin:avi_mjpeg",
