@@ -654,3 +654,77 @@ def test_benford_digit_extraction_matches_python(spark, vals, tmp_path_factory):
             expect[int(str(int(math.floor(v)))[0])] += 1
     got = {r["digit"]: r["n"] for r in benford_digit_profile(spark, str(d)).collect()}
     assert got == dict(expect)
+
+
+# --- round-10 session-2: fuzz the TIFF and VP8L builtin kernels ----------
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    gray=st.booleans(),
+    big_endian=st.booleans(),
+    comp=st.sampled_from([1, 5, 8, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    rps=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_roundtrip_fuzz(h, w, gray, big_endian, comp, predictor, rps, seed):
+    """Any 8-bit image × any (byte order, compression, predictor,
+    strip height) combination must roundtrip bit-exactly through the
+    builtin TIFF kernel."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators import multimodal
+    from tests.test_operators_unit import _tiff_bytes
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.randint(0, 256, size=shape).astype("u1")
+    arr = multimodal._parse_tiff(
+        _tiff_bytes(
+            px,
+            big_endian=big_endian,
+            compression=comp,
+            predictor=predictor,
+            rows_per_strip=min(rps, h),
+        )
+    )
+    assert np.allclose(arr * 255.0, px, atol=1e-12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    n_colors=st.integers(min_value=1, max_value=24),
+    cache_bits=st.sampled_from([0, 3, 6]),
+    use_lz77=st.booleans(),
+    subtract_green=st.booleans(),
+    pred_bits=st.sampled_from([None, 2, 3]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_vp8l_roundtrip_fuzz(
+    h, w, n_colors, cache_bits, use_lz77, subtract_green, pred_bits, seed
+):
+    """Any low-cardinality RGB image × any (cache, LZ77,
+    subtract-green, predictor) combination must roundtrip bit-exactly
+    through the builtin VP8L kernel — low color counts maximize run/
+    cache-hit coverage, tiny dimensions stress edge predictors."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators import multimodal
+    from tests.test_operators_unit import _webp_bytes
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3)).astype("u1")
+    px = pal[rng.randint(0, n_colors, size=(h, w))]
+    arr = multimodal._parse_vp8l(
+        _webp_bytes(
+            px,
+            cache_bits=cache_bits,
+            use_lz77=use_lz77,
+            subtract_green=subtract_green,
+            predictor_size_bits=pred_bits,
+        )
+    )
+    assert np.allclose(arr * 255.0, px, atol=1e-12)
