@@ -112,6 +112,7 @@ def media_capabilities() -> dict[str, bool]:
         "builtin:webp_lossless": True,
         "builtin:pnm": True,
         "builtin:wav": True,
+        "builtin:flac": True,
         "builtin:avi_mjpeg": True,
     }
 
@@ -137,6 +138,8 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return None
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if kind == "audio" and payload[:4] == b"fLaC":
+        return "flac"
     if kind == "image" and payload[:2] in (b"P5", b"P6"):
         return "pnm"
     if kind == "image" and payload[:8] == _PNG_MAGIC:
@@ -1934,6 +1937,242 @@ def _wav_pcm_samples(raw: bytes, sw: int) -> np.ndarray:
     raise ValueError(f"unsupported WAV sample width {sw}")
 
 
+# ---------------------------------------------------------------- FLAC
+# Builtin FLAC decoder (stdlib+numpy), written from the public FLAC
+# format spec (RFC 9639): STREAMINFO, frame headers, constant/verbatim/
+# fixed/LPC subframes, Rice-coded residual partitions, wasted bits and
+# stereo decorrelation. CRCs are parsed past, not verified (a corrupt
+# member degrades per row in auto mode anyway).
+
+
+class _FlacBits:
+    """MSB-first bit reader (the FLAC convention)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated FLAC stream")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual: 2-bit method, 4-bit partition order,
+    2^order partitions with per-partition Rice parameter (escape code
+    switches to raw n-bit residuals)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    n_part = 1 << porder
+    if blocksize % n_part or (blocksize >> porder) < order:
+        raise ValueError("bad FLAC partition order for block")
+    res: list[int] = []
+    for p in range(n_part):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(n):
+                res.append(br.sread(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = br.unary()
+                v = (q << param) | br.read(param)
+                res.append((v >> 1) ^ -(v & 1))  # zigzag
+    return res
+
+
+_FLAC_FIXED = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+    if ftype == 0:  # constant
+        out = [br.sread(bps)] * blocksize
+    elif ftype == 1:  # verbatim
+        out = [br.sread(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # fixed, order 0-4
+        order = ftype - 8
+        out = [br.sread(bps) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(r + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        out = [br.sread(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = br.sread(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.sread(precision) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+
+
+def _parse_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC decode → (mono-mixed float samples in [-1, 1], channels)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        (length,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:
+            streaminfo = body
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _FlacBits(streaminfo)
+    si.read(16), si.read(16), si.read(24), si.read(24)
+    si.read(20)  # sample rate
+    n_channels = si.read(3) + 1
+    si_bps = si.read(5) + 1
+    total = si.read(36)
+    br = _FlacBits(payload[pos:])
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    got = 0
+    while got < total and br.pos + 32 <= br.nbits:
+        if br.read(14) != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)  # reserved
+        # UTF-8 coded frame/sample number
+        lead = br.read(8)
+        n_cont = 0
+        while lead & (0x80 >> n_cont) and n_cont < 7:
+            n_cont += 1
+        for _ in range(max(0, n_cont - 1)):
+            br.read(8)
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            raise ValueError("reserved FLAC block size code")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = {0: si_bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(bps_code)
+        if bps is None:
+            raise ValueError("reserved FLAC sample size code")
+        br.read(8)  # header CRC-8 (not verified)
+        if ch_code < 8:
+            if ch_code + 1 != n_channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_flac_subframe(br, blocksize, bps) for _ in range(n_channels)]
+        elif ch_code in (8, 9, 10):
+            if n_channels != 2:
+                raise ValueError("FLAC stereo decorrelation needs 2 channels")
+            extra0 = 1 if ch_code == 9 else 0
+            extra1 = 1 if ch_code in (8, 10) else 0
+            c0 = _flac_subframe(br, blocksize, bps + extra0)
+            c1 = _flac_subframe(br, blocksize, bps + extra1)
+            if ch_code == 8:  # left/side
+                subs = [c0, [left - side for left, side in zip(c0, c1)]]
+            elif ch_code == 9:  # right/side
+                subs = [[side + right for side, right in zip(c0, c1)], c1]
+            else:  # mid/side
+                left, right = [], []
+                for mid, side in zip(c0, c1):
+                    m = (mid << 1) | (side & 1)
+                    left.append((m + side) >> 1)
+                    right.append((m - side) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        br.align()
+        br.read(16)  # frame CRC-16 (not verified)
+        for ch, s in zip(chans, subs):
+            ch.extend(s)
+        got += blocksize
+    if got < total:
+        raise ValueError("FLAC stream ends before total_samples")
+    scale = float(1 << (si_bps - 1))
+    arr = np.array(chans, dtype="float64") / scale
+    return arr.mean(axis=0), n_channels
+
+
+def _decode_flac_features(payload: bytes, dim: int) -> np.ndarray:
+    """FLAC builtin kernel: decode → mono mix → per-block RMS energy
+    (identical feature contract to the WAV path)."""
+    x, _ = _parse_flac(payload)
+    if len(x) == 0:
+        return np.zeros(dim)
+    blocks = np.array_split(x, dim)
+    return np.array(
+        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
+    )
+
+
 def _decode_wav_features(payload: bytes, dim: int) -> np.ndarray:
     """WAV builtin kernel (stdlib ``wave`` + numpy): mono-mix, split the
     sample stream into ``dim`` contiguous blocks, per-block RMS energy
@@ -1997,6 +2236,7 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
             "tiff": _decode_tiff_features,
             "webp": _decode_webp_features,
             "wav": _decode_wav_features,
+            "flac": _decode_flac_features,
             "avi_mjpeg": _decode_avi_features,
         }[builtin]
         try:

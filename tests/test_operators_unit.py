@@ -321,6 +321,7 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
         "builtin:webp_lossless",
         "builtin:pnm",
         "builtin:wav",
+        "builtin:flac",
         "builtin:avi_mjpeg",
     }
     lib_caps = {k: v for k, v in caps.items() if not k.startswith("builtin:")}
@@ -2407,6 +2408,277 @@ class TestBuiltinWebpKernel:
         assert np.allclose(
             got["feature"], np.arange(8) * 32 / 255.0, atol=1e-12
         )
+
+
+class _FlacWriter:
+    """MSB-first bit writer for the independent FLAC test encoder."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def swrite(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _flac_rice(wr: _FlacWriter, residuals: list[int], param: int) -> None:
+    for r in residuals:
+        v = (r << 1) if r >= 0 else ((-r) << 1) - 1  # zigzag
+        q = v >> param
+        for _ in range(q):
+            wr.write(0, 1)
+        wr.write(1, 1)
+        if param:
+            wr.write(v & ((1 << param) - 1), param)
+
+
+def _flac_subframe_emit(
+    wr: _FlacWriter,
+    s: list[int],
+    bps: int,
+    kind: str,
+    porder: int = 0,
+    escape: bool = False,
+) -> None:
+    """Emit one subframe: 'verbatim', 'constant', 'fixedK' (K 0-4) or
+    'lpc' (order 2, coefs [3, -1], shift 1)."""
+    wr.write(0, 1)  # padding
+    if kind == "constant":
+        wr.write(0, 6)
+        wr.write(0, 1)
+        wr.swrite(s[0], bps)
+        return
+    if kind == "verbatim":
+        wr.write(1, 6)
+        wr.write(0, 1)
+        for v in s:
+            wr.swrite(v, bps)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[5])
+        wr.write(8 + order, 6)
+        wr.write(0, 1)
+        coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+        shift = 0
+    else:  # lpc
+        order = 2
+        coefs = [3, -1]
+        shift = 1
+        wr.write(32 + order - 1, 6)
+        wr.write(0, 1)
+    for v in s[:order]:
+        wr.swrite(v, bps)
+    if kind == "lpc":
+        wr.write(15 - 1, 4)  # precision 15
+        wr.swrite(shift, 5)
+        for c in coefs:
+            wr.swrite(c, 15)
+    res = [
+        s[i] - (sum(c * s[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, len(s))
+    ]
+    wr.write(0, 2)  # rice method 0 (4-bit params)
+    wr.write(porder, 4)
+    n_part = 1 << porder
+    block = len(s)
+    assert block % n_part == 0
+    start = 0
+    for p in range(n_part):
+        n = (block >> porder) - (order if p == 0 else 0)
+        part = res[start : start + n]
+        start += n
+        if escape:
+            raw = max((abs(r).bit_length() + 1 for r in part), default=1)
+            wr.write(15, 4)
+            wr.write(raw, 5)
+            for r in part:
+                wr.swrite(r, raw)
+        else:
+            param = max(
+                (max((abs(r).bit_length() for r in part), default=0) - 1, 0)
+            )
+            param = min(param + 1, 14)
+            wr.write(param, 4)
+            _flac_rice(wr, part, param)
+
+
+def _flac_bytes(
+    samples: np.ndarray,
+    bps: int = 16,
+    mode: str = "indep",
+    blocksize: int = 64,
+    kind: str = "verbatim",
+    porder: int = 0,
+    escape: bool = False,
+) -> bytes:
+    """Independent FLAC test encoder (from RFC 9639, not the decoder
+    under test): STREAMINFO + fixed-blocksize frames; subframe types
+    per ``kind``; stereo decorrelation per ``mode`` ('indep',
+    'left_side', 'right_side', 'mid_side')."""
+    import struct as _s
+
+    arr = np.asarray(samples, dtype="i8")
+    stereo = arr.ndim == 2
+    n = arr.shape[0]
+    n_ch = 2 if stereo else 1
+    si = _FlacWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    streaminfo = si.tobytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + _s.pack(">I", len(streaminfo))[1:] + streaminfo
+    for fi, start in enumerate(range(0, n, blocksize)):
+        block = arr[start : start + blocksize]
+        bn = block.shape[0]
+        wr = _FlacWriter()
+        wr.write(0x3FFE, 14)
+        wr.write(0, 1)
+        wr.write(0, 1)  # fixed blocksize stream
+        wr.write(6, 4)  # 8-bit blocksize-1 follows
+        wr.write(0, 4)  # sample rate from STREAMINFO
+        ch_code = {"indep": n_ch - 1, "left_side": 8, "right_side": 9,
+                   "mid_side": 10}[mode]
+        wr.write(ch_code, 4)
+        wr.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+        wr.write(0, 1)
+        assert fi < 128
+        wr.write(fi, 8)  # UTF-8 frame number, single byte
+        wr.write(bn - 1, 8)
+        wr.write(0, 8)  # CRC-8 (decoder skips)
+        if mode == "indep":
+            chans = [block[:, c].tolist() for c in range(n_ch)] if stereo else [
+                block.tolist()
+            ]
+            bits = [bps] * n_ch
+        else:
+            left = block[:, 0].astype("i8")
+            right = block[:, 1].astype("i8")
+            side = (left - right).tolist()
+            if mode == "left_side":
+                chans, bits = [left.tolist(), side], [bps, bps + 1]
+            elif mode == "right_side":
+                chans, bits = [side, right.tolist()], [bps + 1, bps]
+            else:
+                mid = ((left + right) >> 1).tolist()
+                chans, bits = [mid, side], [bps, bps + 1]
+        for ch, b in zip(chans, bits):
+            # constant/fixed orders need enough samples; fall back to
+            # verbatim for degenerate short blocks
+            k = kind
+            if k.startswith("fixed") and bn <= int(k[5]):
+                k = "verbatim"
+            if k == "constant" and len(set(ch)) != 1:
+                k = "verbatim"
+            _flac_subframe_emit(wr, ch, b, k, porder=porder if bn % (1 << porder) == 0 else 0, escape=escape)
+        wr.align()
+        wr.write(0, 16)  # CRC-16 (decoder skips)
+        out += wr.tobytes()
+    return bytes(out)
+
+
+class TestBuiltinFlacKernel:
+    def _expect(self, samples: np.ndarray, bps: int) -> np.ndarray:
+        arr = np.asarray(samples, dtype="float64")
+        mono = arr.mean(axis=1) if arr.ndim == 2 else arr
+        return mono / float(1 << (bps - 1))
+
+    def test_verbatim_mono_roundtrip(self):
+        rng = np.random.RandomState(3)
+        s = rng.randint(-128, 128, size=300)
+        x, nch = multimodal._parse_flac(_flac_bytes(s, bps=8))
+        assert nch == 1
+        assert np.allclose(x, self._expect(s, 8), atol=1e-12)
+
+    def test_fixed_orders_and_partitions(self):
+        rng = np.random.RandomState(5)
+        s = np.cumsum(rng.randint(-40, 41, size=256))  # random walk
+        for kind in ("fixed0", "fixed1", "fixed2", "fixed3", "fixed4"):
+            x, _ = multimodal._parse_flac(
+                _flac_bytes(s, bps=16, kind=kind, porder=2)
+            )
+            assert np.allclose(x, self._expect(s, 16), atol=1e-12), kind
+
+    def test_lpc_subframe(self):
+        rng = np.random.RandomState(7)
+        s = np.cumsum(rng.randint(-30, 31, size=192))
+        x, _ = multimodal._parse_flac(_flac_bytes(s, bps=16, kind="lpc"))
+        assert np.allclose(x, self._expect(s, 16), atol=1e-12)
+
+    def test_constant_and_escape_partitions(self):
+        s = np.full(128, -73, dtype="i8")
+        x, _ = multimodal._parse_flac(_flac_bytes(s, bps=16, kind="constant"))
+        assert np.allclose(x, self._expect(s, 16), atol=1e-12)
+        rng = np.random.RandomState(9)
+        s = np.cumsum(rng.randint(-5, 6, size=128))
+        x, _ = multimodal._parse_flac(
+            _flac_bytes(s, bps=16, kind="fixed1", escape=True)
+        )
+        assert np.allclose(x, self._expect(s, 16), atol=1e-12)
+
+    def test_stereo_decorrelation_modes(self):
+        rng = np.random.RandomState(11)
+        s = np.stack(
+            [
+                np.cumsum(rng.randint(-50, 51, size=200)),
+                np.cumsum(rng.randint(-50, 51, size=200)),
+            ],
+            axis=1,
+        )
+        for mode in ("indep", "left_side", "right_side", "mid_side"):
+            x, nch = multimodal._parse_flac(
+                _flac_bytes(s, bps=16, mode=mode, kind="fixed2")
+            )
+            assert nch == 2
+            assert np.allclose(x, self._expect(s, 16), atol=1e-12), mode
+
+    def test_multiframe_with_partial_tail(self):
+        rng = np.random.RandomState(13)
+        s = rng.randint(-1000, 1000, size=250)  # 64-blocks + 58 tail
+        x, _ = multimodal._parse_flac(_flac_bytes(s, bps=16, blocksize=64))
+        assert np.allclose(x, self._expect(s, 16), atol=1e-12)
+
+    def test_feature_contract_matches_wav(self):
+        rng = np.random.RandomState(15)
+        s = (rng.randn(4000) * 8000).astype("i8").clip(-32768, 32767)
+        f_flac = multimodal._decode_flac_features(_flac_bytes(s, bps=16), 8)
+        wav = _wav_riff_bytes(
+            np.asarray(s, dtype="<i2").tobytes(), 1, nch=1, bits=16
+        )
+        f_wav = multimodal.decode_real(wav, kind="audio", dim=8)
+        assert np.allclose(f_flac, f_wav, atol=1e-9)
+
+    def test_truncation_and_capability(self, spark):
+        good = _flac_bytes(np.arange(100, dtype="i8"), bps=16)
+        with pytest.raises(ValueError):
+            multimodal._parse_flac(good[:40])
+        assert multimodal.media_capabilities()["builtin:flac"] is True
+        rows = [(1, "audio", "flac", None, None, 1000, bytearray(good))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert got["feature"] is not None and len(got["feature"]) == 8
 
 
 def _avi_bytes(frames: list[bytes]) -> bytes:
