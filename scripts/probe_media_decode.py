@@ -27,6 +27,7 @@ from tests.test_operators_unit import (  # noqa: E402
     _avi_bytes,
     _bmp_bytes,
     _gif_bytes,
+    _flac_bytes,
     _jpeg_bytes,
     _tiff_bytes,
     _wav_riff_bytes,
@@ -68,6 +69,17 @@ def main() -> None:
         ("video", "avi", _avi_bytes([_jpeg_bytes(gray)])),
         ("image", "tiff", _tiff_bytes(px, compression=5, predictor=2)),
         ("image", "webp", _webp_bytes(px, cache_bits=4, use_lz77=True)),
+        (
+            "audio",
+            "flac",
+            _flac_bytes(
+                np.cumsum(rng.randint(-200, 201, size=8000)).clip(
+                    -32768, 32767
+                ),
+                bps=16,
+                kind="fixed2",
+            ),
+        ),
     ]
     results: dict[str, float] = {}
     for label, n in (("2k", 2_000), ("20k", 20_000)):

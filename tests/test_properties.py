@@ -728,3 +728,45 @@ def test_vp8l_roundtrip_fuzz(
         )
     )
     assert np.allclose(arr * 255.0, px, atol=1e-12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    stereo=st.booleans(),
+    bps=st.sampled_from([8, 16, 24]),
+    mode=st.sampled_from(["indep", "left_side", "right_side", "mid_side"]),
+    kind=st.sampled_from(
+        ["verbatim", "constant", "fixed0", "fixed1", "fixed2", "fixed3",
+         "fixed4", "lpc"]
+    ),
+    porder=st.sampled_from([0, 1, 2]),
+    escape=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_flac_roundtrip_fuzz(n, stereo, bps, mode, kind, porder, escape, seed):
+    """Any PCM stream × any (bit depth, stereo decorrelation, subframe
+    type, partition order, escape) combination must roundtrip
+    bit-exactly through the builtin FLAC kernel."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators import multimodal
+    from tests.test_operators_unit import _flac_bytes
+
+    if stereo and mode == "indep":
+        pass  # stereo independent channels
+    if not stereo:
+        mode = "indep"
+    rng = np.random.RandomState(seed)
+    lim = 1 << (bps - 3)
+    shape = (n, 2) if stereo else (n,)
+    s = np.cumsum(rng.randint(-lim // 8, lim // 8, size=shape), axis=0).clip(
+        -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    )
+    x, nch = multimodal._parse_flac(
+        _flac_bytes(s, bps=bps, mode=mode, blocksize=64, kind=kind,
+                    porder=porder, escape=escape)
+    )
+    assert nch == (2 if stereo else 1)
+    mono = s.mean(axis=1) if stereo else s.astype("float64")
+    assert np.allclose(x, mono / float(1 << (bps - 1)), atol=1e-12)
