@@ -113,6 +113,7 @@ def media_capabilities() -> dict[str, bool]:
         "builtin:pnm": True,
         "builtin:wav": True,
         "builtin:flac": True,
+        "builtin:aiff": True,
         "builtin:avi_mjpeg": True,
     }
 
@@ -140,6 +141,12 @@ def _sniff_builtin(payload: bytes | None, kind: str) -> str | None:
         return "wav"
     if kind == "audio" and payload[:4] == b"fLaC":
         return "flac"
+    if (
+        kind == "audio"
+        and payload[:4] == b"FORM"
+        and payload[8:12] in (b"AIFF", b"AIFC")
+    ):
+        return "aiff"
     if kind == "image" and payload[:2] in (b"P5", b"P6"):
         return "pnm"
     if kind == "image" and payload[:8] == _PNG_MAGIC:
@@ -1299,7 +1306,9 @@ def _parse_vp8l(payload: bytes) -> np.ndarray:
     (plain + 2-D neighbor-map distances), meta prefix-code groups, and
     all four transforms (predictor, cross-color, subtract-green,
     color-indexing incl. sub-byte pixel bundling), applied in reverse
-    order. Lossy VP8 and VP8X containers raise ValueError.
+    order. VP8X extended containers are walked past their metadata
+    chunks (ICCP/EXIF/XMP) to the inner VP8L; lossy VP8 and animated
+    VP8X raise ValueError.
 
     Fidelity caveat (documented, not hidden): the Select/
     ClampAddSubtract tie-break details and the neighbor-map ordering
@@ -1317,8 +1326,14 @@ def _parse_vp8l(payload: bytes) -> np.ndarray:
         if cid == b"VP8L":
             vp8l = payload[pos + 8 : pos + 8 + size]
             break
-        if cid in (b"VP8 ", b"VP8X"):
-            raise ValueError("lossy/extended WebP not supported by builtin kernel")
+        if cid == b"VP8X":
+            # extended container: keep walking past metadata chunks
+            # (ICCP/EXIF/XMP) toward an inner VP8L; animations have no
+            # single still image to decode
+            if size >= 1 and payload[pos + 8] & 0x02:
+                raise ValueError("animated WebP not supported by builtin kernel")
+        elif cid == b"VP8 ":
+            raise ValueError("lossy WebP not supported by builtin kernel")
         pos += 8 + size + (size & 1)
     if vp8l is None or len(vp8l) < 5:
         raise ValueError("WEBP contains no VP8L chunk")
@@ -2161,6 +2176,66 @@ def _parse_flac(payload: bytes) -> tuple[np.ndarray, int]:
     return arr.mean(axis=0), n_channels
 
 
+def _parse_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF (FORM/AIFF) decode → (mono-mixed float samples in [-1, 1],
+    channels). COMM carries channels / frames / bits / an 80-bit
+    extended-float rate (rate is irrelevant to the feature contract
+    but parsed past); SSND holds big-endian PCM at 8/16/24/32 bits.
+    AIFC compressed variants raise ValueError."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        if payload[8:12] == b"AIFC":
+            raise ValueError("compressed AIFF-C not supported by builtin kernel")
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    nch = bits = frames = None
+    pcm = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            nch, frames = struct.unpack(">hI", body[:6])
+            (bits,) = struct.unpack(">h", body[6:8])
+            # bytes 8..17: 80-bit extended rate, parsed past
+        elif cid == b"SSND":
+            (offset,) = struct.unpack(">I", body[:4])
+            pcm = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if nch is None or pcm is None:
+        raise ValueError("AIFF missing COMM or SSND")
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported AIFF sample width {bits}")
+    sw = bits // 8
+    need = frames * nch * sw
+    if len(pcm) < need:
+        raise ValueError("truncated AIFF sample data")
+    raw = pcm[:need]
+    if sw == 3:  # sign-extend 24-bit big-endian
+        b3 = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype("i8")
+        x = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype("float64")
+    else:
+        x = np.frombuffer(raw, dtype={1: ">i1", 2: ">i2", 4: ">i4"}[sw]).astype(
+            "float64"
+        )
+    x = x / float(1 << (bits - 1))
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, nch
+
+
+def _decode_aiff_features(payload: bytes, dim: int) -> np.ndarray:
+    """AIFF builtin kernel: decode → mono mix → per-block RMS energy
+    (identical feature contract to the WAV and FLAC paths)."""
+    x, _ = _parse_aiff(payload)
+    if len(x) == 0:
+        return np.zeros(dim)
+    blocks = np.array_split(x, dim)
+    return np.array(
+        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
+    )
+
+
 def _decode_flac_features(payload: bytes, dim: int) -> np.ndarray:
     """FLAC builtin kernel: decode → mono mix → per-block RMS energy
     (identical feature contract to the WAV path)."""
@@ -2237,6 +2312,7 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
             "webp": _decode_webp_features,
             "wav": _decode_wav_features,
             "flac": _decode_flac_features,
+            "aiff": _decode_aiff_features,
             "avi_mjpeg": _decode_avi_features,
         }[builtin]
         try:

@@ -322,6 +322,7 @@ def test_multimodal_capability_probe_and_auto_degrade(spark):
         "builtin:pnm",
         "builtin:wav",
         "builtin:flac",
+        "builtin:aiff",
         "builtin:avi_mjpeg",
     }
     lib_caps = {k: v for k, v in caps.items() if not k.startswith("builtin:")}
@@ -2395,6 +2396,30 @@ class TestBuiltinWebpKernel:
         with pytest.raises(ValueError):
             multimodal._parse_vp8l(good[:24])
 
+    def test_vp8x_extended_container_with_metadata(self):
+        """A VP8X container wrapping ICCP/EXIF metadata chunks ahead of
+        the VP8L chunk (the shape real exporters emit) must decode; the
+        animation flag must reject."""
+        import struct as _s
+
+        rng = np.random.RandomState(21)
+        px = rng.randint(0, 256, size=(6, 7, 3)).astype("u1")
+        simple = _webp_bytes(px)
+        vp8l_chunk = simple[20:]  # past RIFF/size/WEBP + into chunks
+        assert simple[12:16] == b"VP8L"
+        vp8l_chunk = simple[12:]
+
+        def wrap(flags: int) -> bytes:
+            vp8x = b"VP8X" + _s.pack("<I", 10) + bytes([flags]) + b"\x00" * 9
+            exif = b"EXIF" + _s.pack("<I", 3) + b"abc\x00"  # odd: padded
+            body = b"WEBP" + vp8x + exif + vp8l_chunk
+            return b"RIFF" + _s.pack("<I", len(body)) + body
+
+        arr = multimodal._parse_vp8l(wrap(0x00))
+        assert np.allclose(arr * 255.0, px, atol=1e-12)
+        with pytest.raises(ValueError, match="animated"):
+            multimodal._parse_vp8l(wrap(0x02))
+
     def test_capability_probe_and_auto_mode(self, spark):
         assert multimodal.media_capabilities()["builtin:webp_lossless"]
         g = np.repeat(
@@ -2679,6 +2704,82 @@ class TestBuiltinFlacKernel:
         media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
         got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
         assert got["feature"] is not None and len(got["feature"]) == 8
+
+
+def _aiff_bytes(samples: np.ndarray, bits: int = 16) -> bytes:
+    """Independent AIFF writer: FORM/AIFF with COMM (80-bit extended
+    rate) and SSND, big-endian PCM."""
+    import struct as _s
+
+    arr = np.asarray(samples, dtype="i8")
+    stereo = arr.ndim == 2
+    nch = 2 if stereo else 1
+    frames = arr.shape[0]
+    flat = arr.reshape(-1)
+    sw = bits // 8
+    if sw == 3:
+        pcm = bytearray()
+        for v in flat:
+            pcm += int(v & 0xFFFFFF).to_bytes(3, "big")
+        pcm = bytes(pcm)
+    else:
+        pcm = flat.astype({1: ">i1", 2: ">i2", 4: ">i4"}[sw]).tobytes()
+    # 80-bit extended float for rate 8000 = 2^13 * 0.9765625:
+    # sign/exp 0x400B, mantissa 0xFA00... (8000 = 0.9765625 * 2^13)?
+    # Simpler: 8000 = 1.953125 * 4096 -> exponent 16382+13, mantissa
+    # with MSB set: 8000 / 2^13 = 0.9765625 -> normalized 1.953125/2.
+    # The decoder skips the rate, so any 10 bytes are accepted.
+    rate80 = b"\x40\x0b\xfa\x00\x00\x00\x00\x00\x00\x00"
+    comm = _s.pack(">hIh", nch, frames, bits) + rate80
+    ssnd = _s.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + _s.pack(">I", len(comm)) + comm
+        + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
+    )
+    if len(ssnd) % 2:
+        body += b"\x00"
+    return b"FORM" + _s.pack(">I", len(body)) + body
+
+
+class TestBuiltinAiffKernel:
+    def test_mono_16bit_roundtrip(self):
+        rng = np.random.RandomState(3)
+        s = rng.randint(-30000, 30000, size=500)
+        x, nch = multimodal._parse_aiff(_aiff_bytes(s, bits=16))
+        assert nch == 1
+        assert np.allclose(x, s / 32768.0, atol=1e-12)
+
+    def test_stereo_24bit_mono_mix(self):
+        rng = np.random.RandomState(5)
+        s = rng.randint(-(1 << 22), 1 << 22, size=(300, 2))
+        x, nch = multimodal._parse_aiff(_aiff_bytes(s, bits=24))
+        assert nch == 2
+        assert np.allclose(x, s.mean(axis=1) / float(1 << 23), atol=1e-12)
+
+    def test_aifc_and_truncation_raise(self):
+        good = _aiff_bytes(np.arange(50, dtype="i8"))
+        with pytest.raises(ValueError):
+            multimodal._parse_aiff(good[:30])
+        aifc = bytearray(good)
+        aifc[8:12] = b"AIFC"
+        with pytest.raises(ValueError, match="AIFF-C"):
+            multimodal._parse_aiff(bytes(aifc))
+
+    def test_feature_contract_matches_wav(self, spark):
+        rng = np.random.RandomState(7)
+        s = (rng.randn(4000) * 8000).astype("i8").clip(-32768, 32767)
+        f_aiff = multimodal._decode_aiff_features(_aiff_bytes(s, bits=16), 8)
+        wav = _wav_riff_bytes(
+            np.asarray(s, dtype="<i2").tobytes(), 1, nch=1, bits=16
+        )
+        f_wav = multimodal.decode_real(wav, kind="audio", dim=8)
+        assert np.allclose(f_aiff, f_wav, atol=1e-9)
+        rows = [(1, "audio", "aiff", None, None, 500,
+                 bytearray(_aiff_bytes(s, bits=16)))]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.extract_features(media, fake=None, dim=8).collect()[0]
+        assert np.allclose(got["feature"], f_aiff, atol=1e-9)
 
 
 def _avi_bytes(frames: list[bytes]) -> bytes:
