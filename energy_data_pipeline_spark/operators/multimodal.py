@@ -416,7 +416,7 @@ class _JpegBitReader:
 
     def read_bit(self) -> int:
         if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy segment")
+            raise ValueError("truncated entropy-coded segment")
         b = (self.data[self.pos] >> (7 - self.bit)) & 1
         self.bit += 1
         if self.bit == 8:
@@ -1960,39 +1960,33 @@ def _wav_pcm_samples(raw: bytes, sw: int) -> np.ndarray:
 # member degrades per row in auto mode anyway).
 
 
-class _FlacBits:
-    """MSB-first bit reader (the FLAC convention)."""
-
-    __slots__ = ("data", "pos", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.nbits = len(data) * 8
+class _FlacBits(_JpegBitReader):
+    """The module's shared MSB-first bit reader plus the FLAC-specific
+    reads: signed two's complement, unary, byte alignment, and a
+    remaining-bits probe for the frame loop."""
 
     def read(self, n: int) -> int:
-        if self.pos + n > self.nbits:
-            raise ValueError("truncated FLAC stream")
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | ((self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        return self.read_bits(n)
 
     def sread(self, n: int) -> int:
-        v = self.read(n)
+        v = self.read_bits(n)
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
+        while self.read_bit() == 0:
             q += 1
             if q > 1 << 20:
                 raise ValueError("runaway FLAC unary code")
         return q
 
     def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+    def remaining(self) -> int:
+        return (len(self.data) - self.pos) * 8 - self.bit
 
 
 def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
@@ -2105,8 +2099,12 @@ def _parse_flac(payload: bytes) -> tuple[np.ndarray, int]:
     br = _FlacBits(payload[pos:])
     chans: list[list[int]] = [[] for _ in range(n_channels)]
     got = 0
-    while got < total and br.pos + 32 <= br.nbits:
+    # total_samples == 0 is the spec's "unknown" marker (live/pipe
+    # encodes): decode frames until the stream runs out of sync words
+    while (total == 0 or got < total) and br.remaining() >= 32:
         if br.read(14) != 0x3FFE:
+            if total == 0 and got > 0:
+                break  # unknown length: past the last frame
             raise ValueError("lost FLAC frame sync")
         br.read(1)  # reserved
         br.read(1)  # blocking strategy
@@ -2169,26 +2167,30 @@ def _parse_flac(payload: bytes) -> tuple[np.ndarray, int]:
         for ch, s in zip(chans, subs):
             ch.extend(s)
         got += blocksize
-    if got < total:
+    if total and got < total:
         raise ValueError("FLAC stream ends before total_samples")
+    if got == 0:
+        raise ValueError("FLAC stream contains no frames")
     scale = float(1 << (si_bps - 1))
     arr = np.array(chans, dtype="float64") / scale
     return arr.mean(axis=0), n_channels
 
 
 def _parse_aiff(payload: bytes) -> tuple[np.ndarray, int]:
-    """AIFF (FORM/AIFF) decode → (mono-mixed float samples in [-1, 1],
-    channels). COMM carries channels / frames / bits / an 80-bit
-    extended-float rate (rate is irrelevant to the feature contract
-    but parsed past); SSND holds big-endian PCM at 8/16/24/32 bits.
-    AIFC compressed variants raise ValueError."""
-    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
-        if payload[8:12] == b"AIFC":
-            raise ValueError("compressed AIFF-C not supported by builtin kernel")
+    """AIFF / AIFF-C (FORM/AIFF, FORM/AIFC) decode → (mono-mixed float
+    samples in [-1, 1], channels). COMM carries channels / frames /
+    bits / an 80-bit extended-float rate (rate is irrelevant to the
+    feature contract but parsed past); SSND holds PCM at 8/16/24/32
+    bits — big-endian for AIFF and AIFC 'NONE'/'twos', little-endian
+    for AIFC 'sowt'. Genuinely compressed AIFF-C variants (µ-law, IMA)
+    raise ValueError."""
+    form = payload[8:12]
+    if payload[:4] != b"FORM" or form not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
     pos = 12
     nch = bits = frames = None
     pcm = None
+    comp = b"NONE"
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
@@ -2197,25 +2199,36 @@ def _parse_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             nch, frames = struct.unpack(">hI", body[:6])
             (bits,) = struct.unpack(">h", body[6:8])
             # bytes 8..17: 80-bit extended rate, parsed past
+            if form == b"AIFC" and len(body) >= 22:
+                comp = body[18:22]
         elif cid == b"SSND":
             (offset,) = struct.unpack(">I", body[:4])
             pcm = body[8 + offset :]
         pos += 8 + size + (size & 1)
+    if comp not in (b"NONE", b"twos", b"sowt"):
+        raise ValueError(
+            f"compressed AIFF-C ({comp!r}) not supported by builtin kernel"
+        )
     if nch is None or pcm is None:
         raise ValueError("AIFF missing COMM or SSND")
     if bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported AIFF sample width {bits}")
+    little = comp == b"sowt"
     sw = bits // 8
     need = frames * nch * sw
     if len(pcm) < need:
         raise ValueError("truncated AIFF sample data")
     raw = pcm[:need]
-    if sw == 3:  # sign-extend 24-bit big-endian
+    if sw == 3:  # sign-extend 24-bit
         b3 = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype("i8")
-        x = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+        if little:
+            x = (b3[:, 2] << 16) | (b3[:, 1] << 8) | b3[:, 0]
+        else:
+            x = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
         x = np.where(x >= 1 << 23, x - (1 << 24), x).astype("float64")
     else:
-        x = np.frombuffer(raw, dtype={1: ">i1", 2: ">i2", 4: ">i4"}[sw]).astype(
+        e = "<" if little else ">"
+        x = np.frombuffer(raw, dtype={1: "i1", 2: e + "i2", 4: e + "i4"}[sw]).astype(
             "float64"
         )
     x = x / float(1 << (bits - 1))
@@ -2224,28 +2237,30 @@ def _parse_aiff(payload: bytes) -> tuple[np.ndarray, int]:
     return x, nch
 
 
-def _decode_aiff_features(payload: bytes, dim: int) -> np.ndarray:
-    """AIFF builtin kernel: decode → mono mix → per-block RMS energy
-    (identical feature contract to the WAV and FLAC paths)."""
-    x, _ = _parse_aiff(payload)
+def _audio_rms_features(x: np.ndarray, dim: int) -> np.ndarray:
+    """THE audio feature contract, shared by every audio kernel:
+    ``dim`` contiguous blocks of the mono sample stream, per-block RMS
+    energy in [0, 1]."""
     if len(x) == 0:
         return np.zeros(dim)
     blocks = np.array_split(x, dim)
     return np.array(
         [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
     )
+
+
+def _decode_aiff_features(payload: bytes, dim: int) -> np.ndarray:
+    """AIFF builtin kernel: decode → mono mix → the shared per-block
+    RMS feature contract."""
+    x, _ = _parse_aiff(payload)
+    return _audio_rms_features(x, dim)
 
 
 def _decode_flac_features(payload: bytes, dim: int) -> np.ndarray:
-    """FLAC builtin kernel: decode → mono mix → per-block RMS energy
-    (identical feature contract to the WAV path)."""
+    """FLAC builtin kernel: decode → mono mix → the shared per-block
+    RMS feature contract."""
     x, _ = _parse_flac(payload)
-    if len(x) == 0:
-        return np.zeros(dim)
-    blocks = np.array_split(x, dim)
-    return np.array(
-        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
-    )
+    return _audio_rms_features(x, dim)
 
 
 def _decode_wav_features(payload: bytes, dim: int) -> np.ndarray:
@@ -2267,12 +2282,7 @@ def _decode_wav_features(payload: bytes, dim: int) -> np.ndarray:
         x, nch = _parse_wav_riff(payload)
     if nch > 1:
         x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
-    if len(x) == 0:
-        return np.zeros(dim)
-    blocks = np.array_split(x, dim)
-    return np.array(
-        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in blocks]
-    )
+    return _audio_rms_features(x, dim)
 
 
 def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray:
@@ -2282,11 +2292,12 @@ def decode_real(payload: bytes, kind: str = "image", dim: int = 8) -> np.ndarray
     Image: PIL (any format) → grayscale → dim×dim → per-column mean
     intensity in [0,1]; without PIL, binary PNM (P5/P6) and PNG (8-bit,
     stdlib zlib + filter reconstruction) decode via pure-numpy builtins
-    with the same feature contract. Audio: WAV decodes via stdlib
-    ``wave`` into per-block RMS energy — no library needed. Raises :class:`MissingMediaLibrary` when neither a library
-    nor a builtin can handle the payload, :class:`NotImplementedError`
-    when the kind's library is present but no kernel is written for it
-    (non-WAV audio, video today).
+    with the same feature contract. Audio: WAV (PCM/float/G.711), FLAC
+    and AIFF/AIFF-C decode builtin into the shared per-block RMS
+    contract; video: MJPEG-AVI first frames. Raises
+    :class:`MissingMediaLibrary` when neither a library nor a builtin
+    can handle the payload, :class:`NotImplementedError` when the
+    kind's library is present but no kernel is written for it.
     """
     caps = media_capabilities()
     builtin = _sniff_builtin(payload, kind)

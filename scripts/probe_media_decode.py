@@ -3,8 +3,9 @@ in scale_probe_results.json).
 
 Measures the REAL builtin kernels end-to-end through the Arrow-batched
 mapInPandas path (auto mode, per-row routing) at 2k vs 20k media rows:
-a mixed corpus of JPEG / GIF / BMP images, a G.711 µ-law WAV and an
-MJPEG AVI. Expected ~linear growth (per-row Python decode cost, no
+a mixed corpus of JPEG / GIF / BMP / TIFF-LZW / WEBP-VP8L images, a
+G.711 µ-law WAV, an 8k-sample FLAC and an MJPEG AVI. Expected ~linear
+growth (per-row Python decode cost, no
 shuffle); the probe records rows/s so decoder regressions are visible
 round over round.
 """

@@ -2405,9 +2405,8 @@ class TestBuiltinWebpKernel:
         rng = np.random.RandomState(21)
         px = rng.randint(0, 256, size=(6, 7, 3)).astype("u1")
         simple = _webp_bytes(px)
-        vp8l_chunk = simple[20:]  # past RIFF/size/WEBP + into chunks
         assert simple[12:16] == b"VP8L"
-        vp8l_chunk = simple[12:]
+        vp8l_chunk = simple[12:]  # the VP8L chunk incl. its header
 
         def wrap(flags: int) -> bytes:
             vp8x = b"VP8X" + _s.pack("<I", 10) + bytes([flags]) + b"\x00" * 9
@@ -2552,6 +2551,7 @@ def _flac_bytes(
     kind: str = "verbatim",
     porder: int = 0,
     escape: bool = False,
+    unknown_total: bool = False,
 ) -> bytes:
     """Independent FLAC test encoder (from RFC 9639, not the decoder
     under test): STREAMINFO + fixed-blocksize frames; subframe types
@@ -2571,7 +2571,7 @@ def _flac_bytes(
     si.write(8000, 20)
     si.write(n_ch - 1, 3)
     si.write(bps - 1, 5)
-    si.write(n, 36)
+    si.write(0 if unknown_total else n, 36)
     streaminfo = si.tobytes() + b"\x00" * 16
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + _s.pack(">I", len(streaminfo))[1:] + streaminfo
@@ -2685,6 +2685,17 @@ class TestBuiltinFlacKernel:
         x, _ = multimodal._parse_flac(_flac_bytes(s, bps=16, blocksize=64))
         assert np.allclose(x, self._expect(s, 16), atol=1e-12)
 
+    def test_unknown_total_samples_decodes_all_frames(self):
+        """STREAMINFO total_samples = 0 is the spec's 'unknown' marker
+        (live/pipe encodes): the decoder must decode frames until the
+        stream runs out, not return zero samples."""
+        rng = np.random.RandomState(17)
+        s = rng.randint(-1000, 1000, size=200)
+        x, _ = multimodal._parse_flac(
+            _flac_bytes(s, bps=16, blocksize=64, unknown_total=True)
+        )
+        assert np.allclose(x, self._expect(s, 16), atol=1e-12)
+
     def test_feature_contract_matches_wav(self):
         rng = np.random.RandomState(15)
         s = (rng.randn(4000) * 8000).astype("i8").clip(-32768, 32767)
@@ -2706,9 +2717,14 @@ class TestBuiltinFlacKernel:
         assert got["feature"] is not None and len(got["feature"]) == 8
 
 
-def _aiff_bytes(samples: np.ndarray, bits: int = 16) -> bytes:
+def _aiff_bytes(
+    samples: np.ndarray, bits: int = 16, aifc: bytes | None = None
+) -> bytes:
     """Independent AIFF writer: FORM/AIFF with COMM (80-bit extended
-    rate) and SSND, big-endian PCM."""
+    rate) and SSND, big-endian PCM. ``aifc`` switches to a FORM/AIFC
+    container with that compressionType ('NONE' big-endian PCM,
+    'sowt' little-endian PCM, anything else emits big-endian data the
+    decoder is expected to reject)."""
     import struct as _s
 
     arr = np.asarray(samples, dtype="i8")
@@ -2717,13 +2733,15 @@ def _aiff_bytes(samples: np.ndarray, bits: int = 16) -> bytes:
     frames = arr.shape[0]
     flat = arr.reshape(-1)
     sw = bits // 8
+    little = aifc == b"sowt"
     if sw == 3:
         pcm = bytearray()
         for v in flat:
-            pcm += int(v & 0xFFFFFF).to_bytes(3, "big")
+            pcm += int(v & 0xFFFFFF).to_bytes(3, "little" if little else "big")
         pcm = bytes(pcm)
     else:
-        pcm = flat.astype({1: ">i1", 2: ">i2", 4: ">i4"}[sw]).tobytes()
+        e = "<" if little else ">"
+        pcm = flat.astype({1: "i1", 2: e + "i2", 4: e + "i4"}[sw]).tobytes()
     # 80-bit extended float for rate 8000 = 2^13 * 0.9765625:
     # sign/exp 0x400B, mantissa 0xFA00... (8000 = 0.9765625 * 2^13)?
     # Simpler: 8000 = 1.953125 * 4096 -> exponent 16382+13, mantissa
@@ -2731,9 +2749,13 @@ def _aiff_bytes(samples: np.ndarray, bits: int = 16) -> bytes:
     # The decoder skips the rate, so any 10 bytes are accepted.
     rate80 = b"\x40\x0b\xfa\x00\x00\x00\x00\x00\x00\x00"
     comm = _s.pack(">hIh", nch, frames, bits) + rate80
+    form = b"AIFF"
+    if aifc is not None:
+        form = b"AIFC"
+        comm += aifc + b"\x07not cmp"  # compressionType + pascal name
     ssnd = _s.pack(">II", 0, 0) + pcm
     body = (
-        b"AIFF"
+        form
         + b"COMM" + _s.pack(">I", len(comm)) + comm
         + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd
     )
@@ -2757,14 +2779,22 @@ class TestBuiltinAiffKernel:
         assert nch == 2
         assert np.allclose(x, s.mean(axis=1) / float(1 << 23), atol=1e-12)
 
-    def test_aifc_and_truncation_raise(self):
+    def test_aifc_none_and_sowt_decode(self):
+        """AIFF-C with compressionType NONE (big-endian PCM, the
+        common macOS export) and sowt (little-endian PCM) both decode;
+        only genuinely compressed types reject."""
+        rng = np.random.RandomState(9)
+        s = rng.randint(-30000, 30000, size=200)
+        for comp in (b"NONE", b"sowt"):
+            x, _ = multimodal._parse_aiff(_aiff_bytes(s, bits=16, aifc=comp))
+            assert np.allclose(x, s / 32768.0, atol=1e-12), comp
+        with pytest.raises(ValueError, match="compressed AIFF-C"):
+            multimodal._parse_aiff(_aiff_bytes(s, bits=16, aifc=b"ulaw"))
+
+    def test_truncation_raises(self):
         good = _aiff_bytes(np.arange(50, dtype="i8"))
         with pytest.raises(ValueError):
             multimodal._parse_aiff(good[:30])
-        aifc = bytearray(good)
-        aifc[8:12] = b"AIFC"
-        with pytest.raises(ValueError, match="AIFF-C"):
-            multimodal._parse_aiff(bytes(aifc))
 
     def test_feature_contract_matches_wav(self, spark):
         rng = np.random.RandomState(7)

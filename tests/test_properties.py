@@ -753,10 +753,8 @@ def test_flac_roundtrip_fuzz(n, stereo, bps, mode, kind, porder, escape, seed):
     from energy_data_pipeline_spark.operators import multimodal
     from tests.test_operators_unit import _flac_bytes
 
-    if stereo and mode == "indep":
-        pass  # stereo independent channels
     if not stereo:
-        mode = "indep"
+        mode = "indep"  # decorrelation modes need two channels
     rng = np.random.RandomState(seed)
     lim = 1 << (bps - 3)
     shape = (n, 2) if stereo else (n,)
