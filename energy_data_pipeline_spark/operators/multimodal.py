@@ -1550,7 +1550,14 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
     ).reshape(h, row_stride)
     if bpp == 8:
         idx = raster[:, :w].astype("i4")
-        rgb = palette[np.clip(idx, 0, len(palette) - 1)].astype("f8") / 255.0
+        if int(idx.max(initial=0)) >= len(palette):
+            # corrupt member: clamping would render wrong colors
+            # silently; fail loud like the VP8L color-index bound check
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} out of range "
+                f"for {len(palette)}-entry palette"
+            )
+        rgb = palette[idx].astype("f8") / 255.0
     else:
         nb = bpp // 8
         px = raster[:, : w * nb].reshape(h, w, nb)

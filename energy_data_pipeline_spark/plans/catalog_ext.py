@@ -2773,7 +2773,10 @@ def _binned_quantiles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import binned_quantile_estimates
 
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        # NaN passes isNotNull but poisons min/max (Spark sorts NaN
+        # greatest), corrupting every bin edge — drop it like NULL,
+        # matching the histogram stream sink's pre-binning filter.
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
     )
     b = float(_QSKETCH_BINS)
     qarr = [float(q) for q in _QSKETCH_QS]
@@ -2823,7 +2826,7 @@ def _binned_quantiles_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QSKETCH_SQL = f"""
 WITH ev AS (
-  SELECT value FROM events WHERE value IS NOT NULL
+  SELECT value FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), b AS (
   SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
   FROM ev
@@ -2842,7 +2845,7 @@ WITH ev AS (
               AS DOUBLE) AS q,
          unnest(quantile_cont(value,
                 [{", ".join(repr(float(q)) for q in _QSKETCH_QS)}])) AS exact
-  FROM events
+  FROM ev
 ), picked AS (
   SELECT q, exact, bin, cnt, cum,
          row_number() OVER (PARTITION BY q ORDER BY bin) AS rn

@@ -494,8 +494,47 @@ def _replay_guard(
     """True iff this batch is a crash-replay that must be skipped: the
     batch_id comparison is only meaningful within ONE stream's
     checkpointed sequence, so a different stream identity (fresh
-    checkpoint, second stream onto the same table) always applies."""
-    return stream_id == stored_stream and batch_id <= last_applied
+    checkpoint, second stream onto the same table) always applies.
+
+    A stored "" comes from a pre-upgrade pointer (written before
+    stream identities existed). It is treated as MATCHING the current
+    stream: the only writer of that pointer was the stream now
+    resuming, and the alternative — treating "" as foreign — would
+    double-apply one crash-replayed batch into SUM-merged state right
+    across the upgrade."""
+    same_stream = stored_stream == "" or stream_id == stored_stream
+    return same_stream and batch_id <= last_applied
+
+
+def _stream_instance_id(checkpoint_dir: str) -> str:
+    """Identity of THIS checkpoint INSTANCE, not just its path.
+
+    Structured Streaming batch_ids restart at 0 when a checkpoint is
+    wiped and recreated at the SAME path, so a path-derived stream_id
+    would make the replay guard silently skip every batch of the new
+    stream until it outran the old last_applied counter — the exact
+    failure the stream_id exists to prevent. A UUID marker file
+    created inside the checkpoint dir on first use pins the identity
+    to the instance: wipe the dir and the marker (hence the identity)
+    is reborn with it, so the guard correctly sees a new sequence."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_STREAM_INSTANCE")
+    if not os.path.exists(marker):
+        tmp = os.path.join(checkpoint_dir, f".inst-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(uuid.uuid4().hex)
+            fh.flush()
+            os.fsync(fh.fileno())
+        if os.path.exists(marker):  # lost a concurrent-create race
+            os.remove(tmp)
+        else:
+            os.replace(tmp, marker)
+    with open(marker, encoding="ascii") as fh:
+        token = fh.read().strip()
+    return f"{os.path.abspath(checkpoint_dir)}:{token}"
 
 
 def _sketch_state_publish(
@@ -642,9 +681,7 @@ def hll_daily_register_stream(
     with unbounded history would partition the state table by day and
     rewrite only the days present in the batch."""
 
-    import os
-
-    stream_id = os.path.abspath(checkpoint_dir)
+    stream_id = _stream_instance_id(checkpoint_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _hll_daily_apply_batch(
@@ -676,6 +713,12 @@ def cms_estimate_keys(
     from ..plans.catalog_ext import _CMS_D, _CMS_W
 
     counters = read_sketch_table(spark, table_path)
+    if not keys:
+        # createDataFrame([]) cannot infer a schema; an empty probe set
+        # is a valid request and gets the empty answer, not an error.
+        return spark.createDataFrame(
+            [], "key string, cms_estimate bigint"
+        )
     # keys probe through the ENGINE's cast-to-string (one homogeneous
     # key type per call, same as the sink's key column) — Python str()
     # diverges from Spark's rendering for booleans, Decimals and
@@ -773,9 +816,7 @@ def hll_register_stream(
     the 100 TB cost lives entirely in the per-batch map-side register
     fold.
     """
-    import os
-
-    stream_id = os.path.abspath(checkpoint_dir)
+    stream_id = _stream_instance_id(checkpoint_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _hll_apply_batch(batch_df, batch_id, table_path, key_col, stream_id)
@@ -811,9 +852,7 @@ def cms_sketch_stream(
     publishes through the versioned atomic pointer flip, so a crash
     mid-publish leaves the previous counters intact rather than
     resetting the sketch."""
-    import os
-
-    stream_id = os.path.abspath(checkpoint_dir)
+    stream_id = _stream_instance_id(checkpoint_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _cms_apply_batch(batch_df, batch_id, table_path, key_col, stream_id)
@@ -876,7 +915,12 @@ def _hist_apply_batch(
         F.lit(bins - 1),
     )
     delta = (
-        batch_df.filter(F.col(value_col).isNotNull())
+        # NaN passes isNotNull and floor(NaN).cast('int') clamps it into
+        # bin 0 — silently counting a non-observation in the lowest bin
+        # and diverging from the batch twin. Drop NaN alongside NULL.
+        batch_df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        )
         .select(bin_col.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -937,9 +981,7 @@ def histogram_sketch_stream(
     if not hi > lo:
         raise ValueError(f"histogram bounds need hi > lo, got [{lo}, {hi})")
 
-    import os
-
-    stream_id = os.path.abspath(checkpoint_dir)
+    stream_id = _stream_instance_id(checkpoint_dir)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _hist_apply_batch(

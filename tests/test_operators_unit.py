@@ -4615,3 +4615,20 @@ class TestSketchPrimitives:
         reg = SK.hll_registers(df, "k")
         est = SK.hll_estimate(reg).collect()[0]["hll_estimate"]
         assert abs(est - 1000) / 1000 < 0.195, est
+
+
+class TestBmpPaletteBounds:
+    def test_out_of_range_palette_index_raises(self):
+        """A corrupt 8-bit member whose raster indexes past the palette
+        must fail loud (like the VP8L color-index bound check), not
+        clamp into silently wrong colors."""
+        pal = np.zeros((4, 3), dtype="u1")
+        idx = np.full((3, 3), 7, dtype="u1")  # >= 4-entry palette
+        with pytest.raises(ValueError, match="palette index"):
+            multimodal._parse_bmp(_bmp_bytes(idx, bpp=8, palette=pal))
+
+    def test_in_range_small_palette_still_decodes(self):
+        pal = np.array([[0, 0, 0], [255, 0, 0]], dtype="u1")
+        idx = np.array([[0, 1], [1, 0]], dtype="u1")
+        arr = multimodal._parse_bmp(_bmp_bytes(idx, bpp=8, palette=pal))
+        assert np.allclose(arr * 255.0, pal[idx], atol=1e-12)

@@ -992,3 +992,95 @@ def test_histogram_sink_drops_null_values(spark, dirs):
         for r in read_sketch_table(spark, dirs["table"]).collect()
     }
     assert bins == {1: 1}  # only the real observation counted
+
+
+def test_histogram_sink_drops_nan_values(spark, dirs):
+    """NaN passes isNotNull, and floor(NaN).cast('int') clamps it into
+    bin 0 — silently counting a non-observation in the lowest bin. The
+    sink must drop NaN like NULL (the batch twin now filters both)."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _hist_apply_batch,
+        read_sketch_table,
+    )
+
+    batch = _mk_batch(
+        spark, [(1, 0, 1, "click", 2.0), (2, 1, 1, "click", float("nan"))]
+    )
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 8.0, 4) is True
+    bins = {
+        r["bin"]: r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+    }
+    assert bins == {1: 1}  # NaN not binned anywhere
+
+
+def test_cms_estimate_keys_empty_probe_list(spark, dirs):
+    """An empty probe list is a valid request: it must yield an empty
+    (key, cms_estimate) frame, not a CANNOT_INFER_EMPTY_SCHEMA error
+    from type inference on zero rows."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        cms_estimate_keys,
+    )
+
+    batch = _mk_batch(spark, [(1, 0, 7, "click", 1.0)])
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id") is True
+    out = cms_estimate_keys(spark, dirs["table"], [])
+    assert out.columns == ["key", "cms_estimate"]
+    assert out.count() == 0
+
+
+def test_stream_instance_identity_survives_checkpoint_wipe(spark, dirs):
+    """Wiping and recreating a checkpoint at the SAME path restarts
+    batch_ids at 0; a path-derived identity would make the replay
+    guard silently drop every batch of the reborn stream until it
+    outran the old last_applied counter. The identity is a UUID marker
+    created inside the checkpoint dir on first use, so the wipe
+    rebirths the identity and batch 0 applies."""
+    import shutil
+
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        _stream_instance_id,
+        read_sketch_table,
+    )
+
+    sid1 = _stream_instance_id(dirs["ckpt"])
+    assert _stream_instance_id(dirs["ckpt"]) == sid1  # stable while alive
+    batch = _mk_batch(spark, [(1, 0, 7, "click", 1.0)])
+    assert _cms_apply_batch(batch, 5, dirs["table"], "user_id", sid1) is True
+    # replay within the live instance still skips
+    assert _cms_apply_batch(batch, 5, dirs["table"], "user_id", sid1) is False
+    shutil.rmtree(dirs["ckpt"])
+    sid2 = _stream_instance_id(dirs["ckpt"])
+    assert sid2 != sid1
+    # the reborn stream's batch 0 (< stored 5) must apply
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", sid2) is True
+    total = sum(
+        r["c"]
+        for r in read_sketch_table(spark, dirs["table"]).collect()
+        if r["row_i"] == 0
+    )
+    assert total == 2
+
+
+def test_replay_guard_pre_upgrade_blank_identity_skips_replay(spark, dirs):
+    """A pointer written before stream identities existed stores "" —
+    treating that as a FOREIGN stream would double-apply one
+    crash-replayed batch into SUM-merged counters right across the
+    upgrade. A stored "" matches the current stream."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        _replay_guard,
+    )
+
+    assert _replay_guard(3, 3, "any-stream", "") is True  # replay: skip
+    assert _replay_guard(4, 3, "any-stream", "") is False  # next: apply
+    batch = _mk_batch(spark, [(1, 0, 7, "click", 1.0)])
+    # pre-upgrade writer recorded no identity
+    assert _cms_apply_batch(batch, 3, dirs["table"], "user_id", "") is True
+    # post-upgrade resume crash-replays batch 3 with a real identity
+    assert (
+        _cms_apply_batch(batch, 3, dirs["table"], "user_id", "p:uuid")
+        is False
+    )
