@@ -67,12 +67,9 @@ def _marker_hits(wcol: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(wcol, lambda w: F.array_contains(arr, F.lower(w))))
 
 
-def lang_id(col: Column | str) -> Column:
-    """n-gram/stopword-marker language heuristic.
-
-    Scores each language by marker-word hit count; returns the argmax
-    (ties broken by language code order), 'und' when no marker hits.
-    """
+def lang_id_from_words(w: Column) -> Column:
+    """lang_id over an already-tokenized word array — the
+    tokenized-silver path (no re-split of the raw text)."""
 
     def _pick(scored: Column) -> Column:
         best = F.array_max(
@@ -85,20 +82,26 @@ def lang_id(col: Column | str) -> Column:
         return F.when(best["hits"] > 0, first_best).otherwise(F.lit("und"))
 
     return _let(
-        words(col),
-        lambda w: _let(
-            F.array(
-                *[
-                    F.struct(
-                        _marker_hits(w, LANG_MARKERS[lang]).alias("hits"),
-                        F.lit(lang).alias("lang"),
-                    )
-                    for lang in sorted(LANG_MARKERS)
-                ]
-            ),
-            _pick,
+        F.array(
+            *[
+                F.struct(
+                    _marker_hits(w, LANG_MARKERS[lang]).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(LANG_MARKERS)
+            ]
         ),
+        _pick,
     )
+
+
+def lang_id(col: Column | str) -> Column:
+    """n-gram/stopword-marker language heuristic.
+
+    Scores each language by marker-word hit count; returns the argmax
+    (ties broken by language code order), 'und' when no marker hits.
+    """
+    return _let(words(col), lang_id_from_words)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -184,17 +187,20 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def dup_word_ratio_from_words(w: Column) -> Column:
+    """dup_word_ratio over an already-tokenized word array — the
+    tokenized-silver path (no re-split of the raw text)."""
+    return F.when(
+        F.size(w) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w),
+    ).otherwise(F.lit(0.0))
+
+
 def dup_word_ratio(col: Column | str) -> Column:
     """Share of words that are repeats of an earlier word — the cheap
     repetition signal used to filter degenerate/boilerplate documents
     from training corpora (1 - distinct/total; 0.0 for empty text)."""
-    return _let(
-        words(col),
-        lambda w: F.when(
-            F.size(w) > 0,
-            F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w),
-        ).otherwise(F.lit(0.0)),
-    )
+    return _let(words(col), dup_word_ratio_from_words)
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:

@@ -42,7 +42,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.rounding import rnd
 
-from ..functions.text import shingles, words
+from ..functions.text import shingles_from_words, words
 from ..sources.tables import fan_out
 
 # MinHash layout: 96 hash functions banded as 32 bands x 3 rows.
@@ -115,11 +115,26 @@ def _pin(
     return out
 
 
+def _word_array(df: DataFrame, text_col: str) -> Column:
+    """Word array for ``text_col``: passed through when the column is
+    ALREADY a tokenized array (the tokenized-silver path — the catalog
+    pins one corpus-wide word-array frame and every shingling operator
+    reads it), split from the raw string otherwise."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(df.schema[text_col].dataType, ArrayType):
+        return F.col(text_col)
+    return words(F.col(text_col))
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingle set per document (array column)."""
+    """Distinct word n-gram shingle set per document (array column).
+    ``text_col`` may be raw text OR an already-tokenized word array."""
     return df.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("shingle_set"),
+        F.array_distinct(
+            shingles_from_words(_word_array(df, text_col), n)
+        ).alias("shingle_set"),
     ).filter(F.size("shingle_set") > 0)
 
 
@@ -575,7 +590,7 @@ def simhash_sigs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fan_out(df)
         .select(
             F.col(id_col),
-            F.transform(words(F.col(text_col)), F.md5).alias("_hx"),
+            F.transform(_word_array(df, text_col), F.md5).alias("_hx"),
         )
         .filter(F.size("_hx") > 0)
     )

@@ -44,6 +44,10 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
+    # round-11: brand-new entries front the window so their first
+    # external hash lands this round
+    "a21_pareto_binned_share",
+    "ann_ivfpq_refined_topk",
     # round-10 continuation: brand-new entries front the window so
     # their first external hash lands this round
     "sk_hll_split_overlap",

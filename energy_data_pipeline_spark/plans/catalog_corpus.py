@@ -96,10 +96,10 @@ def _pair_overlap_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.storagelevel import StorageLevel
 
         pins: plan_cache.PinList = []
-        docs = load_table(spark, sf_dir, "documents")
+        silver = _doc_words_silver(spark, sf_dir)
         scored = (
             neardup.pair_overlap_scored(
-                docs, "doc_id", "text", n=3, pins_out=pins
+                silver, "doc_id", "wl", n=3, pins_out=pins
             )
             .filter(
                 F.col("n_common") >= F.lit(prefilter) * F.least("n1", "n2")
@@ -207,9 +207,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         pins: plan_cache.PinList = []
-        docs = load_table(spark, sf_dir, "documents")
+        silver = _doc_words_silver(spark, sf_dir)
         pairs = neardup.minhash_lsh_near_dups(
-            docs, "doc_id", "text", threshold=JACCARD_THRESHOLD, n=3,
+            silver, "doc_id", "wl", threshold=JACCARD_THRESHOLD, n=3,
             pins_out=pins,
         )
         return pairs, pins
@@ -478,15 +478,18 @@ def nearest_train_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
         tagged = sampling.train_val_test_split(
-            docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+            _doc_words_silver(spark, sf_dir),
+            "doc_id",
+            val_pct=10,
+            test_pct=10,
+            seed="split1",
         )
         inv = tagged.select(
             "doc_id",
             "split",
             F.explode(
-                F.array_distinct(T.shingles(F.col("text"), 3))
+                F.array_distinct(T.shingles_from_words(F.col("wl"), 3))
             ).alias("sh"),
         )
         wdf = Window.partitionBy("sh")
@@ -621,10 +624,10 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(pairs.select(F.col("id2").alias("doc_id")))
             .distinct()
         )
-        docs = load_table(spark, sf_dir, "documents").join(
+        docs = _doc_words_silver(spark, sf_dir).join(
             ids, "doc_id", "left_semi"
         )
-        sh = neardup.doc_shingles(fan_out(docs), "doc_id", "text", 3)
+        sh = neardup.doc_shingles(docs, "doc_id", "wl", 3)
         from pyspark.storagelevel import StorageLevel
 
         sigs = neardup.minhash_signatures(sh, "doc_id")
@@ -762,8 +765,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 
 # --- SimHash near-dup pairs ---
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+    silver = _doc_words_silver(spark, sf_dir)
+    return neardup.simhash_near_dups(silver, "doc_id", "wl", max_hamming=3)
 
 
 def _simhash_sql() -> str:
@@ -1011,9 +1014,11 @@ FROM documents
 
 # --- text analysis: language ID heuristic ---
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", "lang", T.lang_id("text").alias("pred_lang")
+    silver = _doc_words_silver(spark, sf_dir)
+    return silver.select(
+        "doc_id",
+        "lang",
+        T.lang_id_from_words(F.col("wl")).alias("pred_lang"),
     )
 
 
@@ -1051,11 +1056,14 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram/stopword lang-id against the corpus's labeled lang column:
     the self-audit a filtering pipeline runs before trusting a
     heuristic classifier to route documents (which languages bleed
-    into which, how much lands in 'und'). One scan, one map-side
-    combine over a |langs|² key space."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    into which, how much lands in 'und'). One scan of the
+    tokenized-silver frame, one map-side combine over a |langs|² key
+    space."""
+    silver = _doc_words_silver(spark, sf_dir)
     return (
-        docs.select("lang", T.lang_id("text").alias("pred_lang"))
+        silver.select(
+            "lang", T.lang_id_from_words(F.col("wl")).alias("pred_lang")
+        )
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1112,12 +1120,16 @@ FROM base
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-text filter signals: duplicate-word ratio (expression)
     and top-trigram share (explode + groupBy — linear, scales to long
-    documents where a per-row quadratic array expression would not)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
+    documents where a per-row quadratic array expression would not).
+    Both signals derive from the tokenized-silver word arrays — no
+    re-split of the raw text."""
+    silver = _doc_words_silver(spark, sf_dir)
+    base = silver.select(
         "doc_id",
-        T.shingles(F.col("text"), 3).alias("_grams"),
-        rnd(T.dup_word_ratio("text"), 6).alias("dup_word_ratio"),
+        T.shingles_from_words(F.col("wl"), 3).alias("_grams"),
+        rnd(T.dup_word_ratio_from_words(F.col("wl")), 6).alias(
+            "dup_word_ratio"
+        ),
     )
     inv = base.select("doc_id", F.explode("_grams").alias("g"))
     gram_counts = inv.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -1350,10 +1362,11 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global top-k compiles to TakeOrderedAndProject (per-partition
     heads + one k-row merge), never a full sort. Tie-break is total
     desc, then token asc, so the k-row cutoff is deterministic across
-    engines."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(T.words("text")).alias("token"))
-    per_doc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("_n"))
+    engines. Composes on the shared (doc, token, n) frame — the
+    tokenization and explode are snapshot-wide, not per query."""
+    per_doc = _doc_token_counts(spark, sf_dir).withColumnsRenamed(
+        {"w": "token", "n": "_n"}
+    )
     vocab = per_doc.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("_n").alias("n_occurrences"),
@@ -1389,10 +1402,14 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate. Same two-level aggregation shape as vocab_topk (the
     per-doc distinct absorbs the explode before the shuffle); top-k
     compiles to TakeOrderedAndProject. Tie-break df desc then ngram asc
-    so the cutoff is deterministic across engines."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    grams = neardup.doc_shingles(docs, "doc_id", "text", n=3).select(
-        "doc_id", F.explode("shingle_set").alias("ngram")
+    so the cutoff is deterministic across engines. Shingles build from
+    the tokenized-silver word arrays."""
+    silver = _doc_words_silver(spark, sf_dir)
+    grams = silver.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.shingles_from_words(F.col("wl"), 3))
+        ).alias("ngram"),
     )
     per = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     return per.orderBy(F.desc("doc_freq"), F.asc("ngram")).limit(NGRAM_TOPK)
@@ -1438,15 +1455,17 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks agree by construction."""
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", "lang", F.explode(T.words("text")).alias("token"))
+    silver = _doc_words_silver(spark, sf_dir)
+    toks = silver.select(
+        "doc_id", "lang", F.explode("wl").alias("token")
+    )
     per_doc = toks.groupBy("doc_id", "lang", "token").agg(
         F.count(F.lit(1)).alias("_n")
     )
     per_lang = per_doc.groupBy("lang", "token").agg(
         F.sum("_n").alias("tf"), F.count(F.lit(1)).alias("_df_lang")
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    n_docs = silver.agg(F.count(F.lit(1)).alias("_n_docs"))
     w_tok = Window.partitionBy("token")
     scored = (
         per_lang.withColumn("df", F.sum("_df_lang").over(w_tok))
@@ -1523,15 +1542,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row/|q|-row aggregates; the doc-length join is the only
     doc-keyed shuffle. Ranking uses the ROUNDED score in both engines;
     the final cut is a TakeOrderedAndProject, never a global sort."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    lens = docs.select(
-        "doc_id", T.token_count_ws("text").cast("double").alias("dl")
+    silver = _doc_words_silver(spark, sf_dir)
+    lens = silver.select(
+        "doc_id", F.size("wl").cast("double").alias("dl")
     )
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n_docs"), F.avg("dl").alias("_avgdl")
     )
-    hits = docs.select(
-        "doc_id", F.explode(T.words("text")).alias("token")
+    hits = silver.select(
+        "doc_id", F.explode("wl").alias("token")
     ).filter(F.col("token").isin(*BM25_QUERY))
     tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -1606,31 +1625,23 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter threshold on this column is the classic LM-quality gate when
     no external LM is available.
 
-    One explode feeds a (doc, token) map-side combine; BOTH the corpus
-    unigram counts and the per-doc score derive from that combined
-    table (pinned — two consumers), so the token stream is evaluated
-    once. The count join is keyed on the token over the doc x
+    BOTH the corpus unigram counts and the per-doc score derive from
+    the SHARED pinned (doc, token, n) frame (``_doc_token_counts`` —
+    one tokenization + one explode for the whole distribution family),
+    so the token stream is evaluated once per snapshot, not per query.
+    The count join is keyed on the token over the doc x
     distinct-token table; the normalizer rides in as a broadcast 1-row
     aggregate. Score = sum(n * ln(c/total)) / sum(n), rounded to 4 —
     the weighted mean absorbs cross-engine summation-order ulps.
 
-    Prepared-plan memoized with the pinned combined table in pins_out —
-    repeat invocations reuse one plan and one registered cache entry
-    instead of stacking a fresh never-released persist per call."""
+    Prepared-plan memoized; the shared frame is re-pinned on reuse so
+    a cleared cache only costs recompute, never correctness."""
     from . import plan_cache
 
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        per_doc = (
-            docs.select(
-                "doc_id", F.explode(T.words("text")).alias("w")
-            )
-            .groupBy("doc_id", "w")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        per_doc = _doc_token_counts(spark, sf_dir)
         pins: plan_cache.PinList = [(per_doc, StorageLevel.MEMORY_AND_DISK)]
         counts = per_doc.groupBy("w").agg(F.sum("n").alias("c"))
         total = counts.agg(F.sum("c").alias("_total"))
@@ -1687,8 +1698,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One explode of the (non-distinct) 2-shingle stream feeds a
     (doc_id, bigram) map-side combine, pinned — corpus bigram counts
-    AND the per-doc score both derive from it, so the token stream is
-    evaluated once. Head totals c(w1 ·) derive from the BIGRAM-VOCAB
+    AND the per-doc score both derive from it, so the bigram stream is
+    evaluated once. The 2-shingles build from the tokenized-silver
+    word arrays (``_doc_words_silver``), not a fresh split of the raw
+    text. Head totals c(w1 ·) derive from the BIGRAM-VOCAB
     table (bounded by vocab², far smaller than the doc×bigram stream),
     not from a second pass. Joins are keyed bigram then head; the final
     score is a weighted mean rounded to 4, absorbing summation-order
@@ -1698,10 +1711,11 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        silver = _doc_words_silver(spark, sf_dir)
         per_doc = (
-            docs.select(
-                "doc_id", F.explode(T.shingles(F.col("text"), 2)).alias("bg")
+            silver.select(
+                "doc_id",
+                F.explode(T.shingles_from_words(F.col("wl"), 2)).alias("bg"),
             )
             .groupBy("doc_id", "bg")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1913,10 +1927,10 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-count-sized table (tiny at any corpus scale). planned_tokens
     and epochs derive from the ALREADY-6-ROUNDED share so cross-engine
     pow() ulp drift cannot move them."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    per = docs.groupBy("source").agg(
+    silver = _doc_words_silver(spark, sf_dir)
+    per = silver.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias("n_tokens"),
+        F.sum(F.size("wl")).cast("bigint").alias("n_tokens"),
     )
     from pyspark.sql import Window
 
@@ -1977,10 +1991,10 @@ def _span_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        pos = docs.select(
+        silver = _doc_words_silver(spark, sf_dir)
+        pos = silver.select(
             "doc_id",
-            F.posexplode(T.shingles(F.col("text"), SPAN_N)).alias(
+            F.posexplode(T.shingles_from_words(F.col("wl"), SPAN_N)).alias(
                 "idx", "_gs"
             ),
         ).select("doc_id", "idx", F.xxhash64("_gs").alias("g"))
@@ -2123,10 +2137,10 @@ def span_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_id", F.col("idx").alias("pos"))
         )
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        toks = docs.select(
+        silver = _doc_words_silver(spark, sf_dir)
+        toks = silver.select(
             "doc_id",
-            F.posexplode(T.words(F.col("text"))).alias("pos", "tok"),
+            F.posexplode("wl").alias("pos", "tok"),
         )
         ev = toks.select(
             "doc_id", "pos", F.lit(1).alias("k"), "tok"
@@ -2281,14 +2295,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        wl = T.words(F.col("text"))
+        silver = _doc_words_silver(spark, sf_dir)
+        wl = F.col("wl")
         feats = F.concat(wl, T.shingles_from_words(wl, 2))
         bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast(
             "long"
         ) % F.lit(DSIR_BUCKETS)
         per_doc = (
-            docs.select("doc_id", "source", F.explode(feats).alias("f"))
+            silver.select("doc_id", "source", F.explode(feats).alias("f"))
             .select("doc_id", "source", bucket.alias("b"))
             .groupBy("doc_id", "source", "b")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -3042,12 +3056,10 @@ def temperature_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed sums never shuffle meaningful data at 100 TB."""
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    per = docs.groupBy("lang").agg(
+    silver = _doc_words_silver(spark, sf_dir)
+    per = silver.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias(
-            "n_tokens"
-        ),
+        F.sum(F.size("wl")).cast("bigint").alias("n_tokens"),
     )
     total = Window.partitionBy()
     pw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TEMPERATURE))
@@ -3133,16 +3145,22 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~45-byte strings (the round-10 span probe measured string keys
     superlinear at 1M docs); counts never need the gram text, and a
     collision (P ≈ n²/2⁶⁵) would FAIL the string-keyed oracle gate
-    rather than hide."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    rather than hide. Shingling reads the tokenized-silver word
+    arrays — the split regex never re-runs for this query."""
     tagged = sampling.train_val_test_split(
-        docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+        _doc_words_silver(spark, sf_dir),
+        "doc_id",
+        val_pct=10,
+        test_pct=10,
+        seed="split1",
     )
     train_grams = (
         tagged.filter(F.col("split") == "train")
         .select(
             F.explode(
-                F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+                F.array_distinct(
+                    T.shingles_from_words(F.col("wl"), DECON_NGRAM)
+                )
             ).alias("_g")
         )
         .select(F.xxhash64("_g").alias("g"))
@@ -3154,7 +3172,9 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "split",
             F.explode(
-                F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+                F.array_distinct(
+                    T.shingles_from_words(F.col("wl"), DECON_NGRAM)
+                )
             ).alias("_g"),
         )
         .select("doc_id", "split", F.xxhash64("_g").alias("g"))
@@ -3222,15 +3242,20 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.storagelevel import StorageLevel
 
         pins: plan_cache.PinList = []
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
         tagged = sampling.train_val_test_split(
-            docs, "doc_id", val_pct=10, test_pct=10, seed="split1"
+            _doc_words_silver(spark, sf_dir),
+            "doc_id",
+            val_pct=10,
+            test_pct=10,
+            seed="split1",
         )
         train_grams = (
             tagged.filter(F.col("split") == "train")
             .select(
                 F.explode(
-                    F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+                    F.array_distinct(
+                        T.shingles_from_words(F.col("wl"), DECON_NGRAM)
+                    )
                 ).alias("g")
             )
             .distinct()
@@ -3250,7 +3275,9 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 "split",
                 F.explode(
-                    F.array_distinct(T.shingles(F.col("text"), DECON_NGRAM))
+                    F.array_distinct(
+                        T.shingles_from_words(F.col("wl"), DECON_NGRAM)
+                    )
                 ).alias("g"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -3369,11 +3396,11 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seq_id, seq_offset) on the 2048-token training-sequence tape."""
     from ..operators.packing import sequence_pack_plan
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    silver = _doc_words_silver(spark, sf_dir)
     return sequence_pack_plan(
-        docs,
+        silver,
         "doc_id",
-        F.size(T.words(F.col("text"))).cast("long"),
+        F.size("wl").cast("long"),
         shard_cols=["source", "lang"],
     )
 
@@ -3650,11 +3677,11 @@ def packed_sequences_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (concat-and-chunk)."""
     from ..operators.packing import packed_sequences
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    silver = _doc_words_silver(spark, sf_dir)
     seqs = packed_sequences(
-        docs,
+        silver,
         "doc_id",
-        T.words(F.col("text")),
+        F.col("wl"),
         shard_cols=["source", "lang"],
         seq_len=PACK_MAT_SEQ_LEN,
     )
@@ -3725,11 +3752,11 @@ def purged_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join is the purge's un-hinted shuffled left_anti, and the
     stratum aggregate + broadcast-sized share window are the mix
     report's. Nothing new shuffles beyond those parts."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    kept = docs.join(_losers(spark, sf_dir), "doc_id", "left_anti")
+    silver = _doc_words_silver(spark, sf_dir)
+    kept = silver.join(_losers(spark, sf_dir), "doc_id", "left_anti")
     per = kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(T.words(F.col("text")))).cast("bigint").alias("n_tokens"),
+        F.sum(F.size("wl")).cast("bigint").alias("n_tokens"),
     )
     from pyspark.sql import Window
 
@@ -3781,11 +3808,8 @@ def zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 256 rows — no window wider than the cut. ln terms round to 9
     in both engines BEFORE the sums, so libm last-ulp differences
     between JVM and C can't reach the slope; the slope rounds to 4."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
     counts = (
-        docs.select("doc_id", F.explode(T.words("text")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _doc_token_counts(spark, sf_dir)
         .groupBy("w")
         .agg(F.sum("n").alias("c"))
     )
@@ -3904,9 +3928,10 @@ def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha. Same whitespace tokenization as the vocab/ngram queries.
 
     One explode + one (lang, word) count (map-side combine) + one
-    lang-sized rollup — the wordcount shape, linear in token volume."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    wf = docs.select("lang", F.explode(T.words(F.col("text"))).alias("w"))
+    lang-sized rollup — the wordcount shape, linear in token volume;
+    the explode reads the tokenized-silver word arrays."""
+    silver = _doc_words_silver(spark, sf_dir)
+    wf = silver.select("lang", F.explode("wl").alias("w"))
     counts = wf.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
     return (
         counts.groupBy("lang")
@@ -4012,9 +4037,9 @@ def epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     product so both engines multiply identical doubles."""
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    per = docs.groupBy("source").agg(
-        F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("tokens")
+    silver = _doc_words_silver(spark, sf_dir)
+    per = silver.groupBy("source").agg(
+        F.sum(F.size("wl")).cast("bigint").alias("tokens")
     )
     # grand totals via an unpartitioned window over the |sources|-sized
     # aggregate (a handful of rows on one partition) — NOT a second
@@ -4077,15 +4102,16 @@ def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries would flip bands between engines).
 
     Same shingle construction as dd_ngram_jaccard_near_dups; the df
-    aggregate is the inverted index's first stage, map-side combined."""
-    sh = neardup.doc_shingles(
-        fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text", n=3
-    )
+    aggregate is the inverted index's first stage, map-side combined.
+    Shingles build from the tokenized-silver word arrays."""
+    silver = _doc_words_silver(spark, sf_dir)
     # df counts key on the 8-byte xxhash64 fingerprint, not the gram
     # string (the histogram never needs the text; string shuffle keys
     # measured superlinear at 1M docs in the round-10 span probe)
-    inv = sh.filter(F.size("shingle_set") > 0).select(
-        F.explode("shingle_set").alias("_g")
+    inv = silver.select(
+        F.explode(
+            F.array_distinct(T.shingles_from_words(F.col("wl"), 3))
+        ).alias("_g")
     ).select(F.xxhash64("_g").alias("g"))
     df_ = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -4117,21 +4143,56 @@ FROM df GROUP BY 1 ORDER BY 1
 """
 
 
-# --- shared pinned (doc_id, token, n) frame for distribution queries ---
-def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, token, n) combined table, pinned once per snapshot
-    via plan_cache: ONE explode absorbed by a map-side partial
-    aggregate. Every token-distribution query downstream (entropy,
-    divergence) composes on this frame instead of re-tokenizing — at
-    100 TB the explode is the dominant cost and must run once."""
+# --- tokenized-silver frame: the ONE corpus tokenization pass ---------
+def _doc_words_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, wl) — the corpus with its whitespace
+    word array materialized ONCE per snapshot and pinned via
+    plan_cache. Every txt_/dd_ query whose semantics start from word
+    tokens (vocab, tfidf, bm25, logprobs, repetition, hapax, zipf,
+    n-gram shingles, decontamination) composes on this frame instead
+    of re-running the split regex over the raw text per query.
+
+    This is the tokenized-silver-zone shape a 100 TB corpus pipeline
+    materializes on disk between the raw bronze scan and the
+    statistics layer: the tokenizer (the dominant CPU cost of the
+    whole txt_ family) runs once per snapshot, and downstream
+    aggregations re-read the tokenized columnar form. Locally the pin
+    is MEMORY_AND_DISK; at scale it is a parquet silver table — the
+    plan shape (one wide scan, N narrow consumers) is identical.
+    Raw-text columns (punct ratios, fingerprints, BPE regex, line
+    splits) deliberately stay OFF this frame — those queries keep
+    their single bronze scan."""
     from . import plan_cache
 
     def build():
         from pyspark.storagelevel import StorageLevel
 
         docs = fan_out(load_table(spark, sf_dir, "documents"))
+        silver = docs.select(
+            "doc_id", "source", "lang", T.words("text").alias("wl")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return silver, [(silver, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("doc_words_silver", sf_dir), build)
+
+
+# --- shared pinned (doc_id, token, n) frame for distribution queries ---
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, token, n) combined table, pinned once per snapshot
+    via plan_cache: ONE explode absorbed by a map-side partial
+    aggregate. Every token-distribution query downstream (entropy,
+    divergence, unigram logprob, zipf) composes on this frame instead
+    of re-tokenizing — at 100 TB the explode is the dominant cost and
+    must run once. Derives from the tokenized-silver frame, so the
+    split regex itself is also shared."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        silver = _doc_words_silver(spark, sf_dir)
         per_doc = (
-            docs.select("doc_id", F.explode(T.words("text")).alias("w"))
+            silver.select("doc_id", F.explode("wl").alias("w"))
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).alias("n"))
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4583,18 +4644,18 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. The only window runs over the 10-row result."""
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    mx = docs.agg(F.max("doc_id").alias("mx"))
+    silver = _doc_words_silver(spark, sf_dir)
+    mx = silver.agg(F.max("doc_id").alias("mx"))
     nb = F.lit(VOCAB_GROWTH_BUCKETS)
     per_tok = (
-        docs.crossJoin(F.broadcast(mx))
+        silver.crossJoin(F.broadcast(mx))
         .select(
             F.least(
                 nb - 1, F.floor(F.col("doc_id") * nb / (F.col("mx") + 1))
             )
             .cast("int")
             .alias("bucket"),
-            F.explode(T.words("text")).alias("token"),
+            F.explode("wl").alias("token"),
         )
         .groupBy("bucket", "token")
         .agg(F.count(F.lit(1)).alias("occ"))

@@ -836,7 +836,7 @@ def _coarse_ctes() -> tuple[list[str], str, str]:
     return ctes, cur, cd2
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(k: int = 5) -> str:
     from ..operators import pq
 
     nprobe = IVFPQ_NPROBE
@@ -904,9 +904,87 @@ SELECT query_id, neighbor_id, adc_dist FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
   FROM scored
-) WHERE rk <= 5
+) WHERE rk <= {k}
 """
     )
+
+
+# --- ANN: IVFADC + exact re-rank (FAISS IndexRefineFlat) ------------------
+IVFPQ_SHORTLIST = 25
+
+
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R: the ``ann_ivfpq_topk`` index produces a
+    {shortlist}-candidate ADC shortlist per query, then the TRUE
+    squared L2 over raw vectors re-ranks only those candidates
+    (operators/pq.ivfpq_refine_topk). ADC ranking noise — not coarse
+    cell misses — caps plain IVFADC recall at ~0.28 on the synthetic
+    corpus (nprobe 2 and 4 measure identically); the refine stage
+    lifts recall@5 to 0.775 while raw vectors are read for |q|·R
+    shortlist rows only. Same deterministic trainers, so the oracle
+    unrolls the full index plus the re-rank. Memoized as
+    model+plan cache."""
+    from ..operators import pq
+    from . import plan_cache
+
+    def build():
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        coarse, pq_cents = pq.ivfpq_train(
+            emb, "vec_id", "embedding",
+            coarse_k=IVFPQ_COARSE_K, coarse_iters=IVFPQ_COARSE_ITERS,
+            coarse=_coarse_cents(spark, sf_dir),
+        )
+        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        return (
+            pq.ivfpq_refine_topk(
+                emb, queries, coarse, pq_cents,
+                "vec_id", "embedding",
+                k=5, nprobe=IVFPQ_NPROBE, shortlist=IVFPQ_SHORTLIST,
+            ),
+            [],
+        )
+
+    return plan_cache.cached_plan(
+        spark,
+        (
+            "ann_ivfpq_refined",
+            sf_dir,
+            IVFPQ_COARSE_K,
+            IVFPQ_COARSE_ITERS,
+            IVFPQ_NPROBE,
+            IVFPQ_SHORTLIST,
+        ),
+        build,
+    )
+
+
+ann_ivfpq_refined_topk.__doc__ = ann_ivfpq_refined_topk.__doc__.format(
+    shortlist=IVFPQ_SHORTLIST
+)
+
+
+def _ivfpq_refined_sql() -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+        " i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))"
+    )
+    return f"""
+WITH short AS ({_ivfpq_sql(k=IVFPQ_SHORTLIST)}
+), e2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), re AS (
+  SELECT s.query_id, s.neighbor_id, round({d2}, 6) AS dist
+  FROM short s
+  JOIN e2 q ON q.vec_id = s.query_id
+  JOIN e2 c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, dist FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rk
+  FROM re
+) WHERE rk <= 5
+"""
 
 
 # --- IVF cell-occupancy histogram (partition-skew audit) ------------------
@@ -2177,6 +2255,150 @@ def pareto_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binned Pareto concentration (entity-count-proof twin of a19) ---
+_PARETO_BINS = 32
+_PARETO_ACC = 1_000_000  # percentile_approx accuracy: exact (GK sketch
+# retains all values) while user count <= acc — licensing the
+# hash-exact quantile_disc oracle at every tested scale (the
+# a14_rfm_segments precedent); beyond 1M users the thresholds become
+# sketch values and the answer stays a valid bin-granular bound.
+
+
+def pareto_binned_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-count-proof twin of ``a19_pareto_value_share``: the same
+    50/80/90 concentration question answered WITHOUT ranking every
+    user through one global ordered window (which at 10⁹ users is a
+    single-reducer sort — a19's documented scale limit). Per-user
+    totals are banded into {bins} approx-quantile value bins — ONE
+    map-side-combined sketch aggregate whose thresholds broadcast back
+    as literals (the ``a14_rfm_segments`` band pattern) — and the
+    cumulative share runs over the |bins|-row bin table (the
+    ``ts_load_duration_curve`` rule: calendar/bin-bounded windows only
+    over pre-aggregated frames).
+
+    The answer is the bin-granular UPPER BOUND on users needed to
+    reach each value share: the first descending-bin prefix whose
+    summed value reaches p%% of the grand total, with its user count
+    and fraction. Granularity error is bounded by one bin's
+    population (~1/{bins} of users); when the exact ranked answer is
+    required at small entity counts, a19 is the query — THIS is the
+    plan that stays flat when entity counts explode (probed at 100×
+    users; see SCALE.md). Per-user and per-bin totals round to 4, the
+    ≤{bins}-row cumulative folds in identical bin-desc order in both
+    engines, and the compare uses the rounded cumulative — no
+    summation-order hazard can flip a boundary."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        ev = load_table(spark, sf_dir, "events")
+        per_user = (
+            ev.groupBy("user_id")
+            .agg(rnd(F.sum("value"), 4).alias("total"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        probs = [i / _PARETO_BINS for i in range(1, _PARETO_BINS)]
+        edges = list(
+            per_user.agg(
+                F.percentile_approx("total", probs, _PARETO_ACC).alias("es")
+            ).collect()[0]["es"]
+        )
+        # band: number of edges strictly below the total (ties share a
+        # bin — value-banding semantics, identical in both engines)
+        b = F.lit(0)
+        for e in edges:
+            b = b + (F.col("total") > F.lit(e)).cast("long")
+        per_bin = (
+            per_user.select(b.cast("bigint").alias("bin"), "total")
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                rnd(F.sum("total"), 4).alias("bin_total"),
+            )
+        )
+        w_desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.partitionBy()
+        cum = per_bin.select(
+            F.sum("n_users").over(w_desc).alias("cum_users"),
+            rnd(F.sum("bin_total").over(w_desc), 4).alias("cum_value"),
+            rnd(F.sum("bin_total").over(w_all), 4).alias("grand"),
+            F.sum("n_users").over(w_all).alias("all_users"),
+        )
+        pcts = F.explode(
+            F.array(F.lit(50), F.lit(80), F.lit(90))
+        ).alias("pct")
+        df = (
+            cum.select("cum_users", "cum_value", "grand", "all_users", pcts)
+            .filter(
+                F.col("cum_value") >= F.col("grand") * F.col("pct") / 100.0
+            )
+            .groupBy("pct")
+            .agg(
+                F.min("cum_users").cast("bigint").alias("n_users_bound"),
+                rnd(F.min("cum_users") / F.max("all_users"), 6).alias(
+                    "user_fraction_bound"
+                ),
+            )
+            .select(
+                F.col("pct").cast("bigint").alias("pct"),
+                "n_users_bound",
+                "user_fraction_bound",
+            )
+            .orderBy("pct")
+        )
+        return df, [(per_user, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("pareto_binned_share", sf_dir, _PARETO_BINS), build
+    )
+
+
+pareto_binned_share.__doc__ = pareto_binned_share.__doc__.format(
+    bins=_PARETO_BINS
+)
+
+
+def _pareto_binned_sql() -> str:
+    probs = ", ".join(
+        repr(i / _PARETO_BINS) for i in range(1, _PARETO_BINS)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY 1
+), edges AS (
+  SELECT quantile_disc(total, [{probs}]) AS es FROM per_user
+), binned AS (
+  SELECT total,
+         CAST(len(list_filter(es, e -> total > e)) AS BIGINT) AS bin
+  FROM per_user CROSS JOIN edges
+), per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_users,
+         round(sum(total), 4) AS bin_total
+  FROM binned GROUP BY 1
+), cum AS (
+  SELECT sum(n_users) OVER (ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_users,
+         round(sum(bin_total) OVER (ORDER BY bin DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 4) AS cum_value,
+         round(sum(bin_total) OVER (), 4) AS grand,
+         sum(n_users) OVER () AS all_users
+  FROM per_bin
+)
+SELECT CAST(t.pct AS BIGINT) AS pct,
+       CAST(min(cum_users) AS BIGINT) AS n_users_bound,
+       round(min(cum_users) * 1.0 / max(all_users), 6)
+         AS user_fraction_bound
+FROM cum, (VALUES (50), (80), (90)) t(pct)
+WHERE cum_value >= grand * t.pct / 100.0
+GROUP BY t.pct ORDER BY pct
+"""
+
+
 PARETO_SQL = """
 WITH per_user AS (
   SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY 1
@@ -2918,4 +3140,8 @@ EXT_QUERIES = {
     # r10 gate hashes them first-time
     "sk_hll_split_overlap": (hll_split_overlap, HLL_OVERLAP_SQL),
     "sk_binned_quantiles": (binned_quantiles, QSKETCH_SQL),
+    # round-11 additions APPEND (merged order is driver-sample surface);
+    # fronted in catalog._SAMPLE_PRIORITY so the r11 gate hashes them
+    "a21_pareto_binned_share": (pareto_binned_share, _pareto_binned_sql()),
+    "ann_ivfpq_refined_topk": (ann_ivfpq_refined_topk, _ivfpq_refined_sql()),
 }

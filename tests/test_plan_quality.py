@@ -274,16 +274,28 @@ def test_bloom_membership_is_shuffle_free_expression(spark):
 
 
 def test_bm25_scans_prune_and_filter_before_aggregate(spark):
-    """BM25 must read only (doc_id, text) — the scorer never touches
-    lang/source/n_chars — and the query-term filter must appear in the
-    plan so the aggregated stream is hit-sized, not corpus-token-sized."""
+    """BM25 composes on the pinned tokenized-silver frame (round 11):
+    every InMemoryTableScan must prune to (doc_id, wl) — the scorer
+    never touches lang/source/text, those columns stay inside the
+    shared silver materialization — and the query-term filter must
+    appear in the plan so the aggregated stream is hit-sized, not
+    corpus-token-sized. (The single parquet ReadSchema belongs to the
+    silver build and deliberately reads the full silver width once.)"""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
     fn, _ = CATALOG["txt_bm25_topk"]
     plan = plan_of(fn(spark, SF))
-    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert reads and all(
-        "lang" not in ln and "source" not in ln and "n_chars" not in ln
-        for ln in reads
-    ), reads
+    lines = plan.splitlines()
+    imts_outputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.startswith("(") and "InMemoryTableScan" in ln
+    ]
+    assert imts_outputs and all(
+        "lang" not in ln and "source" not in ln and "text" not in ln
+        for ln in imts_outputs
+    ), imts_outputs
     assert "Filter" in plan
 
 

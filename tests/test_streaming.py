@@ -1084,3 +1084,176 @@ def test_replay_guard_pre_upgrade_blank_identity_skips_replay(spark, dirs):
         _cms_apply_batch(batch, 3, dirs["table"], "user_id", "p:uuid")
         is False
     )
+
+
+def test_upsert_stream_crash_replay_is_noop(spark, dirs):
+    """foreachBatch is at-least-once: a crash after the upsert applied
+    but before the checkpoint commit replays the batch on restart (here
+    simulated by losing the checkpoint entirely — a superset of the
+    replay window). The key-merge makes the replay a no-op: table
+    contents identical."""
+    import shutil
+
+    b1 = _mk_batch(
+        spark, [(1, 0, 10, "click", 1.0), (2, 30, 11, "view", 2.0)]
+    )
+    b1.write.mode("append").parquet(dirs["landing"])
+    upsert_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        keys=["event_id"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    before = sorted(
+        map(tuple, spark.read.parquet(dirs["table"]).collect())
+    )
+    shutil.rmtree(dirs["ckpt"])  # crash: checkpoint lost post-apply
+    upsert_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        keys=["event_id"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    after = sorted(map(tuple, spark.read.parquet(dirs["table"]).collect()))
+    assert after == before
+
+
+def test_manifest_upsert_stream_crash_replay_is_noop(spark, dirs):
+    """Crash-replay through the manifest-committed K5 sink: the replay
+    re-merges the same keys, publishing a new version whose LIVE
+    content is identical — and the pre-replay version stays readable."""
+    import shutil
+
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+    from energy_data_pipeline_spark.streaming.incremental import (
+        manifest_upsert_stream,
+    )
+
+    b1 = _mk_batch(
+        spark, [(1, 0, 10, "click", 1.0), (2, 30, 11, "view", 2.0)]
+    )
+    b1.write.mode("append").parquet(dirs["landing"])
+    manifest_upsert_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        keys=["event_id"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    before = sorted(
+        map(tuple, mt.manifest_read(spark, dirs["table"]).collect())
+    )
+    v_before = mt.read_manifest(dirs["table"])["version"]
+    shutil.rmtree(dirs["ckpt"])
+    manifest_upsert_stream(
+        read_event_stream(spark, dirs["landing"]),
+        dirs["table"],
+        keys=["event_id"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    after = sorted(
+        map(tuple, mt.manifest_read(spark, dirs["table"]).collect())
+    )
+    assert after == before
+    # the pre-replay version remains readable exactly as committed
+    assert (
+        mt.manifest_read(spark, dirs["table"], version=v_before).count()
+        == 2
+    )
+
+
+def test_corpus_admission_stream_crash_replay_is_noop(spark, tmp_path):
+    """Crash-replay of an ALREADY-ADMITTED corpus micro-batch: the
+    in-stream fp-dedup state died with the checkpoint, so the replayed
+    documents reach the batch admission job — whose corpus-side
+    anti-join settles them as dups. Corpus unchanged, zero admissions."""
+    import datetime as dt
+    import shutil
+
+    from energy_data_pipeline_spark.streaming.incremental import (
+        corpus_admission_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "doc_id long, text string, lang string, source string,"
+        " ingest_ts timestamp"
+    )
+    good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(10))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, good, "en", "web", t0)], schema
+    ).write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        corpus_admission_stream(stream, corpus, ckpt, stats_out=stats)
+
+    drain()
+    assert stats[-1]["admitted"] == 1
+    before = sorted(r.text for r in spark.read.parquet(corpus).collect())
+    shutil.rmtree(ckpt)  # crash after the admission committed
+    drain()
+    assert stats[-1]["admitted"] == 0 and stats[-1]["dup_in_corpus"] == 1
+    after = sorted(r.text for r in spark.read.parquet(corpus).collect())
+    assert after == before
+
+
+def test_neardup_admission_stream_crash_replay_is_noop(spark, tmp_path):
+    """Crash-replay of an already-committed near-dup micro-batch: the
+    replayed docs probe the band index their own commit published and
+    reject at jaccard 1.0 — corpus and index unchanged, zero
+    admissions, group versions stay consistent."""
+    import datetime as dt
+    import shutil
+
+    from energy_data_pipeline_spark.jobs.neardup_ingest import (
+        CORPUS_SUB,
+        INDEX_SUB,
+    )
+    from energy_data_pipeline_spark.sinks import manifest_table
+    from energy_data_pipeline_spark.streaming.incremental import (
+        neardup_admission_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "group")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    other = " ".join(f"k{i} l{i} m{i}" for i in range(15))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, base, t0), (2, other, t0)], schema
+    ).write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        neardup_admission_stream(stream, root, ckpt, stats_out=stats)
+
+    drain()
+    assert stats[-1]["admitted"] == 2
+    corpus_before = {
+        r.doc_id
+        for r in manifest_table.group_read(spark, root, CORPUS_SUB).collect()
+    }
+    idx_before = {
+        r.doc_id
+        for r in manifest_table.group_read(spark, root, INDEX_SUB).collect()
+    }
+    shutil.rmtree(ckpt)  # crash after the group commit
+    drain()
+    assert stats[-1]["admitted"] == 0
+    corpus_after = {
+        r.doc_id
+        for r in manifest_table.group_read(spark, root, CORPUS_SUB).collect()
+    }
+    idx_after = {
+        r.doc_id
+        for r in manifest_table.group_read(spark, root, INDEX_SUB).collect()
+    }
+    assert corpus_after == corpus_before
+    assert idx_after == idx_before
