@@ -111,3 +111,193 @@ def read_dashboard_panel(
     from ..sinks import manifest_table
 
     return manifest_table.group_read(spark, root, panel, version)
+
+
+# --- incremental refresh -------------------------------------------------
+# The full publish re-scans the fact table five times per tick; at
+# 100 TB a dashboard refresh must touch only the NEW day partitions.
+# The incremental variant maintains ONE per-(event_type, day, hour)
+# rollup sub-table in the same commit group: the events scan is
+# day-pruned to days >= the published watermark minus a rework horizon
+# (the reference's "re-fetch the incomplete last day" policy,
+# daily_pv_automation.py:74-126), older rollup rows are KEPT (K4
+# date-range-overwrite semantics), and every panel derives from the
+# merged rollup — a calendar-bounded |days|x24x|types| frame, so the
+# panel math is flat no matter the fact volume. One pointer flip
+# publishes rollup + all five panels together (both-or-neither, same
+# crash semantics as the full publish); a replayed refresh converges
+# to the identical snapshot.
+ROLLUP_SUB = "hourly_rollup"
+
+
+def _panels_from_rollup(rollup: DataFrame) -> dict[str, DataFrame]:
+    """Derive every DASHBOARD_TS_PANELS frame from the hourly rollup,
+    replicating the catalog definitions' column names, rounding points
+    and tie-breaks (the equivalence is pinned by
+    tests/test_jobs.py::test_incremental_refresh_matches_full_recompute
+    — raw-vs-hourly summation reassociation sits below the panels'
+    rnd() grain)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import rnd
+    from ..plans.catalog_timeseries import LDC_PCTS
+
+    hourly = rollup.select("event_type", "day", "hour", "hour_total")
+    w_peak = Window.partitionBy("event_type", "day").orderBy(
+        F.col("hour_total").desc(), F.col("hour").asc()
+    )
+    peak = (
+        hourly.withColumn("_rn", F.row_number().over(w_peak))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "day",
+            F.col("hour").alias("peak_hour"),
+            F.col("hour_total").alias("peak_total"),
+        )
+    )
+    daily = rollup.groupBy("event_type", "day").agg(
+        rnd(F.sum("hour_total_raw"), 4).alias("day_total")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    prev_day = F.lag("day").over(w_ord)
+    prev_total = F.lag("day_total").over(w_ord)
+    dod = daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        prev_day.alias("prev_day"),
+        prev_total.alias("prev_total"),
+        rnd(F.col("day_total") - prev_total, 4).alias("delta"),
+        F.when(
+            prev_total != 0.0,
+            rnd(100.0 * (F.col("day_total") - prev_total) / prev_total, 4),
+        ).alias("pct_change"),
+    )
+    idx = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    w_z = Window.partitionBy("event_type").orderBy(idx).rangeBetween(-14, -1)
+    n = F.count("day_total").over(w_z)
+    s = F.sum("day_total").over(w_z)
+    ss = F.sum(F.col("day_total") * F.col("day_total")).over(w_z)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        n.cast("bigint").alias("n_baseline"),
+        rnd(s / n, 6).alias("baseline_mean"),
+        rnd(
+            F.sqrt(
+                F.greatest(
+                    (ss - s * s / n) / F.greatest(n - 1, F.lit(1)),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("baseline_sd"),
+    ).filter((F.col("n_baseline") >= 7) & (F.col("baseline_sd") > 0.0))
+    z = rnd(
+        (F.col("day_total") - F.col("baseline_mean")) / F.col("baseline_sd"),
+        4,
+    )
+    zscore = scored.select(
+        "event_type",
+        "day",
+        "day_total",
+        "n_baseline",
+        "baseline_mean",
+        "baseline_sd",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+    ldc = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        *[
+            rnd(F.percentile("hour_total", p), 4).alias(
+                f"p{int(round(p * 100)):03d}"
+            )
+            for p in LDC_PCTS
+        ],
+    )
+    po = (
+        rollup.withColumn("is_weekend", F.expr("weekday(day)") >= 5)
+        .withColumn("is_peak", (F.col("hour") >= 8) & (F.col("hour") < 20))
+        .groupBy("event_type", "is_weekend", "is_peak")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            rnd(F.sum("hour_total_raw"), 4).alias("total_value"),
+        )
+        .withColumn(
+            "avg_value", rnd(F.col("total_value") / F.col("n_events"), 4)
+        )
+    )
+    return {
+        "ts_daily_peak_hours": peak,
+        "ts_day_over_day_change": dod,
+        "ts_rolling_zscore_anomalies": zscore,
+        "ts_load_duration_curve": ldc,
+        "ts_peak_offpeak_profile": po,
+    }
+
+
+def refresh_dashboard_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    rework_days: int = 1,
+    compare_and_swap=None,
+) -> dict:
+    """Incremental dashboard refresh: day-pruned events scan → merged
+    hourly rollup → all five panels → ONE group commit (see the module
+    section comment for the 100 TB shape). ``rework_days`` is the
+    recompute horizon counted back from the published watermark day
+    (>=1: the watermark day itself is always recomputed — it may have
+    been incomplete at the previous tick). First call on an empty root
+    publishes the full snapshot through the same path. Returns the
+    committed manifest."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.rounding import rnd
+    from ..sinks import manifest_table
+    from ..sources import load_table
+
+    if rework_days < 1:
+        raise ValueError("rework_days must be >= 1")
+    ev = load_table(spark, sf_dir, "events")
+    prev = None
+    if manifest_table.read_manifest(root) is not None:
+        prev = manifest_table.group_read(spark, root, ROLLUP_SUB)
+    cutoff = None
+    if prev is not None:
+        wm_row = prev.agg(F.max("day").alias("wm")).collect()[0]  # 1 row
+        if wm_row["wm"] is not None:
+            import datetime as _dt
+
+            cutoff = wm_row["wm"] - _dt.timedelta(days=rework_days - 1)
+    if cutoff is not None:
+        # day-pruned fact scan: the ONLY event-volume work per tick
+        ev = ev.filter(
+            F.col("ts") >= F.lit(cutoff.isoformat()).cast("timestamp_ntz")
+        )
+    delta = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.sum("value").alias("hour_total_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).withColumn("hour_total", rnd(F.col("hour_total_raw"), 4))
+    if prev is not None and cutoff is not None:
+        kept = prev.filter(F.col("day") < F.lit(cutoff.isoformat()))
+        rollup = kept.unionByName(delta.select(*prev.columns))
+    else:
+        rollup = delta
+    rollup = rollup.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        frames = {ROLLUP_SUB: rollup, **_panels_from_rollup(rollup)}
+        return manifest_table.group_overwrite(
+            frames, root, compare_and_swap=compare_and_swap
+        )
+    finally:
+        rollup.unpersist(blocking=False)

@@ -405,7 +405,11 @@ _JPEG_IDCT_A = np.array(
 
 class _JpegBitReader:
     """MSB-first bit reader over one entropy-coded segment (byte
-    stuffing already stripped)."""
+    stuffing already stripped). ``peek16``/``skip`` support the
+    LUT-based Huffman fast path; ``read_bits`` extracts a whole field
+    in one int conversion instead of a per-bit loop (the per-bit walk
+    was the decode throughput floor — ~1.7M ``read_bit`` calls per ten
+    64×64 images in the round-10 profile)."""
 
     __slots__ = ("data", "pos", "bit")
 
@@ -424,10 +428,31 @@ class _JpegBitReader:
             self.pos += 1
         return b
 
+    def bits_remaining(self) -> int:
+        return (len(self.data) - self.pos) * 8 - self.bit
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming, zero-padded past the end —
+        a LUT hit longer than ``bits_remaining()`` must not be
+        accepted (the padding could forge a code)."""
+        chunk = self.data[self.pos : self.pos + 3]
+        v = int.from_bytes(chunk, "big") << (8 * (3 - len(chunk)))
+        return (v >> (8 - self.bit)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        total = self.bit + n
+        self.pos += total >> 3
+        self.bit = total & 7
+
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if n > self.bits_remaining():
+            raise ValueError("truncated entropy-coded segment")
+        nbytes = (self.bit + n + 7) >> 3
+        v = int.from_bytes(self.data[self.pos : self.pos + nbytes], "big")
+        v = (v >> (nbytes * 8 - self.bit - n)) & ((1 << n) - 1)
+        self.skip(n)
         return v
 
 
@@ -439,7 +464,37 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+class _JpegHuffTable(dict):
+    """DHT table as ``{(length, code): symbol}`` PLUS a peek-16 LUT
+    for O(1) decode: every 16-bit window whose prefix is a valid code
+    maps to (symbol, code length); 0 length marks an invalid prefix.
+    Canonical Huffman codes are prefix-free, so filling each code's
+    ``2^(16-length)``-wide slice covers the space without overlap."""
+
+    __slots__ = ("lut_len", "lut_sym")
+
+    def __init__(self, mapping: dict[tuple[int, int], int]):
+        super().__init__(mapping)
+        self.lut_len = np.zeros(1 << 16, dtype="u1")
+        self.lut_sym = np.zeros(1 << 16, dtype="u1")
+        for (length, code), sym in mapping.items():
+            start = code << (16 - length)
+            end = (code + 1) << (16 - length)
+            self.lut_len[start:end] = length
+            self.lut_sym[start:end] = sym
+
+
 def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    lut_len = getattr(table, "lut_len", None)
+    if lut_len is not None:
+        v = reader.peek16()
+        length = lut_len[v]
+        # accept only when the matched code fits in the REAL remaining
+        # bits — peek16's zero padding must never forge a code; the
+        # slow walk below reproduces exact truncation/invalid errors
+        if length and length <= reader.bits_remaining():
+            reader.skip(int(length))
+            return int(table.lut_sym[v])
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
@@ -667,7 +722,7 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
                         code += 1
                         i += 1
                     code <<= 1
-                huffman[(tc, th)] = table
+                huffman[(tc, th)] = _JpegHuffTable(table)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
             prec = data[0]
@@ -1022,7 +1077,10 @@ def _decode_gif_features(payload: bytes, dim: int) -> np.ndarray:
 
 
 class _VP8LBits:
-    """LSB-first bit reader over bytes (VP8L convention)."""
+    """LSB-first bit reader over bytes (VP8L convention). ``read``
+    extracts the whole field in one int conversion; ``peek15``
+    supports the LUT-based prefix-code fast path (15 = the spec's
+    maximum code length), zero-padded past the end of the stream."""
 
     __slots__ = ("data", "pos", "nbits")
 
@@ -1034,20 +1092,29 @@ class _VP8LBits:
     def read(self, n: int) -> int:
         if self.pos + n > self.nbits:
             raise ValueError("truncated VP8L stream")
-        v = 0
-        for i in range(n):
-            p = self.pos + i
-            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
+        if n == 0:
+            return 0
+        byte = self.pos >> 3
+        nbytes = ((self.pos & 7) + n + 7) >> 3
+        v = int.from_bytes(self.data[byte : byte + nbytes], "little")
+        v = (v >> (self.pos & 7)) & ((1 << n) - 1)
         self.pos += n
         return v
 
+    def peek15(self) -> int:
+        byte = self.pos >> 3
+        v = int.from_bytes(self.data[byte : byte + 3], "little")
+        return (v >> (self.pos & 7)) & 0x7FFF
+
 
 class _VP8LCode:
-    """Canonical prefix code (DEFLATE-style assignment); decode reads
-    the code MSB-first, one bit at a time, against a (length, code) →
-    symbol table. Dict-based — correctness-first builtin kernel."""
+    """Canonical prefix code (DEFLATE-style assignment). Decode goes
+    through a peek-15 LUT (codes arrive MSB-first from the LSB-first
+    stream, so each code fills the LUT at its BIT-REVERSED value with
+    stride ``2^len``); the bit-at-a-time dict walk remains as the
+    tail/error path so truncation semantics are unchanged."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "lut_len", "lut_sym")
 
     def __init__(self, lengths: list[int]):
         syms = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -1056,6 +1123,7 @@ class _VP8LCode:
         if len(syms) == 1:
             self.single = syms[0][1]
             self.table = {}
+            self.lut_len = self.lut_sym = None
             return
         self.single = None
         # Kraft check, then canonical assignment sorted by (len, sym)
@@ -1070,10 +1138,23 @@ class _VP8LCode:
             prev_len = ln
             self.table[(ln, code)] = s
             code += 1
+        self.lut_len = np.zeros(1 << 15, dtype="u1")
+        self.lut_sym = np.zeros(1 << 15, dtype="u2")  # alphabets > 255
+        for (ln, c), s in self.table.items():
+            rev = int(f"{c:0{ln}b}"[::-1], 2)
+            self.lut_len[rev :: 1 << ln] = ln
+            self.lut_sym[rev :: 1 << ln] = s
 
     def decode(self, br: _VP8LBits) -> int:
         if self.single is not None:
             return self.single
+        v = br.peek15()
+        ln = self.lut_len[v]
+        # accept only when the code fits in the REAL remaining bits —
+        # peek15's zero padding must never forge a code
+        if ln and br.pos + ln <= br.nbits:
+            br.pos += int(ln)
+            return int(self.lut_sym[v])
         acc = 0
         for ln in range(1, 16):
             acc = (acc << 1) | br.read(1)

@@ -843,3 +843,137 @@ def test_zorder_key_pre_epoch_days_stay_in_range(spark):
         ).collect()
     ]
     assert all(0 <= k < 1 << (2 * _Z_BITS) for k in keys), keys
+
+
+def _split_events_dirs(spark, sf_small, tmp_path):
+    """Build two sf-dirs: one truncated at a mid-corpus day boundary,
+    one with the full events table (new data strictly appends later
+    days — the incremental contract)."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    cut = days[len(days) // 2]
+    early_dir = str(tmp_path / "sf_early")
+    full_dir = str(tmp_path / "sf_full")
+    ev.filter(F.to_date("ts") <= F.lit(cut.isoformat())).write.parquet(
+        f"{early_dir}/events.parquet"
+    )
+    ev.write.parquet(f"{full_dir}/events.parquet")
+    return early_dir, full_dir, cut
+
+
+def test_incremental_refresh_matches_full_recompute(spark, sf_small, tmp_path):
+    """Two-tick incremental refresh (publish at day D, append later
+    days, refresh) must publish panels IDENTICAL to the catalog's full
+    recompute over the complete fact table — the equivalence that
+    licenses day-pruned refresh at 100 TB. Also: the rollup scan for
+    tick 2 must only touch days >= D (watermark semantics), which the
+    rollup row count pins."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs.analytics import (
+        DASHBOARD_TS_PANELS,
+        ROLLUP_SUB,
+        read_dashboard_panel,
+        refresh_dashboard_incremental,
+    )
+    from energy_data_pipeline_spark.plans.catalog import CATALOG
+    from energy_data_pipeline_spark.sinks import manifest_table
+
+    early_dir, full_dir, cut = _split_events_dirs(spark, sf_small, tmp_path)
+    root = str(tmp_path / "dash")
+    refresh_dashboard_incremental(spark, early_dir, root)
+    v1 = manifest_table.read_manifest(root)["version"]
+    # tick 2: later days appended; refresh re-scans only days >= cut
+    refresh_dashboard_incremental(spark, full_dir, root)
+    assert manifest_table.read_manifest(root)["version"] > v1
+    for panel in DASHBOARD_TS_PANELS:
+        got = {
+            tuple(r)
+            for r in read_dashboard_panel(spark, root, panel).collect()
+        }
+        want = {
+            tuple(r) for r in CATALOG[panel][0](spark, full_dir).collect()
+        }
+        assert got == want, f"{panel}: incremental != full recompute"
+    # the merged rollup holds every (type, day, hour) of the full fact
+    rollup = manifest_table.group_read(spark, root, ROLLUP_SUB)
+    from energy_data_pipeline_spark.sources import load_table
+
+    want_keys = {
+        tuple(r)
+        for r in load_table(spark, full_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .distinct()
+        .collect()
+    }
+    got_keys = {
+        tuple(r)
+        for r in rollup.select("event_type", "day", "hour").collect()
+    }
+    assert got_keys == want_keys
+
+
+def test_incremental_refresh_replay_and_crash_are_safe(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """Fault injection on the incremental refresh: a crash at the
+    pointer flip publishes NOTHING (previous dashboard stays live,
+    panel-consistent), the retry succeeds, and a replayed refresh with
+    no new data converges to identical panel contents."""
+    import pytest as _pytest
+
+    from energy_data_pipeline_spark.jobs.analytics import (
+        DASHBOARD_TS_PANELS,
+        read_dashboard_panel,
+        refresh_dashboard_incremental,
+    )
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    early_dir, full_dir, _cut = _split_events_dirs(spark, sf_small, tmp_path)
+    root = str(tmp_path / "dash")
+    refresh_dashboard_incremental(spark, early_dir, root)
+    v1 = mt.read_manifest(root)["version"]
+    before = {
+        p: {tuple(r) for r in read_dashboard_panel(spark, root, p).collect()}
+        for p in DASHBOARD_TS_PANELS
+    }
+
+    def boom(*a, **k):
+        raise OSError("injected crash at pointer flip")
+
+    with _pytest.raises(OSError, match="injected crash"):
+        refresh_dashboard_incremental(
+            spark, full_dir, root, compare_and_swap=boom
+        )
+    # nothing published: same version, every panel exactly as before
+    assert mt.read_manifest(root)["version"] == v1
+    for p in DASHBOARD_TS_PANELS:
+        now = {
+            tuple(r) for r in read_dashboard_panel(spark, root, p).collect()
+        }
+        assert now == before[p]
+    # retry succeeds
+    refresh_dashboard_incremental(spark, full_dir, root)
+    v2 = mt.read_manifest(root)["version"]
+    after = {
+        p: {tuple(r) for r in read_dashboard_panel(spark, root, p).collect()}
+        for p in DASHBOARD_TS_PANELS
+    }
+    # replay with no new data: new version, identical contents
+    refresh_dashboard_incremental(spark, full_dir, root)
+    assert mt.read_manifest(root)["version"] > v2
+    for p in DASHBOARD_TS_PANELS:
+        replayed = {
+            tuple(r) for r in read_dashboard_panel(spark, root, p).collect()
+        }
+        assert replayed == after[p]

@@ -10,46 +10,15 @@ from energy_data_pipeline_spark.plans.catalog import CATALOG
 from .oracle_harness import compare, duck_connection
 
 # Queries the DRIVER's 50-query correctness sample has never hashed in
-# any round (union of CORRECTNESS_r01-r09 keys vs the catalog; r09
-# hashed its full 50-slot sample green, leaving only the round-9
-# session-2 additions below) — their green status rests on this suite
-# plus scripts/full_sweep.py, so they carry the `parity_extended`
-# marker: `pytest -m parity_extended` re-runs exactly these after a
-# refactor. Round 10 fronts ALL 19 in the 50-slot sample window
-# (plans/catalog.py _SAMPLE_PRIORITY), so after the r10 driver run this
-# set should drop to empty and external verification closes at 171/171.
+# any round (union of CORRECTNESS_r01-r10 keys vs the catalog). Round
+# 10 closed the union at 181/181, so only the round-11 additions
+# remain — fronted in plans/catalog.py _SAMPLE_PRIORITY so their first
+# external hash lands in the r11 gate. Until then their green status
+# rests on this suite plus scripts/full_sweep.py (`pytest -m
+# parity_extended` re-runs exactly these after a refactor).
 NEVER_DRIVER_SAMPLED = {
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_delay_priority_audit",
-    "q16_part_supplier_variety",
-    "q20_candidate_suppliers",
-    "q21_sole_slow_shipper",
-    "st_event_transition_matrix",
-    "cdc_scd2_type_history",
-    "txt_token_entropy",
-    "txt_js_divergence_sources",
-    "lay_zorder_compaction_plan",
-    "sk_hll_distinct_report",
-    "sk_cms_heavy_hitters",
-    "a18_type_day_rollup",
-    "emb_covariance_matrix",
-    "sk_hll_daily_users",
-    "a19_pareto_value_share",
-    "ts_seasonality_strength",
-    # round-10 continuation additions (fronted in _SAMPLE_PRIORITY for
-    # their first external hash this round)
-    "sk_hll_split_overlap",
-    "sk_binned_quantiles",
-    "ts_ewma_daily",
-    "ts_cross_correlation",
-    "emb_pca_projection",
-    "ts_mad_robust_outliers",
-    "txt_vocab_growth",
-    "dd_source_overlap_matrix",
-    "ts_linear_trend",
-    "a20_benford_digit_profile",
+    "a21_pareto_binned_share",
+    "ann_ivfpq_refined_topk",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
