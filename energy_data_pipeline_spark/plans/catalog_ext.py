@@ -756,6 +756,36 @@ IVFPQ_COARSE_ITERS = 1
 IVFPQ_NPROBE = ivf.N_PROBE
 
 
+def _ivfpq_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """The trained IVFADC model (coarse centroids + residual PQ
+    codebooks), memoized once per session — `ann_ivfpq_topk` and
+    `ann_ivfpq_refined_topk` share ONE training (the residual PQ
+    training is a pure deterministic function of the snapshot: the
+    model-caching category)."""
+    from ..operators import pq
+
+    coarse = _coarse_cents(spark, sf_dir)
+    pq_cents = _memo_model(
+        spark,
+        (
+            "ivfpq_resid_cents",
+            sf_dir,
+            IVFPQ_COARSE_K,
+            IVFPQ_COARSE_ITERS,
+            pq.PQ_M,
+            pq.PQ_K,
+            pq.PQ_ITERS,
+        ),
+        lambda: pq.ivfpq_train(
+            fan_out(load_table(spark, sf_dir, "embeddings")),
+            "vec_id", "embedding",
+            coarse_k=IVFPQ_COARSE_K, coarse_iters=IVFPQ_COARSE_ITERS,
+            coarse=coarse,
+        )[1],
+    )
+    return coarse, pq_cents
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV — FAISS's ``IVFx,PQy`` workhorse):
     a Lloyd coarse quantizer prunes the search to ``nprobe`` cells, ONE
@@ -772,11 +802,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        coarse, pq_cents = pq.ivfpq_train(
-            emb, "vec_id", "embedding",
-            coarse_k=IVFPQ_COARSE_K, coarse_iters=IVFPQ_COARSE_ITERS,
-            coarse=_coarse_cents(spark, sf_dir),
-        )
+        coarse, pq_cents = _ivfpq_model(spark, sf_dir)
         queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
         return (
             pq.ivfpq_topk(
@@ -929,11 +955,7 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        coarse, pq_cents = pq.ivfpq_train(
-            emb, "vec_id", "embedding",
-            coarse_k=IVFPQ_COARSE_K, coarse_iters=IVFPQ_COARSE_ITERS,
-            coarse=_coarse_cents(spark, sf_dir),
-        )
+        coarse, pq_cents = _ivfpq_model(spark, sf_dir)
         queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
         return (
             pq.ivfpq_refine_topk(
