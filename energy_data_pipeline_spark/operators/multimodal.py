@@ -475,13 +475,18 @@ class _JpegHuffTable(dict):
 
     def __init__(self, mapping: dict[tuple[int, int], int]):
         super().__init__(mapping)
-        self.lut_len = np.zeros(1 << 16, dtype="u1")
-        self.lut_sym = np.zeros(1 << 16, dtype="u1")
+        lut_len = np.zeros(1 << 16, dtype="u1")
+        lut_sym = np.zeros(1 << 16, dtype="u1")
         for (length, code), sym in mapping.items():
             start = code << (16 - length)
             end = (code + 1) << (16 - length)
-            self.lut_len[start:end] = length
-            self.lut_sym[start:end] = sym
+            lut_len[start:end] = length
+            lut_sym[start:end] = sym
+        # bytes, not ndarrays: scalar indexing of bytes returns a plain
+        # int at C speed — numpy scalar indexing costs ~3x per lookup
+        # in this per-symbol hot path
+        self.lut_len = lut_len.tobytes()
+        self.lut_sym = lut_sym.tobytes()
 
 
 def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
@@ -493,8 +498,8 @@ def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict[tuple[int, int], in
         # bits — peek16's zero padding must never forge a code; the
         # slow walk below reproduces exact truncation/invalid errors
         if length and length <= reader.bits_remaining():
-            reader.skip(int(length))
-            return int(table.lut_sym[v])
+            reader.skip(length)
+            return table.lut_sym[v]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
@@ -1138,12 +1143,16 @@ class _VP8LCode:
             prev_len = ln
             self.table[(ln, code)] = s
             code += 1
-        self.lut_len = np.zeros(1 << 15, dtype="u1")
-        self.lut_sym = np.zeros(1 << 15, dtype="u2")  # alphabets > 255
+        lut_len = np.zeros(1 << 15, dtype="u1")
+        lut_sym = np.zeros(1 << 15, dtype="u2")  # alphabets > 255
         for (ln, c), s in self.table.items():
             rev = int(f"{c:0{ln}b}"[::-1], 2)
-            self.lut_len[rev :: 1 << ln] = ln
-            self.lut_sym[rev :: 1 << ln] = s
+            lut_len[rev :: 1 << ln] = ln
+            lut_sym[rev :: 1 << ln] = s
+        # bytes/list, not ndarrays: plain-int scalar indexing in the
+        # per-symbol hot path (numpy scalar indexing costs ~3x)
+        self.lut_len = lut_len.tobytes()
+        self.lut_sym = lut_sym.tolist()
 
     def decode(self, br: _VP8LBits) -> int:
         if self.single is not None:
@@ -1153,8 +1162,8 @@ class _VP8LCode:
         # accept only when the code fits in the REAL remaining bits —
         # peek15's zero padding must never forge a code
         if ln and br.pos + ln <= br.nbits:
-            br.pos += int(ln)
-            return int(self.lut_sym[v])
+            br.pos += ln
+            return self.lut_sym[v]
         acc = 0
         for ln in range(1, 16):
             acc = (acc << 1) | br.read(1)

@@ -76,7 +76,15 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="probe11_")
     results: dict[str, float] = {}
     try:
-        for label, n_users in (("10k", 10_000), ("1m", 1_000_000)):
+        for label, n_users in (
+            ("10k", 10_000),
+            ("1m", 1_000_000),
+            # profile-sized point: every event its own user, so the
+            # post-aggregate stage sees a 12M-row profile — where the
+            # unpartitioned ranked window's single-reducer sort is the
+            # cost and the sketch+bin path is not
+            ("12m", N_EVENTS),
+        ):
             d = os.path.join(base, f"ev_{label}")
             os.makedirs(d)
             synth_events_users(spark, N_EVENTS, n_users).write.parquet(
@@ -104,6 +112,12 @@ def main() -> None:
         ),
         "a21_100x_users": round(
             results["a21_1m_users"] / results["a21_10k_users"], 2
+        ),
+        "a19_1200x_users": round(
+            results["a19_12m_users"] / results["a19_10k_users"], 2
+        ),
+        "a21_1200x_users": round(
+            results["a21_12m_users"] / results["a21_10k_users"], 2
         ),
     }
     out_path = os.path.join(
