@@ -1979,7 +1979,10 @@ def _vp8l_emit_code(wr: _VP8LWriter, lengths: list[int]) -> dict[int, tuple[int,
     16/17/18 repeats, which is valid if verbose) and return the
     canonical symbol table for payload emission."""
     present = [s for s, ln in enumerate(lengths) if ln > 0]
-    if len(present) <= 2:
+    # simple form carries symbols in at most 8 bits — a symbol >= 256
+    # (LZ77 length / cache-hit green symbols) CANNOT ride it; the
+    # hypothesis fuzz caught this encoder writing (280+i) & 0xFF
+    if len(present) <= 2 and all(s <= 255 for s in present):
         wr.write(1, 1)  # simple
         wr.write(len(present) - 1, 1)
         first_8bit = 1 if present[0] > 1 else 0
@@ -1989,6 +1992,11 @@ def _vp8l_emit_code(wr: _VP8LWriter, lengths: list[int]) -> dict[int, tuple[int,
             wr.write(present[1], 8)
             return {present[0]: (0, 1), present[1]: (1, 1)}
         return {present[0]: (0, 0)}
+    # a single-symbol code with sym > 255 is unreachable (the first
+    # pixel is always a literal, so green always has a <=255 symbol;
+    # every other alphabet is <=255-wide) — the full form below would
+    # desync on it (decoder reads zero bits for single-symbol codes)
+    assert len(present) >= 2, present
     wr.write(0, 1)  # full
     cl_freq: dict[int, int] = {}
     for ln in lengths:
