@@ -399,6 +399,59 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+# --- soft dedup: downweight duplicates instead of dropping them ---
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup sampling weights: every document KEPT, near-dup
+    cluster members downweighted to 1/cluster_size, so the expected
+    token mass per unique content is constant under weighted sampling
+    — the gentler alternative to ``dd_dedup_purged_corpus``'s hard
+    purge when duplicates still carry signal (quotation variants,
+    boilerplate-wrapped originals); composes directly with
+    ``smp_weighted_sample``'s Efraimidis–Spirakis draw.
+
+    Shape & scale: cluster labels are the memoized CC index
+    (``_cc_labels`` — membership-sized, computed once per process);
+    sizes are one aggregate over that frame; the corpus joins the
+    label and size tables keyed on doc_id/cluster_id — shuffled,
+    un-hinted (dup mass can be 30-50%% of a crawl; AQE broadcasts when
+    the label side measures small). Absent labels are singletons
+    (size 1, weight 1.0). Weight rounds at 6."""
+    labels = _cc_labels(spark, sf_dir).select(
+        F.col("vertex").alias("doc_id"), "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cs = F.coalesce(F.col("_n"), F.lit(1)).cast("bigint")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            cs.alias("cluster_size"),
+            rnd(F.lit(1.0) / cs, 6).alias("sample_weight"),
+        )
+    )
+
+
+def _soft_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_reach_ctes()}, clusters AS (
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+), sizes AS (
+  SELECT cluster_id, count(*) AS n FROM clusters GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+       round(1.0 / coalesce(s.n, 1), 6) AS sample_weight
+FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
 # --- split-leakage audit: near-dup pairs crossing splits ---
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split_a, split_b, n_pairs) — how many near-dup pairs land
@@ -4928,4 +4981,6 @@ CORPUS_QUERIES = {
     # round-10 session-2 additions APPEND (merged order is sample surface)
     "txt_vocab_growth": (vocab_growth, VOCAB_GROWTH_SQL),
     "dd_source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
+    # round-11 additions APPEND (merged order is sample surface)
+    "dd_soft_dedup_weights": (soft_dedup_weights, _soft_dedup_sql()),
 }

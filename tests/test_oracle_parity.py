@@ -19,6 +19,7 @@ from .oracle_harness import compare, duck_connection
 NEVER_DRIVER_SAMPLED = {
     "a21_pareto_binned_share",
     "ann_ivfpq_refined_topk",
+    "dd_soft_dedup_weights",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
