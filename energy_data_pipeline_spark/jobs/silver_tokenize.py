@@ -1,0 +1,92 @@
+"""Tokenized-silver materialization — the DISK form of the catalog's
+pinned word-array frame (`plans/catalog_corpus._doc_words_silver`).
+
+At 100 TB the silver zone is not a cache: it is a parquet table
+between the raw bronze corpus and the statistics layer, maintained
+incrementally as documents land — tokenize ONCE per document ever,
+not once per snapshot per process. This job is that maintenance step:
+
+- new documents anti-join against the silver table's doc_ids, so a
+  redelivered batch (at-least-once ingest, crash replay) tokenizes
+  nothing and converges to a no-op;
+- the tokenization is the same ``functions.text.words`` expression the
+  catalog uses (ONE definition of a token repo-wide);
+- the append publishes through the manifest commit (one atomic pointer
+  flip; a crash leaves the previous version live and only invisible
+  orphans on disk).
+
+A deployment that reads statistics from the silver table instead of
+re-tokenizing bronze points the catalog's loader at this table; the
+catalog's in-process pinned frame remains the oracle-checked local
+form (same schema, same tokenizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sinks import manifest_table
+
+SILVER_COLUMNS = ("doc_id", "source", "lang", "wl")
+
+
+def _tokenize(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "source", "lang", T.words("text").alias("wl")
+    )
+
+
+def tokenize_silver_job(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_path: str,
+    compare_and_swap=None,
+) -> dict:
+    """Incrementally fold a document batch into the silver table.
+
+    Returns {"arrived", "tokenized", "skipped", "version"}; replayed
+    or overlapping batches skip already-tokenized doc_ids via the
+    anti-join (idempotent), and batch-internal doc_id duplicates keep
+    one row. The ONLY per-batch work is tokenizing the genuinely new
+    documents — the silver table itself is never rewritten, only
+    appended through one manifest pointer flip."""
+    batch = new_docs.select("doc_id", "source", "lang", "text").dropDuplicates(
+        ["doc_id"]
+    )
+    arrived = batch.count()
+    if manifest_table.read_manifest(table_path) is not None:
+        existing_ids = manifest_table.manifest_read(
+            spark, table_path
+        ).select("doc_id")
+        fresh = batch.join(existing_ids, "doc_id", "left_anti")
+    else:
+        fresh = batch
+    silver_rows = _tokenize(fresh)
+    tokenized = silver_rows.count()
+    if tokenized == 0:
+        m = manifest_table.read_manifest(table_path)
+        return {
+            "arrived": arrived,
+            "tokenized": 0,
+            "skipped": arrived,
+            "version": m["version"] if m else None,
+        }
+    m = manifest_table.manifest_append(
+        silver_rows, table_path, compare_and_swap=compare_and_swap
+    )
+    return {
+        "arrived": arrived,
+        "tokenized": tokenized,
+        "skipped": arrived - tokenized,
+        "version": m["version"],
+    }
+
+
+def read_silver(spark: SparkSession, table_path: str) -> DataFrame:
+    """Snapshot-isolated read of the published silver table
+    (doc_id, source, lang, wl)."""
+    return manifest_table.manifest_read(spark, table_path).select(
+        *SILVER_COLUMNS
+    )

@@ -977,3 +977,65 @@ def test_incremental_refresh_replay_and_crash_are_safe(
             tuple(r) for r in read_dashboard_panel(spark, root, p).collect()
         }
         assert replayed == after[p]
+
+
+def test_tokenize_silver_job_incremental_and_idempotent(spark, tmp_path):
+    """Silver-zone maintenance: batch 1 tokenizes everything; a crash
+    REPLAY of batch 1 tokenizes nothing (anti-join no-op); a mixed
+    batch tokenizes only the genuinely new documents; wl matches the
+    catalog's tokenizer exactly; a crash at the pointer flip publishes
+    nothing."""
+    import pytest as _pytest
+
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        read_silver,
+        tokenize_silver_job,
+    )
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    table = str(tmp_path / "silver")
+    schema = "doc_id long, source string, lang string, text string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "web", "en", "alpha  beta\tgamma"),
+            (2, "web", "en", " leading and trailing "),
+            (2, "web", "en", " leading and trailing "),  # in-batch dup
+        ],
+        schema,
+    )
+    s = tokenize_silver_job(spark, b1, table)
+    assert (s["arrived"], s["tokenized"], s["skipped"]) == (2, 2, 0)
+    got = {r["doc_id"]: r["wl"] for r in read_silver(spark, table).collect()}
+    assert got[1] == ["alpha", "beta", "gamma"]
+    assert got[2] == ["leading", "and", "trailing"]
+
+    # crash replay of the SAME batch: no-op, version unchanged
+    v1 = mt.read_manifest(table)["version"]
+    s = tokenize_silver_job(spark, b1, table)
+    assert (s["tokenized"], s["skipped"]) == (0, 2)
+    assert mt.read_manifest(table)["version"] == v1
+
+    # mixed batch: one known doc, two new — only the new tokenize
+    b2 = spark.createDataFrame(
+        [
+            (2, "web", "en", " leading and trailing "),
+            (3, "api", "de", "neu hier"),
+            (4, "api", "de", "auch neu"),
+        ],
+        schema,
+    )
+    s = tokenize_silver_job(spark, b2, table)
+    assert (s["arrived"], s["tokenized"], s["skipped"]) == (3, 2, 1)
+    assert read_silver(spark, table).count() == 4
+
+    # crash at the pointer flip: nothing published
+    def boom(*a, **k):
+        raise OSError("injected crash at pointer flip")
+
+    b3 = spark.createDataFrame([(5, "web", "en", "ghost doc")], schema)
+    with _pytest.raises(OSError, match="injected crash"):
+        tokenize_silver_job(spark, b3, table, compare_and_swap=boom)
+    assert read_silver(spark, table).count() == 4
+    # retry lands it
+    s = tokenize_silver_job(spark, b3, table)
+    assert s["tokenized"] == 1 and read_silver(spark, table).count() == 5
