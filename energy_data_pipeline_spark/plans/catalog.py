@@ -49,6 +49,7 @@ _SAMPLE_PRIORITY = [
     "a21_pareto_binned_share",
     "ann_ivfpq_refined_topk",
     "dd_soft_dedup_weights",
+    "txt_bpe_merge_candidates",
     # round-10 continuation: brand-new entries front the window so
     # their first external hash lands this round
     "sk_hll_split_overlap",

@@ -1444,6 +1444,72 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+# --- first BPE merge iteration (tokenizer-training statistic) ---
+BPE_TOPK = 30
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016 — the algorithm
+    every GPT/Llama-style tokenizer trains with): adjacent
+    character-pair frequencies over the corpus vocabulary, weighted by
+    word occurrence counts. The top pair IS the first merge; a trainer
+    loops this statistic once per merge round.
+
+    Shape & scale: composes on the shared (doc, token, n) frame → the
+    |vocab|-sized word-frequency table; pair enumeration explodes
+    2-char substrings of VOCAB words only (never the corpus token
+    stream), so the heavy input is |vocab| × avg_word_len rows
+    regardless of corpus size, and the final cut is
+    TakeOrderedAndProject with a (count desc, pair asc) tie-break —
+    deterministic across engines. ``n_sites`` counts vocabulary
+    positions (a pair occurring twice in one word counts twice)."""
+    vocab = (
+        _doc_token_counts(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.sum("n").alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("bigint").alias("pair_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest({DUCK_WORDS.format(col='text')}) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS freq FROM toks GROUP BY 1
+), pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i, 2))) AS pair
+  FROM vocab WHERE length(w) >= 2
+)
+SELECT pair,
+       CAST(sum(freq) AS BIGINT) AS pair_count,
+       CAST(count(*) AS BIGINT) AS n_sites
+FROM pairs GROUP BY 1
+ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOPK}
+"""
+
+
 # --- hot n-gram table (boilerplate detection input) ---
 NGRAM_TOPK = 25
 
@@ -4983,4 +5049,5 @@ CORPUS_QUERIES = {
     "dd_source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
     # round-11 additions APPEND (merged order is sample surface)
     "dd_soft_dedup_weights": (soft_dedup_weights, _soft_dedup_sql()),
+    "txt_bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_SQL),
 }

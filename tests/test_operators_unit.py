@@ -4803,3 +4803,107 @@ class TestHttpConditionalPutCas:
                 (i + 1, f"w{i}") for i in range(n_writers)
             }
             assert mt.read_manifest(table)["version"] == n_writers
+
+
+class TestBpeTrain:
+    """Distributed BPE trainer vs an independent reference
+    implementation (leftmost non-overlapping scan, count-desc /
+    pair-asc tie-break, count>=2 cutoff)."""
+
+    @staticmethod
+    def _ref_bpe(vocab: dict, n_merges: int):
+        syms = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            counts: dict = {}
+            for w, f in vocab.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = (
+                        counts.get((s[i], s[i + 1]), 0) + f
+                    )
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if c < 2:
+                break
+            merges.append((a, b))
+            for w in syms:
+                s = syms[w]
+                out = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges, syms
+
+    def _run_both(self, spark, vocab: dict, n_merges: int):
+        from energy_data_pipeline_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(vocab.items()), "w string, freq long"
+        )
+        merges, final = bpe.bpe_train(df, n_merges, checkpoint_every=3)
+        got = {r["w"]: list(r["syms"]) for r in final.collect()}
+        final.unpersist()
+        want_merges, want_syms = self._ref_bpe(vocab, n_merges)
+        return merges, got, want_merges, want_syms
+
+    def test_classic_sennrich_example(self, spark):
+        vocab = {"lowlow": 5, "lowerlower": 2, "newest": 6, "widest": 3}
+        merges, got, want_merges, want_syms = self._run_both(
+            spark, vocab, 6
+        )
+        assert merges == want_merges
+        assert got == want_syms
+        # merged symbols really are multi-char after training
+        assert any(len(s) > 1 for syms in got.values() for s in syms)
+
+    def test_random_vocab_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(11)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+            for _ in range(40)
+        ]
+        vocab = {}
+        for w in words:
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        merges, got, want_merges, want_syms = self._run_both(
+            spark, vocab, 10
+        )
+        assert merges == want_merges
+        assert got == want_syms
+
+    def test_early_stop_on_singleton_pairs(self, spark):
+        # every word unique single chars -> all pairs count 1 -> no merge
+        vocab = {"ab": 1, "cd": 1, "ef": 1}
+        merges, got, want_merges, want_syms = self._run_both(
+            spark, vocab, 5
+        )
+        assert merges == [] and want_merges == []
+        assert got == want_syms
+
+    def test_apply_merges_matches_training_output(self, spark):
+        from energy_data_pipeline_spark.operators import bpe
+
+        vocab = {"banana": 4, "bandana": 2, "ananas": 3}
+        df = spark.createDataFrame(
+            list(vocab.items()), "w string, freq long"
+        )
+        merges, final = bpe.bpe_train(df, 5, checkpoint_every=2)
+        trained = {r["w"]: list(r["syms"]) for r in final.collect()}
+        final.unpersist()
+        applied = bpe.apply_merges(
+            df.select("w"), merges, checkpoint_every=2
+        )
+        got = {r["w"]: list(r["syms"]) for r in applied.collect()}
+        assert got == trained

@@ -20,6 +20,7 @@ NEVER_DRIVER_SAMPLED = {
     "a21_pareto_binned_share",
     "ann_ivfpq_refined_topk",
     "dd_soft_dedup_weights",
+    "txt_bpe_merge_candidates",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
