@@ -50,6 +50,7 @@ _SAMPLE_PRIORITY = [
     "ann_ivfpq_refined_topk",
     "dd_soft_dedup_weights",
     "txt_bpe_merge_candidates",
+    "txt_bpe_trained_segments",
     # round-10 continuation: brand-new entries front the window so
     # their first external hash lands this round
     "sk_hll_split_overlap",

@@ -1510,6 +1510,109 @@ ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOPK}
 """
 
 
+# --- trained BPE segmentation (iterative; generated value oracle) ---
+BPE_MERGES = 12
+
+
+def bpe_trained_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus vocabulary segmented by a {merges}-merge BPE model
+    TRAINED ON THE CORPUS ITSELF (operators/bpe.bpe_train — the
+    iterative driver-coordinated loop): (word, freq, n_syms, seg) with
+    ``seg`` the space-joined symbol sequence. The full
+    tokenizer-training loop as a catalog query; the one-round
+    ``txt_bpe_merge_candidates`` is its per-iteration statistic.
+
+    Training is deterministic (count-desc / pair-asc argmax), so the
+    oracle is GENERATED: an independent pure-Python BPE implementation
+    runs over the same parquet at oracle-build time and the driver
+    hash-compares full values — the t3/t5 spline-fixture pattern for
+    non-SQL-expressible iterative ops. Memoized as model+plan cache
+    (the merge list is a pure function of the immutable snapshot)."""
+    from ..operators import bpe
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        vocab = (
+            _doc_token_counts(spark, sf_dir)
+            .groupBy("w")
+            .agg(F.sum("n").alias("freq"))
+        )
+        merges, final = bpe.bpe_train(vocab, BPE_MERGES)
+        df = final.select(
+            "w",
+            F.col("freq").cast("bigint").alias("freq"),
+            F.size("syms").cast("bigint").alias("n_syms"),
+            F.concat_ws(" ", "syms").alias("seg"),
+        )
+        return df, [(final, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("bpe_trained_segments", sf_dir, BPE_MERGES), build
+    )
+
+
+bpe_trained_segments.__doc__ = bpe_trained_segments.__doc__.format(
+    merges=BPE_MERGES
+)
+
+
+def _bpe_segments_oracle(sf_dir: str) -> str:
+    """Generated oracle: reference pure-Python BPE over the same
+    parquet (duckdb tokenization identical to DUCK_WORDS), emitted as
+    a VALUES table."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest({DUCK_WORDS.format(col='text')}) AS w
+          FROM '{sf_dir}/documents.parquet'
+        ) GROUP BY 1
+        """
+    ).fetchall()
+    vocab = {w: int(f) for w, f in rows}
+    syms = {w: list(w) for w in vocab}
+    for _ in range(BPE_MERGES):
+        counts: dict = {}
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        for w in syms:
+            s = syms[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({q(w)}, {vocab[w]}, {len(syms[w])}, {q(' '.join(syms[w]))})"
+        for w in sorted(vocab)
+    )
+    return f"""
+SELECT * FROM (VALUES
+{values}
+) AS t(w, freq, n_syms, seg)
+"""
+
+
 # --- hot n-gram table (boilerplate detection input) ---
 NGRAM_TOPK = 25
 
@@ -5050,4 +5153,5 @@ CORPUS_QUERIES = {
     # round-11 additions APPEND (merged order is sample surface)
     "dd_soft_dedup_weights": (soft_dedup_weights, _soft_dedup_sql()),
     "txt_bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_SQL),
+    "txt_bpe_trained_segments": (bpe_trained_segments, _bpe_segments_oracle),
 }

@@ -21,6 +21,7 @@ NEVER_DRIVER_SAMPLED = {
     "ann_ivfpq_refined_topk",
     "dd_soft_dedup_weights",
     "txt_bpe_merge_candidates",
+    "txt_bpe_trained_segments",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
