@@ -369,6 +369,46 @@ def corpus_admission_stream(
     q.awaitTermination()
 
 
+def silver_tokenize_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    stats_out: list | None = None,
+) -> None:
+    """Continuous tokenized-silver maintenance — the streaming twin of
+    ``jobs/silver_tokenize.tokenize_silver_job``: documents land in a
+    stream and each micro-batch folds into the manifest-committed
+    (doc_id, source, lang, wl) silver table. Tokenize once per
+    document EVER: the job's doc_id anti-join settles redeliveries and
+    crash replays (a replayed batch tokenizes nothing), the manifest
+    pointer flip is the only commit point, and the checkpoint fences
+    source redelivery across restarts — the same exactly-once
+    composition as ``corpus_admission_stream``.
+
+    ``stats_out`` (if given) collects each micro-batch's stats dict."""
+    from ..jobs.silver_tokenize import tokenize_silver_job
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = tokenize_silver_job(
+            batch_df.sparkSession,
+            batch_df.select("doc_id", "source", "lang", "text"),
+            table_path,
+        )
+        if stats_out is not None:
+            stats_out.append({"batch_id": batch_id, **stats})
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def neardup_admission_stream(
     stream_df: DataFrame,
     group_root: str,

@@ -1257,3 +1257,54 @@ def test_neardup_admission_stream_crash_replay_is_noop(spark, tmp_path):
     }
     assert corpus_after == corpus_before
     assert idx_after == idx_before
+
+
+def test_silver_tokenize_stream_incremental_and_replay_safe(spark, tmp_path):
+    """Streaming silver maintenance: drain 1 tokenizes the landed docs,
+    drain 2 tokenizes only the NEW file's new doc_ids, and a crash
+    replay (checkpoint wiped, everything redelivered) tokenizes
+    nothing — the silver table is unchanged."""
+    import shutil
+
+    from energy_data_pipeline_spark.jobs.silver_tokenize import read_silver
+    from energy_data_pipeline_spark.streaming.incremental import (
+        silver_tokenize_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, source string, lang string, text string"
+    spark.createDataFrame(
+        [(1, "web", "en", "alpha beta"), (2, "web", "en", "gamma delta")],
+        schema,
+    ).write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        silver_tokenize_stream(stream, table, ckpt, stats_out=stats)
+
+    drain()
+    assert stats[-1]["tokenized"] == 2
+    assert read_silver(spark, table).count() == 2
+
+    # second landing file: one known id redelivered + one new doc
+    spark.createDataFrame(
+        [(2, "web", "en", "gamma delta"), (3, "api", "de", "neu hier")],
+        schema,
+    ).write.mode("append").parquet(landing)
+    drain()
+    assert stats[-1]["tokenized"] == 1 and stats[-1]["skipped"] == 1
+    got = {r["doc_id"]: r["wl"] for r in read_silver(spark, table).collect()}
+    assert got == {
+        1: ["alpha", "beta"],
+        2: ["gamma", "delta"],
+        3: ["neu", "hier"],
+    }
+
+    # crash replay: checkpoint lost, the WHOLE landing dir redelivers
+    shutil.rmtree(ckpt)
+    drain()
+    assert stats[-1]["tokenized"] == 0
+    assert read_silver(spark, table).count() == 3
