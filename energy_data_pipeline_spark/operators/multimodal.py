@@ -2070,11 +2070,33 @@ class _FlacBits(_JpegBitReader):
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
+        """Count zero bits up to (and consume) the terminating 1 —
+        byte-at-a-time: all-zero bytes are skipped whole, then the
+        first set bit is located by bit_length (the per-bit loop was
+        the Rice decode's hot path)."""
+        data, pos, bit = self.data, self.pos, self.bit
+        n = len(data)
+        if pos >= n:
+            raise ValueError("truncated entropy-coded segment")
         q = 0
-        while self.read_bit() == 0:
-            q += 1
+        cur = data[pos] & (0xFF >> bit)
+        while cur == 0:
+            q += 8 - bit
+            pos += 1
+            bit = 0
             if q > 1 << 20:
                 raise ValueError("runaway FLAC unary code")
+            if pos >= n:
+                raise ValueError("truncated entropy-coded segment")
+            cur = data[pos]
+        msb_index = 8 - cur.bit_length()  # 0-based from byte MSB
+        q += msb_index - bit
+        bit = msb_index + 1
+        if bit == 8:
+            pos += 1
+            bit = 0
+        self.pos = pos
+        self.bit = bit
         return q
 
     def align(self) -> None:

@@ -768,3 +768,78 @@ def test_flac_roundtrip_fuzz(n, stereo, bps, mode, kind, porder, escape, seed):
     assert nch == (2 if stereo else 1)
     mono = s.mean(axis=1) if stereo else s.astype("float64")
     assert np.allclose(x, mono / float(1 << (bps - 1)), atol=1e-12)
+
+
+def test_bit_reader_field_ops_match_bit_loops():
+    """The round-11 whole-field bit-reader rewrites (JPEG peek16/skip/
+    read_bits, VP8L read/peek15, FLAC unary) must agree with the
+    reference per-bit loops at every offset over random data."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators.multimodal import (
+        _FlacBits,
+        _JpegBitReader,
+        _VP8LBits,
+    )
+
+    rng = np.random.RandomState(3)
+    data = bytes(rng.randint(0, 256, 48, dtype="u1").tolist())
+
+    def msb_bits(pos, n):
+        v = 0
+        for i in range(n):
+            p = pos + i
+            v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+        return v
+
+    def lsb_bits(pos, n):
+        v = 0
+        for i in range(n):
+            p = pos + i
+            v |= ((data[p >> 3] >> (p & 7)) & 1) << i
+        return v
+
+    for start in range(0, 120):
+        for n in range(0, 17):
+            if start + n > len(data) * 8:
+                continue
+            r = _JpegBitReader(data)
+            r.skip(start)
+            assert r.read_bits(n) == msb_bits(start, n), (start, n)
+            assert (r.pos * 8 + r.bit) == start + n
+            b = _VP8LBits(data)
+            b.pos = start
+            assert b.read(n) == lsb_bits(start, n), (start, n)
+        r = _JpegBitReader(data)
+        r.skip(start)
+        want16 = msb_bits(start, min(16, len(data) * 8 - start))
+        want16 <<= 16 - min(16, len(data) * 8 - start)  # zero-pad
+        assert r.peek16() == want16, start
+        b = _VP8LBits(data)
+        b.pos = start
+        assert b.peek15() == lsb_bits(start, min(15, len(data) * 8 - start)), start
+
+    # unary vs the reference bit loop, at every start offset
+    def ref_unary(pos):
+        q = 0
+        while True:
+            if pos >= len(data) * 8:
+                return None, None
+            bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            if bit:
+                return q, pos
+            q += 1
+
+    for start in range(0, 260):
+        want_q, want_pos = ref_unary(start)
+        f = _FlacBits(data)
+        f.pos, f.bit = start >> 3, start & 7
+        if want_q is None:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                f.unary()
+        else:
+            assert f.unary() == want_q, start
+            assert f.pos * 8 + f.bit == want_pos, start
