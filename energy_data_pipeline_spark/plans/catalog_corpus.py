@@ -4199,9 +4199,13 @@ def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut used to stratify training corpora by audience level.
 
     Pure regexp-count expressions, codegen-side, one scan, no
-    shuffle beyond the |buckets|-sized aggregate."""
+    shuffle beyond the |buckets|-sized aggregate. The word count is
+    regexp_count('\\S+') — identical to size(words(text)) (maximal
+    non-space runs) but codegen'd with CSE, where the HOF form was
+    interpreted AND re-evaluated for each of its three references in
+    the score tree (measured 3x the stage cost)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    nw = F.size(T.words(F.col("text")))
+    nw = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     ns = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
     syl = F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
     score = F.when(
