@@ -91,11 +91,24 @@ def http_conditional_put_cas(base_url: str, key: str = "_CURRENT") -> CasFn:
             new_val = f.read().strip()
         val, etag = _get_object(base, key)
         if val != expected:
+            # REPAIR the local pointer to the store's truth before
+            # rejecting: a writer that crashed between its accepted PUT
+            # and its local replace leaves _CURRENT lagging the store,
+            # and without the repair every retry re-reads the stale
+            # local parent and conflicts forever. The store is the
+            # authority; the local file is a cache of it.
+            if val is not None:
+                repair = f"{current_path}.repair.{os.getpid()}"
+                with open(repair, "w", encoding="utf-8") as f:
+                    f.write(val)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(repair, current_path)
             os.remove(tmp_path)
             raise CommitConflictError(
                 f"concurrent commit detected via {base}/{key}: expected "
                 f"live manifest {expected!r}, store holds {val!r}; "
-                "re-read and retry"
+                "local pointer repaired — re-read and retry"
             )
         if not _put_if(base, key, new_val, etag):
             os.remove(tmp_path)

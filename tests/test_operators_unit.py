@@ -4907,3 +4907,78 @@ class TestBpeTrain:
         )
         got = {r["w"]: list(r["syms"]) for r in applied.collect()}
         assert got == trained
+
+
+class TestHttpCasCrashRecovery:
+    def test_local_pointer_repair_after_crash_between_put_and_replace(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A writer that crashes AFTER the store accepted its
+        conditional PUT but BEFORE the local pointer replace leaves
+        _CURRENT lagging the store. The next commit must repair the
+        local pointer from the store and then conflict (so the caller
+        re-reads the repaired truth) — and its retry must SUCCEED,
+        never livelock on the stale local parent."""
+        import os as _os
+
+        import pytest as _pytest
+
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+        from energy_data_pipeline_spark.sinks.object_store import (
+            LoopbackConditionalStore,
+            http_conditional_put_cas,
+        )
+
+        with LoopbackConditionalStore() as store:
+            cas = http_conditional_put_cas(store.base_url)
+            table = str(tmp_path / "t")
+            mt.manifest_overwrite(
+                spark.createDataFrame([(0, "seed")], "k long, v string"),
+                table,
+                compare_and_swap=cas,
+            )
+
+            # crash injection: the store accepts, the local replace dies
+            real_replace = _os.replace
+            crashed = {"n": 0}
+
+            def dying_replace(src, dst):
+                if dst.endswith("_CURRENT") and ".repair." not in src:
+                    crashed["n"] += 1
+                    raise OSError("injected crash before local replace")
+                return real_replace(src, dst)
+
+            monkeypatch.setattr(
+                "energy_data_pipeline_spark.sinks.object_store.os.replace",
+                dying_replace,
+            )
+            with _pytest.raises(OSError, match="injected crash"):
+                mt.manifest_append(
+                    spark.createDataFrame([(1, "wA")], "k long, v string"),
+                    table,
+                    compare_and_swap=cas,
+                )
+            monkeypatch.setattr(
+                "energy_data_pipeline_spark.sinks.object_store.os.replace",
+                real_replace,
+            )
+            assert crashed["n"] == 1
+            # local pointer is now STALE vs the store; a plain retry
+            # loop must converge: first attempt repairs + conflicts,
+            # second succeeds
+            frame = spark.createDataFrame([(2, "wB")], "k long, v string")
+            for _attempt in range(3):
+                try:
+                    mt.manifest_append(frame, table, compare_and_swap=cas)
+                    break
+                except mt.CommitConflictError:
+                    continue
+            else:
+                raise AssertionError("retry never converged")
+            rows = {
+                tuple(r) for r in mt.manifest_read(spark, table).collect()
+            }
+            # wA's data files were staged and its manifest committed in
+            # the STORE's view; after repair the local chain includes
+            # it, and wB lands on top
+            assert (0, "seed") in rows and (2, "wB") in rows
