@@ -254,7 +254,16 @@ def refresh_dashboard_incremental(
     (>=1: the watermark day itself is always recomputed — it may have
     been incomplete at the previous tick). First call on an empty root
     publishes the full snapshot through the same path. Returns the
-    committed manifest."""
+    committed manifest.
+
+    CONTRACT (the price of the pruned scan): events landing in a day
+    OLDER than ``watermark - rework_days + 1`` are invisible to this
+    refresh — the day-pruned scan never reads those partitions, which
+    is exactly what makes the tick cheap at 100 TB. Late arrivals
+    beyond the horizon go through a backfill: one call with
+    ``rework_days`` covering the late day, or a full re-publish via
+    ``publish_dashboard_snapshot`` — both converge to the same
+    snapshot (pinned by the equivalence test)."""
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
