@@ -51,6 +51,7 @@ _SAMPLE_PRIORITY = [
     "dd_soft_dedup_weights",
     "txt_bpe_merge_candidates",
     "txt_bpe_trained_segments",
+    "ann_recall_matrix",
     # round-10 continuation: brand-new entries front the window so
     # their first external hash lands this round
     "sk_hll_split_overlap",

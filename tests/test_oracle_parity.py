@@ -22,6 +22,7 @@ NEVER_DRIVER_SAMPLED = {
     "dd_soft_dedup_weights",
     "txt_bpe_merge_candidates",
     "txt_bpe_trained_segments",
+    "ann_recall_matrix",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
