@@ -564,6 +564,35 @@ def group_vacuum(root: str, keep_versions: int = 1) -> list[str]:
     return sorted(deleted)
 
 
+def manifest_compact(
+    spark: SparkSession,
+    table: str,
+    max_files: int = 8,
+    compare_and_swap: CasFn | None = None,
+) -> dict | None:
+    """Small-file compaction: when the live manifest references more
+    than ``max_files`` data files (the natural state of any
+    append-per-batch table — silver zones, streaming upsert sinks),
+    rewrite the live snapshot into ``max_files`` coalesced files and
+    commit the replacement as one pointer flip. Returns the new
+    manifest, or None when the table is already compact (the common
+    case — a maintenance cron calls this unconditionally).
+
+    Correctness under concurrency is the manifest protocol's:
+    readers stay snapshot-isolated on their pinned file lists, the
+    pre-compaction version remains readable until ``vacuum``, and a
+    writer that appended between this compactor's snapshot read and
+    its commit wins the CAS race — the compactor gets
+    ``CommitConflictError`` and simply retries on the new version
+    (compaction is always safe to redo, never required)."""
+    parent = read_manifest(table)
+    if parent is None or len(parent["files"]) <= max_files:
+        return None
+    df = manifest_read(spark, table).coalesce(max_files)
+    files = _stage_data_files(df, table)
+    return _publish(table, files, parent, compare_and_swap)
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (orphans
     from crashed writers, and files only older versions reference once

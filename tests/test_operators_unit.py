@@ -4982,3 +4982,67 @@ class TestHttpCasCrashRecovery:
             # the STORE's view; after repair the local chain includes
             # it, and wB lands on top
             assert (0, "seed") in rows and (2, "wB") in rows
+
+
+class TestManifestCompact:
+    def test_compacts_small_files_preserving_content_and_history(
+        self, spark, tmp_path
+    ):
+        """Ten appends -> >10 files; compact rewrites the live snapshot
+        into <= max_files with IDENTICAL content, the pre-compaction
+        version stays readable, and an already-compact table is a
+        no-op."""
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        table = str(tmp_path / "t")
+        for i in range(10):
+            mt.manifest_append(
+                spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+                table,
+            )
+        parent = mt.read_manifest(table)
+        assert len(parent["files"]) >= 10
+        before = {tuple(r) for r in mt.manifest_read(spark, table).collect()}
+        m = mt.manifest_compact(spark, table, max_files=3)
+        assert m is not None and len(m["files"]) <= 3
+        after = {tuple(r) for r in mt.manifest_read(spark, table).collect()}
+        assert after == before
+        # history: the 10-file version still reads exactly as committed
+        assert (
+            mt.manifest_read(spark, table, version=parent["version"]).count()
+            == 10
+        )
+        # idempotent: already compact -> no new version
+        assert mt.manifest_compact(spark, table, max_files=3) is None
+        assert mt.read_manifest(table)["version"] == m["version"]
+
+    def test_concurrent_append_beats_compactor(self, spark, tmp_path):
+        """A writer that commits between the compactor's snapshot read
+        and its publish must WIN: the compactor gets
+        CommitConflictError and the append is never lost."""
+        import pytest as _pytest
+
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        table = str(tmp_path / "t")
+        for i in range(6):
+            mt.manifest_append(
+                spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+                table,
+            )
+        parent = mt.read_manifest(table)
+        df = mt.manifest_read(spark, table).coalesce(2)
+        staged = mt._stage_data_files(df, table)
+        # the racing append lands first
+        mt.manifest_append(
+            spark.createDataFrame([(99, "late")], "k long, v string"), table
+        )
+        with _pytest.raises(mt.CommitConflictError):
+            mt._publish(table, staged, parent)
+        rows = {tuple(r) for r in mt.manifest_read(spark, table).collect()}
+        assert (99, "late") in rows and len(rows) == 7
+        # the retried compaction now includes the late row
+        m = mt.manifest_compact(spark, table, max_files=2)
+        assert m is not None
+        rows2 = {tuple(r) for r in mt.manifest_read(spark, table).collect()}
+        assert rows2 == rows
