@@ -96,7 +96,11 @@ def http_conditional_put_cas(base_url: str, key: str = "_CURRENT") -> CasFn:
             # and its local replace leaves _CURRENT lagging the store,
             # and without the repair every retry re-reads the stale
             # local parent and conflicts forever. The store is the
-            # authority; the local file is a cache of it.
+            # authority; the local file is a cache of it. Concurrent
+            # repairs may interleave so the cache transiently regresses
+            # to an older STORE value — still a committed snapshot
+            # (manifests are immutable), and the next conflict
+            # re-repairs; correctness never rests on the cache.
             if val is not None:
                 repair = f"{current_path}.repair.{os.getpid()}"
                 with open(repair, "w", encoding="utf-8") as f:
