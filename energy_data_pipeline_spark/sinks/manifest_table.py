@@ -525,6 +525,38 @@ def group_read(
     )
 
 
+def group_compact(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 8,
+    compare_and_swap: CasFn | None = None,
+) -> dict | None:
+    """``manifest_compact`` for commit groups: every sub-table whose
+    live file list exceeds ``max_files`` is rewritten into
+    ``max_files`` coalesced files; already-compact sub-tables carry
+    their file lists UNTOUCHED, and ONE pointer flip publishes all
+    rewrites together — the group's both-or-neither invariant holds
+    through maintenance too (a corpus compacted without its band index
+    would be exactly the divergence the group exists to prevent).
+    Returns the new manifest, or None when every sub-table is already
+    compact. Concurrency per ``manifest_compact``: a racing appender
+    wins the CAS, the compactor retries."""
+    parent = read_manifest(root)
+    if parent is None:
+        return None
+    tables: dict[str, list[str]] = dict(parent["tables"])
+    changed = False
+    for sub, files in tables.items():
+        if len(files) <= max_files:
+            continue
+        df = spark.read.parquet(*[os.path.join(root, p) for p in files])
+        tables[sub] = _stage_group_files(df.coalesce(max_files), root, sub)
+        changed = True
+    if not changed:
+        return None
+    return _publish_group(root, tables, parent, compare_and_swap)
+
+
 def group_vacuum(root: str, keep_versions: int = 1) -> list[str]:
     """``vacuum`` for a multi-table commit group: delete data files (in
     any sub-table) referenced by NO retained manifest — crashed

@@ -5046,3 +5046,51 @@ class TestManifestCompact:
         assert m is not None
         rows2 = {tuple(r) for r in mt.manifest_read(spark, table).collect()}
         assert rows2 == rows
+
+
+class TestGroupCompact:
+    def test_group_compact_preserves_both_subtables_atomically(
+        self, spark, tmp_path
+    ):
+        """Per-batch group appends build up files in BOTH sub-tables;
+        one compact rewrites the oversized subs into <= max_files each,
+        carries compact subs untouched, preserves content exactly, and
+        is a no-op when already compact."""
+        from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+        root = str(tmp_path / "g")
+        for i in range(6):
+            mt.group_append(
+                {
+                    "corpus": spark.createDataFrame(
+                        [(i, f"t{i}")], "doc_id long, text string"
+                    ),
+                    "index": spark.createDataFrame(
+                        [(i, i % 3)], "doc_id long, band long"
+                    ),
+                },
+                root,
+            )
+        parent = mt.read_manifest(root)
+        assert all(len(v) >= 6 for v in parent["tables"].values())
+        before = {
+            sub: {tuple(r) for r in mt.group_read(spark, root, sub).collect()}
+            for sub in ("corpus", "index")
+        }
+        m = mt.group_compact(spark, root, max_files=2)
+        assert m is not None
+        assert all(len(v) <= 2 for v in m["tables"].values())
+        after = {
+            sub: {tuple(r) for r in mt.group_read(spark, root, sub).collect()}
+            for sub in ("corpus", "index")
+        }
+        assert after == before
+        # pre-compaction version still readable (snapshot isolation)
+        assert (
+            mt.group_read(
+                spark, root, "corpus", version=parent["version"]
+            ).count()
+            == 6
+        )
+        # already compact -> no-op
+        assert mt.group_compact(spark, root, max_files=2) is None
