@@ -90,3 +90,40 @@ def read_silver(spark: SparkSession, table_path: str) -> DataFrame:
     return manifest_table.manifest_read(spark, table_path).select(
         *SILVER_COLUMNS
     )
+
+
+def silver_maintenance_flow(
+    spark: SparkSession,
+    landing_glob: str,
+    table_path: str,
+    max_files: int = 8,
+    keep_versions: int = 3,
+):
+    """The silver zone's maintenance tick as an orchestrated flow
+    (jobs/orchestrate.Flow — the engine's Prefect-equivalent): ingest
+    whatever landed → compact small files → vacuum trimmed history.
+    Each step is independently idempotent (anti-join ingest, no-op
+    compaction, reference-counted vacuum), so a crashed tick re-runs
+    whole — the reference's cron-flow discipline applied to table
+    maintenance."""
+    from .orchestrate import Flow
+
+    def ingest():
+        docs = spark.read.parquet(landing_glob).select(
+            "doc_id", "source", "lang", "text"
+        )
+        return tokenize_silver_job(spark, docs, table_path)
+
+    def compact(ingest):
+        return manifest_table.manifest_compact(
+            spark, table_path, max_files=max_files
+        )
+
+    def vacuum(compact):
+        return manifest_table.vacuum(table_path, keep_versions=keep_versions)
+
+    flow = Flow("silver-maintenance")
+    flow.task("ingest", retries=1)(ingest)
+    flow.task("compact", depends_on=["ingest"])(compact)
+    flow.task("vacuum", depends_on=["compact"])(vacuum)
+    return flow

@@ -1039,3 +1039,47 @@ def test_tokenize_silver_job_incremental_and_idempotent(spark, tmp_path):
     # retry lands it
     s = tokenize_silver_job(spark, b3, table)
     assert s["tokenized"] == 1 and read_silver(spark, table).count() == 5
+
+
+def test_silver_maintenance_flow_ticks_idempotently(spark, tmp_path):
+    """The maintenance flow end-to-end: tick 1 ingests + leaves a
+    compact table; tick 2 over the same landing is a no-op ingest and
+    a no-op compact; content is stable throughout and history is
+    vacuumed to the retention bound."""
+    import os
+
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        read_silver,
+        silver_maintenance_flow,
+    )
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "silver")
+    schema = "doc_id long, source string, lang string, text string"
+    # many small files: one per doc, so compaction has work to do
+    for i in range(10):
+        spark.createDataFrame(
+            [(i, "web", "en", f"doc {i} alpha beta")], schema
+        ).write.mode("append").parquet(landing)
+
+    flow = silver_maintenance_flow(
+        spark, landing, table, max_files=2, keep_versions=2
+    )
+    r1 = flow.run()
+    assert r1["status"] == "OK"
+    assert r1["results"]["ingest"]["tokenized"] == 10
+    assert len(mt.read_manifest(table)["files"]) <= 2
+    before = {
+        r["doc_id"]: r["wl"] for r in read_silver(spark, table).collect()
+    }
+    assert len(before) == 10
+
+    r2 = flow.run()  # same landing: everything known
+    assert r2["status"] == "OK"
+    assert r2["results"]["ingest"]["tokenized"] == 0
+    assert r2["results"]["compact"] is None  # already compact
+    after = {
+        r["doc_id"]: r["wl"] for r in read_silver(spark, table).collect()
+    }
+    assert after == before
