@@ -82,6 +82,26 @@ def main() -> None:
         F.regexp_extract("t", r"(\d+)", 1),
     ).write.format("noop").mode("overwrite").save()
 
+    # Fixed CPU-calibration probe: constant synthetic work (2M md5+crc32
+    # rows across all cores, no I/O, no data dependence), timed med-of-3
+    # at bench START and END and carried in the artifact. Cross-round
+    # comparisons divide per-query times by (calibration_s / the round's
+    # recorded reference) to normalize out co-tenant CPU weather instead
+    # of re-litigating it per round (normalization rule: SCALE.md
+    # "bench calibration").
+    def _calibration() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000, 1, int(cpus)).select(
+                F.sum(F.crc32(F.md5(F.col("id").cast("string"))))
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        return round(runs[1], 3)
+
+    calibration_start = _calibration()
+
     # Median-of-N with min/median/max dispersion: host contention adds
     # multi-second noise to single shots (r3-r5 artifacts disagreed 2-4x
     # on identical code). Reps are INTERLEAVED — the whole catalog runs
@@ -152,6 +172,8 @@ def main() -> None:
             "n": len(vals),
         }
 
+    calibration_end = _calibration()
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     full = {
         "metric": "catalog_total_wall",
@@ -162,6 +184,9 @@ def main() -> None:
         "reps": reps,
         "interleaved": True,
         "escalated": escalated,
+        "calibration_s": min(calibration_start, calibration_end),
+        "calibration_start_s": calibration_start,
+        "calibration_end_s": calibration_end,
         "sf": sf,
     }
     # The driver's artifact capture keeps only the tail (~2000 chars) of
@@ -195,6 +220,9 @@ def main() -> None:
         "n_queries": len(timings),
         "full_result_file": "BENCH_local.json",
         "reps": reps,
+        "calibration_s": min(calibration_start, calibration_end),
+        "calibration_start_s": calibration_start,
+        "calibration_end_s": calibration_end,
         "sf": sf,
     }
     compact_line = json.dumps(compact)

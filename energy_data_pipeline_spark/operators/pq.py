@@ -333,8 +333,35 @@ def ivfpq_train(
     return coarse, pq_cents
 
 
-def ivfpq_topk(
+def ivfpq_assign_codes(
     corpus: DataFrame,
+    coarse: list[list[float]],
+    pq_cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted IVFADC index: (id, cell, code0..code{M-1}) —
+    nearest coarse cell plus the PQ codes of the residual. This is the
+    table a vector store WRITES once per snapshot and serves every
+    search from (FAISS's inverted lists, flattened): at 100 TB it is
+    M+4 bytes per vector, and search never touches raw vectors or
+    re-runs the argmin assignment."""
+    m = len(pq_cents)
+    subdim = len(pq_cents[0][0])
+    resid = _residuals(corpus, coarse, id_col, vec_col)
+    picks = [
+        _argmin_cell(F.slice("rv", mi * subdim + 1, subdim), F.lit(pq_cents[mi]))
+        for mi in range(m)
+    ]
+    return resid.select(
+        id_col,
+        "cell",
+        *[p["idx"].cast("int").alias(f"code{mi}") for mi, p in enumerate(picks)],
+    )
+
+
+def ivfpq_topk_from_codes(
+    codes: DataFrame,
     queries: DataFrame,
     coarse: list[list[float]],
     pq_cents: list[list[list[float]]],
@@ -343,32 +370,28 @@ def ivfpq_topk(
     k: int = 5,
     nprobe: int = 2,
 ) -> DataFrame:
-    """IVFADC search: probe the query's ``nprobe`` nearest coarse
-    cells; within each probed cell, ADC over residual codes with a
-    per-(query, cell) residual lookup table (the residual depends on
-    the cell, hence the cell-keyed LUT — |q|·nprobe·M·K rows,
-    broadcast). The corpus contributes one assignment pass producing
-    (cell, codes); search touches codes only, and only nprobe/k of
+    """IVFADC search against an already-materialized codes table
+    (``ivfpq_assign_codes`` output): probe the query's ``nprobe``
+    nearest coarse cells; within each probed cell, ADC over residual
+    codes with a per-(query, cell) residual lookup table (the residual
+    depends on the cell, hence the cell-keyed LUT — |q|·nprobe·M·K
+    rows, broadcast). Search touches codes only, and only nprobe/k of
     them per query — the IVF pruning and the PQ compression compose."""
     from .ivf import _nearest_cells
 
     m = len(pq_cents)
     subdim = len(pq_cents[0][0])
-    resid = _residuals(corpus, coarse, id_col, vec_col)
-    picks = [
-        _argmin_cell(F.slice("rv", mi * subdim + 1, subdim), F.lit(pq_cents[mi]))
-        for mi in range(m)
-    ]
-    code_stream = resid.select(
+    code_stream = codes.select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(mi).alias("m"), p["idx"].alias("code")
+                        F.lit(mi).alias("m"),
+                        F.col(f"code{mi}").alias("code"),
                     )
-                    for mi, p in enumerate(picks)
+                    for mi in range(m)
                 ]
             )
         ).alias("_x"),
@@ -436,6 +459,28 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    pq_cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC search from raw vectors: one assignment pass builds the
+    codes table (``ivfpq_assign_codes``), then the codes-only search.
+    Pass a pre-materialized ``codes`` frame to skip the assignment —
+    the serve-from-persisted-index path."""
+    if codes is None:
+        codes = ivfpq_assign_codes(corpus, coarse, pq_cents, id_col, vec_col)
+    return ivfpq_topk_from_codes(
+        codes, queries, coarse, pq_cents, id_col, vec_col, k, nprobe
+    )
+
+
 def ivfpq_refine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -446,6 +491,7 @@ def ivfpq_refine_topk(
     k: int = 5,
     nprobe: int = 2,
     shortlist: int = 25,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC+R (Jégou et al. 2011 §V — FAISS ``IndexRefineFlat`` over
     ``IVFx,PQy``): ADC search produces a ``shortlist``-sized candidate
@@ -462,7 +508,7 @@ def ivfpq_refine_topk(
     only. The final window ranks |q|·R rows per query."""
     shortl = ivfpq_topk(
         corpus, queries, coarse, pq_cents, id_col, vec_col,
-        k=shortlist, nprobe=nprobe,
+        k=shortlist, nprobe=nprobe, codes=codes,
     )
     qv = _doubled(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("_qv")

@@ -4190,6 +4190,33 @@ FROM c GROUP BY 1
 
 
 # --- TXT: Flesch reading-ease profile ---------------------------------
+def _vocab_syllables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, _syl) — syllable count (vowel-group approximation) per
+    DISTINCT vocabulary token, memoized and pinned per snapshot: a
+    dictionary is vocab-shaped deterministic data (the same
+    model/index-cache category as trained centroids), and every
+    readability-style consumer shares one vocab-sized regex pass
+    instead of re-counting per document per invocation."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        tc = _doc_token_counts(spark, sf_dir)
+        vocab_syl = (
+            tc.select("w")
+            .distinct()
+            .withColumn(
+                "_syl",
+                F.regexp_count(F.col("w"), F.lit("[aeiouyAEIOUY]+")),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return vocab_syl, [(vocab_syl, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("vocab_syllables", sf_dir), build)
+
+
 def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease distribution: per-document FRE from the
     classic 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
@@ -4198,20 +4225,39 @@ def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-point bands with doc counts and mean score — the readability
     cut used to stratify training corpora by audience level.
 
-    Pure regexp-count expressions, codegen-side, one scan, no
-    shuffle beyond the |buckets|-sized aggregate. The word count is
-    regexp_count('\\S+') — identical to size(words(text)) (maximal
-    non-space runs) but codegen'd with CSE, where the HOF form was
-    interpreted AND re-evaluated for each of its three references in
-    the score tree (measured 3x the stage cost)."""
+    The expensive counts are VOCAB-sized, not corpus-sized: a word's
+    syllable count is deterministic per distinct token, so the vowel
+    regex runs once per vocabulary entry (a broadcast dim joined onto
+    the pinned (doc_id, token, n) silver frame — ``sum(n)`` recovers
+    the word count, ``sum(n*syl)`` the syllable count; vowel groups
+    cannot span whitespace, so the per-token sum equals the raw-text
+    count exactly). Only the sentence regex, which genuinely needs
+    punctuation context across token boundaries, keeps a raw-text
+    pass. At 100 TB that turns two of three corpus-sized regex scans
+    into vocabulary-sized work."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    nw = F.regexp_count(F.col("text"), F.lit(r"\S+"))
-    ns = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
-    syl = F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
+    tc = _doc_token_counts(spark, sf_dir)
+    vocab_syl = _vocab_syllables(spark, sf_dir)
+    per_doc = (
+        tc.join(F.broadcast(vocab_syl), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("nw"),
+            F.sum(F.col("n") * F.col("_syl")).alias("syl"),
+        )
+    )
+    ns_df = docs.select(
+        "doc_id",
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("ns"),
+    )
+    joined = per_doc.join(F.broadcast(ns_df), "doc_id")
+    nw, ns, syl = F.col("nw"), F.col("ns"), F.col("syl")
     score = F.when(
         nw > 0, 206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw)
     )
-    scored = docs.select(rnd(score, 4).alias("fre"))
+    scored = joined.select(rnd(score, 4).alias("fre"))
     return (
         scored.filter(F.col("fre").isNotNull())
         .groupBy(

