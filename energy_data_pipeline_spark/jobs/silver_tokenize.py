@@ -51,37 +51,55 @@ def tokenize_silver_job(
     anti-join (idempotent), and batch-internal doc_id duplicates keep
     one row. The ONLY per-batch work is tokenizing the genuinely new
     documents — the silver table itself is never rewritten, only
-    appended through one manifest pointer flip."""
+    appended through one manifest pointer flip.
+
+    The anti-join and the commit form ONE optimistic transaction: the
+    append is pinned to the exact manifest the anti-join read
+    (``expected_parent``), so two concurrent ingests of overlapping
+    batches cannot both commit — the loser's CAS raises, the anti-join
+    re-runs against the winner's table, and the doc_id uniqueness
+    invariant (tokenize once EVER) holds under concurrency, not just
+    under replay."""
     batch = new_docs.select("doc_id", "source", "lang", "text").dropDuplicates(
         ["doc_id"]
     )
     arrived = batch.count()
-    if manifest_table.read_manifest(table_path) is not None:
-        existing_ids = manifest_table.manifest_read(
-            spark, table_path
-        ).select("doc_id")
-        fresh = batch.join(existing_ids, "doc_id", "left_anti")
-    else:
-        fresh = batch
-    silver_rows = _tokenize(fresh)
-    tokenized = silver_rows.count()
-    if tokenized == 0:
-        m = manifest_table.read_manifest(table_path)
+    attempts = 5
+    for attempt in range(attempts):
+        parent = manifest_table.read_manifest(table_path)
+        if parent is not None:
+            existing_ids = manifest_table.manifest_read(
+                spark, table_path, version=parent["version"]
+            ).select("doc_id")
+            fresh = batch.join(existing_ids, "doc_id", "left_anti")
+        else:
+            fresh = batch
+        silver_rows = _tokenize(fresh)
+        tokenized = silver_rows.count()
+        if tokenized == 0:
+            return {
+                "arrived": arrived,
+                "tokenized": 0,
+                "skipped": arrived,
+                "version": parent["version"] if parent else None,
+            }
+        try:
+            m = manifest_table.manifest_append(
+                silver_rows,
+                table_path,
+                compare_and_swap=compare_and_swap,
+                expected_parent=parent,
+            )
+        except manifest_table.CommitConflictError:
+            if attempt == attempts - 1:
+                raise
+            continue  # someone committed since the anti-join: re-derive
         return {
             "arrived": arrived,
-            "tokenized": 0,
-            "skipped": arrived,
-            "version": m["version"] if m else None,
+            "tokenized": tokenized,
+            "skipped": arrived - tokenized,
+            "version": m["version"],
         }
-    m = manifest_table.manifest_append(
-        silver_rows, table_path, compare_and_swap=compare_and_swap
-    )
-    return {
-        "arrived": arrived,
-        "tokenized": tokenized,
-        "skipped": arrived - tokenized,
-        "version": m["version"],
-    }
 
 
 def read_silver(spark: SparkSession, table_path: str) -> DataFrame:

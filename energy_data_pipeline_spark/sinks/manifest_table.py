@@ -192,23 +192,35 @@ def _read_current_name(table: str) -> str | None:
 
 def read_manifest(table: str, version: int | None = None) -> dict | None:
     """The live (or ``version``-pinned) manifest dict, or None if the
-    table has never had a successful commit."""
+    table has never had a successful commit.
+
+    Version pinning walks the COMMITTED parent chain from _CURRENT,
+    never the manifests directory: a commit-conflict loser writes its
+    manifest file BEFORE its CAS fails, so the directory can hold an
+    orphan with the same version number as a committed manifest — a
+    listing-based lookup could serve the orphan (it did: a silver
+    ingest retry anti-joined against the loser's own rows and dropped
+    genuinely-new documents). Only ancestors of the live pointer are
+    committed history."""
     if version is None:
         name = _read_current_name(table)
         if name is None:
             return None
-    else:
-        mdir = os.path.join(table, _MANIFEST_DIR)
-        cands = [
-            e
-            for e in (os.listdir(mdir) if os.path.isdir(mdir) else [])
-            if e.startswith(f"manifest-{version:08d}-")
-        ]
-        if not cands:
-            raise FileNotFoundError(f"no manifest for version {version} in {table}")
-        name = cands[0]
-    with open(_manifest_path(table, name), encoding="utf-8") as f:
-        return json.load(f)
+        with open(_manifest_path(table, name), encoding="utf-8") as f:
+            return json.load(f)
+    name = _read_current_name(table)
+    if name is None:
+        raise FileNotFoundError(f"no manifest for version {version} in {table}")
+    while True:
+        with open(_manifest_path(table, name), encoding="utf-8") as f:
+            m = json.load(f)
+        if m["version"] == version:
+            return m
+        if m["version"] < version or m["parent"] is None:
+            raise FileNotFoundError(
+                f"no committed manifest for version {version} in {table}"
+            )
+        name = m["parent"]
 
 
 def _stage_data_files(df: DataFrame, table: str) -> list[str]:
@@ -284,14 +296,29 @@ def manifest_overwrite(
     return _publish(table, files, parent, compare_and_swap)
 
 
+_UNSET = object()
+
+
 def manifest_append(
-    df: DataFrame, table: str, compare_and_swap: CasFn | None = None
+    df: DataFrame,
+    table: str,
+    compare_and_swap: CasFn | None = None,
+    expected_parent: dict | None = _UNSET,  # type: ignore[assignment]
 ) -> dict:
     """Append-commit (K1/K3): new files stage invisibly, then one
     pointer flip makes the whole batch visible at once — a reader never
-    sees half a batch, unlike a plain directory append."""
+    sees half a batch, unlike a plain directory append.
+
+    ``expected_parent`` pins the commit to a manifest the CALLER read
+    (pass ``None`` for "table must still be empty"): the pointer CAS
+    then compares against THAT version, so a writer whose append
+    content was derived from a snapshot (e.g. an anti-join against the
+    live table) gets ``CommitConflictError`` if anyone committed in
+    between, instead of silently appending rows whose derivation is
+    stale. Left unset, the parent is re-read here and the append
+    content is assumed snapshot-independent (plain K1 semantics)."""
     os.makedirs(table, exist_ok=True)
-    parent = read_manifest(table)
+    parent = read_manifest(table) if expected_parent is _UNSET else expected_parent
     files = _stage_data_files(df, table)
     all_files = (parent["files"] if parent else []) + files
     return _publish(table, all_files, parent, compare_and_swap)

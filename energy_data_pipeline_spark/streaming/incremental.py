@@ -536,13 +536,25 @@ def _replay_guard(
     checkpointed sequence, so a different stream identity (fresh
     checkpoint, second stream onto the same table) always applies.
 
-    A stored "" comes from a pre-upgrade pointer (written before
-    stream identities existed). It is treated as MATCHING the current
-    stream: the only writer of that pointer was the stream now
-    resuming, and the alternative — treating "" as foreign — would
-    double-apply one crash-replayed batch into SUM-merged state right
-    across the upgrade."""
-    same_stream = stored_stream == "" or stream_id == stored_stream
+    Two legacy pointer formats are treated as MATCHING the current
+    stream (the only writer of either was the stream now resuming, and
+    treating them as foreign would double-apply one crash-replayed
+    batch into SUM-merged state right across the upgrade):
+
+    - a stored "" (pre-stream-identity pointer), and
+    - a stored bare checkpoint abspath (the pre-instance-token format)
+      equal to the abspath PREFIX of the current ``abspath:token``
+      stream_id — without this, upgrading mid-stream reads the old
+      pointer as a different stream and re-applies the replayed batch.
+
+    Both wildcards exist ONLY for pointers written by older code: the
+    next successful publish rewrites the pointer with the full current
+    identity, so the legacy match is one-shot per table."""
+    same_stream = (
+        stored_stream == ""
+        or stream_id == stored_stream
+        or stream_id.startswith(stored_stream + ":")
+    )
     return same_stream and batch_id <= last_applied
 
 
@@ -563,15 +575,26 @@ def _stream_instance_id(checkpoint_dir: str) -> str:
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "_STREAM_INSTANCE")
     if not os.path.exists(marker):
+        # Exactly-one-winner creation: write the token to a private tmp
+        # (content complete + fsynced), then publish via os.link, which
+        # atomically FAILS if the marker already exists. The previous
+        # check-then-os.replace had a race where two concurrent first
+        # users could each observe the marker missing, both replace, and
+        # read DIFFERENT tokens for the same checkpoint instance. link
+        # also guarantees a racing reader never sees a partially-written
+        # marker (unlike O_CREAT|O_EXCL + write, which exposes an empty
+        # file between create and write).
         tmp = os.path.join(checkpoint_dir, f".inst-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="ascii") as fh:
             fh.write(uuid.uuid4().hex)
             fh.flush()
             os.fsync(fh.fileno())
-        if os.path.exists(marker):  # lost a concurrent-create race
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass  # lost the race — read the winner's token below
+        finally:
             os.remove(tmp)
-        else:
-            os.replace(tmp, marker)
     with open(marker, encoding="ascii") as fh:
         token = fh.read().strip()
     return f"{os.path.abspath(checkpoint_dir)}:{token}"
@@ -582,7 +605,7 @@ def _sketch_state_publish(
     table_path: str,
     version: int,
     batch_id: int,
-    stream_id: str = "",
+    stream_id: str,
 ) -> None:
     """Write ``df`` as version ``version+1`` then atomically flip the
     pointer (tmp file + ``os.replace``). Old versions are pruned
@@ -620,7 +643,7 @@ def _hll_apply_batch(
     batch_id: int,
     table_path: str,
     key_col: str,
-    stream_id: str = "",
+    stream_id: str,
 ) -> bool:
     """One foreachBatch application of the HLL register sink (module
     level so the replay-skip path is directly testable). Returns True
@@ -658,7 +681,7 @@ def _hll_daily_apply_batch(
     table_path: str,
     key_col: str,
     ts_col: str,
-    stream_id: str = "",
+    stream_id: str,
 ) -> bool:
     """One foreachBatch application of the GROUPED daily HLL sink:
     per-(day, bucket) registers MAX-merged into the persistent table.
@@ -787,7 +810,7 @@ def _cms_apply_batch(
     batch_id: int,
     table_path: str,
     key_col: str,
-    stream_id: str = "",
+    stream_id: str,
 ) -> bool:
     """One foreachBatch application of the CMS counter sink (module
     level so the replay-skip path is directly testable). Returns True
@@ -915,7 +938,7 @@ def _hist_apply_batch(
     lo: float,
     hi: float,
     bins: int,
-    stream_id: str = "",
+    stream_id: str,
 ) -> bool:
     """One foreachBatch application of the histogram bin sink (module
     level so the replay-skip path is directly testable). Returns True

@@ -1041,6 +1041,54 @@ def test_tokenize_silver_job_incremental_and_idempotent(spark, tmp_path):
     assert s["tokenized"] == 1 and read_silver(spark, table).count() == 5
 
 
+def test_tokenize_silver_job_concurrent_overlap_keeps_ids_unique(
+    spark, tmp_path
+):
+    """Two concurrent ingests of OVERLAPPING batches must not both
+    commit: the anti-join is pinned to the manifest it read, and the
+    commit CAS compares against that exact parent — the loser
+    conflicts, re-runs its anti-join against the winner's table, and
+    appends only the still-new doc_ids. Without the pin both commits
+    land and doc_id uniqueness (tokenize-once-EVER) is permanently
+    broken. Simulated by injecting a competing overlapping commit
+    inside the first ingest's CAS window."""
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        read_silver,
+        tokenize_silver_job,
+    )
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    table = str(tmp_path / "silver")
+    schema = "doc_id long, source string, lang string, text string"
+    seed = spark.createDataFrame([(1, "web", "en", "seed doc")], schema)
+    tokenize_silver_job(spark, seed, table)
+
+    rival = spark.createDataFrame(
+        [(2, "web", "en", "contested doc"), (3, "api", "de", "rival only")],
+        schema,
+    )
+    mine = spark.createDataFrame(
+        [(2, "web", "en", "contested doc"), (4, "api", "de", "mine only")],
+        schema,
+    )
+    state = {"injected": False}
+
+    def cas_with_rival(current, tmp, expected):
+        # a second writer lands an overlapping batch INSIDE the first
+        # writer's read->commit window, exactly once
+        if not state["injected"]:
+            state["injected"] = True
+            tokenize_silver_job(spark, rival, table)
+        return mt._locked_replace_if_unchanged(current, tmp, expected)
+
+    s = tokenize_silver_job(spark, mine, table, compare_and_swap=cas_with_rival)
+    # the retry re-derived: doc 2 was taken by the rival, only doc 4 new
+    assert s["tokenized"] == 1
+    rows = read_silver(spark, table).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 3, 4]  # no duplicates, nothing lost
+
+
 def test_silver_maintenance_flow_ticks_idempotently(spark, tmp_path):
     """The maintenance flow end-to-end: tick 1 ingests + leaves a
     compact table; tick 2 over the same landing is a no-op ingest and

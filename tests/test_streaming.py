@@ -641,13 +641,13 @@ def test_cms_sketch_replay_batch_is_skipped(spark, dirs):
     )
 
     batch = _mk_batch(spark, [(i, i, 100 + i % 3, "click", 1.0) for i in range(20)])
-    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id") is True
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", "t") is True
     before = {
         (r["row_i"], r["bucket"]): r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
     }
     # crash-replay: same batch_id redelivered
-    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id") is False
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", "t") is False
     after = {
         (r["row_i"], r["bucket"]): r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -655,7 +655,7 @@ def test_cms_sketch_replay_batch_is_skipped(spark, dirs):
     assert after == before
     # the NEXT batch id still applies
     batch2 = _mk_batch(spark, [(100, 50, 999, "view", 2.0)])
-    assert _cms_apply_batch(batch2, 1, dirs["table"], "user_id") is True
+    assert _cms_apply_batch(batch2, 1, dirs["table"], "user_id", "t") is True
     total_after = sum(
         r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -671,12 +671,12 @@ def test_hll_register_replay_batch_is_skipped(spark, dirs):
     )
 
     batch = _mk_batch(spark, [(i, i, 100 + i, "click", 1.0) for i in range(20)])
-    assert _hll_apply_batch(batch, 0, dirs["table"], "user_id") is True
+    assert _hll_apply_batch(batch, 0, dirs["table"], "user_id", "t") is True
     before = {
         (r["bucket"], r["rho"])
         for r in read_sketch_table(spark, dirs["table"]).collect()
     }
-    assert _hll_apply_batch(batch, 0, dirs["table"], "user_id") is False
+    assert _hll_apply_batch(batch, 0, dirs["table"], "user_id", "t") is False
     after = {
         (r["bucket"], r["rho"])
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -700,7 +700,7 @@ def test_sketch_publish_crash_leaves_previous_version_readable(spark, dirs):
     )
 
     batch = _mk_batch(spark, [(i, i, 100 + i % 3, "click", 1.0) for i in range(10)])
-    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id")
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", "t")
     good = {
         (r["row_i"], r["bucket"]): r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -719,7 +719,7 @@ def test_sketch_publish_crash_leaves_previous_version_readable(spark, dirs):
     # recovery: the next batch applies on top of the intact version 1
     shutil.rmtree(partial)
     batch2 = _mk_batch(spark, [(100, 50, 999, "view", 2.0)])
-    assert _cms_apply_batch(batch2, 1, dirs["table"], "user_id")
+    assert _cms_apply_batch(batch2, 1, dirs["table"], "user_id", "t")
     assert read_sketch_table(spark, dirs["table"]).count() > 0
 
     # corrupt the CURRENT version dir: read must raise, not reset
@@ -911,13 +911,13 @@ def test_histogram_sketch_replay_and_clamping(spark, dirs):
         [(1, 0, 1, "click", -5.0), (2, 1, 1, "view", 25.0),
          (3, 2, 1, "view", 10_000.0), (4, 3, 1, "view", 15.0)],
     )
-    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 10.0, 20.0, 4) is True
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 10.0, 20.0, 4, "t") is True
     before = {
         r["bin"]: r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
     }
     assert before == {0: 1, 3: 2, 2: 1}
-    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 10.0, 20.0, 4) is False
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 10.0, 20.0, 4, "t") is False
     after = {
         r["bin"]: r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -964,9 +964,9 @@ def test_histogram_sink_rejects_contract_mismatch(spark, dirs):
     )
 
     batch = _mk_batch(spark, [(1, 0, 1, "click", 5.0)])
-    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 10.0, 4) is True
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 10.0, 4, "t") is True
     with pytest.raises(ValueError, match="contract mismatch"):
-        _hist_apply_batch(batch, 1, dirs["table"], "value", 0.0, 20.0, 4)
+        _hist_apply_batch(batch, 1, dirs["table"], "value", 0.0, 20.0, 4, "t")
     with pytest.raises(ValueError, match="contract mismatch"):
         histogram_quantiles(spark, dirs["table"], [0.5], lo=0.0, hi=99.0)
     # matching (or omitted) bounds serve from the STORED contract
@@ -986,7 +986,7 @@ def test_histogram_sink_drops_null_values(spark, dirs):
     batch = _mk_batch(
         spark, [(1, 0, 1, "click", 2.0), (2, 1, 1, "click", None)]
     )
-    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 8.0, 4) is True
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 8.0, 4, "t") is True
     bins = {
         r["bin"]: r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -1006,7 +1006,7 @@ def test_histogram_sink_drops_nan_values(spark, dirs):
     batch = _mk_batch(
         spark, [(1, 0, 1, "click", 2.0), (2, 1, 1, "click", float("nan"))]
     )
-    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 8.0, 4) is True
+    assert _hist_apply_batch(batch, 0, dirs["table"], "value", 0.0, 8.0, 4, "t") is True
     bins = {
         r["bin"]: r["c"]
         for r in read_sketch_table(spark, dirs["table"]).collect()
@@ -1024,7 +1024,7 @@ def test_cms_estimate_keys_empty_probe_list(spark, dirs):
     )
 
     batch = _mk_batch(spark, [(1, 0, 7, "click", 1.0)])
-    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id") is True
+    assert _cms_apply_batch(batch, 0, dirs["table"], "user_id", "t") is True
     out = cms_estimate_keys(spark, dirs["table"], [])
     assert out.columns == ["key", "cms_estimate"]
     assert out.count() == 0
@@ -1084,6 +1084,71 @@ def test_replay_guard_pre_upgrade_blank_identity_skips_replay(spark, dirs):
         _cms_apply_batch(batch, 3, dirs["table"], "user_id", "p:uuid")
         is False
     )
+
+
+def test_replay_guard_bare_abspath_identity_migrates(spark, dirs):
+    """The format before instance tokens stored the bare checkpoint
+    abspath; the current format is abspath:token. A stored bare
+    abspath that is the abspath PREFIX of the current id is the SAME
+    stream mid-upgrade — treating it as foreign would re-apply a
+    crash-replayed batch straddling the upgrade into SUM-merged
+    counters. A genuinely different path must still read as foreign."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _cms_apply_batch,
+        _replay_guard,
+        _sketch_state_read,
+    )
+
+    # pre-token pointer: stored bare abspath, current abspath:token
+    assert _replay_guard(3, 3, "/ck/pt:abc123", "/ck/pt") is True  # skip
+    assert _replay_guard(4, 3, "/ck/pt:abc123", "/ck/pt") is False  # apply
+    # different checkpoint path remains foreign: batch 3 applies
+    assert _replay_guard(3, 3, "/other:abc123", "/ck/pt") is False
+    # and a bare abspath that merely shares a string prefix (not a
+    # path-with-token extension) is NOT matched
+    assert _replay_guard(3, 3, "/ck/pt2:abc123", "/ck/pt") is False
+    # end-to-end: old-format pointer, upgraded code crash-replays
+    batch = _mk_batch(spark, [(1, 0, 7, "click", 1.0)])
+    old_id = dirs["ckpt"]  # pre-upgrade id WAS the bare path
+    assert _cms_apply_batch(batch, 3, dirs["table"], "user_id", old_id)
+    new_id = f"{old_id}:deadbeef"
+    assert (
+        _cms_apply_batch(batch, 3, dirs["table"], "user_id", new_id)
+        is False
+    )
+    # the next applied batch rewrites the pointer to the new format,
+    # ending the one-shot legacy wildcard
+    assert _cms_apply_batch(batch, 4, dirs["table"], "user_id", new_id)
+    _, _, _, stored = _sketch_state_read(spark, dirs["table"])
+    assert stored == new_id
+
+
+def test_stream_instance_marker_single_winner_under_race(tmp_path):
+    """Concurrent first users of one checkpoint dir must all read the
+    SAME instance token: the marker is published with an atomic
+    exclusive link, so exactly one creator can win (the old
+    check-then-replace let two winners install different tokens,
+    splitting one checkpoint instance into two replay identities)."""
+    import threading
+
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _stream_instance_id,
+    )
+
+    ck = str(tmp_path / "ckpt")
+    ids: list[str] = []
+    barrier = threading.Barrier(8)
+
+    def grab():
+        barrier.wait()
+        ids.append(_stream_instance_id(ck))
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(ids)) == 1 and ids[0].endswith(tuple("0123456789abcdef"))
 
 
 def test_upsert_stream_crash_replay_is_noop(spark, dirs):
