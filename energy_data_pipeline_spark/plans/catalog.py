@@ -44,6 +44,9 @@ _ALL_QUERIES: dict[
 # then rests on a driver-side hash compare, not only the local replica
 # gate. Relative order within each group is otherwise preserved.
 _SAMPLE_PRIORITY = [
+    # round-12: brand-new entries front the window so their first
+    # external hash lands this round
+    "pk_bpe_packed_sequences",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

@@ -1528,6 +1528,30 @@ def bpe_trained_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compares full values — the t3/t5 spline-fixture pattern for
     non-SQL-expressible iterative ops. Memoized as model+plan cache
     (the merge list is a pure function of the immutable snapshot)."""
+    from . import plan_cache
+
+    def build():
+        final = _bpe_segmented_vocab(spark, sf_dir)
+        df = final.select(
+            "w",
+            F.col("freq").cast("bigint").alias("freq"),
+            F.size("syms").cast("bigint").alias("n_syms"),
+            F.concat_ws(" ", "syms").alias("seg"),
+        )
+        return df, []
+
+    return plan_cache.cached_plan(
+        spark, ("bpe_trained_segments", sf_dir, BPE_MERGES), build
+    )
+
+
+def _bpe_segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq, syms) — the corpus vocabulary segmented by the
+    {merges}-merge BPE model trained on the corpus itself, memoized
+    and pinned once per snapshot: the trained tokenizer is MODEL data
+    (pure deterministic function of the immutable snapshot), and both
+    the segments query and the BPE packing lineage consume it — one
+    training per snapshot, shared."""
     from ..operators import bpe
     from . import plan_cache
 
@@ -1539,18 +1563,17 @@ def bpe_trained_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("w")
             .agg(F.sum("n").alias("freq"))
         )
-        merges, final = bpe.bpe_train(vocab, BPE_MERGES)
-        df = final.select(
-            "w",
-            F.col("freq").cast("bigint").alias("freq"),
-            F.size("syms").cast("bigint").alias("n_syms"),
-            F.concat_ws(" ", "syms").alias("seg"),
-        )
-        return df, [(final, StorageLevel.MEMORY_AND_DISK)]
+        _merges, final = bpe.bpe_train(vocab, BPE_MERGES)
+        return final, [(final, StorageLevel.MEMORY_AND_DISK)]
 
     return plan_cache.cached_plan(
-        spark, ("bpe_trained_segments", sf_dir, BPE_MERGES), build
+        spark, ("bpe_vocab_segments", sf_dir, BPE_MERGES), build
     )
+
+
+_bpe_segmented_vocab.__doc__ = _bpe_segmented_vocab.__doc__.format(
+    merges=BPE_MERGES
+)
 
 
 bpe_trained_segments.__doc__ = bpe_trained_segments.__doc__.format(
@@ -1558,10 +1581,11 @@ bpe_trained_segments.__doc__ = bpe_trained_segments.__doc__.format(
 )
 
 
-def _bpe_segments_oracle(sf_dir: str) -> str:
-    """Generated oracle: reference pure-Python BPE over the same
-    parquet (duckdb tokenization identical to DUCK_WORDS), emitted as
-    a VALUES table."""
+def _python_bpe_segments(sf_dir: str) -> tuple[dict, dict]:
+    """Reference pure-Python BPE over the same parquet (duckdb
+    tokenization identical to DUCK_WORDS): returns (vocab freq dict,
+    word -> symbol-list dict) — the independent implementation both
+    BPE oracles derive their VALUES tables from."""
     import duckdb
 
     con = duckdb.connect()
@@ -1598,12 +1622,19 @@ def _bpe_segments_oracle(sf_dir: str) -> str:
                     out.append(s[i])
                     i += 1
             syms[w] = out
+    return vocab, syms
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
 
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_segments_oracle(sf_dir: str) -> str:
+    """Generated oracle: reference pure-Python BPE emitted as a
+    VALUES table (see ``_python_bpe_segments``)."""
+    vocab, syms = _python_bpe_segments(sf_dir)
     values = ",\n".join(
-        f"({q(w)}, {vocab[w]}, {len(syms[w])}, {q(' '.join(syms[w]))})"
+        f"({_sqlq(w)}, {vocab[w]}, {len(syms[w])}, {_sqlq(' '.join(syms[w]))})"
         for w in sorted(vocab)
     )
     return f"""
@@ -3923,6 +3954,128 @@ packed_sequences_table.__doc__ = packed_sequences_table.__doc__.format(
 )
 
 
+def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer -> packing -> trainer feed as ONE lineage: the corpus
+    is tokenized by the {merges}-merge BPE model TRAINED ON THE CORPUS
+    ITSELF (the memoized ``_bpe_segmented_vocab`` model), and the BPE
+    symbol stream — not whitespace words — is concat-and-chunked into
+    {seq_len}-symbol training sequences. This is the silver->serving
+    chain a pretraining pipeline actually runs (reference analogue:
+    the bronze->silver->dashboard chain, SURVEY.md §3.2), with every
+    stage deterministic and value-hashable.
+
+    Plan shape: per-document BPE streams come from ONE posexplode of
+    the pinned silver word arrays joined to the broadcast vocab-sized
+    segmentation dim (tokenization cost is VOCAB-sized — the model is
+    applied by dictionary lookup, never re-derived per document), then
+    order-preserving reassembly (array_sort on (pos, syms) structs)
+    and the packing operator's single window per shard."""
+    from ..operators.packing import packed_sequences
+
+    silver = _doc_words_silver(spark, sf_dir)
+    seg = _bpe_segmented_vocab(spark, sf_dir).select("w", "syms")
+    toks = (
+        silver.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.posexplode("wl").alias("pos", "w"),
+        )
+        .join(F.broadcast(seg), "w")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("btoks")
+        )
+    )
+    seqs = packed_sequences(
+        toks,
+        "doc_id",
+        F.col("btoks"),
+        shard_cols=["source", "lang"],
+        seq_len=PACK_MAT_SEQ_LEN,
+    )
+    return seqs.select(
+        "source",
+        "lang",
+        F.col("pack_shard").cast("bigint").alias("pack_shard"),
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("seq_hash"),
+    )
+
+
+bpe_packed_sequences.__doc__ = bpe_packed_sequences.__doc__.format(
+    merges=BPE_MERGES, seq_len=PACK_MAT_SEQ_LEN
+)
+
+
+def _bpe_packed_oracle(sf_dir: str) -> str:
+    """Generated oracle for the BPE packing lineage: the reference
+    pure-Python BPE produces the segmentation dim as a VALUES table;
+    tokenization, order-preserving reassembly, and concat-and-chunk
+    are then expressed in SQL over the same parquet."""
+    from ..operators.packing import SHARD_DOCS
+
+    _vocab, syms = _python_bpe_segments(sf_dir)
+    seg_values = ",\n".join(
+        f"({_sqlq(w)}, {_sqlq(' '.join(syms[w]))})" for w in sorted(syms)
+    )
+    L = PACK_MAT_SEQ_LEN
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH seg(w, seg) AS (VALUES
+{seg_values}
+), d AS (
+  SELECT source, lang, doc_id, {words} AS ws FROM documents
+), w0 AS (
+  SELECT source, lang, doc_id, unnest(ws) AS w,
+         generate_subscripts(ws, 1) AS pos
+  FROM d
+), j AS (
+  SELECT w0.source, w0.lang, w0.doc_id, w0.pos,
+         string_split(seg.seg, ' ') AS piece
+  FROM w0 JOIN seg USING (w)
+), t AS (
+  SELECT source, lang, doc_id,
+         CAST(floor(doc_id / {SHARD_DOCS}) AS BIGINT) AS pack_shard,
+         flatten(list(piece ORDER BY pos)) AS toks
+  FROM j GROUP BY 1, 2, 3, 4
+), tn AS (
+  SELECT *, len(toks) AS n FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT *, CAST(COALESCE(sum(n) OVER (
+              PARTITION BY source, lang, pack_shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum
+  FROM tn
+), spans AS (
+  SELECT source, lang, pack_shard, doc_id, toks, n, cum,
+         unnest(range(cum // {L}, (cum + n - 1) // {L} + 1)) AS seq_id
+  FROM c
+), pieces AS (
+  SELECT source, lang, pack_shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         list_slice(toks,
+                    CAST(greatest(0, seq_id * {L} - cum) + 1 AS BIGINT),
+                    CAST(least(n, (seq_id + 1) * {L} - cum) AS BIGINT)) AS piece
+  FROM spans
+)
+SELECT source, lang, pack_shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')) AS seq_hash
+FROM pieces
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def _packed_seqs_sql() -> str:
     from ..operators.packing import SHARD_DOCS
 
@@ -4433,19 +4586,55 @@ def _doc_words_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape (one wide scan, N narrow consumers) is identical.
     Raw-text columns (punct ratios, fingerprints, BPE regex, line
     splits) deliberately stay OFF this frame — those queries keep
-    their single bronze scan."""
+    their single bronze scan.
+
+    CONSUMPTION SWITCH (the deployment form): when the session conf
+    ``spark.energy_data_pipeline.silver.path`` (or env
+    ``SPARK_GRAFT_SILVER_DIR``) names a manifest-committed silver
+    table (jobs/silver_tokenize.tokenize_silver_job output), the
+    catalog reads THAT instead of re-tokenizing bronze — one conf key
+    flips every consumer query from compute-on-read to
+    read-the-silver-zone. The deployment owns the invariant that the
+    table covers the snapshot (same tokenizer by construction: both
+    paths are ``functions.text.words``). Unset (the default), the
+    in-process pin is built from bronze. The plan-cache key carries
+    the table's live manifest name (``_snapshot_token``), so a new
+    silver commit key-misses and re-pins automatically.
+
+    The switch is SESSION-START configuration: derived-frame memos
+    downstream (token counts, overlap frames, vocab dims) embed this
+    frame only transitively and do not key on the conf — flipping it
+    mid-session requires ``plans.plan_cache.clear()`` first (the
+    equivalence test does exactly that)."""
+    import os
+
     from . import plan_cache
+
+    silver_path = spark.conf.get(
+        "spark.energy_data_pipeline.silver.path",
+        os.environ.get("SPARK_GRAFT_SILVER_DIR", ""),
+    )
 
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        docs = fan_out(load_table(spark, sf_dir, "documents"))
-        silver = docs.select(
-            "doc_id", "source", "lang", T.words("text").alias("wl")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if silver_path:
+            from ..jobs.silver_tokenize import read_silver
+
+            src = read_silver(spark, silver_path).select(
+                "doc_id", "source", "lang", "wl"
+            )
+        else:
+            docs = fan_out(load_table(spark, sf_dir, "documents"))
+            src = docs.select(
+                "doc_id", "source", "lang", T.words("text").alias("wl")
+            )
+        silver = src.persist(StorageLevel.MEMORY_AND_DISK)
         return silver, [(silver, StorageLevel.MEMORY_AND_DISK)]
 
-    return plan_cache.cached_plan(spark, ("doc_words_silver", sf_dir), build)
+    return plan_cache.cached_plan(
+        spark, ("doc_words_silver", sf_dir, silver_path), build
+    )
 
 
 # --- shared pinned (doc_id, token, n) frame for distribution queries ---
@@ -5180,6 +5369,7 @@ CORPUS_QUERIES = {
     "pk_pack_efficiency_report": (pack_efficiency_report, _pack_efficiency_sql()),
     "txt_quality_filter_funnel": (quality_filter_funnel, _quality_funnel_sql()),
     "pk_packed_sequences": (packed_sequences_table, _packed_seqs_sql()),
+    "pk_bpe_packed_sequences": (bpe_packed_sequences, _bpe_packed_oracle),
     # round-8 session-4 additions APPEND so pre-existing merged catalog
     # order (part of the driver's sample-window surface) never shifts
     "emb_label_affinity": (label_affinity, LABEL_AFFINITY_SQL),

@@ -1089,6 +1089,93 @@ def test_tokenize_silver_job_concurrent_overlap_keeps_ids_unique(
     assert ids == [1, 2, 3, 4]  # no duplicates, nothing lost
 
 
+def test_bpe_merge_table_commit_roundtrip_and_lineage(spark, tmp_path):
+    """The tokenizer model commits like any other artifact: train ->
+    manifest publish -> read back in training order -> apply. The
+    committed-model tokenization must segment identically to the
+    catalog's in-process memoized model (one lineage across
+    processes), and a deterministic retrain republishes identical
+    content at a bumped version."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs import bpe_model
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        BPE_MERGES,
+        _bpe_segmented_vocab,
+        _doc_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    table = str(tmp_path / "bpe_merges")
+    vocab = (
+        _doc_token_counts(spark, sf)
+        .groupBy("w")
+        .agg(F.sum("n").alias("freq"))
+    )
+    s = bpe_model.train_and_commit_merges(spark, vocab, table, BPE_MERGES)
+    assert s["version"] == 0 and s["n_merges"] > 0
+    merges = bpe_model.read_merges(spark, table)
+    assert len(merges) == s["n_merges"]
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in merges)
+
+    # committed-model inference == the catalog's memoized model
+    via_committed = {
+        r["w"]: list(r["syms"])
+        for r in bpe_model.tokenize_with_committed_merges(
+            spark, vocab, table
+        ).collect()
+    }
+    via_catalog = {
+        r["w"]: list(r["syms"])
+        for r in _bpe_segmented_vocab(spark, sf).collect()
+    }
+    assert via_committed == via_catalog
+
+    # deterministic retrain: same merges, bumped version
+    s2 = bpe_model.train_and_commit_merges(spark, vocab, table, BPE_MERGES)
+    assert s2["version"] == 1
+    assert bpe_model.read_merges(spark, table) == merges
+
+
+def test_silver_consumption_switch_oracle_equivalence(spark, tmp_path):
+    """One conf key flips the catalog's tokenized-silver frame from
+    compute-on-read (tokenize bronze per snapshot) to
+    read-the-committed-silver-table; every consumer query must hash
+    identically both ways — same tokenizer by construction, proven
+    here on three consumers spanning the silver frame, the derived
+    token-count frame, and the vocab dictionary."""
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        tokenize_silver_job,
+    )
+    from energy_data_pipeline_spark.plans import plan_cache
+    from energy_data_pipeline_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    table = str(tmp_path / "silver")
+    s = tokenize_silver_job(spark, docs, table)
+    assert s["tokenized"] > 0
+
+    names = ["txt_hapax_ratio", "txt_readability_profile", "txt_lang_id"]
+    base = {
+        n: sorted(map(tuple, CATALOG[n][0](spark, sf).collect()))
+        for n in names
+    }
+    # the switch is session-start config: clear the derived-frame memos
+    # when flipping mid-session (documented in _doc_words_silver)
+    plan_cache.clear()
+    spark.conf.set("spark.energy_data_pipeline.silver.path", table)
+    try:
+        via_silver = {
+            n: sorted(map(tuple, CATALOG[n][0](spark, sf).collect()))
+            for n in names
+        }
+    finally:
+        spark.conf.unset("spark.energy_data_pipeline.silver.path")
+        plan_cache.clear()
+    assert via_silver == base
+
+
 def test_silver_maintenance_flow_ticks_idempotently(spark, tmp_path):
     """The maintenance flow end-to-end: tick 1 ingests + leaves a
     compact table; tick 2 over the same landing is a no-op ingest and

@@ -17,12 +17,9 @@ from .oracle_harness import compare, duck_connection
 # rests on this suite plus scripts/full_sweep.py (`pytest -m
 # parity_extended` re-runs exactly these after a refactor).
 NEVER_DRIVER_SAMPLED = {
-    "a21_pareto_binned_share",
-    "ann_ivfpq_refined_topk",
-    "dd_soft_dedup_weights",
-    "txt_bpe_merge_candidates",
-    "txt_bpe_trained_segments",
-    "ann_recall_matrix",
+    # round-11's six additions were all driver-hashed green in
+    # CORRECTNESS_r11 and dropped from this list; round-12 additions:
+    "pk_bpe_packed_sequences",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
