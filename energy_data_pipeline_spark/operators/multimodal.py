@@ -517,19 +517,121 @@ def _jpeg_decode_block_coefs(
     pred: int,
 ) -> int:
     """One baseline 8x8 block into zigzag-order coefficients: Huffman
-    DC diff + AC run-lengths. Returns the new DC predictor."""
-    t = _jpeg_decode_huffman(reader, dc_table)
-    pred += _jpeg_extend(reader.read_bits(t), t)
-    coef[0] = pred
-    k = 1
-    while k < 64:
-        rs = _jpeg_decode_huffman(reader, ac_table)
+    DC diff + AC run-lengths. Returns the new DC predictor.
+
+    The per-symbol work is fully inlined on a local single-integer bit
+    cursor (peek-16 LUT hit + EXTEND value read with no method
+    dispatch) — the reader-object call overhead was ~45% of baseline
+    decode. LUT misses and end-of-data fall back to the original
+    bit-walk path, which reproduces exact truncation/invalid errors;
+    the cursor is committed back to the reader on every exit."""
+    dc_len = getattr(dc_table, "lut_len", None)
+    ac_len = getattr(ac_table, "lut_len", None)
+    if dc_len is None or ac_len is None:  # tiny tables: original path
+        t = _jpeg_decode_huffman(reader, dc_table)
+        pred += _jpeg_extend(reader.read_bits(t), t)
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            rs = _jpeg_decode_huffman(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            coef[k] = _jpeg_extend(reader.read_bits(s), s)
+            k += 1
+        return pred
+
+    data = reader.data
+    nbits = len(data) * 8
+    bp = reader.pos * 8 + reader.bit
+    dc_sym = dc_table.lut_sym
+    ac_sym = ac_table.lut_sym
+    k = 0  # 0 = decode DC next; 1..63 = AC position
+    while True:
+        # inline peek16 at bp (zero-padded past the end)
+        byte0 = bp >> 3
+        chunk = data[byte0 : byte0 + 3]
+        v = (
+            (int.from_bytes(chunk, "big") << (8 * (3 - len(chunk))))
+            >> (8 - (bp & 7))
+        ) & 0xFFFF
+        if k == 0:
+            length = dc_len[v]
+            if not length or length > nbits - bp:
+                break  # slow-path fallback below
+            bp += length
+            t = dc_sym[v]
+            if t:
+                if bp + t > nbits:
+                    reader.pos, reader.bit = divmod(bp, 8)
+                    raise ValueError("truncated entropy-coded segment")
+                b0 = bp >> 3
+                nb = ((bp & 7) + t + 7) >> 3
+                val = (
+                    int.from_bytes(data[b0 : b0 + nb], "big")
+                    >> (nb * 8 - (bp & 7) - t)
+                ) & ((1 << t) - 1)
+                bp += t
+                pred += val if val >= (1 << (t - 1)) else val - (1 << t) + 1
+            coef[0] = pred
+            k = 1
+            continue
+        length = ac_len[v]
+        if not length or length > nbits - bp:
+            break  # slow-path fallback below
+        bp += length
+        rs = ac_sym[v]
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r == 15:  # ZRL: sixteen zeros
                 k += 16
+                if k >= 64:  # same silent block end as the bit-walk path
+                    reader.pos, reader.bit = divmod(bp, 8)
+                    return pred
                 continue
-            break  # EOB
+            k = 64  # EOB
+        else:
+            k += r
+            if k > 63:
+                reader.pos, reader.bit = divmod(bp, 8)
+                raise ValueError("JPEG AC run past block end")
+            if bp + s > nbits:
+                reader.pos, reader.bit = divmod(bp, 8)
+                raise ValueError("truncated entropy-coded segment")
+            b0 = bp >> 3
+            nb = ((bp & 7) + s + 7) >> 3
+            val = (
+                int.from_bytes(data[b0 : b0 + nb], "big")
+                >> (nb * 8 - (bp & 7) - s)
+            ) & ((1 << s) - 1)
+            bp += s
+            coef[k] = val if val >= (1 << (s - 1)) else val - (1 << s) + 1
+            k += 1
+        if k >= 64:
+            reader.pos, reader.bit = divmod(bp, 8)
+            return pred
+    # LUT miss or not enough bits for the LUT's claimed code: commit
+    # the cursor and finish this block on the original exact path
+    reader.pos, reader.bit = divmod(bp, 8)
+    if k == 0:
+        t = _jpeg_decode_huffman(reader, dc_table)
+        pred += _jpeg_extend(reader.read_bits(t), t)
+        coef[0] = pred
+        k = 1
+    while k < 64:
+        rs = _jpeg_decode_huffman(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break
         k += r
         if k > 63:
             raise ValueError("JPEG AC run past block end")
@@ -1295,20 +1397,21 @@ def _vp8l_entropy_image(
         alpha = _vp8l_read_code(br, 256)
         dist = _vp8l_read_code(br, 40)
         groups.append((green, red, blue, alpha, dist))
-    out = np.zeros(w * h, dtype="u4")
+    # plain-list output + inlined cache insert + bound decode methods:
+    # numpy scalar stores and the per-pixel no-op insert() call were
+    # ~30% of the pixel loop (round-12 profile)
+    out: list[int] = []
     pos = 0
     total = w * h
+    shift = 32 - cache_bits if cache_bits else 0
 
-    def insert(px: int) -> None:
-        if cache is not None:
-            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
-
+    single = groups[0]
     while pos < total:
         if meta is not None:
             x, y = pos % w, pos // w
             g = groups[int(meta[(y >> group_bits), (x >> group_bits)])]
         else:
-            g = groups[0]
+            g = single
         green_c, red_c, blue_c, alpha_c, dist_c = g
         s = green_c.decode(br)
         if s < 256:
@@ -1316,8 +1419,9 @@ def _vp8l_entropy_image(
             b = blue_c.decode(br)
             a = alpha_c.decode(br)
             px = (a << 24) | (r << 16) | (s << 8) | b
-            out[pos] = px
-            insert(px)
+            out.append(px)
+            if cache is not None:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
             pos += 1
         elif s < 256 + 24:
             length = _vp8l_lz77_value(s - 256, br)
@@ -1329,19 +1433,28 @@ def _vp8l_entropy_image(
                 distance = max(1, dy * w + dx)
             if distance > pos or pos + length > total:
                 raise ValueError("VP8L backward reference out of range")
-            for _ in range(length):
-                px = int(out[pos - distance])
-                out[pos] = px
-                insert(px)
-                pos += 1
+            if cache is None:
+                if distance >= length:  # non-overlapping: one memcpy
+                    out.extend(out[pos - distance : pos - distance + length])
+                    pos += length
+                else:  # overlapping run repeats as it grows
+                    for _ in range(length):
+                        out.append(out[pos - distance])
+                        pos += 1
+            else:
+                for _ in range(length):
+                    px = out[pos - distance]
+                    out.append(px)
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+                    pos += 1
         else:
             if cache is None:
                 raise ValueError("VP8L cache hit without a color cache")
             px = cache[s - 256 - 24]
-            out[pos] = px
-            insert(px)
+            out.append(px)
+            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
             pos += 1
-    return out.reshape(h, w)
+    return np.array(out, dtype="u4").reshape(h, w)
 
 
 def _vp8l_avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -1704,24 +1817,46 @@ def _tiff_lzw_decode(src: bytes, need: int) -> bytes:
     table: list[bytes] = []
     prev: bytes | None = None
 
-    def read(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
+    # Vectorized code extraction: codes of one width are fixed-stride
+    # bit fields, so a whole width-segment is gathered in one numpy
+    # shot from per-byte 32-bit big-endian windows (width <= 12 plus a
+    # <=7-bit offset always fits in 32). The scalar per-code
+    # int.from_bytes read was ~40% of the LZW decode. A batch is
+    # discarded at width bumps and CLEAR resets (both re-derive
+    # bitpos), so correctness never depends on predicting them.
+    pad = np.concatenate(
+        [np.frombuffer(src, dtype=np.uint8), np.zeros(4, np.uint8)]
+    ).astype(np.uint32)
+    win = (pad[:-3] << 24) | (pad[1:-2] << 16) | (pad[2:-1] << 8) | pad[3:]
+    buf: list[int] = []
+    buf_i = 0
+
+    def refill(width: int, max_codes: int) -> None:
+        nonlocal buf, buf_i
+        count = min(max_codes, (nbits - bitpos) // width)
+        if count <= 0:
             raise ValueError("truncated TIFF LZW stream")
-        byte0 = bitpos >> 3
-        chunk = int.from_bytes(
-            src[byte0 : (bitpos + width + 7) // 8], "big"
-        )
-        shift = ((bitpos + width + 7) // 8 * 8) - (bitpos + width)
-        bitpos += width
-        return (chunk >> shift) & ((1 << width) - 1)
+        starts = bitpos + width * np.arange(count, dtype=np.int64)
+        vals = (
+            win[starts >> 3] >> (32 - width - (starts & 7))
+        ) & ((1 << width) - 1)
+        buf = vals.tolist()
+        buf_i = 0
 
     while len(out) < need:
-        code = read(width)
+        if buf_i >= len(buf):
+            # codes until the next width bump (never past it: the
+            # reader-side early change below re-checks per code)
+            until_bump = max(1, ((1 << width) - 1) - (len(table) + 1))
+            refill(width, until_bump)
+        code = buf[buf_i]
+        buf_i += 1
+        bitpos += width
         if code == CLEAR:
             table = [bytes([i]) for i in range(256)] + [b"", b""]
             width = 9
             prev = None
+            buf_i = len(buf)  # positions past a reset re-derive
             continue
         if code == EOI:
             break
@@ -1746,6 +1881,7 @@ def _tiff_lzw_decode(src: bytes, need: int) -> bytes:
         # one entry earlier than the writer-side check
         if len(table) + 1 >= (1 << width) - 1 and width < 12:
             width += 1
+            buf_i = len(buf)  # stale width: re-extract
     return bytes(out)
 
 
@@ -2107,11 +2243,115 @@ class _FlacBits(_JpegBitReader):
     def remaining(self) -> int:
         return (len(self.data) - self.pos) * 8 - self.bit
 
+    # -- vectorized block reads (the Rice residual hot path) ----------
+    def _bit_index(self):
+        """Lazy (bits, ones, next_k-cache) for the whole buffer: one
+        unpackbits + flatnonzero per payload, shared by every frame's
+        residual partitions. next_k[param][i] = index in ``ones`` of
+        the first set bit at least param+1 bits past ones[i] — the
+        Rice chain's jump table, built once per distinct param."""
+        idx = getattr(self, "_bidx", None)
+        if idx is None:
+            bits = np.unpackbits(np.frombuffer(self.data, dtype=np.uint8))
+            ones = np.flatnonzero(bits).astype(np.int64)
+            idx = (bits, ones, {})
+            self._bidx = idx
+        return idx
 
-def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
+    def rice_block(self, n: int, param: int) -> np.ndarray:
+        """Decode ``n`` Rice(param) codes, vectorized: unary quotients
+        are gaps between set bits (followed through a precomputed jump
+        table that skips each code's param suffix bits), remainders are
+        gathered as an (n, param) bit matrix. Replaces the per-sample
+        unary()+read() loop — the FLAC decode's dominant cost."""
+        if n <= 0:
+            return np.zeros(0, dtype=np.int64)
+        bits, ones, nk_cache = self._bit_index()
+        start = self.pos * 8 + self.bit
+        k = int(np.searchsorted(ones, start))
+        m = len(ones)
+        if param == 0:
+            if k + n > m:
+                raise ValueError("truncated entropy-coded segment")
+            ks = np.arange(k, k + n, dtype=np.int64)
+        else:
+            # binary-lifted jump tables: J[j][i] = index (into ``ones``)
+            # of the terminator 2^j codes after terminator i, clipped to
+            # the sentinel m. Built once per (payload, param), reused by
+            # every partition of every frame; materializing the n-code
+            # chain is then log2(n) vectorized gathers, no per-code loop.
+            tables = nk_cache.get(param)
+            if tables is None:
+                j1 = np.minimum(
+                    np.searchsorted(ones, ones + 1 + param), m
+                ).astype(np.int64)
+                j1 = np.append(j1, m)  # sentinel maps to itself
+                tables = [j1]
+                nk_cache[param] = tables
+            if k >= m:
+                raise ValueError("truncated entropy-coded segment")
+            ks = np.empty(n, dtype=np.int64)
+            ks[0] = k
+            filled = 1
+            lvl = 0
+            while filled < n:
+                while lvl >= len(tables):
+                    prev = tables[-1]
+                    tables.append(prev[prev])
+                take = min(filled, n - filled)
+                ks[filled : filled + take] = tables[lvl][ks[:take]]
+                filled += take
+                lvl += 1
+            if int(ks[-1]) >= m:
+                raise ValueError("truncated entropy-coded segment")
+        t = ones[ks]
+        starts = np.empty(n, dtype=np.int64)
+        starts[0] = start
+        if n > 1:
+            starts[1:] = t[:-1] + 1 + param
+        q = t - starts
+        if q.max(initial=0) > 1 << 20:
+            raise ValueError("runaway FLAC unary code")
+        if param:
+            end = int(t[-1]) + 1 + param
+            if end > len(bits):
+                raise ValueError("truncated entropy-coded segment")
+            suffix_bits = bits[
+                t[:, None] + 1 + np.arange(param, dtype=np.int64)
+            ].astype(np.int64)
+            weights = np.left_shift(
+                1, np.arange(param - 1, -1, -1, dtype=np.int64)
+            )
+            v = (q << param) | (suffix_bits @ weights)
+        else:
+            end = int(t[-1]) + 1
+            v = q
+        self.pos, self.bit = divmod(end, 8)
+        return (v >> 1) ^ -(v & 1)  # zigzag, vectorized
+
+    def sread_block(self, n: int, width: int) -> np.ndarray:
+        """Decode ``n`` fixed-width signed two's-complement fields,
+        vectorized (the Rice escape / verbatim path)."""
+        if n <= 0 or width <= 0:
+            return np.zeros(max(n, 0), dtype=np.int64)
+        bits, _ones, _nk = self._bit_index()
+        start = self.pos * 8 + self.bit
+        end = start + n * width
+        if end > len(bits):
+            raise ValueError("truncated entropy-coded segment")
+        m = bits[start:end].astype(np.int64).reshape(n, width)
+        weights = np.left_shift(1, np.arange(width - 1, -1, -1, dtype=np.int64))
+        v = m @ weights
+        v -= (v >> (width - 1)) << width  # sign-extend
+        self.pos, self.bit = divmod(end, 8)
+        return v
+
+
+def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> np.ndarray:
     """Rice-coded residual: 2-bit method, 4-bit partition order,
     2^order partitions with per-partition Rice parameter (escape code
-    switches to raw n-bit residuals)."""
+    switches to raw n-bit residuals). Partition bodies decode
+    vectorized (``rice_block`` / ``sread_block``)."""
     method = br.read(2)
     if method > 1:
         raise ValueError("reserved FLAC residual method")
@@ -2121,20 +2361,16 @@ def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list[int]:
     n_part = 1 << porder
     if blocksize % n_part or (blocksize >> porder) < order:
         raise ValueError("bad FLAC partition order for block")
-    res: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(n_part):
         n = (blocksize >> porder) - (order if p == 0 else 0)
         param = br.read(pbits)
         if param == escape:
             raw = br.read(5)
-            for _ in range(n):
-                res.append(br.sread(raw) if raw else 0)
+            parts.append(br.sread_block(n, raw))
         else:
-            for _ in range(n):
-                q = br.unary()
-                v = (q << param) | br.read(param)
-                res.append((v >> 1) ^ -(v & 1))  # zigzag
-    return res
+            parts.append(br.rice_block(n, param))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
 _FLAC_FIXED = {
@@ -2157,15 +2393,25 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
     if ftype == 0:  # constant
         out = [br.sread(bps)] * blocksize
     elif ftype == 1:  # verbatim
-        out = [br.sread(bps) for _ in range(blocksize)]
+        out = br.sread_block(blocksize, bps).tolist()
     elif 8 <= ftype <= 12:  # fixed, order 0-4
         order = ftype - 8
-        out = [br.sread(bps) for _ in range(order)]
+        warm = [br.sread(bps) for _ in range(order)]
         res = _flac_residual(br, blocksize, order)
-        coefs = _FLAC_FIXED[order]
-        for r in res:
-            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append(r + pred)
+        # A fixed predictor of order k means the residual IS the k-th
+        # difference of the signal, so reconstruction is k cumulative
+        # sums seeded from the warm-up samples' difference pyramid —
+        # exact int64 arithmetic, fully vectorized (the per-sample
+        # multiply-add loop was the other half of the FLAC hot path).
+        seeds: list[int] = []
+        cur = np.array(warm, dtype=np.int64)
+        for _ in range(order):
+            seeds.append(int(cur[-1]))
+            cur = np.diff(cur)
+        arr = res
+        for j in range(order - 1, -1, -1):
+            arr = seeds[j] + np.cumsum(arr)
+        out = warm + arr.tolist()
     elif ftype >= 32:  # LPC, order 1-32
         order = ftype - 31
         out = [br.sread(bps) for _ in range(order)]
@@ -2177,7 +2423,9 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list[int]:
             raise ValueError("negative FLAC LPC shift")
         coefs = [br.sread(precision) for _ in range(order)]
         res = _flac_residual(br, blocksize, order)
-        for r in res:
+        # integer IIR with a truncating shift per step — inherently
+        # sequential, kept as the one remaining loop (order <= 32)
+        for r in res.tolist():
             pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
             out.append(r + pred)
     else:

@@ -79,6 +79,11 @@ def main() -> None:
                 ),
                 bps=16,
                 kind="fixed2",
+                # real encoders frame at 4096 samples; the test
+                # encoder's 64-sample default is a header-parse
+                # microbenchmark, not a decode benchmark (round 12 —
+                # see SCALE.md for the cross-round comparability note)
+                blocksize=4096,
             ),
         ),
     ]

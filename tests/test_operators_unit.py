@@ -2590,7 +2590,7 @@ def _flac_bytes(
         wr.write(0x3FFE, 14)
         wr.write(0, 1)
         wr.write(0, 1)  # fixed blocksize stream
-        wr.write(6, 4)  # 8-bit blocksize-1 follows
+        wr.write(7 if bn > 256 else 6, 4)  # 8/16-bit blocksize-1 follows
         wr.write(0, 4)  # sample rate from STREAMINFO
         ch_code = {"indep": n_ch - 1, "left_side": 8, "right_side": 9,
                    "mid_side": 10}[mode]
@@ -2599,7 +2599,7 @@ def _flac_bytes(
         wr.write(0, 1)
         assert fi < 128
         wr.write(fi, 8)  # UTF-8 frame number, single byte
-        wr.write(bn - 1, 8)
+        wr.write(bn - 1, 16 if bn > 256 else 8)
         wr.write(0, 8)  # CRC-8 (decoder skips)
         if mode == "indep":
             chans = [block[:, c].tolist() for c in range(n_ch)] if stereo else [
@@ -2618,14 +2618,24 @@ def _flac_bytes(
                 mid = ((left + right) >> 1).tolist()
                 chans, bits = [mid, side], [bps, bps + 1]
         for ch, b in zip(chans, bits):
-            # constant/fixed orders need enough samples; fall back to
-            # verbatim for degenerate short blocks
+            # constant/fixed/lpc orders need enough samples; fall back
+            # to verbatim for degenerate short blocks (a real encoder
+            # never emits order > blocksize — RFC 9639 subframe rules)
             k = kind
             if k.startswith("fixed") and bn <= int(k[5]):
                 k = "verbatim"
+            if k == "lpc" and bn <= 2:  # emitter's LPC order is 2
+                k = "verbatim"
             if k == "constant" and len(set(ch)) != 1:
                 k = "verbatim"
-            _flac_subframe_emit(wr, ch, b, k, porder=porder if bn % (1 << porder) == 0 else 0, escape=escape)
+            order_of = (
+                int(k[5]) if k.startswith("fixed") else 2 if k == "lpc" else 0
+            )
+            po = porder if bn % (1 << porder) == 0 else 0
+            # decoder constraint: samples-per-partition >= predictor order
+            while po and (bn >> po) < order_of:
+                po -= 1
+            _flac_subframe_emit(wr, ch, b, k, porder=po, escape=escape)
         wr.align()
         wr.write(0, 16)  # CRC-16 (decoder skips)
         out += wr.tobytes()
