@@ -122,3 +122,75 @@ def _existing_fingerprints(spark: SparkSession, corpus_path: str) -> DataFrame |
         return spark.read.parquet(corpus_path).select("fp").distinct()
     except AnalysisException:  # PATH_NOT_FOUND on the very first batch
         return None
+
+
+def crawl_to_silver_flow(
+    spark: SparkSession,
+    wet_glob: str,
+    corpus_path: str,
+    silver_path: str,
+    batch_id: str,
+):
+    """The full crawl-to-statistics chain as ONE orchestrated flow
+    (jobs/orchestrate.Flow): WET shard parse (sources/wet — the only
+    Python kernel in the chain) → quality/dedup admission
+    (``corpus_ingest_job``) → incremental tokenized-silver maintenance
+    (``jobs/silver_tokenize``, doc_id anti-join = tokenize once EVER)
+    → corpus statistics off the silver table. Every step is
+    independently idempotent, so a crashed or double-run tick
+    converges: re-parsing yields the same xxhash64 doc_ids, admission
+    anti-joins them away, the silver job tokenizes nothing, and the
+    stats re-read identical state.
+
+    This is the engine's end-to-end answer to "point it at a crawl
+    snapshot": at 100 TB the wet_glob lists a shard manifest
+    (parallelism = file count, no shuffle in the parse), and each
+    downstream stage is the same operator the catalog verifies
+    value-by-value at gate scale."""
+    from ..sources import wet as W
+    from .orchestrate import Flow
+    from .silver_tokenize import read_silver, tokenize_silver_job
+
+    def parse():
+        raw = spark.read.format("binaryFile").load(wet_glob)
+        docs = W.wet_to_document_batch(W.wet_text_records(raw)).persist()
+        # pinned: the Python record parse must run once, not once for
+        # this count and again for the admission pass (batch-bounded)
+        return {"parsed": docs.count(), "frame": docs}
+
+    def _unpin(parse):
+        parse["frame"].unpersist(blocking=False)
+
+    def admit(parse):
+        return corpus_ingest_job(parse["frame"], corpus_path, batch_id)
+
+    def tokenize(admit):
+        admitted = spark.read.parquet(corpus_path).select(
+            "doc_id", "source", "lang", "text"
+        )
+        return tokenize_silver_job(spark, admitted, silver_path)
+
+    def stats(tokenize):
+        silver = read_silver(spark, silver_path)
+        row = silver.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("wl")).alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        ).collect()[0]
+        vocab = (
+            silver.select(F.explode("wl").alias("w")).distinct().count()
+        )
+        return {
+            "n_docs": row["n_docs"],
+            "n_tokens": int(row["n_tokens"] or 0),
+            "n_langs": row["n_langs"],
+            "vocab": vocab,
+        }
+
+    flow = Flow("crawl-to-silver")
+    flow.task("parse", retries=1)(parse)
+    flow.task("admit", depends_on=["parse"])(admit)
+    flow.task("unpin", depends_on=["admit", "parse"])(_unpin)
+    flow.task("tokenize", depends_on=["admit"])(tokenize)
+    flow.task("stats", depends_on=["tokenize"])(stats)
+    return flow

@@ -1089,6 +1089,90 @@ def test_tokenize_silver_job_concurrent_overlap_keeps_ids_unique(
     assert ids == [1, 2, 3, 4]  # no duplicates, nothing lost
 
 
+def test_crawl_to_silver_flow_end_to_end_and_idempotent(spark, tmp_path):
+    """The full crawl chain as one orchestrated flow: WET shards →
+    parse → quality/dedup admission → incremental tokenized silver →
+    stats. A second tick over the SAME shards must converge to a
+    no-op (same doc_ids re-derived, anti-joined away, identical
+    stats) — the crash-retry / double-schedule contract."""
+    from energy_data_pipeline_spark.jobs.corpus_ingest import (
+        crawl_to_silver_flow,
+    )
+    from energy_data_pipeline_spark.sources.wet import render_wet
+
+    good_a = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "patient cat watches from the warm windowsill nearby"
+    )
+    good_b = (
+        "a second document about the weather today which was mild "
+        "and sunny with a light breeze from the north all afternoon"
+    )
+    shard1 = [
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:a>",
+            "target_uri": "https://example.com/a",
+            "warc_date": "2024-01-01T00:00:01Z",
+            "text": good_a,
+        },
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:short>",
+            "target_uri": "https://example.com/short",
+            "warc_date": "2024-01-01T00:00:02Z",
+            "text": "too short",  # fails the quality gate
+        },
+    ]
+    shard2 = [
+        {
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:b>",
+            "target_uri": "https://example.org/b",
+            "warc_date": "2024-01-01T00:00:03Z",
+            "text": good_b,
+        },
+        {
+            # same CONTENT as shard1's record under a different uri:
+            # survives in-batch keep-first only once via fingerprint
+            "warc_type": "conversion",
+            "record_id": "<urn:uuid:a2>",
+            "target_uri": "https://mirror.example.com/a",
+            "warc_date": "2024-01-01T00:00:04Z",
+            "text": good_a,
+        },
+    ]
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    (wet_dir / "shard1.warc.wet").write_bytes(render_wet(shard1))
+    (wet_dir / "shard2.warc.wet").write_bytes(render_wet(shard2))
+    corpus = str(tmp_path / "corpus")
+    silver = str(tmp_path / "silver")
+
+    flow = crawl_to_silver_flow(
+        spark, str(wet_dir), corpus, silver, batch_id="b1"
+    )
+    r1 = flow.run()
+    assert r1["status"] == "OK"
+    admit = r1["results"]["admit"]
+    assert admit["arrived"] == 4
+    assert admit["failed_quality"] == 1
+    assert admit["dup_in_batch"] == 1  # the mirrored content
+    assert admit["admitted"] == 2
+    stats1 = r1["results"]["stats"]
+    assert stats1["n_docs"] == 2 and stats1["n_tokens"] > 20
+
+    # tick 2 over the same shards: everything anti-joins away
+    flow2 = crawl_to_silver_flow(
+        spark, str(wet_dir), corpus, silver, batch_id="b2"
+    )
+    r2 = flow2.run()
+    assert r2["status"] == "OK"
+    assert r2["results"]["admit"]["admitted"] == 0
+    assert r2["results"]["tokenize"]["tokenized"] == 0
+    assert r2["results"]["stats"] == stats1
+
+
 def test_bpe_merge_table_commit_roundtrip_and_lineage(spark, tmp_path):
     """The tokenizer model commits like any other artifact: train ->
     manifest publish -> read back in training order -> apply. The
