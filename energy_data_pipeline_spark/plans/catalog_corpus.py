@@ -1206,28 +1206,53 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-trigram share (explode + groupBy — linear, scales to long
     documents where a per-row quadratic array expression would not).
     Both signals derive from the tokenized-silver word arrays — no
-    re-split of the raw text."""
+    re-split of the raw text; the (doc, trigram, c) combine is the
+    pinned ``_doc_trigram_counts`` frame (one shingle explode per
+    snapshot, shared shape with the bigram/token count frames)."""
     silver = _doc_words_silver(spark, sf_dir)
     base = silver.select(
         "doc_id",
-        T.shingles_from_words(F.col("wl"), 3).alias("_grams"),
         rnd(T.dup_word_ratio_from_words(F.col("wl")), 6).alias(
             "dup_word_ratio"
         ),
     )
-    inv = base.select("doc_id", F.explode("_grams").alias("g"))
-    gram_counts = inv.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    gram_counts = _doc_trigram_counts(spark, sf_dir)
     shares = gram_counts.groupBy("doc_id").agg(
         rnd(F.max("c") / F.sum("c"), 6).alias("top_trigram_share")
     )
     return (
-        base.select("doc_id", "dup_word_ratio")
-        .join(shares, "doc_id", "left")
+        base.join(shares, "doc_id", "left")
         .select(
             "doc_id",
             "dup_word_ratio",
             F.coalesce("top_trigram_share", F.lit(0.0)).alias("top_trigram_share"),
         )
+    )
+
+
+def _doc_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g, c) — the combined 3-shingle stream off the
+    tokenized-silver word arrays, pinned once per snapshot (trigram
+    analogue of ``_doc_token_counts`` / ``_doc_bigram_counts``)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        silver = _doc_words_silver(spark, sf_dir)
+        gc = (
+            silver.select(
+                "doc_id",
+                F.explode(T.shingles_from_words(F.col("wl"), 3)).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return gc, [(gc, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("doc_trigram_counts", sf_dir), build
     )
 
 
@@ -1739,37 +1764,59 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks agree by construction."""
     from pyspark.sql import Window
 
-    silver = _doc_words_silver(spark, sf_dir)
-    toks = silver.select(
-        "doc_id", "lang", F.explode("wl").alias("token")
-    )
-    per_doc = toks.groupBy("doc_id", "lang", "token").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    per_lang = per_doc.groupBy("lang", "token").agg(
-        F.sum("_n").alias("tf"), F.count(F.lit(1)).alias("_df_lang")
-    )
-    n_docs = silver.agg(F.count(F.lit(1)).alias("_n_docs"))
-    w_tok = Window.partitionBy("token")
-    scored = (
-        per_lang.withColumn("df", F.sum("_df_lang").over(w_tok))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "lang",
-            "token",
-            F.col("tf").cast("bigint").alias("tf"),
-            F.col("df").cast("bigint").alias("df"),
-            rnd(
-                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 4
-            ).alias("tfidf"),
-        )
-    )
+    scored = _lang_term_stats(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= TFIDF_TOPK)
         .drop("_rk")
     )
+
+
+def _lang_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, token, tf, df, tfidf) — the per-language term-statistics
+    table (vocab x langs rows), memoized and pinned per snapshot: an
+    inverted-vocabulary index in the materialized-index cache category.
+    Derives from the tokenized-silver frame with one explode + two
+    bounded aggregates; consumers (the top-k keyword table) pay only a
+    window over the pinned vocab-sized table per invocation."""
+    from pyspark.sql import Window
+
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        silver = _doc_words_silver(spark, sf_dir)
+        toks = silver.select(
+            "doc_id", "lang", F.explode("wl").alias("token")
+        )
+        per_doc = toks.groupBy("doc_id", "lang", "token").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        per_lang = per_doc.groupBy("lang", "token").agg(
+            F.sum("_n").alias("tf"), F.count(F.lit(1)).alias("_df_lang")
+        )
+        n_docs = silver.agg(F.count(F.lit(1)).alias("_n_docs"))
+        w_tok = Window.partitionBy("token")
+        scored = (
+            per_lang.withColumn("df", F.sum("_df_lang").over(w_tok))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "lang",
+                "token",
+                F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"),
+                rnd(
+                    F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 4
+                ).alias("tfidf"),
+            )
+            .repartition(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return scored, [(scored, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("lang_term_stats", sf_dir), build)
 
 
 def _tfidf_sql() -> str:
