@@ -134,3 +134,122 @@ def pq_index_topk(
         raise ValueError(f"pq_index_topk: no committed index at {root}")
     cents = _codebook_from_frame(cb)
     return pq.adc_topk_from_codes(codes, queries, cents, id_col, vec_col, k)
+
+
+# --- IVFADC index lifecycle (coarse cells + residual PQ) ------------------
+COARSE_SUB = "coarse"
+
+
+def _coarse_frame(spark: SparkSession, coarse: list[list[float]]) -> DataFrame:
+    rows = [(ci, c) for ci, c in enumerate(coarse)]
+    return spark.createDataFrame(rows, "cid int, centroid array<double>")
+
+
+def _coarse_from_frame(df: DataFrame) -> list[list[float]]:
+    rows = df.collect()  # |cells| rows
+    by_id = {r["cid"]: [float(x) for x in r["centroid"]] for r in rows}
+    return [by_id[i] for i in range(len(by_id))]
+
+
+def ivfpq_index_build(
+    spark: SparkSession,
+    vectors: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 8,
+    coarse_iters: int = 1,
+) -> dict:
+    """Train the IVFADC index (coarse quantizer + residual PQ) on the
+    snapshot and publish (coarse, codebook, codes) as ONE commit group
+    — three sub-tables, one pointer flip, so a reader can never see a
+    codes table whose quantizers are missing or from another epoch.
+    The codes table is ``ivfpq_assign_codes`` output: (id, cell,
+    code0..codeM-1) — FAISS's inverted lists, flattened."""
+    coarse, pq_cents = pq.ivfpq_train(
+        vectors, id_col, vec_col,
+        coarse_k=coarse_k, coarse_iters=coarse_iters,
+    )
+    codes = pq.ivfpq_assign_codes(vectors, coarse, pq_cents, id_col, vec_col)
+    manifest = manifest_table.group_overwrite(
+        {
+            COARSE_SUB: _coarse_frame(spark, coarse),
+            CODEBOOK_SUB: _codebook_frame(spark, pq_cents),
+            CODES_SUB: codes,
+        },
+        root,
+    )
+    return {
+        "version": manifest["version"],
+        "cells": len(coarse),
+        "m": len(pq_cents),
+        "k": len(pq_cents[0]),
+    }
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assign new vectors with the COMMITTED quantizers (cell + residual
+    codes) and append in one group commit — the frozen-quantizer grow
+    path, idempotent under replay via the id anti-join (duplicated code
+    rows would double a vector's ADC terms in every probed ranking)."""
+    coarse_df = manifest_table.group_read(spark, root, COARSE_SUB)
+    cb = manifest_table.group_read(spark, root, CODEBOOK_SUB)
+    if coarse_df is None or cb is None:
+        raise ValueError(f"ivfpq_index_append: no committed index at {root}")
+    coarse = _coarse_from_frame(coarse_df)
+    cents = _codebook_from_frame(cb)
+    fresh = new_vectors
+    existing = manifest_table.group_read(spark, root, CODES_SUB)
+    if existing is not None:
+        from pyspark.sql import functions as F
+
+        fresh = new_vectors.join(
+            existing.select(F.col(id_col)), id_col, "left_anti"
+        )
+    codes = pq.ivfpq_assign_codes(fresh, coarse, cents, id_col, vec_col)
+    n_new = codes.count()
+    if n_new == 0:
+        current = manifest_table.read_manifest(root)
+        return {"version": current["version"], "appended": 0}
+    manifest = manifest_table.group_append({CODES_SUB: codes}, root)
+    return {"version": manifest["version"], "appended": n_new}
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    refine_with: DataFrame | None = None,
+    shortlist: int = 25,
+) -> DataFrame:
+    """IVFADC top-k served from the committed index: collected
+    quantizers (|cells| + M·K rows) + a codes-only probed scan. Pass
+    ``refine_with`` (the raw-vector table) to run the IVFADC+R exact
+    re-rank over the shortlist — raw vectors are then read for
+    |q|·shortlist rows only, the rest of the search never touches
+    them."""
+    coarse_df = manifest_table.group_read(spark, root, COARSE_SUB)
+    cb = manifest_table.group_read(spark, root, CODEBOOK_SUB)
+    codes = manifest_table.group_read(spark, root, CODES_SUB)
+    if coarse_df is None or cb is None or codes is None:
+        raise ValueError(f"ivfpq_index_topk: no committed index at {root}")
+    coarse = _coarse_from_frame(coarse_df)
+    cents = _codebook_from_frame(cb)
+    if refine_with is not None:
+        return pq.ivfpq_refine_topk(
+            refine_with, queries, coarse, cents, id_col, vec_col,
+            k=k, nprobe=nprobe, shortlist=shortlist, codes=codes,
+        )
+    return pq.ivfpq_topk_from_codes(
+        codes, queries, coarse, cents, id_col, vec_col, k=k, nprobe=nprobe
+    )

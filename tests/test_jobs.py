@@ -632,6 +632,78 @@ class TestCorpusLifecycle:
         assert idx_docs == {2, 10}  # group invariant: corpus == index docs
 
 
+def test_ivfpq_index_build_query_append_lifecycle(spark, tmp_path, sf_small):
+    """The IVFADC index lifecycle: build publishes coarse + codebook +
+    codes as ONE commit group; probed search from the committed index
+    equals the operator path with the same quantizers; the +R refine
+    path equals ivfpq_refine_topk; append assigns with the FROZEN
+    quantizers and is idempotent under replay."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs import pq_index
+    from energy_data_pipeline_spark.operators import pq
+    from energy_data_pipeline_spark.sinks import manifest_table
+    from energy_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    root = str(tmp_path / "ivfpqidx")
+
+    stats = pq_index.ivfpq_index_build(spark, first, root)
+    assert stats["version"] == 0
+    assert stats["m"] == pq.PQ_M and stats["cells"] == 8
+
+    q = first.filter(F.col("vec_id") < 8)
+    got = {
+        tuple(r)
+        for r in pq_index.ivfpq_index_topk(spark, q, root, nprobe=2).collect()
+    }
+    coarse, cents = pq.ivfpq_train(first, coarse_k=8, coarse_iters=1)
+    expect = {
+        tuple(r)
+        for r in pq.ivfpq_topk(first, q, coarse, cents, nprobe=2).collect()
+    }
+    assert got == expect and got
+
+    # the +R refine path from the committed index matches the operator
+    got_r = {
+        tuple(r)
+        for r in pq_index.ivfpq_index_topk(
+            spark, q, root, nprobe=2, refine_with=first, shortlist=10
+        ).collect()
+    }
+    expect_r = {
+        tuple(r)
+        for r in pq.ivfpq_refine_topk(
+            first, q, coarse, cents, nprobe=2, shortlist=10
+        ).collect()
+    }
+    assert got_r == expect_r and got_r
+
+    # frozen-quantizer append; replaying the same batch appends nothing
+    rep = pq_index.ivfpq_index_append(spark, rest, root)
+    assert rep["version"] == 1 and rep["appended"] > 0
+    codes = manifest_table.group_read(spark, root, pq_index.CODES_SUB)
+    assert codes.count() == emb.count()
+    rep2 = pq_index.ivfpq_index_append(spark, rest, root)
+    assert rep2["appended"] == 0 and rep2["version"] == 1
+    coarse_after = pq_index._coarse_from_frame(
+        manifest_table.group_read(spark, root, pq_index.COARSE_SUB)
+    )
+    assert coarse_after == coarse
+
+    got2 = {
+        tuple(r)
+        for r in pq_index.ivfpq_index_topk(spark, q, root, nprobe=2).collect()
+    }
+    expect2 = {
+        tuple(r)
+        for r in pq.ivfpq_topk(emb, q, coarse, cents, nprobe=2).collect()
+    }
+    assert got2 == expect2
+
+
 def test_pq_index_build_query_append_lifecycle(spark, tmp_path, sf_small):
     """The PQ index lifecycle: build publishes codebook+codes as one
     commit group; search from the committed index equals the operator
