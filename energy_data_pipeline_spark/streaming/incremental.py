@@ -409,6 +409,52 @@ def silver_tokenize_stream(
     q.awaitTermination()
 
 
+def ivfpq_index_stream(
+    stream_df: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_out: list | None = None,
+) -> None:
+    """Continuous IVFADC index maintenance — the streaming twin of
+    ``jobs/pq_index.ivfpq_index_append``: new vectors land in a stream
+    and each micro-batch is assigned with the COMMITTED quantizers and
+    appended to the codes table in one group commit. Exactly-once
+    composition: the checkpoint fences source redelivery, the append's
+    id anti-join settles crash replays (a replayed batch appends
+    nothing — duplicated code rows would double a vector's ADC terms
+    in every probed ranking), and the group pointer flip is the only
+    commit point. The quantizers stay frozen (the standard grow path);
+    retraining is a batch ``ivfpq_index_build`` epoch, not a stream
+    concern.
+
+    ``stats_out`` (if given) collects each micro-batch's append stats."""
+    from ..jobs.pq_index import ivfpq_index_append
+
+    def _grow(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = ivfpq_index_append(
+            batch_df.sparkSession,
+            batch_df.select(id_col, vec_col),
+            index_root,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if stats_out is not None:
+            stats_out.append({"batch_id": batch_id, **stats})
+
+    q = (
+        stream_df.writeStream.foreachBatch(_grow)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def neardup_admission_stream(
     stream_df: DataFrame,
     group_root: str,

@@ -1324,6 +1324,86 @@ def test_neardup_admission_stream_crash_replay_is_noop(spark, tmp_path):
     assert idx_after == idx_before
 
 
+def test_ivfpq_index_stream_grows_and_replays_safely(spark, tmp_path):
+    """Streaming IVFADC index maintenance: drain 1 appends the landed
+    vectors' codes under the frozen committed quantizers, drain 2
+    appends only the new ids, and a crash replay (checkpoint wiped,
+    everything redelivered) appends nothing — the committed search
+    stays byte-identical to the operator path over the full corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs import pq_index
+    from energy_data_pipeline_spark.operators import pq
+    from energy_data_pipeline_spark.sources import load_table
+    from energy_data_pipeline_spark.streaming.incremental import (
+        ivfpq_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    root = str(tmp_path / "idx")
+    pq_index.ivfpq_index_build(spark, base, root)
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    wave1 = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+    ).select("vec_id", "embedding")
+    wave1.write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        ivfpq_index_stream(stream, root, ckpt, stats_out=stats)
+
+    drain()
+    assert stats[-1]["appended"] == wave1.count()
+
+    # wave 2: one redelivered id range + genuinely new ids
+    emb.filter((F.col("vec_id") >= 340) & (F.col("vec_id") < 380)).select(
+        "vec_id", "embedding"
+    ).write.mode("append").parquet(landing)
+    drain()
+    assert stats[-1]["appended"] == emb.filter(
+        (F.col("vec_id") >= 350) & (F.col("vec_id") < 380)
+    ).count()
+
+    # crash replay: checkpoint lost, the WHOLE landing dir redelivers
+    shutil.rmtree(ckpt)
+    drain()
+    assert stats[-1]["appended"] == 0
+
+    # committed search == operator path over exactly the indexed ids
+    from energy_data_pipeline_spark.sinks import manifest_table
+
+    indexed_ids = {
+        r["vec_id"]
+        for r in manifest_table.group_read(
+            spark, root, pq_index.CODES_SUB
+        ).select("vec_id").collect()
+    }
+    assert indexed_ids == {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") < 380).select("vec_id").collect()
+    }
+    corpus = emb.filter(F.col("vec_id") < 380)
+    q = emb.filter(F.col("vec_id") < 8)
+    coarse, cents = pq.ivfpq_train(corpus.filter(F.col("vec_id") < 300))
+    got = {
+        tuple(r)
+        for r in pq_index.ivfpq_index_topk(spark, q, root, nprobe=2).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in pq.ivfpq_topk(corpus, q, coarse, cents, nprobe=2).collect()
+    }
+    assert got == expect and got
+
+
 def test_silver_tokenize_stream_incremental_and_replay_safe(spark, tmp_path):
     """Streaming silver maintenance: drain 1 tokenizes the landed docs,
     drain 2 tokenizes only the NEW file's new doc_ids, and a crash
