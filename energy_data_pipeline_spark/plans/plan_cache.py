@@ -54,12 +54,16 @@ PinList = list[tuple[DataFrame, StorageLevel]]
 
 # LRU-bounded: a long-lived service touching many snapshot directories
 # must not accumulate plan objects (each holds its analyzed tree and
-# pinned-frame references) without bound. 64 (plan, pins) entries is a
-# few MB of driver heap; eviction drops the PLAN and unpersists its
-# pins (an evicted entry's cached blocks would otherwise sit in the
-# block manager with no owner left to release them) — a rebuilt entry
-# simply re-persists on its next use.
-_MAX_ENTRIES = 64
+# pinned-frame references) without bound. Entries are a few KB of
+# driver heap each; eviction drops the PLAN and unpersists its pins
+# (an evicted entry's cached blocks would otherwise sit in the block
+# manager with no owner left to release them) — a rebuilt entry simply
+# re-persists on its next use. Sized to hold ~2 snapshots' worth of
+# memos: round 12's index/model pins brought one full catalog pass to
+# ~57 entries, and an LRU bound UNDER the working set silently
+# converts every pin into a rebuild-per-query (the failure mode the
+# sweep's HEADROOM LOW warning exists to catch).
+_MAX_ENTRIES = 160
 _MEMO: OrderedDict[tuple, tuple[DataFrame, PinList]] = OrderedDict()
 _LOCK = threading.Lock()
 
