@@ -4150,30 +4150,8 @@ def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the packing operator's single window per shard."""
     from ..operators.packing import packed_sequences
 
-    silver = _doc_words_silver(spark, sf_dir)
-    seg = _bpe_segmented_vocab(spark, sf_dir).select("w", "syms")
-    toks = (
-        silver.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.posexplode("wl").alias("pos", "w"),
-        )
-        .join(F.broadcast(seg), "w")
-        .groupBy("doc_id", "source", "lang")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "syms"))
-                    ),
-                    lambda s: s["syms"],
-                )
-            ).alias("btoks")
-        )
-    )
     seqs = packed_sequences(
-        toks,
+        _doc_bpe_tokens(spark, sf_dir),
         "doc_id",
         F.col("btoks"),
         shard_cols=["source", "lang"],
@@ -4193,6 +4171,49 @@ def bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 bpe_packed_sequences.__doc__ = bpe_packed_sequences.__doc__.format(
     merges=BPE_MERGES, seq_len=PACK_MAT_SEQ_LEN
 )
+
+
+def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, btoks) — the corpus BPE-tokenized by its
+    own trained model, memoized and pinned per snapshot: the BPE-level
+    tokenized-silver zone (word-level silver -> model-segmented token
+    stream), built by ONE posexplode + broadcast segmentation-dim join
+    + order-preserving reassembly. On disk this is the table the
+    silver-tokenize job family maintains; in-process it is the pin
+    every trained-token consumer (packing, token budgets) shares."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        silver = _doc_words_silver(spark, sf_dir)
+        seg = _bpe_segmented_vocab(spark, sf_dir).select("w", "syms")
+        toks = (
+            silver.select(
+                "doc_id",
+                "source",
+                "lang",
+                F.posexplode("wl").alias("pos", "w"),
+            )
+            .join(F.broadcast(seg), "w")
+            .groupBy("doc_id", "source", "lang")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "syms"))
+                        ),
+                        lambda s: s["syms"],
+                    )
+                ).alias("btoks")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return toks, [(toks, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("doc_bpe_tokens", sf_dir, BPE_MERGES), build
+    )
 
 
 def _bpe_packed_oracle(sf_dir: str) -> str:
