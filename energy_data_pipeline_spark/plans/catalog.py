@@ -47,6 +47,7 @@ _SAMPLE_PRIORITY = [
     # round-12: brand-new entries front the window so their first
     # external hash lands this round
     "pk_bpe_packed_sequences",
+    "smp_bpe_token_budget",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

@@ -2356,6 +2356,71 @@ FROM shared
 """
 
 
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``smp_token_budget_plan`` on TRAINED tokens: the same
+    temperature-scaled per-source allocation, but token mass counted
+    in the corpus's own trained BPE units (the pinned
+    ``_doc_bpe_tokens`` silver) instead of whitespace words — the
+    budget a trainer actually consumes is model tokens, and sources
+    whose text fragments into more symbols per word (rare vocabulary)
+    weigh heavier here than in the word-count plan. Completes the
+    tokenizer -> packing -> token-budget lineage on one model.
+
+    Documents with no words carry no tokens under either counting and
+    drop out of the per-source totals. All shares/planned/epochs round
+    on the same decimals as the word-level plan."""
+    from pyspark.sql import Window
+
+    toks = _doc_bpe_tokens(spark, sf_dir)
+    per = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("btoks")).cast("bigint").alias("n_bpe_tokens"),
+    )
+    w = Window.partitionBy()
+    weight = F.pow(F.col("n_bpe_tokens").cast("double"), F.lit(MIX_ALPHA))
+    share = rnd(weight / F.sum(weight).over(w), 6)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_bpe_tokens",
+        share.alias("sample_weight"),
+        rnd(share * MIX_BUDGET, 2).alias("planned_tokens"),
+        rnd(share * MIX_BUDGET / F.col("n_bpe_tokens"), 4).alias("epochs"),
+    )
+
+
+def _bpe_budget_oracle(sf_dir: str) -> str:
+    """Generated oracle: the reference pure-Python BPE emits a
+    (w, n_syms) dim; token mass and the budget math are SQL."""
+    _vocab, syms = _python_bpe_segments(sf_dir)
+    seg_values = ",\n".join(
+        f"({_sqlq(w)}, {len(syms[w])})" for w in sorted(syms)
+    )
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH seg(w, ns) AS (VALUES
+{seg_values}
+), wd AS (
+  SELECT source, doc_id, unnest(ws) AS w
+  FROM (SELECT source, doc_id, {words} AS ws FROM documents)
+  WHERE len(ws) > 0
+), per AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(ns) AS BIGINT) AS n_bpe_tokens
+  FROM wd JOIN seg USING (w) GROUP BY source
+), shared AS (
+  SELECT *, round(pow(n_bpe_tokens, {MIX_ALPHA})
+                  / sum(pow(n_bpe_tokens, {MIX_ALPHA})) OVER (), 6)
+            AS sample_weight
+  FROM per
+)
+SELECT source, n_docs, n_bpe_tokens, sample_weight,
+       round(sample_weight * {MIX_BUDGET}, 2) AS planned_tokens,
+       round(sample_weight * {MIX_BUDGET} / n_bpe_tokens, 4) AS epochs
+FROM shared
+"""
+
+
 # --- duplicate-span fraction (ExactSubstr-style dedup signal) -------------
 SPAN_N = 8  # tokens per span; Lee et al. use 50 on web text — the
 # synthetic docs are ~20-40 words, so 8 keeps the signal non-trivial
@@ -5569,6 +5634,7 @@ CORPUS_QUERIES = {
     "txt_quality_filter_funnel": (quality_filter_funnel, _quality_funnel_sql()),
     "pk_packed_sequences": (packed_sequences_table, _packed_seqs_sql()),
     "pk_bpe_packed_sequences": (bpe_packed_sequences, _bpe_packed_oracle),
+    "smp_bpe_token_budget": (bpe_token_budget, _bpe_budget_oracle),
     # round-8 session-4 additions APPEND so pre-existing merged catalog
     # order (part of the driver's sample-window surface) never shifts
     "emb_label_affinity": (label_affinity, LABEL_AFFINITY_SQL),

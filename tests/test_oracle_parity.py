@@ -20,6 +20,7 @@ NEVER_DRIVER_SAMPLED = {
     # round-11's six additions were all driver-hashed green in
     # CORRECTNESS_r11 and dropped from this list; round-12 additions:
     "pk_bpe_packed_sequences",
+    "smp_bpe_token_budget",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
