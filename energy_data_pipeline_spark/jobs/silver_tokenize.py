@@ -110,6 +110,122 @@ def read_silver(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+BPE_SILVER_COLUMNS = ("doc_id", "source", "lang", "btoks")
+
+
+def bpe_silver_job(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_path: str,
+    merges_table: str,
+    compare_and_swap=None,
+) -> dict:
+    """Incrementally fold a document batch into the BPE-token silver
+    table (doc_id, source, lang, btoks) — the disk form of the
+    catalog's pinned ``_doc_bpe_tokens`` frame, tokenized by the
+    COMMITTED merge list (``jobs/bpe_model``), never by a per-batch
+    retrain: the tokenizer is a frozen model artifact, exactly like
+    the IVFADC append path's frozen quantizers.
+
+    Same optimistic transaction as ``tokenize_silver_job``: doc_id
+    anti-join against the parent the append is pinned to, so replays
+    and concurrent overlapping ingests converge to one row per
+    document EVER. Per-batch tokenization cost is BATCH-VOCAB-sized —
+    the merge fold runs over the fresh batch's distinct words, and the
+    per-document reassembly is one posexplode + broadcast segmentation
+    join + order-preserving flatten (the ``_doc_bpe_tokens`` shape)."""
+    from ..operators import bpe
+
+    batch = new_docs.select(
+        "doc_id", "source", "lang", "text"
+    ).dropDuplicates(["doc_id"])
+    arrived = batch.count()
+    merges = None
+    attempts = 5
+    for attempt in range(attempts):
+        parent = manifest_table.read_manifest(table_path)
+        if parent is not None:
+            existing_ids = manifest_table.manifest_read(
+                spark, table_path, version=parent["version"]
+            ).select("doc_id")
+            fresh = batch.join(existing_ids, "doc_id", "left_anti")
+        else:
+            fresh = batch
+        words = _tokenize(fresh)
+        if merges is None:
+            from .bpe_model import read_merges
+
+            merges = read_merges(spark, merges_table)
+        vocab = (
+            words.select(F.explode("wl").alias("w")).distinct()
+        )
+        seg = bpe.apply_merges(vocab, merges).select("w", "syms")
+        rows = (
+            words.select(
+                "doc_id",
+                "source",
+                "lang",
+                F.posexplode("wl").alias("pos", "w"),
+            )
+            .join(F.broadcast(seg), "w")
+            .groupBy("doc_id", "source", "lang")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "syms"))
+                        ),
+                        lambda s: s["syms"],
+                    )
+                ).alias("btoks")
+            )
+            # zero-word docs still get a (empty-btoks) row: without it
+            # they would re-arrive as "fresh" on every redelivery and
+            # the tokenize-once-EVER accounting would never converge
+            .unionByName(
+                words.filter(F.size("wl") == 0).select(
+                    "doc_id",
+                    "source",
+                    "lang",
+                    F.array().cast("array<string>").alias("btoks"),
+                )
+            )
+        )
+        tokenized = rows.count()
+        if tokenized == 0:
+            return {
+                "arrived": arrived,
+                "tokenized": 0,
+                "skipped": arrived,
+                "version": parent["version"] if parent else None,
+            }
+        try:
+            m = manifest_table.manifest_append(
+                rows,
+                table_path,
+                compare_and_swap=compare_and_swap,
+                expected_parent=parent,
+            )
+        except manifest_table.CommitConflictError:
+            if attempt == attempts - 1:
+                raise
+            continue  # someone committed since the anti-join: re-derive
+        return {
+            "arrived": arrived,
+            "tokenized": tokenized,
+            "skipped": arrived - tokenized,
+            "version": m["version"],
+        }
+
+
+def read_bpe_silver(spark: SparkSession, table_path: str) -> DataFrame:
+    """Snapshot-isolated read of the published BPE-token silver table
+    (doc_id, source, lang, btoks)."""
+    return manifest_table.manifest_read(spark, table_path).select(
+        *BPE_SILVER_COLUMNS
+    )
+
+
 def silver_maintenance_flow(
     spark: SparkSession,
     landing_glob: str,

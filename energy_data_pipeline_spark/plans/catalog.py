@@ -48,6 +48,9 @@ _SAMPLE_PRIORITY = [
     # external hash lands this round
     "pk_bpe_packed_sequences",
     "smp_bpe_token_budget",
+    "txt_bpe_fertility",
+    "rag_rrf_fusion_topk",
+    "txt_nb_quality_classifier",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

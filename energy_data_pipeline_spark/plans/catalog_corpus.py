@@ -1873,6 +1873,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row/|q|-row aggregates; the doc-length join is the only
     doc-keyed shuffle. Ranking uses the ROUNDED score in both engines;
     the final cut is a TakeOrderedAndProject, never a global sort."""
+    scored = _bm25_scored(spark, sf_dir)
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document with >=1 query-term hit —
+    the shared lexical-leg scorer behind ``txt_bm25_topk`` and the
+    hybrid RRF fusion (see ``bm25_topk`` for the plan-shape notes).
+
+    tf comes straight from the pinned (doc, token, n) combined frame
+    filtered to the query terms — no re-explode of the corpus: the
+    only per-invocation corpus-sized work left is the doc-length
+    projection over the pinned silver arrays."""
     silver = _doc_words_silver(spark, sf_dir)
     lens = silver.select(
         "doc_id", F.size("wl").cast("double").alias("dl")
@@ -1880,10 +1893,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n_docs"), F.avg("dl").alias("_avgdl")
     )
-    hits = silver.select(
-        "doc_id", F.explode("wl").alias("token")
-    ).filter(F.col("token").isin(*BM25_QUERY))
-    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_token_counts(spark, sf_dir).filter(
+        F.col("w").isin(*BM25_QUERY)
+    ).select("doc_id", F.col("w").alias("token"), F.col("n").alias("tf"))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "token")
@@ -1910,13 +1922,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(rnd(F.sum("_term_score"), 4).alias("bm25"))
     )
-    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+    return scored
 
 
-def _bm25_sql() -> str:
+def _bm25_scored_cte() -> str:
+    """The WITH-clause body producing ``scored(doc_id, bm25)`` —
+    shared by the BM25 oracle and the hybrid-fusion oracle."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    return f"""
-WITH lens AS (
+    return f"""lens AS (
   SELECT doc_id, CAST(len({DUCK_WORDS.format(col='text')}) AS DOUBLE) AS dl
   FROM documents
 ), stats AS (
@@ -1942,9 +1955,147 @@ WITH lens AS (
   JOIN lens ON lens.doc_id = tf.doc_id
   CROSS JOIN stats
   GROUP BY tf.doc_id
-)
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_scored_cte()}
 SELECT doc_id, bm25 FROM scored
 ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+# --- hybrid retrieval: BM25 + dense-cosine reciprocal-rank fusion ---
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOPK = 10
+RRF_DENSE_QUERY = 0  # vec_id whose embedding is the dense-leg query
+
+
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for one fixed query — the BM25 lexical leg
+    (terms ``BM25_QUERY``) fused with a dense cosine leg (the
+    embedding of ``vec_id=RRF_DENSE_QUERY``, embeddings being
+    doc_id-aligned) by reciprocal-rank fusion:
+    ``score(d) = sum_legs 1/(RRF_K + rank_leg(d))`` over each leg's
+    top-``RRF_POOL`` shortlist (Cormack et al., SIGIR'09). This is
+    the retrieval shape a RAG indexing / retrieval-based curation
+    pass runs: two independent rankers, rank-level fusion, no score
+    calibration needed across legs.
+
+    Scale shape: fusion happens over SHORTLISTS, never full rankings
+    — each leg ends in a TakeOrderedAndProject cut to RRF_POOL rows,
+    the rank window then runs on a POOL-sized single partition (a
+    constant-sized frame regardless of corpus size), and the
+    full-outer fusion join is POOL x POOL at most. The lexical leg
+    prices only query-term hits (see ``_bm25_scored``); the dense leg
+    is one broadcast 1-row query against the PINNED pre-normalized
+    corpus index frame (``_lsh_bucketed_corpus`` — per-candidate work
+    is just the dot-product fold), exact here; swap in the IVF/LSH
+    bucket path for the shortlist at 100 TB. Both legs rank on
+    ROUNDED scores with doc_id tiebreaks, so ranks are
+    engine-stable."""
+    from pyspark.sql import Window
+
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != RRF_DENSE_QUERY)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    from ..functions.vectors import cosine_from_norms, norm
+
+    corpus = _lsh_bucketed_corpus(spark, sf_dir)  # pinned (_cv, _cnorm)
+    qv = (
+        _ann_query_frame(spark, sf_dir)
+        .filter(F.col("vec_id") == RRF_DENSE_QUERY)
+        .select(
+            F.col("embedding").alias("_qv"),
+            norm("embedding").alias("_qnorm"),
+        )
+    )
+    sem_pool = (
+        corpus.filter(F.col("neighbor_id") != RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            rnd(
+                cosine_from_norms(
+                    "_qv", "_cv", F.col("_qnorm"), F.col("_cnorm")
+                ),
+                6,
+            ).alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    sem = sem_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_cos"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            rnd(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+    )
+    return fused
+
+
+def _rrf_fusion_sql() -> str:
+    return f"""
+WITH {_bm25_scored_cte()}, lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM scored WHERE doc_id <> {RRF_DENSE_QUERY}
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {RRF_POOL}
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = {RRF_DENSE_QUERY}
+), c AS (
+  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id <> {RRF_DENSE_QUERY}
+), d0 AS (
+  SELECT doc_id, {DUCK_COSINE} AS cos FROM c CROSS JOIN q
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sem_rank
+  FROM d0
+  ORDER BY cos DESC, doc_id ASC LIMIT {RRF_POOL}
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.lex_rank AS BIGINT) AS lex_rank,
+       CAST(s.sem_rank AS BIGINT) AS sem_rank,
+       round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+             + coalesce(1.0 / ({RRF_K} + s.sem_rank), 0), 6) AS rrf_score
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOPK}
 """
 
 
@@ -5561,6 +5712,268 @@ ORDER BY shared_fps DESC, source_a ASC, source_b ASC
 """
 
 
+# --- trained quality classifier (multinomial NB on heuristic labels) ---
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes quality scorer trained ON THE CORPUS
+    ITSELF against the heuristic gate's pseudo-labels (quality >=
+    MIN_QUALITY) — the classifier-in-the-loop step the GPT-3/LLaMA
+    data pipelines run (a linear model trained on weak labels, then
+    applied corpus-wide): per-token log-odds weights with Laplace
+    smoothing, per-doc score = prior + sum(n_w * weight_w), prediction
+    thresholded at 0. The output carries both the pseudo-label and the
+    prediction, so the disagreement set (label != pred) is exactly the
+    re-review queue such pipelines sample.
+
+    Scale shape: training IS one vocab-sized aggregate — the pinned
+    (doc, token, n) frame joins the broadcast doc-keyed label dim,
+    combines to |vocab| rows, and the 1-row totals ride in broadcast;
+    the trained weight table is MODEL data (a pure deterministic
+    function of the snapshot, like the BPE segmentation dim) and is
+    pinned per snapshot, so scoring re-uses the same pinned token
+    frame against the broadcast VOCAB-sized weights. Nothing
+    corpus-sized shuffles twice, the model never leaves the cluster,
+    and the weight table is the committable model artifact at 100 TB.
+    Prediction thresholds the ROUNDED score so both engines agree at
+    the boundary."""
+    labels = _quality_labels(spark, sf_dir)
+    per_doc = _doc_token_counts(spark, sf_dir)
+    wt = _nb_quality_weights(spark, sf_dir)
+    prior = labels.agg(
+        F.log(
+            (F.sum("label") + 1.0)
+            / (F.count(F.lit(1)) - F.sum("label") + 1.0)
+        ).alias("_p")
+    )
+    sc = (
+        per_doc.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("_d")).alias("_s"),
+            F.sum("n").alias("_nt"),
+        )
+    )
+    out = (
+        labels.join(sc, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "label",
+            F.coalesce("_nt", F.lit(0)).cast("bigint").alias("n_tokens"),
+            rnd(
+                F.col("_p") + F.coalesce("_s", F.lit(0.0)), 4
+            ).alias("nb_logodds"),
+        )
+        .withColumn(
+            "pred", (F.col("nb_logodds") > 0).cast("bigint")
+        )
+    )
+    return out
+
+
+def _quality_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) — the heuristic-gate pseudo-labels (quality >=
+    MIN_QUALITY), pinned per snapshot: the label dim is read three
+    times per classifier invocation (class counts, priors, output
+    join), and the quality regexes over raw text are the expensive
+    part — evaluate them once."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        labels = docs.select(
+            "doc_id",
+            (T.quality_score("text") >= T.MIN_QUALITY)
+            .cast("bigint")
+            .alias("label"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return labels, [(labels, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(spark, ("quality_labels", sf_dir), build)
+
+
+def _nb_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, _d) — the trained NB log-odds weight table with Laplace
+    smoothing, pinned per snapshot (model data: deterministic function
+    of the immutable snapshot, same category as the trained BPE
+    segmentation dim). One vocab-sized aggregate off the pinned token
+    frame joined to the broadcast label dim."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        labels = _quality_labels(spark, sf_dir)
+        per_doc = _doc_token_counts(spark, sf_dir)
+        cw = (
+            per_doc.join(F.broadcast(labels), "doc_id")
+            .groupBy("w")
+            .agg(
+                F.sum(
+                    F.when(F.col("label") == 1, F.col("n")).otherwise(0)
+                ).alias("c1"),
+                F.sum(
+                    F.when(F.col("label") == 0, F.col("n")).otherwise(0)
+                ).alias("c0"),
+            )
+        )
+        tot = cw.agg(
+            F.sum("c1").alias("_t1"),
+            F.sum("c0").alias("_t0"),
+            F.count(F.lit(1)).alias("_v"),
+        )
+        wt = (
+            cw.crossJoin(F.broadcast(tot))
+            .select(
+                "w",
+                (
+                    F.log(
+                        (F.col("c1") + 1.0) / (F.col("_t1") + F.col("_v"))
+                    )
+                    - F.log(
+                        (F.col("c0") + 1.0) / (F.col("_t0") + F.col("_v"))
+                    )
+                ).alias("_d"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return wt, [(wt, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark, ("nb_quality_weights", sf_dir), build
+    )
+
+
+def _nb_quality_sql() -> str:
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN quality >= {T.MIN_QUALITY} THEN 1 ELSE 0 END AS label
+  FROM ({_quality_sql()})
+), toks AS (
+  SELECT doc_id, unnest({words}) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*) AS n FROM toks GROUP BY 1, 2
+), cw AS (
+  SELECT w,
+         sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS c1,
+         sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS c0
+  FROM cnt JOIN lab USING (doc_id) GROUP BY w
+), tot AS (
+  SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cw
+), wt AS (
+  SELECT w, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS d
+  FROM cw CROSS JOIN tot
+), pri AS (
+  SELECT ln((sum(label) + 1.0) / (count(*) - sum(label) + 1.0)) AS p
+  FROM lab
+), sc AS (
+  SELECT doc_id, sum(n * d) AS s, sum(n) AS nt
+  FROM cnt JOIN wt USING (w) GROUP BY doc_id
+), scored AS (
+  SELECT lab.doc_id,
+         CAST(label AS BIGINT) AS label,
+         CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+         round(p + coalesce(s, 0.0), 4) AS nb_logodds
+  FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id CROSS JOIN pri
+)
+SELECT doc_id, label, n_tokens, nb_logodds,
+       CAST(CASE WHEN nb_logodds > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM scored
+"""
+
+
+# --- tokenizer fertility / compression audit (per language) ---
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility audit of the corpus-trained BPE model —
+    the tokenizer-QC table a pretraining pipeline inspects before
+    committing a tokenizer: fertility (BPE tokens per word) and
+    chars-per-token by language expose under-trained scripts (high
+    fertility -> that language pays more sequence budget per word),
+    and split_word_ratio shows how much of the stream the merge table
+    actually reaches. Reference analogue: the per-plant KPI rollups
+    the dashboards derive (SURVEY.md §2.6) — here the 'plant' is the
+    language and the measure is tokenizer efficiency.
+
+    Scale shape: the corpus is never re-tokenized — word counts come
+    from the pinned tokenized-silver frame joined doc-keyed to the
+    (doc, lang) dim, and the trained model arrives as the broadcast
+    VOCAB-sized segmentation dim (``_bpe_segmented_vocab``), so the
+    whole audit is one |vocab x langs| aggregate after map-side
+    combine; no corpus-sized shuffle, no driver collect."""
+    silver = _doc_words_silver(spark, sf_dir)
+    per_doc = _doc_token_counts(spark, sf_dir)
+    per_lang = (
+        per_doc.join(silver.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "w")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    seg = _bpe_segmented_vocab(spark, sf_dir).select(
+        "w", F.size("syms").alias("n_syms")
+    )
+    return (
+        per_lang.join(F.broadcast(seg), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("w"))
+            .cast("bigint")
+            .alias("n_chars"),
+            rnd(
+                F.sum(F.col("cnt") * F.col("n_syms")) / F.sum("cnt"), 6
+            ).alias("fertility"),
+            rnd(
+                F.sum(F.col("cnt") * F.length("w"))
+                / F.sum(F.col("cnt") * F.col("n_syms")),
+                6,
+            ).alias("chars_per_token"),
+            rnd(
+                F.sum(F.when(F.col("n_syms") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
+                6,
+            ).alias("split_word_ratio"),
+        )
+    )
+
+
+def _bpe_fertility_oracle(sf_dir: str) -> str:
+    """Generated oracle: the reference pure-Python BPE segmentation
+    (``_python_bpe_segments``) emitted as a vocab-sized VALUES dim,
+    with tokenization and the per-language aggregate in SQL over the
+    same parquet."""
+    _vocab, syms = _python_bpe_segments(sf_dir)
+    seg_values = ",\n".join(
+        f"({_sqlq(w)}, {len(syms[w])})" for w in sorted(syms)
+    )
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH seg(w, n_syms) AS (VALUES
+{seg_values}
+), toks AS (
+  SELECT lang, unnest({words}) AS w FROM documents
+), cnt AS (
+  SELECT lang, w, count(*) AS n FROM toks GROUP BY 1, 2
+), j AS (
+  SELECT lang, n, n_syms, length(w) AS wlen
+  FROM cnt JOIN seg USING (w)
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * n_syms) AS BIGINT) AS n_tokens,
+       CAST(sum(n * wlen) AS BIGINT) AS n_chars,
+       round(sum(n * n_syms) * 1.0 / sum(n), 6) AS fertility,
+       round(sum(n * wlen) * 1.0 / sum(n * n_syms), 6) AS chars_per_token,
+       round(sum(CASE WHEN n_syms > 1 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+         AS split_word_ratio
+FROM j GROUP BY lang
+"""
+
+
 CORPUS_QUERIES = {
     "dd_exact_dup_groups": (exact_dup_groups, EXACT_DUP_SQL),
     "dd_fingerprint_clusters": (fingerprint_clusters, FINGERPRINT_SQL),
@@ -5659,4 +6072,8 @@ CORPUS_QUERIES = {
     "dd_soft_dedup_weights": (soft_dedup_weights, _soft_dedup_sql()),
     "txt_bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_SQL),
     "txt_bpe_trained_segments": (bpe_trained_segments, _bpe_segments_oracle),
+    # round-12 session-2 additions APPEND (merged order is sample surface)
+    "txt_bpe_fertility": (bpe_fertility, _bpe_fertility_oracle),
+    "rag_rrf_fusion_topk": (rrf_fusion_topk, _rrf_fusion_sql()),
+    "txt_nb_quality_classifier": (nb_quality_classifier, _nb_quality_sql()),
 }

@@ -409,6 +409,48 @@ def silver_tokenize_stream(
     q.awaitTermination()
 
 
+def bpe_silver_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    merges_table: str,
+    checkpoint_dir: str,
+    stats_out: list | None = None,
+) -> None:
+    """Continuous BPE-token silver maintenance — the streaming twin of
+    ``jobs/silver_tokenize.bpe_silver_job``: documents land in a
+    stream and each micro-batch is tokenized by the COMMITTED merge
+    list (never retrained in-stream — the tokenizer is a frozen model
+    artifact, exactly like ``ivfpq_index_stream``'s frozen quantizers)
+    and folded into the manifest-committed (doc_id, source, lang,
+    btoks) table. Exactly-once composition: checkpoint fences source
+    redelivery, the job's doc_id anti-join settles crash replays, the
+    manifest pointer flip is the only commit point.
+
+    ``stats_out`` (if given) collects each micro-batch's stats dict."""
+    from ..jobs.silver_tokenize import bpe_silver_job
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = bpe_silver_job(
+            batch_df.sparkSession,
+            batch_df.select("doc_id", "source", "lang", "text"),
+            table_path,
+            merges_table,
+        )
+        if stats_out is not None:
+            stats_out.append({"batch_id": batch_id, **stats})
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ivfpq_index_stream(
     stream_df: DataFrame,
     index_root: str,

@@ -1374,3 +1374,77 @@ def test_silver_maintenance_flow_ticks_idempotently(spark, tmp_path):
         r["doc_id"]: r["wl"] for r in read_silver(spark, table).collect()
     }
     assert after == before
+
+
+def test_bpe_silver_job_matches_catalog_and_idempotent(spark, tmp_path):
+    """BPE-silver maintenance with the COMMITTED tokenizer: the job's
+    btoks match the catalog's pinned ``_doc_bpe_tokens`` frame exactly
+    (one tokenizer definition repo-wide, disk twin == in-process pin);
+    a crash replay tokenizes nothing; zero-word docs still land (with
+    empty btoks) so the anti-join converges."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs import bpe_model
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        bpe_silver_job,
+        read_bpe_silver,
+    )
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        BPE_MERGES,
+        _doc_bpe_tokens,
+        _doc_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merges_table = str(tmp_path / "merges")
+    table = str(tmp_path / "bpe_silver")
+    vocab = (
+        _doc_token_counts(spark, sf).groupBy("w").agg(F.sum("n").alias("freq"))
+    )
+    bpe_model.train_and_commit_merges(spark, vocab, merges_table, BPE_MERGES)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    s = bpe_silver_job(spark, docs, table, merges_table)
+    assert s["tokenized"] == docs.count() and s["skipped"] == 0
+
+    got = {
+        r["doc_id"]: r["btoks"]
+        for r in read_bpe_silver(spark, table).collect()
+    }
+    expect = {
+        r["doc_id"]: r["btoks"] for r in _doc_bpe_tokens(spark, sf).collect()
+    }
+    # catalog pin drops zero-word docs; the job keeps them as empty
+    assert {k: v for k, v in got.items() if v} == expect
+    for k in set(got) - set(expect):
+        assert got[k] == []
+
+    # crash replay: anti-join makes the whole batch a no-op
+    s = bpe_silver_job(spark, docs, table, merges_table)
+    assert s["tokenized"] == 0 and s["skipped"] == docs.count()
+
+    # crash at the pointer flip publishes nothing
+    def boom(*a, **k):
+        raise OSError("injected crash at pointer flip")
+
+    extra = spark.createDataFrame(
+        [(990001, "web", "en", "alpha beta alpha"), (990002, "web", "en", " ")],
+        "doc_id long, source string, lang string, text string",
+    )
+    with _pytest.raises(OSError, match="injected crash"):
+        bpe_silver_job(spark, extra, table, merges_table, compare_and_swap=boom)
+    assert read_bpe_silver(spark, table).count() == len(got)
+    s = bpe_silver_job(spark, extra, table, merges_table)
+    assert s["tokenized"] == 2
+    rows = {
+        r["doc_id"]: r["btoks"]
+        for r in read_bpe_silver(spark, table)
+        .filter(F.col("doc_id") >= 990000)
+        .collect()
+    }
+    assert rows[990002] == []  # zero-word doc landed with empty btoks
+    assert len(rows[990001]) >= 2

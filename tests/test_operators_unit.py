@@ -5104,3 +5104,89 @@ class TestGroupCompact:
         )
         # already compact -> no-op
         assert mt.group_compact(spark, root, max_files=2) is None
+
+
+# --- tokenizer fertility audit: conservation + bounds ---
+def test_bpe_fertility_conserves_word_counts(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        DUCK_WORDS,  # noqa: F401  (tokenization parity documented there)
+        bpe_fertility,
+    )
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        _doc_words_silver,
+    )
+
+    rows = bpe_fertility(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # every word is >=1 symbol; merges only ever shrink chars/token
+        assert r["fertility"] >= 1.0
+        assert r["n_tokens"] >= r["n_words"]
+        assert r["n_chars"] >= r["n_tokens"]  # symbols are >=1 char
+        assert 0.0 <= r["split_word_ratio"] <= 1.0
+    # per-lang word counts sum to the corpus token stream (nothing
+    # dropped by the segmentation join: the model covers its own vocab)
+    total = sum(r["n_words"] for r in rows)
+    silver = _doc_words_silver(spark, sf_small)
+    expect = silver.select(
+        F.sum(F.size("wl")).alias("n")
+    ).first()["n"]
+    assert total == expect
+
+
+# --- hybrid RRF fusion: rank algebra + shortlist contract ---
+def test_rrf_fusion_scores_and_ranks(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        RRF_DENSE_QUERY,
+        RRF_K,
+        RRF_POOL,
+        RRF_TOPK,
+        rrf_fusion_topk,
+    )
+
+    rows = rrf_fusion_topk(spark, sf_small).collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["doc_id"] != RRF_DENSE_QUERY  # self-hit excluded
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        expect = 0.0
+        for rk in (r["lex_rank"], r["sem_rank"]):
+            if rk is not None:
+                assert 1 <= rk <= RRF_POOL
+                expect += 1.0 / (RRF_K + rk)
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+    # a doc present in BOTH shortlists must outrank a doc seen only
+    # at the same single-leg rank (the point of fusion)
+    both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+    assert both, "fixture should produce at least one dual-leg hit"
+
+
+# --- NB quality classifier: trained model beats the majority vote ---
+def test_nb_quality_classifier_learns_labels(spark, sf_small):
+    import math
+
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        nb_quality_classifier,
+    )
+
+    rows = nb_quality_classifier(spark, sf_small).collect()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert len(rows) == docs  # scored corpus-wide, zero-token docs kept
+    assert all(r["label"] in (0, 1) and r["pred"] in (0, 1) for r in rows)
+    acc = sum(r["label"] == r["pred"] for r in rows) / len(rows)
+    base = max(
+        sum(r["label"] for r in rows) / len(rows),
+        1 - sum(r["label"] for r in rows) / len(rows),
+    )
+    assert acc >= base, (acc, base)  # at least the majority baseline
+    assert acc > 0.9
+    # zero-token docs fall back to the smoothed prior exactly
+    n1 = sum(r["label"] for r in rows)
+    prior = round(math.log((n1 + 1.0) / (len(rows) - n1 + 1.0)), 4)
+    for r in rows:
+        if r["n_tokens"] == 0:
+            assert r["nb_logodds"] == prior

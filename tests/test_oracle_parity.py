@@ -21,6 +21,9 @@ NEVER_DRIVER_SAMPLED = {
     # CORRECTNESS_r11 and dropped from this list; round-12 additions:
     "pk_bpe_packed_sequences",
     "smp_bpe_token_budget",
+    "txt_bpe_fertility",
+    "rag_rrf_fusion_topk",
+    "txt_nb_quality_classifier",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

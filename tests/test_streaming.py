@@ -1453,3 +1453,65 @@ def test_silver_tokenize_stream_incremental_and_replay_safe(spark, tmp_path):
     drain()
     assert stats[-1]["tokenized"] == 0
     assert read_silver(spark, table).count() == 3
+
+
+def test_bpe_silver_stream_incremental_and_replay_safe(spark, tmp_path):
+    """Streaming BPE-silver maintenance with a frozen committed
+    tokenizer: drain 1 folds the landed docs, drain 2 folds only the
+    new doc_id, and a crash replay (checkpoint wiped, everything
+    redelivered) folds nothing."""
+    import shutil
+
+    from energy_data_pipeline_spark.jobs import bpe_model
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        read_bpe_silver,
+    )
+    from energy_data_pipeline_spark.streaming.incremental import (
+        bpe_silver_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "bpe_silver")
+    merges_table = str(tmp_path / "merges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, source string, lang string, text string"
+
+    vocab = spark.createDataFrame(
+        [("abab", 10), ("abxy", 4), ("yzyz", 3)], "w string, freq long"
+    )
+    bpe_model.train_and_commit_merges(spark, vocab, merges_table, 2)
+
+    spark.createDataFrame(
+        [(1, "web", "en", "abab abxy"), (2, "web", "en", "yzyz abab")],
+        schema,
+    ).write.mode("append").parquet(landing)
+    stats: list = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        bpe_silver_stream(stream, table, merges_table, ckpt, stats_out=stats)
+
+    drain()
+    assert stats[-1]["tokenized"] == 2
+    got = {
+        r["doc_id"]: r["btoks"] for r in read_bpe_silver(spark, table).collect()
+    }
+    assert len(got) == 2
+    # the committed model's merges actually applied (words are
+    # segmented into trained symbols, not left as characters)
+    assert all(1 <= len(v) < sum(len(w) for w in ("abab",)) * 2 for v in got.values())
+
+    # second landing: one redelivered + one new
+    spark.createDataFrame(
+        [(2, "web", "en", "yzyz abab"), (3, "api", "de", "abab")],
+        schema,
+    ).write.mode("append").parquet(landing)
+    drain()
+    assert stats[-1]["tokenized"] == 1 and stats[-1]["skipped"] == 1
+    assert read_bpe_silver(spark, table).count() == 3
+
+    # crash replay: checkpoint lost, whole landing dir redelivers
+    shutil.rmtree(ckpt)
+    drain()
+    assert stats[-1]["tokenized"] == 0
+    assert read_bpe_silver(spark, table).count() == 3
