@@ -51,6 +51,7 @@ _SAMPLE_PRIORITY = [
     "txt_bpe_fertility",
     "rag_rrf_fusion_topk",
     "txt_nb_quality_classifier",
+    "emb_bitext_margin_pairs",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

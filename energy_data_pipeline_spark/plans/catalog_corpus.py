@@ -5712,6 +5712,183 @@ ORDER BY shared_fps DESC, source_a ASC, source_b ASC
 """
 
 
+# --- cross-lingual bitext mining (margin criterion) ---
+BITEXT_SRC_LANG = "en"
+BITEXT_TGT_LANG = "de"
+BITEXT_NNK = 4
+BITEXT_MIN_MARGIN = 1.0
+
+
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual parallel-pair mining with the margin criterion
+    (Artetxe & Schwenk; the LASER/CCMatrix shape): for every source-
+    language document, its best target-language embedding neighbor,
+    scored by ``margin = 2*cos(x,y) / (meanTopK(x) + meanTopK(y))`` —
+    the absolute-cosine-proof ratio that suppresses hub vectors — and
+    kept when margin >= {min_margin}. This is the alignment-mining
+    step a multilingual pretraining pipeline runs to harvest
+    translation pairs from comingled crawls.
+
+    Scale shape: the candidate generator here is the exact cross
+    product of the two language slices off the PINNED pre-normalized
+    corpus frame (per-pair work = one dot-product fold; the target
+    side broadcasts). The top-K neighbor means are per-side
+    aggregates — ``sort_array`` + ``slice`` so the K-term sum runs in
+    descending order in BOTH engines (order-deterministic floats) —
+    each producing a slice-sized dim that broadcasts back; the only
+    pair-sized shuffle is the final best-pair window, partitioned by
+    source id. At 100 TB the cross product swaps for the IVF/LSH
+    bucket join (same downstream margin algebra); the lang column
+    would travel inside the index frame instead of joining in."""
+    from pyspark.sql import Window
+
+    pairs = _bitext_pair_frame(spark, sf_dir)
+
+    def _topk_mean(df: DataFrame, key: str, out: str) -> DataFrame:
+        arr = F.slice(
+            F.sort_array(F.collect_list("cosine_sim"), asc=False),
+            1,
+            BITEXT_NNK,
+        )
+        return df.groupBy(key).agg(
+            (
+                F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+                / F.size(arr)
+            ).alias(out)
+        )
+
+    ax = _topk_mean(pairs, "src_doc", "_ax")
+    ay = _topk_mean(pairs, "tgt_doc", "_ay")
+    w = Window.partitionBy("src_doc").orderBy(
+        F.col("margin").desc(), F.col("tgt_doc").asc()
+    )
+    return (
+        pairs.join(F.broadcast(ax), "src_doc")
+        .join(F.broadcast(ay), "tgt_doc")
+        .withColumn(
+            "margin",
+            rnd(
+                2.0 * F.col("cosine_sim") / (F.col("_ax") + F.col("_ay")),
+                6,
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(
+            (F.col("_rk") == 1) & (F.col("margin") >= BITEXT_MIN_MARGIN)
+        )
+        .select("src_doc", "tgt_doc", "cosine_sim", "margin")
+    )
+
+
+bitext_margin_pairs.__doc__ = bitext_margin_pairs.__doc__.format(
+    min_margin=BITEXT_MIN_MARGIN
+)
+
+
+def _bitext_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_doc, tgt_doc, cosine_sim) — the scored cross-lingual
+    candidate frame, pinned per snapshot (data-cache rule: pure
+    deterministic function of the immutable snapshot, same category
+    as the exact-L2 audit baseline): the margin algebra reads it
+    three times (source-side NN means, target-side NN means, final
+    pair scoring), and the cosine folds are the dominant cost —
+    evaluate them once."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        from ..functions.vectors import cosine_from_norms
+
+        langs = fan_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "lang"
+        )
+        corpus = _lsh_bucketed_corpus(spark, sf_dir).join(
+            langs, F.col("neighbor_id") == F.col("doc_id")
+        )
+        src = corpus.filter(F.col("lang") == BITEXT_SRC_LANG).select(
+            F.col("neighbor_id").alias("src_doc"),
+            F.col("_cv").alias("_xv"),
+            F.col("_cnorm").alias("_xn"),
+        )
+        tgt = corpus.filter(F.col("lang") == BITEXT_TGT_LANG).select(
+            F.col("neighbor_id").alias("tgt_doc"),
+            F.col("_cv").alias("_yv"),
+            F.col("_cnorm").alias("_yn"),
+        )
+        pairs = (
+            src.crossJoin(F.broadcast(tgt))
+            .select(
+                "src_doc",
+                "tgt_doc",
+                rnd(
+                    cosine_from_norms(
+                        "_xv", "_yv", F.col("_xn"), F.col("_yn")
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return pairs, [(pairs, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark,
+        ("bitext_pairs", sf_dir, BITEXT_SRC_LANG, BITEXT_TGT_LANG),
+        build,
+    )
+
+
+def _bitext_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), langs AS (
+  SELECT doc_id, lang FROM documents
+), src AS (
+  SELECT vec_id AS src_doc, v AS xv
+  FROM e JOIN langs ON doc_id = vec_id AND lang = '{BITEXT_SRC_LANG}'
+), tgt AS (
+  SELECT vec_id AS tgt_doc, v AS yv
+  FROM e JOIN langs ON doc_id = vec_id AND lang = '{BITEXT_TGT_LANG}'
+), pairs AS (
+  SELECT src_doc, tgt_doc,
+         round(
+           list_sum(list_transform(range(1, len(xv) + 1),
+                                   i -> xv[i] * yv[i]))
+           / (sqrt(list_sum(list_transform(xv, x -> x * x)))
+              * sqrt(list_sum(list_transform(yv, x -> x * x)))), 6
+         ) AS cosine_sim
+  FROM src CROSS JOIN tgt
+), ax AS (
+  SELECT src_doc,
+         list_sum(list_slice(list(cosine_sim ORDER BY cosine_sim DESC),
+                             1, {BITEXT_NNK}))
+         / least(count(*), {BITEXT_NNK}) AS a
+  FROM pairs GROUP BY src_doc
+), ay AS (
+  SELECT tgt_doc,
+         list_sum(list_slice(list(cosine_sim ORDER BY cosine_sim DESC),
+                             1, {BITEXT_NNK}))
+         / least(count(*), {BITEXT_NNK}) AS a
+  FROM pairs GROUP BY tgt_doc
+), scored AS (
+  SELECT p.src_doc, p.tgt_doc, p.cosine_sim,
+         round(2.0 * p.cosine_sim / (ax.a + ay.a), 6) AS margin
+  FROM pairs p
+  JOIN ax ON ax.src_doc = p.src_doc
+  JOIN ay ON ay.tgt_doc = p.tgt_doc
+), best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_doc ORDER BY margin DESC, tgt_doc ASC
+  ) AS rk
+  FROM scored
+)
+SELECT src_doc, tgt_doc, cosine_sim, margin
+FROM best WHERE rk = 1 AND margin >= {BITEXT_MIN_MARGIN}
+"""
+
+
 # --- trained quality classifier (multinomial NB on heuristic labels) ---
 def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive-Bayes quality scorer trained ON THE CORPUS
@@ -6076,4 +6253,5 @@ CORPUS_QUERIES = {
     "txt_bpe_fertility": (bpe_fertility, _bpe_fertility_oracle),
     "rag_rrf_fusion_topk": (rrf_fusion_topk, _rrf_fusion_sql()),
     "txt_nb_quality_classifier": (nb_quality_classifier, _nb_quality_sql()),
+    "emb_bitext_margin_pairs": (bitext_margin_pairs, _bitext_sql()),
 }

@@ -5190,3 +5190,59 @@ def test_nb_quality_classifier_learns_labels(spark, sf_small):
     for r in rows:
         if r["n_tokens"] == 0:
             assert r["nb_logodds"] == prior
+
+
+# --- bitext mining: margin algebra + best-pair contract ---
+def test_bitext_margin_pairs_algebra(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        BITEXT_MIN_MARGIN,
+        BITEXT_NNK,
+        BITEXT_SRC_LANG,
+        BITEXT_TGT_LANG,
+        _bitext_pair_frame,
+        bitext_margin_pairs,
+    )
+
+    rows = bitext_margin_pairs(spark, sf_small).collect()
+    assert rows, "fixture should mine at least one pair"
+    srcs = [r["src_doc"] for r in rows]
+    assert len(srcs) == len(set(srcs))  # at most one pair per source
+    assert all(r["margin"] >= BITEXT_MIN_MARGIN for r in rows)
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in rows)
+    # languages really are cross-lingual
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    for r in rows:
+        assert langs[r["src_doc"]] == BITEXT_SRC_LANG
+        assert langs[r["tgt_doc"]] == BITEXT_TGT_LANG
+    # reproduce one margin by hand from the pinned pair frame
+    r0 = rows[0]
+    pairs = _bitext_pair_frame(spark, sf_small)
+    xs = sorted(
+        (
+            p["cosine_sim"]
+            for p in pairs.filter(
+                F.col("src_doc") == r0["src_doc"]
+            ).collect()
+        ),
+        reverse=True,
+    )
+    ys = sorted(
+        (
+            p["cosine_sim"]
+            for p in pairs.filter(
+                F.col("tgt_doc") == r0["tgt_doc"]
+            ).collect()
+        ),
+        reverse=True,
+    )
+    ax = sum(xs[:BITEXT_NNK]) / min(len(xs), BITEXT_NNK)
+    ay = sum(ys[:BITEXT_NNK]) / min(len(ys), BITEXT_NNK)
+    expect = round(2.0 * r0["cosine_sim"] / (ax + ay), 6)
+    assert abs(r0["margin"] - expect) < 2e-6

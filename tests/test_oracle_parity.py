@@ -24,6 +24,7 @@ NEVER_DRIVER_SAMPLED = {
     "txt_bpe_fertility",
     "rag_rrf_fusion_topk",
     "txt_nb_quality_classifier",
+    "emb_bitext_margin_pairs",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
