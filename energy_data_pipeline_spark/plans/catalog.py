@@ -52,6 +52,8 @@ _SAMPLE_PRIORITY = [
     "rag_rrf_fusion_topk",
     "txt_nb_quality_classifier",
     "emb_bitext_margin_pairs",
+    "rag_mmr_diversified_topk",
+    "smp_kcenter_coreset",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

@@ -2099,6 +2099,331 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOPK}
 """
 
 
+# --- MMR diversified re-ranking over the dense shortlist ---
+MMR_LAMBDA = 0.7
+MMR_TOPK = 10
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the dense retrieval
+    shortlist (Carbonell & Goldstein '98): greedily pick
+    ``argmax lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s)`` until
+    ``MMR_TOPK`` results — the diversification step a RAG retriever or
+    a diverse-exemplar sampler runs so near-duplicate hits don't crowd
+    the result list. Same fixed dense query as the RRF fusion leg.
+
+    Scale shape: everything data-sized stays in Spark — the shortlist
+    cut is a TakeOrderedAndProject over the pinned pre-normalized
+    corpus frame, and the POOL x POOL candidate-similarity matrix is
+    a broadcast self-join of the POOL-sized slice. Only CONSTANT-sized
+    state ever reaches the driver (POOL rel rows + POOL^2 sim rows,
+    independent of corpus size): the greedy selection is inherently
+    sequential with data-dependent steps, the same driver-coordinated
+    loop category as the BPE trainer and Lloyd iterations. All
+    selection math runs on ROUNDED scores with doc_id tiebreaks, so
+    the trace is engine-stable. The finished ranking is memoized per
+    snapshot (iterative-result category: CC labels, Lloyd centroids)."""
+    from . import plan_cache
+
+    def build():
+        return _mmr_trace(spark, sf_dir), []
+
+    return plan_cache.cached_plan(
+        spark,
+        ("mmr_topk", sf_dir, RRF_DENSE_QUERY, MMR_LAMBDA, MMR_TOPK),
+        build,
+    )
+
+
+def _mmr_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_from_norms, norm
+
+    corpus = _lsh_bucketed_corpus(spark, sf_dir)
+    qv = (
+        _ann_query_frame(spark, sf_dir)
+        .filter(F.col("vec_id") == RRF_DENSE_QUERY)
+        .select(
+            F.col("embedding").alias("_qv"),
+            norm("embedding").alias("_qnorm"),
+        )
+    )
+    pool = (
+        corpus.filter(F.col("neighbor_id") != RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            rnd(
+                cosine_from_norms(
+                    "_qv", "_cv", F.col("_qnorm"), F.col("_cnorm")
+                ),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    rel = {r["doc_id"]: r["rel"] for r in pool.collect()}
+    ids = sorted(rel)
+    slice_df = corpus.filter(F.col("neighbor_id").isin(ids)).select(
+        F.col("neighbor_id").alias("id"), "_cv", "_cnorm"
+    )
+    a, b = slice_df.alias("a"), slice_df.alias("b")
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            rnd(
+                cosine_from_norms(
+                    "a._cv",
+                    "b._cv",
+                    F.col("a._cnorm"),
+                    F.col("b._cnorm"),
+                ),
+                6,
+            ).alias("s"),
+        )
+        .collect()
+    )
+    sim: dict = {}
+    for r in sim_rows:
+        sim[(r["i"], r["j"])] = r["s"]
+        sim[(r["j"], r["i"])] = r["s"]
+    selected: list = []
+    out = []
+    remaining = set(ids)
+    while remaining and len(selected) < MMR_TOPK:
+        best = None
+        for d in sorted(remaining):
+            maxsim = max((sim[(d, s)] for s in selected), default=0.0)
+            score = round(
+                MMR_LAMBDA * rel[d] - (1 - MMR_LAMBDA) * maxsim, 6
+            )
+            if best is None or score > best[0]:
+                best = (score, d)
+        score, d = best
+        selected.append(d)
+        remaining.discard(d)
+        out.append((len(selected), d, rel[d], score))
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("mmr_rank", LongType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("relevance", DoubleType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _mmr_oracle(sf_dir: str) -> str:
+    """Generated oracle: an INDEPENDENT pure-Python MMR over the same
+    parquet (cosines computed in DuckDB SQL, greedy in Python),
+    emitted as a VALUES table."""
+    import duckdb
+
+    con = duckdb.connect()
+    cos = (
+        "round(list_sum(list_transform(range(1, len(qv) + 1),"
+        " i -> qv[i] * cv[i]))"
+        " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)"
+    )
+    pool = con.execute(
+        f"""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = {RRF_DENSE_QUERY}
+        ), c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM '{sf_dir}/embeddings.parquet'
+          WHERE vec_id <> {RRF_DENSE_QUERY}
+        )
+        SELECT vec_id, {cos} AS rel FROM c CROSS JOIN q
+        ORDER BY rel DESC, vec_id ASC LIMIT {RRF_POOL}
+        """
+    ).fetchall()
+    rel = {int(i): float(r) for i, r in pool}
+    ids = sorted(rel)
+    idlist = ", ".join(str(i) for i in ids)
+    pair_cos = cos.replace("qv", "av").replace("cv", "bv")
+    pairs = con.execute(
+        f"""
+        WITH s AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM '{sf_dir}/embeddings.parquet' WHERE vec_id IN ({idlist})
+        )
+        SELECT a.vec_id, b.vec_id, {pair_cos}
+        FROM (SELECT vec_id, v AS av FROM s) a
+        JOIN (SELECT vec_id, v AS bv FROM s) b ON a.vec_id < b.vec_id
+        """
+    ).fetchall()
+    sim: dict = {}
+    for i, j, s in pairs:
+        sim[(int(i), int(j))] = float(s)
+        sim[(int(j), int(i))] = float(s)
+    selected: list = []
+    out = []
+    remaining = set(ids)
+    while remaining and len(selected) < MMR_TOPK:
+        best = None
+        for d in sorted(remaining):
+            maxsim = max((sim[(d, s)] for s in selected), default=0.0)
+            score = round(
+                MMR_LAMBDA * rel[d] - (1 - MMR_LAMBDA) * maxsim, 6
+            )
+            if best is None or score > best[0]:
+                best = (score, d)
+        score, d = best
+        selected.append(d)
+        remaining.discard(d)
+        out.append((len(selected), d, rel[d], score))
+    values = ",\n".join(
+        f"({rk}, {d}, {r!r}, {s!r})" for rk, d, r, s in out
+    )
+    return f"""
+SELECT mmr_rank, doc_id,
+       CAST(relevance AS DOUBLE) AS relevance,
+       CAST(mmr_score AS DOUBLE) AS mmr_score
+FROM (VALUES
+{values}
+) AS t(mmr_rank, doc_id, relevance, mmr_score)
+"""
+
+
+# --- diverse coreset selection: greedy k-center over embeddings ---
+KCENTER_K = 8
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) over the embedding
+    corpus — the diverse-coreset selection a data-curation pipeline
+    runs to pick maximally-spread exemplars (2-approximation to the
+    k-center objective; the SemDeDup/prototype-sampling shape). Output
+    is the selection trace: (sel_rank, vec_id, radius) where radius is
+    the maximin distance that made the point the farthest — a
+    decreasing sequence whose tail is the corpus covering radius.
+
+    Scale shape: the classic driver-coordinated iterative loop (BPE
+    trainer, Lloyd): per round ONE distributed maximin aggregate over
+    the pinned corpus frame and a 1-ROW collect; the running min-dist
+    column folds the new center in as a broadcast literal, so per-round
+    work is corpus-linear with constant driver traffic, and lineage is
+    cut every 4 rounds. Distances are squared L2, ROUNDED before the
+    min/argmax so the trace is engine-stable (ties break on vec_id).
+    The finished trace is memoized per snapshot (the iterative-result
+    category the plan-cache rules allow: CC labels, Lloyd centroids)
+    — the traversal runs once per snapshot, not per consumer."""
+    from . import plan_cache
+
+    def build():
+        return _kcenter_trace(spark, sf_dir), []
+
+    return plan_cache.cached_plan(
+        spark, ("kcenter_trace", sf_dir, KCENTER_K), build
+    )
+
+
+def _kcenter_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _lsh_bucketed_corpus(spark, sf_dir).select(
+        F.col("neighbor_id").alias("vec_id"), "_cv"
+    )
+
+    def _l2sq_lit(vec: list) -> F.Column:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        diffs = F.zip_with(
+            F.transform("_cv", lambda x: x.cast("double")),
+            lit,
+            lambda x, y: (x - y) * (x - y),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
+
+    seed = corpus.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    out = [(1, seed["vec_id"], None)]
+    cur = corpus.withColumn(
+        "_mind", rnd(_l2sq_lit(seed["_cv"]), 6)
+    ).filter(F.col("vec_id") != seed["vec_id"])
+    for r in range(2, KCENTER_K + 1):
+        far = (
+            cur.orderBy(F.desc("_mind"), F.asc("vec_id")).limit(1).collect()
+        )[0]
+        out.append((r, far["vec_id"], far["_mind"]))
+        cur = cur.filter(F.col("vec_id") != far["vec_id"]).withColumn(
+            "_mind",
+            F.least(F.col("_mind"), rnd(_l2sq_lit(far["_cv"]), 6)),
+        )
+        if r % 4 == 0:
+            cur = cur.localCheckpoint(eager=False)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("sel_rank", LongType(), True),
+            StructField("vec_id", LongType(), True),
+            StructField("radius", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _kcenter_oracle(sf_dir: str) -> str:
+    """Generated oracle: an INDEPENDENT pure-Python farthest-point
+    traversal over the same parquet, element-order accumulation and
+    per-pair rounding identical to the engine contract."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id
+        """
+    ).fetchall()
+    pts = {int(i): list(map(float, v)) for i, v in rows}
+
+    def l2sq(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    seed = min(pts)
+    out = [(1, seed, None)]
+    mind = {
+        i: l2sq(v, pts[seed]) for i, v in pts.items() if i != seed
+    }
+    for r in range(2, KCENTER_K + 1):
+        far = max(mind, key=lambda i: (mind[i], -i))
+        out.append((r, far, mind[far]))
+        fv = pts[far]
+        del mind[far]
+        for i in mind:
+            d = l2sq(pts[i], fv)
+            if d < mind[i]:
+                mind[i] = d
+    values = ",\n".join(
+        f"({rk}, {i}, {('NULL' if rad is None else repr(rad))})"
+        for rk, i, rad in out
+    )
+    return f"""
+SELECT sel_rank, vec_id, CAST(radius AS DOUBLE) AS radius FROM (VALUES
+{values}
+) AS t(sel_rank, vec_id, radius)
+"""
+
+
 # --- unigram log-probability score (perplexity-proxy quality) ---
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
@@ -6254,4 +6579,6 @@ CORPUS_QUERIES = {
     "rag_rrf_fusion_topk": (rrf_fusion_topk, _rrf_fusion_sql()),
     "txt_nb_quality_classifier": (nb_quality_classifier, _nb_quality_sql()),
     "emb_bitext_margin_pairs": (bitext_margin_pairs, _bitext_sql()),
+    "rag_mmr_diversified_topk": (mmr_diversified_topk, _mmr_oracle),
+    "smp_kcenter_coreset": (kcenter_coreset, _kcenter_oracle),
 }

@@ -5246,3 +5246,61 @@ def test_bitext_margin_pairs_algebra(spark, sf_small):
     ay = sum(ys[:BITEXT_NNK]) / min(len(ys), BITEXT_NNK)
     expect = round(2.0 * r0["cosine_sim"] / (ax + ay), 6)
     assert abs(r0["margin"] - expect) < 2e-6
+
+
+# --- MMR: greedy scores non-increasing, relevance-first ---
+def test_mmr_diversified_topk_greedy_contract(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        MMR_LAMBDA,
+        MMR_TOPK,
+        mmr_diversified_topk,
+    )
+
+    rows = sorted(
+        mmr_diversified_topk(spark, sf_small).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert len(rows) == MMR_TOPK
+    assert len({r["doc_id"] for r in rows}) == MMR_TOPK
+    # first pick is pure relevance: mmr = lambda * rel, and no later
+    # pick has higher relevance than the first
+    assert rows[0]["mmr_score"] == round(MMR_LAMBDA * rows[0]["relevance"], 6)
+    assert all(r["relevance"] <= rows[0]["relevance"] for r in rows[1:])
+    # greedy argmax trace is non-increasing (max-sim only ever grows)
+    scores = [r["mmr_score"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+# --- k-center: farthest-point traversal invariants ---
+def test_kcenter_coreset_radii_and_spread(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        KCENTER_K,
+        kcenter_coreset,
+    )
+
+    rows = sorted(
+        kcenter_coreset(spark, sf_small).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert len(rows) == KCENTER_K
+    assert rows[0]["radius"] is None  # seed has no maximin radius
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(r is not None and r > 0 for r in radii)
+    # maximin radii are non-increasing
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    # FPS spread: every selected pair is at least the LAST radius apart
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .collect()
+        if r["vec_id"] in {x["vec_id"] for x in rows}
+    }
+    ids = [r["vec_id"] for r in rows]
+    last = radii[-1]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = sum(
+                (float(a) - float(b)) ** 2
+                for a, b in zip(emb[ids[i]], emb[ids[j]])
+            )
+            assert d >= last - 1e-6, (ids[i], ids[j], d, last)

@@ -25,6 +25,8 @@ NEVER_DRIVER_SAMPLED = {
     "rag_rrf_fusion_topk",
     "txt_nb_quality_classifier",
     "emb_bitext_margin_pairs",
+    "rag_mmr_diversified_topk",
+    "smp_kcenter_coreset",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
