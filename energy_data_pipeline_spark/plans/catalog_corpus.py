@@ -4721,8 +4721,45 @@ def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream), built by ONE posexplode + broadcast segmentation-dim join
     + order-preserving reassembly. On disk this is the table the
     silver-tokenize job family maintains; in-process it is the pin
-    every trained-token consumer (packing, token budgets) shares."""
+    every trained-token consumer (packing, token budgets) shares.
+
+    CONSUMPTION SWITCH (mirrors ``_doc_words_silver``): when
+    ``spark.energy_data_pipeline.bpe_silver.path`` (or env
+    ``SPARK_GRAFT_BPE_SILVER_DIR``) names a manifest-committed BPE
+    silver table (``jobs/silver_tokenize.bpe_silver_job`` output,
+    tokenized with the COMMITTED merge list), the catalog reads THAT
+    instead of re-segmenting — zero-word rows (kept on disk for
+    anti-join convergence) are filtered to match the in-process pin's
+    shape. Same session-start/`plan_cache.clear()` contract as the
+    word-level switch."""
+    import os
+
     from . import plan_cache
+
+    bpe_silver_path = spark.conf.get(
+        "spark.energy_data_pipeline.bpe_silver.path",
+        os.environ.get("SPARK_GRAFT_BPE_SILVER_DIR", ""),
+    )
+
+    if bpe_silver_path:
+
+        def build_disk():
+            from pyspark.storagelevel import StorageLevel
+
+            from ..jobs.silver_tokenize import read_bpe_silver
+
+            toks = (
+                read_bpe_silver(spark, bpe_silver_path)
+                .filter(F.size("btoks") > 0)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            return toks, [(toks, StorageLevel.MEMORY_AND_DISK)]
+
+        return plan_cache.cached_plan(
+            spark,
+            ("doc_bpe_tokens", sf_dir, BPE_MERGES, bpe_silver_path),
+            build_disk,
+        )
 
     def build():
         from pyspark.storagelevel import StorageLevel

@@ -1448,3 +1448,51 @@ def test_bpe_silver_job_matches_catalog_and_idempotent(spark, tmp_path):
     }
     assert rows[990002] == []  # zero-word doc landed with empty btoks
     assert len(rows[990001]) >= 2
+
+
+def test_bpe_silver_consumption_switch_oracle_equivalence(spark, tmp_path):
+    """The BPE-level twin of the silver consumption switch: one conf
+    key flips `_doc_bpe_tokens` from segment-on-read to
+    read-the-committed-BPE-silver-table; trained-token consumers must
+    hash identically both ways (same committed tokenizer by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.jobs import bpe_model
+    from energy_data_pipeline_spark.jobs.silver_tokenize import (
+        bpe_silver_job,
+    )
+    from energy_data_pipeline_spark.plans import plan_cache
+    from energy_data_pipeline_spark.plans.catalog import CATALOG
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        BPE_MERGES,
+        _doc_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merges_table = str(tmp_path / "merges")
+    table = str(tmp_path / "bpe_silver")
+    vocab = (
+        _doc_token_counts(spark, sf).groupBy("w").agg(F.sum("n").alias("freq"))
+    )
+    bpe_model.train_and_commit_merges(spark, vocab, merges_table, BPE_MERGES)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    s = bpe_silver_job(spark, docs, table, merges_table)
+    assert s["tokenized"] > 0
+
+    names = ["pk_bpe_packed_sequences", "smp_bpe_token_budget"]
+    base = {
+        n: sorted(map(tuple, CATALOG[n][0](spark, sf).collect()))
+        for n in names
+    }
+    plan_cache.clear()
+    spark.conf.set("spark.energy_data_pipeline.bpe_silver.path", table)
+    try:
+        via_silver = {
+            n: sorted(map(tuple, CATALOG[n][0](spark, sf).collect()))
+            for n in names
+        }
+    finally:
+        spark.conf.unset("spark.energy_data_pipeline.bpe_silver.path")
+        plan_cache.clear()
+    assert via_silver == base
