@@ -54,6 +54,7 @@ _SAMPLE_PRIORITY = [
     "emb_bitext_margin_pairs",
     "rag_mmr_diversified_topk",
     "smp_kcenter_coreset",
+    "ts_holt_forecast",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

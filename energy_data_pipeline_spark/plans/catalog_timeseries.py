@@ -28,6 +28,125 @@ from ..functions.rounding import rnd
 
 from ..operators import densify
 from ..operators.gaps import sessionize
+
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.5
+_HOLT_HORIZONS = (1, 3, 7)
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-ahead forecast of each event type's daily-total series
+    under Holt's linear-trend exponential smoothing (the reference's
+    generation dashboards imply exactly this next-day view):
+    ``l_t = a*y_t + (1-a)*(l+b); b_t = g*(l_t - l) + (1-g)*b`` with
+    l1=y1, b1=y2-y1, forecast(h) = l_T + h*b_T for h in {1, 3, 7}.
+
+    Execution shape: the recurrence is SEQUENTIAL per series, so each
+    (type)-partition's day-ordered totals collapse into ONE array
+    (|days| elements, bounded by the calendar, never event-sized) and
+    the smoother runs as a single JVM-side ``F.aggregate`` fold —
+    whole-stage-codegen arithmetic, no UDF, no driver loop. Only +,*
+    on IEEE doubles inside the fold (no libm), with the same operation
+    order as the oracle's reference fold, so the 4-rounded outputs
+    hash identically. Inputs are the already-4-rounded daily totals
+    (the repo sum-parity rule)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(rnd(F.sum("value"), 4).alias("day_total"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "day_total"))),
+            lambda s: s["day_total"],
+        ).alias("ys")
+    )
+    a, g = _HOLT_ALPHA, _HOLT_BETA
+    l0 = F.element_at("ys", 1)
+    b0 = F.element_at("ys", 2) - F.element_at("ys", 1)
+
+    def step(acc, y):
+        new_l = F.lit(a) * y + F.lit(1 - a) * (acc["l"] + acc["b"])
+        new_b = F.lit(g) * (new_l - acc["l"]) + F.lit(1 - g) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1),
+        F.struct(l0.alias("l"), b0.alias("b")),
+        step,
+    )
+    out = series.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        state.alias("_st"),
+    ).select(
+        "event_type",
+        "n_days",
+        rnd(F.col("_st.l"), 4).alias("level"),
+        rnd(F.col("_st.b"), 4).alias("trend"),
+        *[
+            rnd(F.col("_st.l") + F.lit(float(h)) * F.col("_st.b"), 4).alias(
+                f"fc_{h}"
+            )
+            for h in _HOLT_HORIZONS
+        ],
+    )
+    return out
+
+
+def _holt_oracle(sf_dir: str) -> str:
+    """Generated oracle: DuckDB computes the identical 4-rounded daily
+    series; an independent pure-Python Holt fold (same +,* operation
+    order) produces the expected state, emitted as a VALUES table."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS day_total
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2 ORDER BY event_type, day
+        """
+    ).fetchall()
+    series: dict = {}
+    for et, _day, tot in rows:
+        series.setdefault(et, []).append(float(tot))
+    a, g = _HOLT_ALPHA, _HOLT_BETA
+    out = []
+    for et in sorted(series):
+        ys = series[et]
+        level, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            new_l = a * y + (1 - a) * (level + b)
+            b = g * (new_l - level) + (1 - g) * b
+            level = new_l
+        rec = [et, len(ys), round(level, 4), round(b, 4)]
+        rec += [round(level + float(h) * b, 4) for h in _HOLT_HORIZONS]
+        out.append(rec)
+    fc_cols = ", ".join(f"fc_{h}" for h in _HOLT_HORIZONS)
+    fc_casts = ",\n       ".join(
+        f"CAST(fc_{h} AS DOUBLE) AS fc_{h}" for h in _HOLT_HORIZONS
+    )
+    values = ",\n".join(
+        "("
+        + ", ".join(
+            [f"'{r[0]}'", str(r[1])] + [repr(v) for v in r[2:]]
+        )
+        + ")"
+        for r in out
+    )
+    return f"""
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(level AS DOUBLE) AS level,
+       CAST(trend AS DOUBLE) AS trend,
+       {fc_casts}
+FROM (VALUES
+{values}
+) AS t(event_type, n_days, level, trend, {fc_cols})
+"""
+
 from ..operators.impute import (
     _spline_fill_series,
     find_consecutive_missing_groups,
@@ -1824,4 +1943,6 @@ TIMESERIES_QUERIES = {
     # round-10 session-2 additions APPEND (merged order is sample surface)
     "ts_linear_trend": (linear_trend, LINEAR_TREND_SQL),
     "a20_benford_digit_profile": (benford_digit_profile, BENFORD_SQL),
+    # round-12 session-2 additions APPEND (merged order is sample surface)
+    "ts_holt_forecast": (holt_forecast, _holt_oracle),
 }

@@ -27,6 +27,7 @@ NEVER_DRIVER_SAMPLED = {
     "emb_bitext_margin_pairs",
     "rag_mmr_diversified_topk",
     "smp_kcenter_coreset",
+    "ts_holt_forecast",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

@@ -58,3 +58,65 @@ def test_seasonality_strength_degenerate_slice_is_null_both_engines(
         assert report["ok"], report["issues"]
     finally:
         con.close()
+
+
+def test_holt_forecast_recurrence_and_horizons(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        _HOLT_HORIZONS,
+        holt_forecast,
+    )
+
+    rows = holt_forecast(spark, sf_small).collect()
+    types = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == types
+    for r in rows:
+        assert r["n_days"] >= 2
+        # forecasts extrapolate linearly from (level, trend); fc is
+        # computed from the UNROUNDED state, so allow h*rounding slack
+        for h in _HOLT_HORIZONS:
+            assert (
+                abs(r[f"fc_{h}"] - round(r["level"] + h * r["trend"], 4))
+                <= (h + 1) * 1e-4
+            )
+    # reproduce one series by hand
+    import collections
+
+    daily = collections.defaultdict(dict)
+    for e in (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .groupBy(
+            "event_type",
+            __import__("pyspark.sql.functions", fromlist=["x"]).to_date(
+                "ts"
+            ).alias("day"),
+        )
+        .agg(
+            __import__(
+                "energy_data_pipeline_spark.functions.rounding",
+                fromlist=["rnd"],
+            ).rnd(
+                __import__(
+                    "pyspark.sql.functions", fromlist=["x"]
+                ).sum("value"),
+                4,
+            ).alias("t")
+        )
+        .collect()
+    ):
+        daily[e["event_type"]][e["day"]] = e["t"]
+    et = rows[0]["event_type"]
+    ys = [daily[et][d] for d in sorted(daily[et])]
+    level, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        nl = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (level + b)
+        b = _HOLT_BETA * (nl - level) + (1 - _HOLT_BETA) * b
+        level = nl
+    assert rows[0]["level"] == round(level, 4)
+    assert rows[0]["trend"] == round(b, 4)
