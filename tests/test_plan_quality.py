@@ -924,3 +924,72 @@ def test_source_overlap_reads_pinned_fp_frame(spark):
 
     scan_ids = set(_re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) <= 1, (scan_ids, plan[:2000])
+
+
+def test_rrf_fusion_legs_end_in_shortlist_cuts(spark):
+    """Both fusion legs must cut to the POOL shortlist via
+    TakeOrderedAndProject (never a global sort of the scored stream),
+    and the 1-row dense query must ride in broadcast. The ONE allowed
+    sort-merge join is the POOLxPOOL full-outer fusion itself (Spark
+    cannot broadcast FULL OUTER; both inputs are constant-sized
+    shortlists) — any other SMJ means a data-sized shuffle leaked in."""
+    import re
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["rag_rrf_fusion_topk"]
+    plan = plan_of(fn(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    smj = re.findall(r"SortMergeJoin \w+", plan)
+    assert set(smj) <= {"SortMergeJoin FullOuter"}, smj
+
+
+def test_nb_classifier_scores_via_broadcast_weights(spark):
+    """NB scoring must join the pinned token frame against the
+    BROADCAST vocab-sized weight table — a shuffled join there would
+    re-partition the corpus token stream per invocation. The ONE
+    allowed sort-merge join is the final doc-keyed label<->score
+    LeftOuter (both sides are corpus-doc-sized at scale, and LeftOuter
+    cannot broadcast its left side)."""
+    import re
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["txt_nb_quality_classifier"]
+    plan = plan_of(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    smj = re.findall(r"SortMergeJoin \w+", plan)
+    assert set(smj) <= {"SortMergeJoin LeftOuter"}, smj
+
+
+def test_bitext_margin_reads_pinned_pairs(spark):
+    """The margin algebra must read the PINNED candidate frame
+    (InMemoryTableScan), broadcast the per-side NN-mean dims back, and
+    never shuffle-join the pair stream."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["emb_bitext_margin_pairs"]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_holt_forecast_single_fold_no_window(spark):
+    """The Holt recurrence is ONE array fold after the per-series
+    collect — no WindowExec (a windowed formulation would sort the
+    daily stream once per lag), no join, exactly one events scan."""
+    import re
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["ts_holt_forecast"]
+    plan = plan_of(fn(spark, SF))
+    assert "Window" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
