@@ -55,6 +55,28 @@ def sessionize(
     Pure window composition: lag → boundary flag → running sum = session
     id. Returns per-session rollup (start, end, n_events).
     """
+    sess = sessionize_events(df, ts_col, keys, gap_seconds=gap_seconds)
+    return (
+        sess.groupBy(*keys, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def sessionize_events(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-EVENT session labeling — the rollup-free half of
+    ``sessionize``: every input row annotated with its ``session_seq``
+    (1-based per key). Consumers that need within-session order
+    (path/next-event analysis) compose on this; ``sessionize`` itself
+    is the per-session rollup of the same labels."""
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
     # timestamp_diff is pure wall-clock arithmetic; unix_timestamp would
@@ -69,14 +91,8 @@ def sessionize(
         ),
         1,
     ).otherwise(0)
-    sess = df.withColumn("_new", is_new).withColumn(
-        "session_seq", F.sum("_new").over(w)
-    )
     return (
-        sess.groupBy(*keys, "session_seq")
-        .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+        df.withColumn("_new", is_new)
+        .withColumn("session_seq", F.sum("_new").over(w))
+        .drop("_new")
     )

@@ -55,6 +55,7 @@ _SAMPLE_PRIORITY = [
     "rag_mmr_diversified_topk",
     "smp_kcenter_coreset",
     "ts_holt_forecast",
+    "st_top_paths",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

@@ -333,6 +333,88 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+# --- top within-session event paths (behavioral path analysis) ---
+_PATH_TOPK = 15
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_PATH_TOPK`` most common 3-step within-session event
+    sequences — the path-analysis table behind a Sankey/flow panel
+    (which journeys dominate, how often a view->click leg converts in
+    the next step): the behavioral complement of
+    ``st_funnel_conversion``'s fixed funnel and
+    ``st_event_transition_matrix``'s 1-step Markov view.
+
+    Execution shape: per-event session labels come from the SAME
+    window composition as ``st_user_sessions``
+    (``operators/gaps.sessionize_events`` — one (user, ts) sort
+    shared by the label sum and the two leads), trigrams are two
+    ``lead`` taps over the session window (no self-join, no explode),
+    and the path aggregate is a map-side-combined |distinct paths|
+    key space with a TakeOrderedAndProject cut. (user_id, ts) is
+    unique in the events table, so the path strings are
+    order-deterministic."""
+    from ..operators.gaps import sessionize_events
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    labeled = sessionize_events(ev, "ts", ["user_id"], gap_seconds=1800)
+    wp = Window.partitionBy("user_id", "session_seq").orderBy("ts")
+    steps = labeled.select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        F.lead("event_type", 1).over(wp).alias("_n1"),
+        F.lead("event_type", 2).over(wp).alias("_n2"),
+    ).filter(F.col("_n2").isNotNull())
+    paths = steps.select(
+        F.concat_ws(">", "event_type", "_n1", "_n2").alias("path"),
+        F.concat_ws("#", "user_id", "session_seq").alias("_sess"),
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("_sess").cast("bigint").alias("n_sessions"),
+    )
+    return agg.orderBy(
+        F.desc("n_occurrences"), F.asc("path")
+    ).limit(_PATH_TOPK)
+
+
+TOP_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), labeled AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+), steps AS (
+  SELECT user_id, session_seq, event_type,
+         lead(event_type, 1) OVER wp AS n1,
+         lead(event_type, 2) OVER wp AS n2
+  FROM labeled
+  WINDOW wp AS (PARTITION BY user_id, session_seq ORDER BY ts)
+), paths AS (
+  SELECT event_type || '>' || n1 || '>' || n2 AS path,
+         CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR)
+           AS sess
+  FROM steps WHERE n2 IS NOT NULL
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_occurrences DESC, path ASC LIMIT {_PATH_TOPK}
+"""
+
+
 # --- T3: cubic-spline imputation (pandas UDF — rows-only check) ---
 # Parity: _spline_impute (impute_missing.py:41-98) with the linear
 # fallback ladder; scipy runs inside applyInPandas per series.
@@ -1945,4 +2027,5 @@ TIMESERIES_QUERIES = {
     "a20_benford_digit_profile": (benford_digit_profile, BENFORD_SQL),
     # round-12 session-2 additions APPEND (merged order is sample surface)
     "ts_holt_forecast": (holt_forecast, _holt_oracle),
+    "st_top_paths": (top_event_paths, TOP_PATHS_SQL),
 }

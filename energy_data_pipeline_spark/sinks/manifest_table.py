@@ -241,11 +241,43 @@ def _stage_data_files(df: DataFrame, table: str) -> list[str]:
     return sorted(rel)
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema conflicts with the committed table schema
+    (same-name column with a different type). Adding NEW columns is
+    legal evolution; silently changing a column's type is not."""
+
+
+def _evolve_schema(parent_schema: dict | None, df: DataFrame) -> dict:
+    """The unified table schema after appending ``df``: the committed
+    column list, plus df's genuinely NEW columns appended at the end
+    (they read as NULL from pre-evolution files); columns the append
+    omits stay in the schema (they read as NULL from the new files).
+    Same-name columns must keep their exact type."""
+    new = df.schema.jsonValue()
+    if parent_schema is None:
+        return new
+    by_name = {f["name"]: f for f in parent_schema["fields"]}
+    out = list(parent_schema["fields"])
+    for f in new["fields"]:
+        have = by_name.get(f["name"])
+        if have is None:
+            evolved = dict(f)
+            evolved["nullable"] = True  # NULL-backfilled on old files
+            out.append(evolved)
+        elif have["type"] != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {f['name']!r}: committed type {have['type']!r}"
+                f" != append type {f['type']!r}"
+            )
+    return {"type": "struct", "fields": out}
+
+
 def _publish(
     table: str,
     files: list[str],
     parent: dict | None,
     compare_and_swap: CasFn | None = None,
+    schema: dict | None = None,
 ) -> dict:
     """Write the next-version manifest, then flip _CURRENT through the
     commit CAS. Both the manifest and the tmp pointer are flushed +
@@ -259,6 +291,8 @@ def _publish(
         "files": files,
         "parent": parent["name"] if parent else None,
     }
+    if schema is not None:
+        manifest["schema"] = schema
     name = f"manifest-{version:08d}-{uuid.uuid4().hex[:8]}.json"
     manifest["name"] = name
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
@@ -279,21 +313,40 @@ def _publish(
 def manifest_read(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot-isolated read of the live (or pinned) version."""
+    """Snapshot-isolated read of the live (or pinned) version.
+
+    When the manifest carries the table SCHEMA (recorded by every
+    commit of the current sink version), the read pins it explicitly:
+    files written before a column was added — or after an append that
+    omitted one — surface that column as NULL instead of whichever
+    file Spark happened to sample (schema-on-read evolution, the
+    Iceberg/Delta add-column semantics). Legacy manifests without a
+    recorded schema keep the plain multi-file read."""
     m = read_manifest(table, version)
     if m is None or not m["files"]:
         raise FileNotFoundError(f"manifest table {table} has no committed data")
-    return spark.read.parquet(*[os.path.join(table, p) for p in m["files"]])
+    paths = [os.path.join(table, p) for p in m["files"]]
+    if m.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(m["schema"])
+        ).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def manifest_overwrite(
     df: DataFrame, table: str, compare_and_swap: CasFn | None = None
 ) -> dict:
-    """Full-snapshot publish (K6 semantics with atomic visibility)."""
+    """Full-snapshot publish (K6 semantics with atomic visibility).
+    Resets the committed schema to ``df``'s (an overwrite is a new
+    table generation — evolution history does not survive it)."""
     os.makedirs(table, exist_ok=True)
     parent = read_manifest(table)
     files = _stage_data_files(df, table)
-    return _publish(table, files, parent, compare_and_swap)
+    return _publish(
+        table, files, parent, compare_and_swap, schema=df.schema.jsonValue()
+    )
 
 
 _UNSET = object()
@@ -316,12 +369,26 @@ def manifest_append(
     live table) gets ``CommitConflictError`` if anyone committed in
     between, instead of silently appending rows whose derivation is
     stale. Left unset, the parent is re-read here and the append
-    content is assumed snapshot-independent (plain K1 semantics)."""
+    content is assumed snapshot-independent (plain K1 semantics).
+
+    Schema evolution: an append may carry NEW columns (recorded into
+    the committed schema; older files read them as NULL) or omit
+    committed ones (the new files read them as NULL) — but a
+    same-name column with a different type raises
+    ``SchemaEvolutionError`` BEFORE any file is staged. Tables whose
+    live manifest predates schema recording keep legacy behavior (no
+    schema pin) until their next overwrite."""
     os.makedirs(table, exist_ok=True)
     parent = read_manifest(table) if expected_parent is _UNSET else expected_parent
+    if parent is None:
+        schema = _evolve_schema(None, df)
+    elif parent.get("schema") is not None:
+        schema = _evolve_schema(parent["schema"], df)
+    else:
+        schema = None  # legacy table: don't pin a schema we can't see
     files = _stage_data_files(df, table)
     all_files = (parent["files"] if parent else []) + files
-    return _publish(table, all_files, parent, compare_and_swap)
+    return _publish(table, all_files, parent, compare_and_swap, schema=schema)
 
 
 def manifest_upsert(
@@ -362,7 +429,14 @@ def manifest_upsert(
         merged = new_df
     os.makedirs(table, exist_ok=True)
     files = _stage_data_files(merged, table)
-    return _publish(table, files, parent, compare_and_swap)
+    # the merged frame's schema IS the evolved committed schema when the
+    # parent pinned one (manifest_read surfaces it); record it forward
+    schema = (
+        merged.schema.jsonValue()
+        if (parent is None or parent.get("schema") is not None)
+        else None
+    )
+    return _publish(table, files, parent, compare_and_swap, schema=schema)
 
 
 # --- multi-table commit group --------------------------------------------
@@ -649,7 +723,9 @@ def manifest_compact(
         return None
     df = manifest_read(spark, table).coalesce(max_files)
     files = _stage_data_files(df, table)
-    return _publish(table, files, parent, compare_and_swap)
+    return _publish(
+        table, files, parent, compare_and_swap, schema=parent.get("schema")
+    )
 
 
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:

@@ -1496,3 +1496,82 @@ def test_bpe_silver_consumption_switch_oracle_equivalence(spark, tmp_path):
         spark.conf.unset("spark.energy_data_pipeline.bpe_silver.path")
         plan_cache.clear()
     assert via_silver == base
+
+
+def test_manifest_schema_evolution_add_and_omit_columns(spark, tmp_path):
+    """Iceberg/Delta-style add-column semantics on the manifest sink:
+    an append may ADD columns (old files read NULL) or OMIT committed
+    ones (new files read NULL); a same-name type change is rejected
+    before staging; compaction and upsert carry the evolved schema."""
+    import pytest as _pytest
+
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    table = str(tmp_path / "evolving")
+    mt.manifest_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), table
+    )
+    # evolve: add column w
+    mt.manifest_append(
+        spark.createDataFrame(
+            [(2, "b", 2.5)], "id long, v string, w double"
+        ),
+        table,
+    )
+    got = {r["id"]: (r["v"], r["w"]) for r in mt.manifest_read(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("b", 2.5)}
+    # omit a committed column: stays in schema, reads NULL for new rows
+    mt.manifest_append(spark.createDataFrame([(3,)], "id long"), table)
+    got = {r["id"]: (r["v"], r["w"]) for r in mt.manifest_read(spark, table).collect()}
+    assert got[3] == (None, None) and got[2] == ("b", 2.5)
+    # type conflict rejected atomically (version unchanged)
+    v = mt.read_manifest(table)["version"]
+    with _pytest.raises(mt.SchemaEvolutionError, match="column 'v'"):
+        mt.manifest_append(
+            spark.createDataFrame([(4, 9)], "id long, v long"), table
+        )
+    assert mt.read_manifest(table)["version"] == v
+    # compaction rewrites files but keeps the evolved schema pin
+    m = mt.manifest_compact(spark, table, max_files=1)
+    assert m is not None and m["schema"] == mt.read_manifest(table)["schema"]
+    assert {r["id"] for r in mt.manifest_read(spark, table).collect()} == {1, 2, 3}
+    # upsert against the evolved table keeps the full width
+    mt.manifest_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "a2", 7.0)], "id long, v string, w double"
+        ),
+        table,
+        keys=["id"],
+    )
+    got = {r["id"]: (r["v"], r["w"]) for r in mt.manifest_read(spark, table).collect()}
+    assert got[1] == ("a2", 7.0) and got[3] == (None, None)
+
+
+def test_manifest_schema_evolution_legacy_passthrough(spark, tmp_path):
+    """A table whose live manifest predates schema recording keeps
+    legacy behavior (no schema pin) instead of guessing one from a
+    single append's width."""
+    import json
+    import os
+
+    from energy_data_pipeline_spark.sinks import manifest_table as mt
+
+    table = str(tmp_path / "legacy")
+    mt.manifest_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), table
+    )
+    # simulate a pre-evolution manifest: strip the schema key in place
+    with open(os.path.join(table, "_CURRENT")) as f:
+        name = f.read().strip()
+    mpath = os.path.join(table, "_manifests", name)
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["schema"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    s = mt.manifest_append(
+        spark.createDataFrame([(2, "b")], "id long, v string"), table
+    )
+    assert "schema" not in s or s.get("schema") is None
+    assert mt.manifest_read(spark, table).count() == 2

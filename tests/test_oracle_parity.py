@@ -28,6 +28,7 @@ NEVER_DRIVER_SAMPLED = {
     "rag_mmr_diversified_topk",
     "smp_kcenter_coreset",
     "ts_holt_forecast",
+    "st_top_paths",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

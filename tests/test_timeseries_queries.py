@@ -120,3 +120,48 @@ def test_holt_forecast_recurrence_and_horizons(spark, sf_small):
         level = nl
     assert rows[0]["level"] == round(level, 4)
     assert rows[0]["trend"] == round(b, 4)
+
+
+def test_top_paths_compose_on_session_labels(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.operators.gaps import (
+        sessionize,
+        sessionize_events,
+    )
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        _PATH_TOPK,
+        top_event_paths,
+    )
+
+    rows = top_event_paths(spark, sf_small).collect()
+    assert 0 < len(rows) <= _PATH_TOPK
+    ns = [r["n_occurrences"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    types = {
+        r["event_type"]
+        for r in spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        steps = r["path"].split(">")
+        assert len(steps) == 3 and all(s in types for s in steps)
+        assert 1 <= r["n_sessions"] <= r["n_occurrences"]
+    # the per-event labeling is the exact rollup-free half of
+    # sessionize: grouping it reproduces the session table
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    lab = (
+        sessionize_events(ev, "ts", ["user_id"])
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    base = sessionize(ev, "ts", ["user_id"])
+    assert sorted(map(tuple, lab.collect())) == sorted(
+        map(tuple, base.collect())
+    )
