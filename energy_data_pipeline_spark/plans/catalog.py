@@ -52,6 +52,7 @@ _SAMPLE_PRIORITY = [
     "rag_rrf_fusion_topk",
     "txt_nb_quality_classifier",
     "emb_bitext_margin_pairs",
+    "emb_bitext_bucketed_pairs",
     "rag_mmr_diversified_topk",
     "smp_kcenter_coreset",
     "ts_holt_forecast",

@@ -6102,9 +6102,31 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source id. At 100 TB the cross product swaps for the IVF/LSH
     bucket join (same downstream margin algebra); the lang column
     would travel inside the index frame instead of joining in."""
-    from pyspark.sql import Window
+    return _bitext_margin_from_pairs(_bitext_pair_frame(spark, sf_dir))
 
-    pairs = _bitext_pair_frame(spark, sf_dir)
+
+def bitext_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of ``bitext_margin_pairs`` (the a19->a21
+    proof pattern): identical margin algebra, but the candidate
+    generator is an LSH-CELL-RESTRICTED hash join — src and tgt rows
+    meet only inside their shared sign-LSH bucket (the pinned corpus
+    frame's ``_bkt``, 2^N_PLANES cells), so the pair stream is
+    sum-over-cells(|src_c| x |tgt_c|) instead of |src| x |tgt|. The
+    margin's top-K neighbor means are per-side means over the
+    RESTRICTED candidate set (the standard shortlist approximation —
+    hub suppression now measures within-cell hubness); sources whose
+    cell holds no target simply produce no pair, which is the
+    recall/cost trade the bucketing buys. The exact twin stays in the
+    catalog as the correctness baseline; the overlap between the two
+    is the measured recall (see tests + SCALE.md)."""
+    return _bitext_margin_from_pairs(_bitext_bucketed_pair_frame(spark, sf_dir))
+
+
+def _bitext_margin_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Margin criterion over a scored (src_doc, tgt_doc, cosine_sim)
+    candidate frame: per-side top-K means via order-deterministic
+    sorted-slice sums, best pair per source, margin gate."""
+    from pyspark.sql import Window
 
     def _topk_mean(df: DataFrame, key: str, out: str) -> DataFrame:
         arr = F.slice(
@@ -6162,24 +6184,10 @@ def _bitext_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..functions.vectors import cosine_from_norms
 
-        langs = fan_out(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "lang"
-        )
-        corpus = _lsh_bucketed_corpus(spark, sf_dir).join(
-            langs, F.col("neighbor_id") == F.col("doc_id")
-        )
-        src = corpus.filter(F.col("lang") == BITEXT_SRC_LANG).select(
-            F.col("neighbor_id").alias("src_doc"),
-            F.col("_cv").alias("_xv"),
-            F.col("_cnorm").alias("_xn"),
-        )
-        tgt = corpus.filter(F.col("lang") == BITEXT_TGT_LANG).select(
-            F.col("neighbor_id").alias("tgt_doc"),
-            F.col("_cv").alias("_yv"),
-            F.col("_cnorm").alias("_yn"),
-        )
+        src, tgt = _bitext_lang_sides(spark, sf_dir)
         pairs = (
-            src.crossJoin(F.broadcast(tgt))
+            src.drop("_sbkt")
+            .crossJoin(F.broadcast(tgt.drop("_tbkt")))
             .select(
                 "src_doc",
                 "tgt_doc",
@@ -6201,19 +6209,143 @@ def _bitext_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bitext_sql() -> str:
+def _bitext_lang_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(src, tgt) slices of the pinned pre-normalized corpus frame,
+    lang-joined and column-aliased for the pair builders; src keeps
+    the LSH cell code as ``_sbkt``, tgt as ``_tbkt``."""
+    langs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+    corpus = _lsh_bucketed_corpus(spark, sf_dir).join(
+        langs, F.col("neighbor_id") == F.col("doc_id")
+    )
+    src = corpus.filter(F.col("lang") == BITEXT_SRC_LANG).select(
+        F.col("neighbor_id").alias("src_doc"),
+        F.col("_cv").alias("_xv"),
+        F.col("_cnorm").alias("_xn"),
+        F.col("_bkt").alias("_sbkt"),
+    )
+    tgt = corpus.filter(F.col("lang") == BITEXT_TGT_LANG).select(
+        F.col("neighbor_id").alias("tgt_doc"),
+        F.col("_cv").alias("_yv"),
+        F.col("_cnorm").alias("_yn"),
+        F.col("_bkt").alias("_tbkt"),
+    )
+    return src, tgt
+
+
+def _bitext_bucketed_pair_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(src_doc, tgt_doc, cosine_sim) restricted to LSH cells within
+    Hamming distance 1 of the source's cell (the multiprobe sequence
+    ``similarity._probe_codes`` — same recall lever as
+    ``ann_lsh_multiprobe_topk``) — the bucketed candidate generator,
+    pinned per snapshot (same data-cache category as the exact pair
+    frame). The join is a hash join on the probed cell code: per-pair
+    work exists only where a probed cell holds both languages, and a
+    (src, tgt) pair can match at most once (the target has ONE cell
+    and the probe codes are distinct)."""
+    from . import plan_cache
+
+    def build():
+        from pyspark.storagelevel import StorageLevel
+
+        from ..functions.vectors import cosine_from_norms
+
+        src, tgt = _bitext_lang_sides(spark, sf_dir)
+        probed = src.select(
+            "src_doc",
+            "_xv",
+            "_xn",
+            F.explode(
+                similarity._probe_codes(
+                    F.col("_sbkt"), similarity.N_PLANES
+                )
+            ).alias("_pbkt"),
+        )
+        pairs = (
+            probed.join(tgt, F.col("_pbkt") == F.col("_tbkt"))
+            .select(
+                "src_doc",
+                "tgt_doc",
+                rnd(
+                    cosine_from_norms(
+                        "_xv", "_yv", F.col("_xn"), F.col("_yn")
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return pairs, [(pairs, StorageLevel.MEMORY_AND_DISK)]
+
+    return plan_cache.cached_plan(
+        spark,
+        (
+            "bitext_pairs_bucketed",
+            sf_dir,
+            BITEXT_SRC_LANG,
+            BITEXT_TGT_LANG,
+            similarity.N_PLANES,
+        ),
+        build,
+    )
+
+
+def _lsh_bucket_sql(v: str) -> str:
+    """The sign-LSH cell code of vector expression ``v`` — the same
+    deterministic hyperplanes the Spark index uses (also embedded in
+    ``_ann_lsh_sql``)."""
+    planes = similarity.hyperplane_signs(similarity.N_PLANES, 64)
+    bit_exprs = []
+    for row in planes:
+        terms = " + ".join(
+            (f"-{v}[{d + 1}]" if s < 0 else f"{v}[{d + 1}]")
+            for d, s in enumerate(row)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bit_exprs)
+
+
+def _bitext_sql(bucketed: bool = False) -> str:
+    if bucketed:
+        bkt = _lsh_bucket_sql("v")
+        side_cols = f", {bkt} AS bkt"
+        # multiprobe: the source's own cell plus every Hamming-1 flip
+        flips = ["bkt"]
+        for i in range(1, similarity.N_PLANES + 1):
+            flip = (
+                f"substr(bkt, 1, {i - 1}) || "
+                f"(CASE WHEN substr(bkt, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+                f" || substr(bkt, {i + 1})"
+            )
+            flips.append(flip)
+        probes = "\n  UNION ALL\n  ".join(
+            f"SELECT src_doc, xv, {f} AS pbkt FROM src" for f in flips
+        )
+        probe_cte = f", src_probes AS (\n  {probes}\n)"
+        pair_join = (
+            "FROM src_probes JOIN tgt ON src_probes.pbkt = tgt.bkt"
+        )
+    else:
+        side_cols = ""
+        probe_cte = ""
+        pair_join = "FROM src CROSS JOIN tgt"
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), langs AS (
   SELECT doc_id, lang FROM documents
 ), src AS (
-  SELECT vec_id AS src_doc, v AS xv
+  SELECT vec_id AS src_doc, v AS xv{side_cols}
   FROM e JOIN langs ON doc_id = vec_id AND lang = '{BITEXT_SRC_LANG}'
 ), tgt AS (
-  SELECT vec_id AS tgt_doc, v AS yv
+  SELECT vec_id AS tgt_doc, v AS yv{side_cols}
   FROM e JOIN langs ON doc_id = vec_id AND lang = '{BITEXT_TGT_LANG}'
-), pairs AS (
+){probe_cte}, pairs AS (
   SELECT src_doc, tgt_doc,
          round(
            list_sum(list_transform(range(1, len(xv) + 1),
@@ -6221,7 +6353,7 @@ WITH e AS (
            / (sqrt(list_sum(list_transform(xv, x -> x * x)))
               * sqrt(list_sum(list_transform(yv, x -> x * x)))), 6
          ) AS cosine_sim
-  FROM src CROSS JOIN tgt
+  {pair_join}
 ), ax AS (
   SELECT src_doc,
          list_sum(list_slice(list(cosine_sim ORDER BY cosine_sim DESC),
@@ -6616,6 +6748,10 @@ CORPUS_QUERIES = {
     "rag_rrf_fusion_topk": (rrf_fusion_topk, _rrf_fusion_sql()),
     "txt_nb_quality_classifier": (nb_quality_classifier, _nb_quality_sql()),
     "emb_bitext_margin_pairs": (bitext_margin_pairs, _bitext_sql()),
+    "emb_bitext_bucketed_pairs": (
+        bitext_bucketed_pairs,
+        _bitext_sql(bucketed=True),
+    ),
     "rag_mmr_diversified_topk": (mmr_diversified_topk, _mmr_oracle),
     "smp_kcenter_coreset": (kcenter_coreset, _kcenter_oracle),
 }

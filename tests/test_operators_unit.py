@@ -5304,3 +5304,34 @@ def test_kcenter_coreset_radii_and_spread(spark, sf_small):
                 for a, b in zip(emb[ids[i]], emb[ids[j]])
             )
             assert d >= last - 1e-6, (ids[i], ids[j], d, last)
+
+
+# --- bucketed bitext: the scale-path twin's recall/cost trade ---
+def test_bitext_bucketed_recall_and_pruning(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        _bitext_bucketed_pair_frame,
+        _bitext_pair_frame,
+        bitext_bucketed_pairs,
+        bitext_margin_pairs,
+    )
+
+    exact_pairs = _bitext_pair_frame(spark, sf_small).count()
+    bucket_pairs = _bitext_bucketed_pair_frame(spark, sf_small).count()
+    # candidate pruning is the point: the cell-restricted stream must
+    # be a small fraction of the cross product
+    assert 0 < bucket_pairs < exact_pairs / 4, (bucket_pairs, exact_pairs)
+
+    exact = {
+        (r["src_doc"], r["tgt_doc"])
+        for r in bitext_margin_pairs(spark, sf_small).collect()
+    }
+    bucketed = {
+        (r["src_doc"], r["tgt_doc"])
+        for r in bitext_bucketed_pairs(spark, sf_small).collect()
+    }
+    assert bucketed, "bucketed variant should mine at least one pair"
+    # every bucketed pair is same-cell by construction; measure recall
+    # against the exact twin and pin a floor: same-cell = similar, so
+    # a decent share of the exact winners must survive the restriction
+    recall = len(exact & bucketed) / len(exact)
+    assert recall >= 0.2, (recall, len(exact), len(bucketed))

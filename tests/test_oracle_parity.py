@@ -25,6 +25,7 @@ NEVER_DRIVER_SAMPLED = {
     "rag_rrf_fusion_topk",
     "txt_nb_quality_classifier",
     "emb_bitext_margin_pairs",
+    "emb_bitext_bucketed_pairs",
     "rag_mmr_diversified_topk",
     "smp_kcenter_coreset",
     "ts_holt_forecast",
