@@ -993,3 +993,42 @@ def test_holt_forecast_single_fold_no_window(spark):
     assert "Window" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
+
+
+def test_top_paths_two_windows_one_scan(spark):
+    """Path mining must stay window-composed: one events scan, the
+    session-label window plus the lead window (both sorted on the same
+    (user, ts) stream), a single path aggregate with a TakeOrdered cut
+    — no self-join, no explode."""
+    import re
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["st_top_paths"]
+    plan = plan_of(fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
+    # three window ops (lag flag, label sum, lead taps) sharing ONE
+    # user-keyed exchange — the (user, session) sort reuses the user
+    # partitioning, so only the two aggregate exchanges remain
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 3, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan, plan[:1500]
+    assert "Generate" not in plan, plan[:1500]
+
+
+def test_bitext_bucketed_margin_never_crosses(spark):
+    """The bucketed twin's margin algebra must read the PINNED probed
+    candidate frame and broadcast the NN-mean dims — and unlike the
+    exact twin, NO cross/nested-loop join may appear anywhere in its
+    consumer plan (the cell hash join lives inside the pin build)."""
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["emb_bitext_bucketed_pairs"]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
