@@ -409,6 +409,132 @@ def silver_tokenize_stream(
     q.awaitTermination()
 
 
+def _paths_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    stream_id: str,
+) -> bool:
+    """One foreachBatch application of the session-path sink: each row
+    is a CLOSED session carrying its ordered event-type sequence
+    (``seq``); 3-step paths explode into (path, occurrences, sessions)
+    deltas and SUM-merge into the persistent table. Module level so
+    the replay-skip path is directly testable. Returns True if
+    applied, False if skipped as a replay.
+
+    Path counting is LINEAR over closed sessions (append-mode
+    session_window emits each session exactly once), so the converged
+    table equals the batch ``st_top_paths`` aggregate over the same
+    closed sessions; like the CMS/histogram sinks the SUM-merge is
+    not redelivery-idempotent, hence the replay guard before any
+    count is touched."""
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    existing, version, last_applied, stored_stream = _sketch_state_read(
+        spark, table_path
+    )
+    if _replay_guard(batch_id, last_applied, stream_id, stored_stream):
+        return False
+    seq = F.col("seq")
+    grams = F.when(
+        F.size(seq) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(seq) - 3),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(seq, i + 1),
+                F.element_at(seq, i + 2),
+                F.element_at(seq, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_session = batch_df.select(
+        F.monotonically_increasing_id().alias("_sid"), grams.alias("_g")
+    ).select("_sid", F.explode("_g").alias("path"))
+    delta = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_sid").alias("n_sessions"),
+    )
+    if existing is not None:
+        merged = (
+            existing.select("path", "n_occurrences", "n_sessions")
+            .unionByName(delta)
+            .groupBy("path")
+            .agg(
+                F.sum("n_occurrences").alias("n_occurrences"),
+                F.sum("n_sessions").alias("n_sessions"),
+            )
+        )
+    else:
+        merged = delta
+    # bounded by |event types|^3 rows by construction
+    rows = merged.collect()
+    if not rows:
+        return False
+    _sketch_state_publish(
+        spark.createDataFrame(rows, merged.schema),
+        table_path,
+        version,
+        batch_id,
+        stream_id,
+    )
+    return True
+
+
+def top_paths_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> None:
+    """``st_top_paths``' streaming twin: gap-based sessionization via
+    the native ``session_window`` in APPEND mode (a session emits
+    exactly once, when the watermark passes its gap horizon) carrying
+    the time-ordered event-type sequence, then per-micro-batch path
+    extraction SUM-merged into the versioned (path, n_occurrences,
+    n_sessions) state table — the same exactly-once composition as the
+    CMS/histogram sinks (checkpoint fences redelivery, replay guard
+    skips crash-replayed batches, atomic pointer flip publishes).
+
+    Serve with ``read_sketch_table`` ordered by n_occurrences — once
+    every session is closed the state equals the batch
+    ``st_top_paths`` aggregate (away from the exact-gap boundary seam
+    ``session_stream`` documents)."""
+    stream_id = _stream_instance_id(checkpoint_dir)
+    sessions = (
+        stream_df.withColumn("_wts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window("_wts", f"{gap_seconds} seconds").alias("sw"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_wts", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _paths_apply_batch(batch_df, batch_id, table_path, stream_id)
+
+    q = (
+        sessions.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def bpe_silver_stream(
     stream_df: DataFrame,
     table_path: str,

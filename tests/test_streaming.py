@@ -1515,3 +1515,91 @@ def test_bpe_silver_stream_incremental_and_replay_safe(spark, tmp_path):
     drain()
     assert stats[-1]["tokenized"] == 0
     assert read_bpe_silver(spark, table).count() == 3
+
+
+def test_top_paths_stream_converges_and_guards_replay(spark, dirs):
+    """Streaming path mining: closed sessions emit once (append-mode
+    session_window), their trigrams SUM-merge into the versioned state,
+    a second drain with no new data changes nothing, and a
+    crash-replayed micro-batch (same batch_id, same stream) is skipped
+    before any count is touched."""
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _paths_apply_batch,
+        _sketch_state_read,
+        read_sketch_table,
+        top_paths_stream,
+    )
+
+    # user 10 session A (0-25 min): click,view,click,purchase ->
+    # two trigrams; session B (120-130): two events, no trigram;
+    # user 11: single event; user 12's tail event at 600 keeps the
+    # watermark ahead so everything earlier closes (12 stays open)
+    rows = [
+        (1, 0, 10, "click", 1.0),
+        (2, 10, 10, "view", 1.0),
+        (3, 20, 10, "click", 1.0),
+        (4, 25, 10, "purchase", 1.0),
+        (5, 120, 10, "click", 1.0),
+        (6, 130, 10, "view", 1.0),
+        (7, 5, 11, "click", 1.0),
+        (8, 600, 12, "view", 1.0),
+    ]
+    _mk_batch(spark, rows).write.mode("append").parquet(dirs["landing"])
+    table = dirs["landing"] + "_paths_state"
+
+    def drain():
+        stream = read_event_stream(spark, dirs["landing"])
+        top_paths_stream(
+            stream, table, dirs["ckpt"], gap_seconds=1800, watermark="1 second"
+        )
+
+    drain()
+    got = {
+        r["path"]: (r["n_occurrences"], r["n_sessions"])
+        for r in read_sketch_table(spark, table).collect()
+    }
+    assert got == {
+        "click>view>click": (1, 1),
+        "view>click>purchase": (1, 1),
+    }
+
+    # idle re-drain: no new files, no state movement
+    v_before = _sketch_state_read(spark, table)[1]
+    drain()
+    assert _sketch_state_read(spark, table)[1] == v_before
+
+    # new landing: user 13 contributes view>view>view once its session
+    # closes under the advanced watermark (tail at 1200)
+    more = [
+        (9, 700, 13, "view", 1.0),
+        (10, 701, 13, "view", 1.0),
+        (11, 702, 13, "view", 1.0),
+        (12, 1200, 14, "click", 1.0),
+    ]
+    _mk_batch(spark, more).write.mode("append").parquet(dirs["landing"])
+    drain()
+    got = {
+        r["path"]: (r["n_occurrences"], r["n_sessions"])
+        for r in read_sketch_table(spark, table).collect()
+    }
+    assert got["view>view>view"] == (1, 1)
+    assert got["click>view>click"] == (1, 1)  # untouched
+
+    # crash replay of an applied batch: same stream identity and a
+    # batch_id at-or-below last_applied must be skipped
+    _df, _v, last_applied, stream = _sketch_state_read(spark, table)
+    closed = spark.createDataFrame(
+        [(99, [["x"], ["y"], ["z"]])], "user_id long, raw array<array<string>>"
+    ).select(
+        "user_id",
+        __import__("pyspark.sql.functions", fromlist=["x"]).expr(
+            "transform(raw, r -> r[0])"
+        ).alias("seq"),
+    )
+    assert not _paths_apply_batch(closed, last_applied, table, stream)
+    assert (
+        read_sketch_table(spark, table)
+        .filter("path = 'x>y>z'")
+        .count()
+        == 0
+    )
