@@ -57,6 +57,8 @@ _SAMPLE_PRIORITY = [
     "smp_kcenter_coreset",
     "ts_holt_forecast",
     "st_top_paths",
+    "smp_effective_token_budget",
+    "txt_rake_keywords",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

@@ -6074,6 +6074,180 @@ ORDER BY shared_fps DESC, source_a ASC, source_b ASC
 """
 
 
+# --- RAKE keyphrase extraction (corpus-level) ---
+RAKE_TOPK = 20
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyphrases (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs, each word scores
+    degree/frequency over the candidate stream (degree = summed
+    length of phrases containing it — words that co-occur in long
+    collocations outrank frequent-but-isolated ones), and a phrase
+    scores the sum of its members — the unsupervised keyword table a
+    corpus-exploration dashboard serves next to TF-IDF's per-language
+    per-token view.
+
+    Shape: the run split is a PER-ROW array fold over the pinned
+    silver word arrays (no window, no doc-keyed sort — the
+    gap-islands-by-window formulation sorted the whole corpus token
+    stream and tripled the wall time), so the only exploded stream is
+    phrase-occurrence-sized; the word-stats table is |candidate
+    vocab|-sized and broadcasts back, and the final cut is a
+    TakeOrderedAndProject. Phrase scores divide the summed
+    per-occurrence member scores by the occurrence count (identical
+    in expectation, and the division + round-4 absorbs cross-engine
+    member-sum ordering)."""
+    stop = sorted(T.LANG_MARKERS["en"])
+    silver = _doc_words_silver(spark, sf_dir)
+    empty_runs = F.array().cast("array<array<string>>")
+    empty_cur = F.array().cast("array<string>")
+
+    def _close(acc):
+        return F.when(
+            F.size(acc["cur"]) > 0, F.array_append(acc["rs"], acc["cur"])
+        ).otherwise(acc["rs"])
+
+    runs_arr = F.aggregate(
+        F.transform("wl", lambda x: F.lower(x)),
+        F.struct(empty_runs.alias("rs"), empty_cur.alias("cur")),
+        lambda acc, x: F.when(
+            x.isin(*stop),
+            F.struct(_close(acc).alias("rs"), empty_cur.alias("cur")),
+        ).otherwise(
+            F.struct(
+                acc["rs"].alias("rs"),
+                F.array_append(acc["cur"], x).alias("cur"),
+            )
+        ),
+        _close,
+    )
+    phrases = silver.select(
+        "doc_id", F.posexplode(runs_arr).alias("_run", "_pr")
+    ).select(
+        "doc_id",
+        "_run",
+        F.concat_ws(" ", "_pr").alias("phrase"),
+        F.size("_pr").alias("_plen"),
+        F.col("_pr"),
+    )
+    members = phrases.select(
+        "doc_id", "_run", "phrase", "_plen", F.explode("_pr").alias("w")
+    )
+    wstats = members.groupBy("w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    )
+    occ = (
+        members.join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "_run", "phrase")
+        .agg(F.sum(F.col("_deg") / F.col("_freq")).alias("_s"))
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            rnd(F.sum("_s") / F.count(F.lit(1)), 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(RAKE_TOPK)
+    )
+
+
+def _rake_sql() -> str:
+    words = DUCK_WORDS.format(col="text")
+    stop = ", ".join(f"'{m}'" for m in sorted(T.LANG_MARKERS["en"]))
+    return f"""
+WITH d AS (
+  SELECT doc_id, {words} AS wl FROM documents
+), toks AS (
+  SELECT doc_id, generate_subscripts(wl, 1) AS pos,
+         lower(unnest(wl)) AS w
+  FROM d
+), flagged AS (
+  SELECT doc_id, pos, w, (w IN ({stop})) AS st FROM toks
+), runs AS (
+  SELECT doc_id, pos, w, st,
+         sum(CASE WHEN st THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM flagged
+), phr AS (
+  SELECT doc_id, run, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM runs WHERE NOT st GROUP BY doc_id, run
+), members AS (
+  SELECT r.doc_id, r.run, r.w, p.plen, p.phrase
+  FROM runs r JOIN phr p ON r.doc_id = p.doc_id AND r.run = p.run
+  WHERE NOT r.st
+), ws AS (
+  SELECT w, count(*) AS freq, sum(plen) AS degree FROM members GROUP BY w
+), occ AS (
+  SELECT m.doc_id, m.run, m.phrase, sum(degree * 1.0 / freq) AS s
+  FROM members m JOIN ws USING (w) GROUP BY m.doc_id, m.run, m.phrase
+)
+SELECT phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(sum(s) / count(*), 4) AS rake_score
+FROM occ GROUP BY phrase
+ORDER BY rake_score DESC, phrase ASC LIMIT {RAKE_TOPK}
+"""
+
+
+# --- dedup-discounted effective dataset size ---
+def effective_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EFFECTIVE token counts under SoftDeDup weighting —
+    the "effective dataset size" figure the dedup scaling-law
+    literature prices (duplicated content contributes 1/cluster_size
+    of its token mass): raw tokens, effective tokens, and the dedup
+    discount per source, the table a mixture planner consults instead
+    of raw counts when duplication differs across sources.
+
+    Pure composition of two verified components: the memoized CC
+    cluster weights (``dd_soft_dedup_weights``) join the pinned silver
+    token lengths doc-keyed, then one |sources| aggregate — no new
+    corpus scan, no new shuffle beyond the doc-keyed join."""
+    weights = soft_dedup_weights(spark, sf_dir).select(
+        "doc_id", "sample_weight"
+    )
+    lens = _doc_words_silver(spark, sf_dir).select(
+        "doc_id", "source", F.size("wl").alias("_nt")
+    )
+    return (
+        lens.join(weights, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("raw_tokens"),
+            rnd(
+                F.sum(F.col("_nt") * F.col("sample_weight")), 4
+            ).alias("effective_tokens"),
+            rnd(
+                F.sum(F.col("_nt") * F.col("sample_weight"))
+                / F.sum("_nt"),
+                6,
+            ).alias("dedup_discount"),
+        )
+    )
+
+
+def _effective_budget_sql() -> str:
+    words = DUCK_WORDS.format(col="text")
+    return f"""
+WITH w AS (
+  SELECT * FROM ({_soft_dedup_sql()})
+), lens AS (
+  SELECT doc_id, source, len({words}) AS n FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS raw_tokens,
+       round(sum(n * sample_weight), 4) AS effective_tokens,
+       round(sum(n * sample_weight) / sum(n), 6) AS dedup_discount
+FROM lens JOIN w USING (doc_id)
+GROUP BY source
+"""
+
+
 # --- cross-lingual bitext mining (margin criterion) ---
 BITEXT_SRC_LANG = "en"
 BITEXT_TGT_LANG = "de"
@@ -6754,4 +6928,9 @@ CORPUS_QUERIES = {
     ),
     "rag_mmr_diversified_topk": (mmr_diversified_topk, _mmr_oracle),
     "smp_kcenter_coreset": (kcenter_coreset, _kcenter_oracle),
+    "smp_effective_token_budget": (
+        effective_token_budget,
+        _effective_budget_sql(),
+    ),
+    "txt_rake_keywords": (rake_keywords, _rake_sql()),
 }

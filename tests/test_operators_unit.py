@@ -5335,3 +5335,52 @@ def test_bitext_bucketed_recall_and_pruning(spark, sf_small):
     # a decent share of the exact winners must survive the restriction
     recall = len(exact & bucketed) / len(exact)
     assert recall >= 0.2, (recall, len(exact), len(bucketed))
+
+
+# --- effective token budget: dedup discount algebra ---
+def test_effective_token_budget_discount_bounds(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        _doc_words_silver,
+        effective_token_budget,
+    )
+
+    rows = effective_token_budget(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["effective_tokens"] <= r["raw_tokens"] + 1e-6
+        assert 0 < r["dedup_discount"] <= 1.0
+    # raw totals reconcile with the silver frame exactly
+    silver = _doc_words_silver(spark, sf_small)
+    raw = {
+        r["source"]: r["n"]
+        for r in silver.groupBy("source")
+        .agg(F.sum(F.size("wl")).alias("n"))
+        .collect()
+    }
+    assert {r["source"]: r["raw_tokens"] for r in rows} == raw
+    # some source must actually be discounted (the fixture has dups)
+    assert any(r["dedup_discount"] < 1.0 for r in rows)
+
+
+# --- RAKE: run-splitting and scoring invariants ---
+def test_rake_keywords_runs_and_scores(spark, sf_small):
+    from energy_data_pipeline_spark.functions import text as T
+    from energy_data_pipeline_spark.plans.catalog_corpus import (
+        RAKE_TOPK,
+        rake_keywords,
+    )
+
+    rows = rake_keywords(spark, sf_small).collect()
+    assert 0 < len(rows) <= RAKE_TOPK
+    stop = set(T.LANG_MARKERS["en"])
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        ws = r["phrase"].split(" ")
+        assert ws and all(w and w not in stop for w in ws)
+        assert r["n_occurrences"] >= 1
+        # degree/freq >= 1 per member word, so a phrase scores at
+        # least its own length
+        assert r["rake_score"] >= len(ws) - 1e-4

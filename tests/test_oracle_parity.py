@@ -30,6 +30,8 @@ NEVER_DRIVER_SAMPLED = {
     "smp_kcenter_coreset",
     "ts_holt_forecast",
     "st_top_paths",
+    "smp_effective_token_budget",
+    "txt_rake_keywords",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)
