@@ -1032,3 +1032,37 @@ def test_bitext_bucketed_margin_never_crosses(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_rake_run_split_has_no_window(spark):
+    """RAKE's run split is a per-row array fold — NO WindowExec may
+    appear (the window formulation sorted the whole corpus token
+    stream), the word-stats join must broadcast, and the final cut is
+    a TakeOrderedAndProject."""
+    import re
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["txt_rake_keywords"]
+    plan = plan_of(fn(spark, SF))
+    assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_effective_budget_composes_without_extra_scan(spark):
+    """The effective-token-budget table must compose on the PINNED
+    silver frame and the memoized CC weights — the token side reads
+    the in-memory silver pin (InMemoryTableScan), and the only parquet
+    scans are the weights side's documents id scans (the formatted
+    plan also lists scans inside the cached relation's child plan)."""
+    import re
+
+    from energy_data_pipeline_spark.plans import plan_cache
+
+    plan_cache.clear()
+    fn, _ = CATALOG["smp_effective_token_budget"]
+    plan = plan_of(fn(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan[:1500]
