@@ -65,6 +65,7 @@ DASHBOARD_TS_PANELS = (
     "ts_rolling_zscore_anomalies",
     "ts_load_duration_curve",
     "ts_peak_offpeak_profile",
+    "ts_holt_forecast",
 )
 
 
@@ -231,12 +232,19 @@ def _panels_from_rollup(rollup: DataFrame) -> dict[str, DataFrame]:
             "avg_value", rnd(F.col("total_value") / F.col("n_events"), 4)
         )
     )
+    # the Holt forecast folds the SAME 4-rounded daily totals the
+    # catalog query rounds from raw events (raw-vs-hourly summation
+    # reassociation sits below the rnd(4) grain, so the recurrence
+    # sees identical inputs either way)
+    from ..plans.catalog_timeseries import holt_from_daily
+
     return {
         "ts_daily_peak_hours": peak,
         "ts_day_over_day_change": dod,
         "ts_rolling_zscore_anomalies": zscore,
         "ts_load_duration_curve": ldc,
         "ts_peak_offpeak_profile": po,
+        "ts_holt_forecast": holt_from_daily(daily),
     }
 
 

@@ -56,6 +56,16 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(rnd(F.sum("value"), 4).alias("day_total"))
     )
+    return holt_from_daily(daily)
+
+
+def holt_from_daily(daily: DataFrame) -> DataFrame:
+    """The Holt fold over an already-built (event_type, day,
+    day_total) frame — shared by the catalog query (daily totals from
+    raw events) and the dashboard's incremental refresh (daily totals
+    from the published hourly rollup): both round day_total at 4
+    before the fold, so the recurrence sees identical inputs either
+    way."""
     series = daily.groupBy("event_type").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "day_total"))),
