@@ -409,6 +409,108 @@ def silver_tokenize_stream(
     q.awaitTermination()
 
 
+def _daily_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    stream_id: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> bool:
+    """One foreachBatch application of the accumulating daily-total
+    sink: per-(event_type, day) RAW value sums SUM-merged into the
+    persistent table (module level so the replay-skip path is directly
+    testable). Returns True if applied, False if skipped as a replay.
+
+    Sums are merged UNROUNDED; consumers round at serve time, so the
+    micro-batch split only reassociates double addition — below the
+    serving rnd(4) grain, the same argument the dashboard's
+    hourly-rollup refresh pins. SUM-merge is not
+    redelivery-idempotent, hence the replay guard before any total
+    moves."""
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    existing, version, last_applied, stored_stream = _sketch_state_read(
+        spark, table_path
+    )
+    if _replay_guard(batch_id, last_applied, stream_id, stored_stream):
+        return False
+    delta = batch_df.groupBy(
+        "event_type", F.to_date(ts_col).alias("day")
+    ).agg(F.sum(value_col).alias("total_raw"))
+    if existing is not None:
+        merged = (
+            existing.select("event_type", "day", "total_raw")
+            .unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(F.sum("total_raw").alias("total_raw"))
+        )
+    else:
+        merged = delta
+    # |event types| x |calendar days| rows by construction
+    rows = merged.collect()
+    _sketch_state_publish(
+        spark.createDataFrame(rows, merged.schema),
+        table_path,
+        version,
+        batch_id,
+        stream_id,
+    )
+    return True
+
+
+def daily_rollup_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """Accumulating per-(type, day) total maintenance — the streaming
+    feed under the LIVE FORECAST: events land in micro-batches, raw
+    daily sums SUM-merge into the versioned state (t8's accumulating-
+    merge semantics on the sketch-sink machinery: checkpoint fence +
+    replay guard + atomic pointer flip), and
+    ``holt_forecast_served`` folds the state into the same forecast
+    table the batch ``ts_holt_forecast`` query computes — the
+    data-sized work (event stream -> daily totals) is incremental,
+    the recurrence itself is calendar-bounded and runs at serve
+    time."""
+    stream_id = _stream_instance_id(checkpoint_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _daily_apply_batch(
+            batch_df, batch_id, table_path, stream_id, ts_col, value_col
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def holt_forecast_served(spark: SparkSession, table_path: str) -> DataFrame:
+    """Holt linear-trend forecasts folded from the STREAMED daily
+    state — once every event has been ingested, row-identical to the
+    batch ``ts_holt_forecast`` catalog query: serving rounds the
+    accumulated raw totals at 4 (absorbing micro-batch reassociation)
+    and runs the SAME shared fold (``holt_from_daily``)."""
+    from ..functions.rounding import rnd
+    from ..plans.catalog_timeseries import holt_from_daily
+
+    daily = read_sketch_table(spark, table_path).select(
+        "event_type",
+        "day",
+        rnd(F.col("total_raw"), 4).alias("day_total"),
+    )
+    return holt_from_daily(daily)
+
+
 def _paths_apply_batch(
     batch_df: DataFrame,
     batch_id: int,

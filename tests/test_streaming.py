@@ -1603,3 +1603,60 @@ def test_top_paths_stream_converges_and_guards_replay(spark, dirs):
         .count()
         == 0
     )
+
+
+def test_daily_rollup_stream_serves_batch_identical_forecast(spark, tmp_path):
+    """The streamed daily state, split across micro-batches, must fold
+    into the SAME forecast table as the batch ts_holt_forecast query
+    (serve-time rounding absorbs the SUM-merge reassociation); a
+    crash-replayed batch is skipped before any total moves."""
+    import shutil
+
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        holt_forecast,
+    )
+    from energy_data_pipeline_spark.streaming.incremental import (
+        _daily_apply_batch,
+        _sketch_state_read,
+        daily_rollup_stream,
+        holt_forecast_served,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "daily_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    first = ev.filter("event_id % 2 = 0")
+    second = ev.filter("event_id % 2 = 1")
+    first.write.mode("append").parquet(landing)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(landing)
+        )
+        daily_rollup_stream(stream, table, ckpt)
+
+    drain()
+    # second half lands as its own file -> separate micro-batch
+    second.write.mode("append").parquet(landing)
+    drain()
+
+    got = sorted(map(tuple, holt_forecast_served(spark, table).collect()))
+    want = sorted(map(tuple, holt_forecast(spark, sf).collect()))
+    assert got == want
+
+    # idle re-drain: nothing new, version unchanged
+    v = _sketch_state_read(spark, table)[1]
+    drain()
+    assert _sketch_state_read(spark, table)[1] == v
+
+    # crash replay of an applied batch id: skipped before totals move
+    _df, _v, last_applied, stream = _sketch_state_read(spark, table)
+    assert not _daily_apply_batch(first, last_applied, table, stream)
+    assert (
+        sorted(map(tuple, holt_forecast_served(spark, table).collect()))
+        == want
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
