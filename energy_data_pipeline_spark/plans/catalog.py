@@ -59,6 +59,7 @@ _SAMPLE_PRIORITY = [
     "st_top_paths",
     "smp_effective_token_budget",
     "txt_rake_keywords",
+    "ts_holt_winters_forecast",
     # round-11: brand-new entries front the window so their first
     # external hash lands this round
     "a21_pareto_binned_share",

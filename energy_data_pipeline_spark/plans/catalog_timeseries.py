@@ -105,6 +105,185 @@ def holt_from_daily(daily: DataFrame) -> DataFrame:
     return out
 
 
+_HW_GAMMA = 0.5
+_HW_PERIOD = 7
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) with
+    weekly seasonality over each event type's daily-total series —
+    the seasonal upgrade of ``ts_holt_forecast`` (an energy dashboard
+    forecasts weekday vs weekend load differently): level/trend as in
+    Holt plus a {m}-slot seasonal state, classic first-two-seasons
+    initialization (l = mean of week 1, b = (mean week 2 − mean week
+    1)/{m}, s_i = y_i − l), forecasts l + h·b + s[(T+h−1) mod {m}].
+    Series shorter than 2·{m} days are skipped (undefined init) in
+    BOTH engines.
+
+    Same execution contract as Holt: each series folds as ONE
+    JVM-side ``F.aggregate`` with a struct(l, b, s[{m}], t) state —
+    the seasonal slot rewrite is a slice/concat array expression —
+    only +,*,/ on doubles inside, operation order mirrored by the
+    generated oracle's reference fold, outputs rounded at 4."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(rnd(F.sum("value"), 4).alias("day_total"))
+    )
+    m = _HW_PERIOD
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "day_total"))),
+            lambda s: s["day_total"],
+        ).alias("ys")
+    ).filter(F.size("ys") >= 2 * m)
+    a, b_, g = _HOLT_ALPHA, _HOLT_BETA, _HW_GAMMA
+
+    def _mean_slice(start: int) -> F.Column:
+        return (
+            F.aggregate(
+                F.slice("ys", start, m),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / float(m)
+        )
+
+    l0 = _mean_slice(1)
+    b0 = (_mean_slice(m + 1) - _mean_slice(1)) / float(m)
+    s0 = F.transform(F.slice("ys", 1, m), lambda y: y - _mean_slice(1))
+
+    def step(acc, y):
+        pos = acc["t"] % m  # 0-based seasonal slot of the NEXT point
+        sp = F.element_at(acc["s"], pos + 1)
+        new_l = F.lit(a) * (y - sp) + F.lit(1 - a) * (acc["l"] + acc["b"])
+        new_b = F.lit(b_) * (new_l - acc["l"]) + F.lit(1 - b_) * acc["b"]
+        new_sv = F.lit(g) * (y - new_l) + F.lit(1 - g) * sp
+        new_s = F.concat(
+            F.slice(acc["s"], 1, pos),
+            F.array(new_sv),
+            F.slice(acc["s"], pos + 2, m - pos - 1),
+        )
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            new_s.alias("s"),
+            (acc["t"] + 1).alias("t"),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("ys"), m + 1, F.size("ys") - m),
+        F.struct(
+            l0.alias("l"), b0.alias("b"), s0.alias("s"), F.lit(m).alias("t")
+        ),
+        step,
+    )
+    fc = [
+        rnd(
+            F.col("_st.l")
+            + F.lit(float(h)) * F.col("_st.b")
+            + F.element_at(
+                F.col("_st.s"),
+                ((F.col("n_days") + h - 1) % m).cast("int") + 1,
+            ),
+            4,
+        ).alias(f"fc_{h}")
+        for h in _HOLT_HORIZONS
+    ]
+    return (
+        series.select(
+            "event_type",
+            F.size("ys").cast("bigint").alias("n_days"),
+            state.alias("_st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            rnd(F.col("_st.l"), 4).alias("level"),
+            rnd(F.col("_st.b"), 4).alias("trend"),
+            *fc,
+        )
+    )
+
+
+holt_winters_forecast.__doc__ = holt_winters_forecast.__doc__.format(
+    m=_HW_PERIOD
+)
+
+
+def _holt_winters_oracle(sf_dir: str) -> str:
+    """Generated oracle: independent pure-Python additive HW fold
+    (identical operation order) over the DuckDB-computed 4-rounded
+    daily series, emitted as a VALUES table."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS day_total
+        FROM '{sf_dir}/events.parquet'
+        GROUP BY 1, 2 ORDER BY event_type, day
+        """
+    ).fetchall()
+    series: dict = {}
+    for et, _day, tot in rows:
+        series.setdefault(et, []).append(float(tot))
+    m = _HW_PERIOD
+    a, b_, g = _HOLT_ALPHA, _HOLT_BETA, _HW_GAMMA
+    out = []
+    for et in sorted(series):
+        ys = series[et]
+        if len(ys) < 2 * m:
+            continue
+
+        def mean_slice(start0: int) -> float:
+            acc = 0.0
+            for x in ys[start0 : start0 + m]:
+                acc += x
+            return acc / float(m)
+
+        level = mean_slice(0)
+        b = (mean_slice(m) - mean_slice(0)) / float(m)
+        s = [y - mean_slice(0) for y in ys[:m]]
+        t = m
+        for y in ys[m:]:
+            pos = t % m
+            sp = s[pos]
+            new_l = a * (y - sp) + (1 - a) * (level + b)
+            new_b = b_ * (new_l - level) + (1 - b_) * b
+            new_sv = g * (y - new_l) + (1 - g) * sp
+            s = s[:pos] + [new_sv] + s[pos + 1 :]
+            level, b = new_l, new_b
+            t += 1
+        n = len(ys)
+        rec = [et, n, round(level, 4), round(b, 4)]
+        rec += [
+            round(level + float(h) * b + s[(n + h - 1) % m], 4)
+            for h in _HOLT_HORIZONS
+        ]
+        out.append(rec)
+    fc_cols = ", ".join(f"fc_{h}" for h in _HOLT_HORIZONS)
+    fc_casts = ",\n       ".join(
+        f"CAST(fc_{h} AS DOUBLE) AS fc_{h}" for h in _HOLT_HORIZONS
+    )
+    values = ",\n".join(
+        "("
+        + ", ".join([f"'{r[0]}'", str(r[1])] + [repr(v) for v in r[2:]])
+        + ")"
+        for r in out
+    )
+    return f"""
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(level AS DOUBLE) AS level,
+       CAST(trend AS DOUBLE) AS trend,
+       {fc_casts}
+FROM (VALUES
+{values}
+) AS t(event_type, n_days, level, trend, {fc_cols})
+"""
+
+
 def _holt_oracle(sf_dir: str) -> str:
     """Generated oracle: DuckDB computes the identical 4-rounded daily
     series; an independent pure-Python Holt fold (same +,* operation
@@ -2038,4 +2217,5 @@ TIMESERIES_QUERIES = {
     # round-12 session-2 additions APPEND (merged order is sample surface)
     "ts_holt_forecast": (holt_forecast, _holt_oracle),
     "st_top_paths": (top_event_paths, TOP_PATHS_SQL),
+    "ts_holt_winters_forecast": (holt_winters_forecast, _holt_winters_oracle),
 }

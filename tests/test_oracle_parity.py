@@ -32,6 +32,7 @@ NEVER_DRIVER_SAMPLED = {
     "st_top_paths",
     "smp_effective_token_budget",
     "txt_rake_keywords",
+    "ts_holt_winters_forecast",
 }
 
 _unknown = NEVER_DRIVER_SAMPLED - set(CATALOG)

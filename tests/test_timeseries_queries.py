@@ -165,3 +165,32 @@ def test_top_paths_compose_on_session_labels(spark, sf_small):
     assert sorted(map(tuple, lab.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_holt_winters_seasonality_and_extrapolation(spark, sf_small):
+    from energy_data_pipeline_spark.plans.catalog_timeseries import (
+        _HOLT_HORIZONS,
+        _HW_PERIOD,
+        holt_forecast,
+        holt_winters_forecast,
+    )
+
+    rows = {r["event_type"]: r for r in holt_winters_forecast(spark, sf_small).collect()}
+    plain = {r["event_type"]: r for r in holt_forecast(spark, sf_small).collect()}
+    assert rows
+    for et, r in rows.items():
+        assert r["n_days"] >= 2 * _HW_PERIOD
+        # seasonal forecasts differ across horizons by more than the
+        # pure linear extrapolation would allow iff seasonality is
+        # non-degenerate: fc_h - (level + h*trend) is the seasonal
+        # term, bounded by the series' own scale
+        for h in _HOLT_HORIZONS:
+            seasonal = r[f"fc_{h}"] - (r["level"] + h * r["trend"])
+            assert abs(seasonal) < abs(r["level"]) + 1e4
+        # same series length as the plain Holt view
+        assert plain[et]["n_days"] == r["n_days"]
+    # at least one type shows a measurable seasonal adjustment
+    assert any(
+        abs(r["fc_1"] - (r["level"] + 1 * r["trend"])) > 1e-3
+        for r in rows.values()
+    )
