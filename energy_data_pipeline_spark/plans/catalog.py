@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rnd
 
 from ..sources.tables import load_events_window
+from . import plan_cache
 from .catalog_core import CORE_QUERIES
 from .catalog_corpus import CORPUS_QUERIES
 from .catalog_ext import EXT_QUERIES
@@ -143,9 +144,44 @@ assert set(_SAMPLE_PRIORITY) <= set(_ALL_QUERIES), (
     f"{set(_SAMPLE_PRIORITY) - set(_ALL_QUERIES)}"
 )
 
+def _prepared(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Top-level prepared-plan memo for a catalog entry.
+
+    Every catalog query is a pure declarative function of (snapshot dir)
+    — the oracle gate enforces determinism — so the analyzed DataFrame
+    qualifies for the plan memo under plan_cache's rules. Building one
+    of these frames costs 0.15-0.76 s of driver-side work (py4j round
+    trips constructing the expression tree + Catalyst analysis; measured
+    per query in scripts/build_vs_exec.py), paid again on every
+    invocation even though the logical plan is identical. Memoizing at
+    the dispatch layer makes repeat invocations prepared-statement
+    cheap: EXECUTION still recomputes from the parquet inputs on every
+    action (the memo holds a lazy plan, never results), and the
+    versioned key (plan_cache._snapshot_token) rebuilds the plan the
+    moment the snapshot directory changes.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return plan_cache.cached_plan(
+            spark,
+            ("catalog_entry", name, sf_dir),
+            lambda: (fn(spark, sf_dir), []),
+        )
+
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn  # introspection / tests reach the raw builder
+    return wrapped
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    **{name: _ALL_QUERIES[name] for name in _SAMPLE_PRIORITY},
-    **_ALL_QUERIES,
+    name: (_prepared(name, fn), sql)
+    for name, (fn, sql) in {
+        **{n: _ALL_QUERIES[n] for n in _SAMPLE_PRIORITY},
+        **_ALL_QUERIES,
+    }.items()
 }
 
 

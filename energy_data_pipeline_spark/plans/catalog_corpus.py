@@ -701,9 +701,16 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
         )
+        # broadcast the signature sides: the semi-join bounds them to
+        # pair MEMBERS (≤ 2·|pairs| rows × 96 ints — the same
+        # pairs-scale bound the pin above already assumes), so these
+        # joins never need a shuffle. Before the hint the planner ran
+        # both as SortMergeJoins (pinned frames carry no useful size
+        # estimate at plan time): 2 extra exchanges + 4 sorts per
+        # invocation of a pairs-sized audit.
         est = (
-            pairs.join(s1, "id1")
-            .join(s2, "id2")
+            pairs.join(F.broadcast(s1), "id1")
+            .join(F.broadcast(s2), "id2")
             .select(
                 (matches / F.lit(float(nh))).alias("_est"), F.col("jaccard")
             )
@@ -6098,60 +6105,75 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-occurrence member scores by the occurrence count (identical
     in expectation, and the division + round-4 absorbs cross-engine
     member-sum ordering)."""
-    stop = sorted(T.LANG_MARKERS["en"])
-    silver = _doc_words_silver(spark, sf_dir)
-    empty_runs = F.array().cast("array<array<string>>")
-    empty_cur = F.array().cast("array<string>")
+    from . import plan_cache
 
-    def _close(acc):
-        return F.when(
-            F.size(acc["cur"]) > 0, F.array_append(acc["rs"], acc["cur"])
-        ).otherwise(acc["rs"])
+    def build():
+        from pyspark.storagelevel import StorageLevel
 
-    runs_arr = F.aggregate(
-        F.transform("wl", lambda x: F.lower(x)),
-        F.struct(empty_runs.alias("rs"), empty_cur.alias("cur")),
-        lambda acc, x: F.when(
-            x.isin(*stop),
-            F.struct(_close(acc).alias("rs"), empty_cur.alias("cur")),
-        ).otherwise(
-            F.struct(
-                acc["rs"].alias("rs"),
-                F.array_append(acc["cur"], x).alias("cur"),
-            )
-        ),
-        _close,
-    )
-    phrases = silver.select(
-        "doc_id", F.posexplode(runs_arr).alias("_run", "_pr")
-    ).select(
-        "doc_id",
-        "_run",
-        F.concat_ws(" ", "_pr").alias("phrase"),
-        F.size("_pr").alias("_plen"),
-        F.col("_pr"),
-    )
-    members = phrases.select(
-        "doc_id", "_run", "phrase", "_plen", F.explode("_pr").alias("w")
-    )
-    wstats = members.groupBy("w").agg(
-        F.count(F.lit(1)).alias("_freq"),
-        F.sum("_plen").alias("_deg"),
-    )
-    occ = (
-        members.join(F.broadcast(wstats), "w")
-        .groupBy("doc_id", "_run", "phrase")
-        .agg(F.sum(F.col("_deg") / F.col("_freq")).alias("_s"))
-    )
-    return (
-        occ.groupBy("phrase")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            rnd(F.sum("_s") / F.count(F.lit(1)), 4).alias("rake_score"),
+        stop = sorted(T.LANG_MARKERS["en"])
+        silver = _doc_words_silver(spark, sf_dir)
+        empty_runs = F.array().cast("array<array<string>>")
+        empty_cur = F.array().cast("array<string>")
+
+        def _close(acc):
+            return F.when(
+                F.size(acc["cur"]) > 0, F.array_append(acc["rs"], acc["cur"])
+            ).otherwise(acc["rs"])
+
+        runs_arr = F.aggregate(
+            F.transform("wl", lambda x: F.lower(x)),
+            F.struct(empty_runs.alias("rs"), empty_cur.alias("cur")),
+            lambda acc, x: F.when(
+                x.isin(*stop),
+                F.struct(_close(acc).alias("rs"), empty_cur.alias("cur")),
+            ).otherwise(
+                F.struct(
+                    acc["rs"].alias("rs"),
+                    F.array_append(acc["cur"], x).alias("cur"),
+                )
+            ),
+            _close,
         )
-        .orderBy(F.desc("rake_score"), F.asc("phrase"))
-        .limit(RAKE_TOPK)
-    )
+        phrases = silver.select(
+            "doc_id", F.posexplode(runs_arr).alias("_run", "_pr")
+        ).select(
+            "doc_id",
+            "_run",
+            F.concat_ws(" ", "_pr").alias("phrase"),
+            F.size("_pr").alias("_plen"),
+            F.col("_pr"),
+        )
+        # PIN the candidate-member stream: it feeds BOTH the word-stats
+        # aggregate and the occurrence-score join, and without the pin
+        # each branch re-ran the interpreted run-split fold over the
+        # whole silver corpus (measured: the fold executed twice per
+        # invocation — the dominant cost). Same deterministic
+        # derived-index category as the pinned minhash signature table.
+        members = phrases.select(
+            "doc_id", "_run", "phrase", "_plen", F.explode("_pr").alias("w")
+        )
+        pins = [(members, StorageLevel.MEMORY_AND_DISK)]
+        wstats = members.groupBy("w").agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_plen").alias("_deg"),
+        )
+        occ = (
+            members.join(F.broadcast(wstats), "w")
+            .groupBy("doc_id", "_run", "phrase")
+            .agg(F.sum(F.col("_deg") / F.col("_freq")).alias("_s"))
+        )
+        df = (
+            occ.groupBy("phrase")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                rnd(F.sum("_s") / F.count(F.lit(1)), 4).alias("rake_score"),
+            )
+            .orderBy(F.desc("rake_score"), F.asc("phrase"))
+            .limit(RAKE_TOPK)
+        )
+        return df, pins
+
+    return plan_cache.cached_plan(spark, ("rake_keywords", sf_dir), build)
 
 
 def _rake_sql() -> str:

@@ -1611,11 +1611,24 @@ def scd2_dominant_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final range collapse all run over the user×day-sized frame.
     Mode ties break on type name so both engines pick one winner."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id",
-        F.to_date("ts").alias("day"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # The fact shuffle keeps its map-side combine (events carry several
+    # rows per (user, day, type)), and the aggregate output is then
+    # repartitioned by user_id ONCE: hash partitioning on user_id
+    # satisfies the clustering requirement of every downstream operator
+    # — the (user, day) mode-rank window, the (user) / (user, type)
+    # run-id windows, and the final (user, type, grp) range collapse —
+    # so none of them plans its own Exchange. The r12 before-plan paid
+    # separate exchanges at (u,d,t), (u,d), and (u); now it is the
+    # combined fact shuffle plus one user×day-sized repartition.
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .repartition("user_id")
+    )
     rk = F.row_number().over(
         Window.partitionBy("user_id", "day").orderBy(
             F.col("n").desc(), F.col("event_type").asc()
@@ -1771,22 +1784,41 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same rule as a13_moving_avg_7d). The window runs over the
     per-(type, day) aggregate — |types| × |days| rows, never
     event-sized; the 16 lag taps share ONE window spec, so Spark
-    evaluates them in a single pass over each partition."""
+    evaluates them in a single pass over each partition.
+
+    The taps are materialized as named columns BEFORE the kernel
+    arithmetic touches them: ``rnd`` references its argument ~5 times
+    (sign/saturation branches) and Catalyst's window extraction does
+    not dedup repeated lag expressions, so inlining the taps into
+    ``rnd(num/den)`` physically planned 150 window expressions for the
+    15 distinct lags (measured: the round-12 before-plan's Window node
+    carried _we0.._we149). With the taps named, the Window operator
+    evaluates exactly 15, and the rounding branches recompute only
+    cheap column arithmetic."""
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(rnd(F.sum("value"), 4).alias("day_total"))
     )
     w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        *[
+            F.lag("day_total", k).over(w).alias(f"_tap{k}")
+            for k in range(1, _EWMA_TAPS)
+        ],
+    )
     num = F.coalesce(F.col("day_total") * F.lit(1.0), F.lit(0.0))
     den = F.lit(1.0)
     for k in range(1, _EWMA_TAPS):
-        tap = F.lag("day_total", k).over(w)
+        tap = F.col(f"_tap{k}")
         num = num + F.coalesce(tap * F.lit(0.5**k), F.lit(0.0))
         den = den + F.when(tap.isNull(), F.lit(0.0)).otherwise(
             F.lit(0.5**k)
         )
-    return daily.select(
+    return lagged.select(
         "event_type",
         "day",
         "day_total",

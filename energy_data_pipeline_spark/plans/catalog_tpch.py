@@ -683,7 +683,13 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "p_brand", "p_type", "p_size")
         .distinct()
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        # count(l_suppkey), not countDistinct: the preceding 4-column
+        # distinct already guarantees one row per (group, suppkey), so
+        # the two are identical (both skip nulls) — and plain count
+        # drops the planner's extra distinct-tracking aggregate layer
+        # (r12 before-plan: HashAggregate x3 + Exchange x2 for the
+        # dedup+countDistinct tail; after: dedup + cheap count).
+        .agg(F.count("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
@@ -804,6 +810,16 @@ def sole_slow_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
+    # ONE fact-volume shuffle, not two: project the 1-bit late flag
+    # immediately after the broadcast join, repartition by l_orderkey
+    # once, and let BOTH the (order, supplier) aggregate and the
+    # per-order window reuse that partitioning (hash partitioning on a
+    # subset of the grouping keys satisfies the clustering requirement,
+    # so neither adds an Exchange). The old shape shuffled the partial
+    # pair aggregate by (orderkey, suppkey) and then re-shuffled the
+    # pair frame by orderkey for the window — more total bytes (pairs
+    # barely compress lineitem here: few lines per (order, supplier))
+    # and one more fact-scale exchange.
     pair = (
         li.join(
             orders.filter(F.col("o_orderstatus") == "F").select(
@@ -811,8 +827,14 @@ def sole_slow_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == F.col("o_orderkey"),
         )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, 1).otherwise(0).alias("_late_bit"),
+        )
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(late, 1).otherwise(0)).alias("late"))
+        .agg(F.max("_late_bit").alias("late"))
     )
     w = Window.partitionBy("l_orderkey")
     annotated = pair.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(

@@ -62,8 +62,10 @@ PinList = list[tuple[DataFrame, StorageLevel]]
 # memos: round 12's index/model pins brought one full catalog pass to
 # ~57 entries, and an LRU bound UNDER the working set silently
 # converts every pin into a rebuild-per-query (the failure mode the
-# sweep's HEADROOM LOW warning exists to catch).
-_MAX_ENTRIES = 160
+# sweep's HEADROOM LOW warning exists to catch). The round-12 top-level
+# catalog memo adds ~201 pin-free entries per snapshot on top of those,
+# so one pass is now ~260 entries; 640 keeps two snapshots resident.
+_MAX_ENTRIES = 640
 _MEMO: OrderedDict[tuple, tuple[DataFrame, PinList]] = OrderedDict()
 _LOCK = threading.Lock()
 
