@@ -72,9 +72,22 @@ def corpus_ingest_job(
         # broadcast (left side of a left join can't be the build side).
         existing = _existing_fingerprints(spark, corpus_path)
         if existing is not None:
-            annotated = in_batch.join(
-                existing.withColumn("_dup_corpus", F.lit(True)), "fp", "left"
+            # semi-join pre-filter (then broadcast): prune the corpus
+            # fingerprint column to fps present in THIS batch before
+            # the dup-annotate join, so the corpus side is only
+            # SCANNED (column-pruned), never shuffled — the previous
+            # shape's distinct + left join shuffled the entire corpus
+            # fp set on every micro-batch. The annotate result is
+            # identical: membership of a batch fp in T equals its
+            # membership in T ∩ batch-fps.
+            overlap = (
+                existing.join(
+                    F.broadcast(in_batch.select("fp")), "fp", "left_semi"
+                )
+                .distinct()
+                .withColumn("_dup_corpus", F.lit(True))
             )
+            annotated = in_batch.join(F.broadcast(overlap), "fp", "left")
         else:
             annotated = in_batch.withColumn("_dup_corpus", F.lit(None).cast("boolean"))
         annotated = annotated.persist()
@@ -115,11 +128,13 @@ def corpus_ingest_job(
 
 def _existing_fingerprints(spark: SparkSession, corpus_path: str) -> DataFrame | None:
     """Fingerprint column of the admitted corpus, or None on first run.
-    Column-pruned scan: only ``fp`` is read, not the document text."""
+    Column-pruned scan: only ``fp`` is read, not the document text.
+    NOT deduplicated here — the caller dedups AFTER its batch-bounded
+    semi-filter, so the full corpus fp set is never shuffled."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(corpus_path).select("fp").distinct()
+        return spark.read.parquet(corpus_path).select("fp")
     except AnalysisException:  # PATH_NOT_FOUND on the very first batch
         return None
 

@@ -106,9 +106,12 @@ def pq_index_append(
     if existing is not None:
         from pyspark.sql import functions as F
 
-        fresh = new_vectors.join(
-            existing.select(F.col(id_col)), id_col, "left_anti"
-        )
+        # semi-filtered anti-join (operators/dedup.py): the committed
+        # id column is scanned column-pruned, never shuffled, and the
+        # anti-join's build side is batch-bounded.
+        from ..operators.dedup import anti_join_new_keys
+
+        fresh = anti_join_new_keys(new_vectors, existing, id_col)
     codes = pq.pq_assign(fresh, cents, id_col, vec_col)
     n_new = codes.count()
     if n_new == 0:
@@ -209,9 +212,12 @@ def ivfpq_index_append(
     if existing is not None:
         from pyspark.sql import functions as F
 
-        fresh = new_vectors.join(
-            existing.select(F.col(id_col)), id_col, "left_anti"
-        )
+        # semi-filtered anti-join (operators/dedup.py): the committed
+        # id column is scanned column-pruned, never shuffled, and the
+        # anti-join's build side is batch-bounded.
+        from ..operators.dedup import anti_join_new_keys
+
+        fresh = anti_join_new_keys(new_vectors, existing, id_col)
     codes = pq.ivfpq_assign_codes(fresh, coarse, cents, id_col, vec_col)
     n_new = codes.count()
     if n_new == 0:

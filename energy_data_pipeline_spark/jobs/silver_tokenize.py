@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators import dedup
 from ..sinks import manifest_table
 
 SILVER_COLUMNS = ("doc_id", "source", "lang", "wl")
@@ -71,7 +72,12 @@ def tokenize_silver_job(
             existing_ids = manifest_table.manifest_read(
                 spark, table_path, version=parent["version"]
             ).select("doc_id")
-            fresh = batch.join(existing_ids, "doc_id", "left_anti")
+            # semi-filtered anti-join (operators/dedup.py): the
+            # committed id column is scanned column-pruned, never
+            # shuffled, and the anti-join's build side is batch-bounded
+            # — the plain left_anti shuffled + sorted the ENTIRE
+            # committed id set on every micro-batch.
+            fresh = dedup.anti_join_new_keys(batch, existing_ids, "doc_id")
         else:
             fresh = batch
         silver_rows = _tokenize(fresh)
@@ -148,7 +154,8 @@ def bpe_silver_job(
             existing_ids = manifest_table.manifest_read(
                 spark, table_path, version=parent["version"]
             ).select("doc_id")
-            fresh = batch.join(existing_ids, "doc_id", "left_anti")
+            # same semi-filtered anti-join as tokenize_silver_job
+            fresh = dedup.anti_join_new_keys(batch, existing_ids, "doc_id")
         else:
             fresh = batch
         words = _tokenize(fresh)

@@ -66,3 +66,23 @@ def duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def anti_join_new_keys(
+    batch: DataFrame, committed_keys: DataFrame, key: str
+) -> DataFrame:
+    """Batch rows whose ``key`` is NOT in the committed key set — the
+    idempotent-ingest filter every incremental sink runs per batch,
+    shaped so the per-batch cost never scales with the committed table:
+
+    the committed key column is first SEMI-FILTERED by the (broadcast,
+    batch-bounded) batch keys — a column-pruned scan, no shuffle — and
+    the anti-join then builds on that ≤ batch-sized overlap. A plain
+    ``left_anti`` against the full committed set cannot broadcast its
+    build side (it grows without bound), so the planner shuffles and
+    sorts the ENTIRE committed key set on every micro-batch.
+    Identity: anti(batch, T) == anti(batch, T ∩ batch-keys)."""
+    overlap = committed_keys.select(key).join(
+        F.broadcast(batch.select(key)), key, "left_semi"
+    )
+    return batch.join(F.broadcast(overlap), key, "left_anti")

@@ -1066,3 +1066,26 @@ def test_effective_budget_composes_without_extra_scan(spark):
     plan = plan_of(fn(spark, SF))
     assert "InMemoryTableScan" in plan, plan[:1500]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan[:1500]
+
+
+def test_anti_join_new_keys_never_shuffles_committed_side(spark):
+    """The incremental-ingest idempotency filter (silver/BPE/PQ-codes
+    appends) must keep per-batch work batch-bounded: the committed key
+    set is semi-filtered by the broadcast batch keys and the anti-join
+    builds on the broadcast overlap — NO SortMergeJoin, no Exchange of
+    the committed side. Also pins the correctness identity
+    anti(batch, T) == anti(batch, T ∩ batch-keys)."""
+    from energy_data_pipeline_spark.operators.dedup import anti_join_new_keys
+
+    batch = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    committed = (
+        spark.range(5, 1000).withColumnRenamed("id", "doc_id")
+    )
+    fresh = anti_join_new_keys(batch, committed, "doc_id")
+    plan = plan_of(fresh)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # tree + details each print the operator once → 2 joins, 4 mentions
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:2000]
+    got = sorted(r["doc_id"] for r in fresh.collect())
+    assert got == [0, 1, 2, 3, 4]
