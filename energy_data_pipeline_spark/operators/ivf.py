@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine_from_norms, norm
 
 N_CELLS = 8
 N_PROBE = 2
@@ -126,13 +126,27 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm(vec_col).alias("_qn"),
         F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
     )
+    # candidate-side norms materialize once per candidate ROW here, so
+    # the probe join pays one dot fold per (query, candidate) pair
+    # instead of dot + two norm folds (cosine_from_norms docstring —
+    # value-identical; a candidate row was previously re-normed once
+    # per probing query)
     scored = (
         F.broadcast(q)
-        .join(indexed, "cell")
+        .join(indexed.withColumn("_cn", norm("_cv")), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", rnd(cosine("_qv", "_cv"), 6))
+        .withColumn(
+            "cosine_sim",
+            rnd(
+                cosine_from_norms(
+                    "_qv", "_cv", F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

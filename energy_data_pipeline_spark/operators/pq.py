@@ -51,7 +51,15 @@ PQ_ITERS = 1  # deterministic Lloyd refinement rounds
 
 def _d2(c: Column, v: Column) -> Column:
     """Squared L2 between two equal-length double arrays (left fold in
-    index order — both engines sum the same sequence)."""
+    index order — both engines sum the same sequence).
+
+    Round-12 note: an unrolled ``0.0 + (c1-v1)² + ...`` literal chain
+    (bit-identical op sequence) was measured 4-5x SLOWER than this
+    zip_with/aggregate fold at dim=64 (1M dots: fold 1.6 s, unrolled
+    element_at 8.0 s, unrolled getItem 6.0 s on local[8]) — Spark
+    evaluates HOFs over primitive arrays efficiently, while the
+    64-term tree pays per-element null/ANSI bounds machinery. Keep the
+    fold."""
     return F.aggregate(
         F.zip_with(c, v, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -492,6 +500,7 @@ def ivfpq_refine_topk(
     nprobe: int = 2,
     shortlist: int = 25,
     codes: DataFrame | None = None,
+    shortl: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC+R (Jégou et al. 2011 §V — FAISS ``IndexRefineFlat`` over
     ``IVFx,PQy``): ADC search produces a ``shortlist``-sized candidate
@@ -505,11 +514,19 @@ def ivfpq_refine_topk(
     them per query); the re-rank joins the |q|·R shortlist — broadcast,
     it is tiny by construction — against the raw-vector scan keyed on
     the neighbor id, so raw vectors are read for shortlist members
-    only. The final window ranks |q|·R rows per query."""
-    shortl = ivfpq_topk(
-        corpus, queries, coarse, pq_cents, id_col, vec_col,
-        k=shortlist, nprobe=nprobe, codes=codes,
-    )
+    only. The final window ranks |q|·R rows per query.
+
+    ``shortl`` lets a caller that already holds the ADC shortlist frame
+    (e.g. an audit that also derives the plain-IVFADC ranking from the
+    same shortlist) pass it in, so the scored aggregate's subplan
+    appears once in the composed physical plan instead of per consumer
+    — same rows either way (the default path builds the identical
+    frame)."""
+    if shortl is None:
+        shortl = ivfpq_topk(
+            corpus, queries, coarse, pq_cents, id_col, vec_col,
+            k=shortlist, nprobe=nprobe, codes=codes,
+        )
     qv = _doubled(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("_qv")
     )

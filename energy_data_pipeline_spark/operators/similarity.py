@@ -100,13 +100,17 @@ def cosine_near_dup_pairs(
     within buckets, keep pairs with cosine >= threshold.
 
     At 100 TB the bucket join replaces the |corpus|² cross product; the
-    persisted (id, vec, bucket) projection is the only state."""
+    persisted (id, vec, norm, bucket) projection is the only state. The
+    L2 norm rides in the pinned projection so the quadratic bucket
+    stage pays one dot fold per pair instead of dot + two norm folds
+    (``cosine_from_norms`` — value-identical)."""
     from pyspark.storagelevel import StorageLevel
 
     planes = hyperplane_signs(n_planes, dim)
     e = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
         _bucket_expr(F.col(vec_col), planes).alias("_bkt"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if pins_out is not None:
@@ -118,7 +122,18 @@ def cosine_near_dup_pairs(
             b,
             (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("cosine_sim", rnd(cosine(F.col("a._v"), F.col("b._v")), 6))
+        .withColumn(
+            "cosine_sim",
+            rnd(
+                cosine_from_norms(
+                    F.col("a._v"),
+                    F.col("b._v"),
+                    F.col("a._n"),
+                    F.col("b._n"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.col("a._id").alias("id1"),
@@ -135,18 +150,35 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors per query (excluding self)."""
+    """Exact cosine top-k neighbors per query (excluding self).
+
+    Norms are materialized once per ROW on both sides, so the |q|×|c|
+    scoring stage pays one dot fold per pair instead of dot + two norm
+    folds (``cosine_from_norms`` — value-identical; each corpus row's
+    norm was previously re-folded once per query)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(vec_col).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col).alias("_cn"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", rnd(cosine("_qv", "_cv"), 6))
+        .withColumn(
+            "cosine_sim",
+            rnd(
+                cosine_from_norms(
+                    "_qv", "_cv", F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
