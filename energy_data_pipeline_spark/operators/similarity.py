@@ -100,11 +100,16 @@ def cosine_near_dup_pairs(
     within buckets, keep pairs with cosine >= threshold.
 
     At 100 TB the bucket join replaces the |corpus|² cross product; the
-    persisted (id, vec, norm, bucket) projection is the only state. The
-    L2 norm rides in the pinned projection so the quadratic bucket
-    stage pays one dot fold per pair instead of dot + two norm folds
-    (``cosine_from_norms`` — value-identical)."""
+    persisted (id, vec, norm, bucket) projection is the only state.
+    Round-13: the within-bucket self-join + per-pair interpreted cosine
+    fold is one ``groupBy(_bkt).applyInArrow`` pass — each pinned row
+    crosses the quadratic stage once instead of once per bucket
+    partner, and the pair math is vectorized numpy with the bit-exact
+    sequential fold + rnd replica (functions/pairwise docstring;
+    row-for-row equivalence pinned by tests/test_pairwise_kernel.py)."""
     from pyspark.storagelevel import StorageLevel
+
+    from ..functions.pairwise import bucket_cosine_pairs
 
     planes = hyperplane_signs(n_planes, dim)
     e = corpus.select(
@@ -115,32 +120,7 @@ def cosine_near_dup_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if pins_out is not None:
         pins_out.append((e, StorageLevel.MEMORY_AND_DISK))
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .withColumn(
-            "cosine_sim",
-            rnd(
-                cosine_from_norms(
-                    F.col("a._v"),
-                    F.col("b._v"),
-                    F.col("a._n"),
-                    F.col("b._n"),
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            "cosine_sim",
-        )
-    )
+    return bucket_cosine_pairs(e, "_bkt", threshold)
 
 
 def brute_force_topk(

@@ -168,8 +168,17 @@ def _strip_presentation_sort(df: DataFrame) -> DataFrame:
     window/rank ordering inside the plan. The raw builders keep their
     ``orderBy`` for readability and for direct (non-catalog) callers;
     equivalence is pinned by tests/test_presentation_sort.py, which
-    checks the stripped entry against the raw builder's sorted output
-    row-for-row."""
+    checks EVERY stripped entry against its raw builder's sorted
+    output row-for-row.
+
+    The strip rides a version-pinned py4j shim (the analyzed-plan /
+    Dataset.ofRows surface of Spark classic 3.4-4.x). Correctness
+    never depends on it — but silent deactivation would quietly
+    re-enable ~51 output shuffles, so failure is LOUD: one warning log
+    per process (``_STRIP_BROKEN``), and the suite asserts
+    ``_STRIP_COUNT`` > 0 after preparing the catalog (the
+    engaged-count gate from the round-12 verdict)."""
+    global _STRIP_COUNT, _STRIP_BROKEN
     try:
         jlp = df._jdf.queryExecution().analyzed()
         if jlp.getClass().getSimpleName() == "Sort" and getattr(jlp, "global")():
@@ -177,12 +186,32 @@ def _strip_presentation_sort(df: DataFrame) -> DataFrame:
             jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 spark._jsparkSession, jlp.child()
             )
+            _STRIP_COUNT += 1
             return DataFrame(jdf, spark)
-    except Exception:
-        # py4j surface moved (future Spark) — keep the sorted frame;
-        # correctness never depends on the strip.
+    except Exception as exc:  # pragma: no cover - exercised on Spark bumps
+        # py4j surface moved (future Spark / Connect session) — keep the
+        # sorted frame (correct, just slower) and say so ONCE, loudly.
+        if not _STRIP_BROKEN:
+            _STRIP_BROKEN = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "presentation-sort strip disabled (%s: %s) — trailing "
+                "orderBy shuffles will execute for every sorted catalog "
+                "entry; update _strip_presentation_sort for this Spark "
+                "version",
+                type(exc).__name__,
+                exc,
+            )
         return df
     return df
+
+
+# observability for the strip (read by tests/test_presentation_sort.py):
+# count of entries whose top-level Sort was removed this process, and
+# whether the py4j shim ever failed.
+_STRIP_COUNT = 0
+_STRIP_BROKEN = False
 
 
 def _prepared(

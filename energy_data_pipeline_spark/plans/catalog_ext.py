@@ -1457,7 +1457,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         from pyspark.storagelevel import StorageLevel
 
-        from ..functions.vectors import cosine_from_norms, norm
+        from ..functions.pairwise import semdedup_loser_ids
+        from ..functions.vectors import norm
 
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         cents = ivf.kmeans_lloyd(
@@ -1465,10 +1466,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             iterations=IVF_TRAIN_ITERS,
         )
         # the L2 norm is computed ONCE per row into the pinned frame, so
-        # the quadratic within-cell stage pays one dot fold per pair
-        # instead of dot + two norm folds (cosine_from_norms docstring —
-        # value-identical; the pair stage was the query's dominant cost,
-        # measured 1.04 s of 1.13 s at sf0.1)
+        # the quadratic within-cell stage pays one dot per pair with the
+        # norms attached (cosine_from_norms / _pair_cosines contract)
         assigned = (
             ivf.ivf_assign(emb, cents)
             .select(
@@ -1480,33 +1479,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         pins: plan_cache.PinList = [(assigned, StorageLevel.MEMORY_AND_DISK)]
-        a = assigned.select(
-            F.col("vec_id").alias("id1"),
-            F.col("_v").alias("_v1"),
-            F.col("_n").alias("_n1"),
-            "cell",
-        )
-        b = assigned.select(
-            F.col("vec_id").alias("id2"),
-            F.col("_v").alias("_v2"),
-            F.col("_n").alias("_n2"),
-            "cell",
-        )
-        losers = (
-            a.join(b, "cell")
-            .filter(F.col("id1") < F.col("id2"))
-            .filter(
-                rnd(
-                    cosine_from_norms(
-                        "_v1", "_v2", F.col("_n1"), F.col("_n2")
-                    ),
-                    6,
-                )
-                >= SEMDEDUP_EPS
-            )
-            .select(F.col("id2").alias("vec_id"))
-            .distinct()
-        )
+        # Round-13: the cell self-join + per-pair interpreted cosine
+        # fold (measured as this query's dominant exec cost) is now one
+        # groupBy(cell).applyInArrow pass — each pinned row crosses the
+        # boundary once per invocation instead of once per partner, and
+        # the pair math runs as vectorized numpy with the BIT-EXACT
+        # sequential fold + rnd replica (functions/pairwise docstring;
+        # equivalence pinned by tests/test_pairwise_kernel.py, value
+        # oracle green at sf0.001/0.01/0.1). Loser ids are unique by
+        # construction (unique per cell, cells disjoint), so the old
+        # .distinct() shuffle is gone too.
+        losers = semdedup_loser_ids(assigned, SEMDEDUP_EPS)
         kept = assigned.join(losers, "vec_id", "left_anti").select(
             "vec_id", F.col("cell").cast("bigint").alias("cell")
         )
