@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import importlib.util
+import re
 import struct
 from collections.abc import Iterator
 from functools import lru_cache
@@ -411,12 +412,13 @@ class _JpegBitReader:
     was the decode throughput floor — ~1.7M ``read_bit`` calls per ten
     64×64 images in the round-10 profile)."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "bit", "prep")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.bit = 0
+        self.prep = None  # lazy per-segment window/LUT gathers (round 13)
 
     def read_bit(self) -> int:
         if self.pos >= len(self.data):
@@ -473,6 +475,8 @@ class _JpegHuffTable(dict):
 
     __slots__ = ("lut_len", "lut_sym")
 
+    __slots__ = ("lut_len", "lut_sym", "lut_len_np", "lut_sym_np")
+
     def __init__(self, mapping: dict[tuple[int, int], int]):
         super().__init__(mapping)
         lut_len = np.zeros(1 << 16, dtype="u1")
@@ -482,11 +486,64 @@ class _JpegHuffTable(dict):
             end = (code + 1) << (16 - length)
             lut_len[start:end] = length
             lut_sym[start:end] = sym
-        # bytes, not ndarrays: scalar indexing of bytes returns a plain
-        # int at C speed — numpy scalar indexing costs ~3x per lookup
-        # in this per-symbol hot path
+        # ndarray copies feed the per-segment vectorized gather
+        # (_prepare_entropy); the bytes copies serve the per-symbol
+        # fallback path, where scalar indexing of bytes returns a plain
+        # int at C speed (numpy scalar indexing costs ~3x per lookup)
+        self.lut_len_np = lut_len
+        self.lut_sym_np = lut_sym
         self.lut_len = lut_len.tobytes()
         self.lut_sym = lut_sym.tobytes()
+
+
+_JPEG_SCAN_END_RE = re.compile(rb"\xff(?![\x00\xd0-\xd7])")
+
+
+def _prepare_entropy(reader: _JpegBitReader, dc_table, ac_table):
+    """Per-SEGMENT vectorized precompute for the baseline symbol loop
+    (round 13): every bit position's 16-bit lookahead window (the
+    zero-padded ``peek16`` value, one numpy pass), and the Huffman LUT
+    gathered over those windows per table — so the per-symbol hot loop
+    is two C-speed bytes indexings (code length + symbol AT the bit
+    cursor) and one memoryview read for magnitude bits, with no slicing
+    and no ``int.from_bytes``. Setup is O(8·len(segment)) vectorized
+    numpy, amortized over every block of the segment; cached on the
+    reader, keyed per table."""
+    prep = reader.prep
+    key = (id(dc_table), id(ac_table))
+    if prep is not None:
+        hit = prep[2].get(key)
+        if hit is not None:
+            return hit
+    if prep is None:
+        data = reader.data
+        b = np.frombuffer(data + b"\x00\x00", dtype=np.uint8).astype(np.uint32)
+        v24 = (b[:-2] << np.uint32(16)) | (b[1:-1] << np.uint32(8)) | b[2:]
+        shifts = np.uint32(8) - np.arange(8, dtype=np.uint32)
+        win16 = (
+            ((v24[:, None] >> shifts[None, :]) & np.uint32(0xFFFF))
+            .astype(np.uint16)
+            .ravel()
+        )
+        reader.prep = prep = (
+            memoryview(win16.tobytes()).cast("H"),
+            win16,
+            {},
+        )
+    win_mv, win16, by_key = prep
+    triple = (
+        win_mv,
+        (
+            dc_table.lut_len_np[win16].tobytes(),
+            dc_table.lut_sym_np[win16].tobytes(),
+        ),
+        (
+            ac_table.lut_len_np[win16].tobytes(),
+            ac_table.lut_sym_np[win16].tobytes(),
+        ),
+    )
+    by_key[key] = triple
+    return triple
 
 
 def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
@@ -550,43 +607,39 @@ def _jpeg_decode_block_coefs(
     data = reader.data
     nbits = len(data) * 8
     bp = reader.pos * 8 + reader.bit
-    dc_sym = dc_table.lut_sym
-    ac_sym = ac_table.lut_sym
+    # round 13: length/symbol are pre-gathered PER BIT POSITION
+    # (_prepare_entropy), so one symbol costs two bytes indexings at the
+    # cursor plus one memoryview u16 read for magnitude bits — the
+    # per-symbol slice + int.from_bytes + two 64K-LUT lookups are gone.
+    # Semantics identical: the gathered values are exactly
+    # lut_len[peek16(bp)] / lut_sym[peek16(bp)], and the magnitude read
+    # is the top-t bits of the same window.
+    win, (dc_len_at, dc_sym_at), (ac_len_at, ac_sym_at) = _prepare_entropy(
+        reader, dc_table, ac_table
+    )
     k = 0  # 0 = decode DC next; 1..63 = AC position
     while True:
-        # inline peek16 at bp (zero-padded past the end)
-        byte0 = bp >> 3
-        chunk = data[byte0 : byte0 + 3]
-        v = (
-            (int.from_bytes(chunk, "big") << (8 * (3 - len(chunk))))
-            >> (8 - (bp & 7))
-        ) & 0xFFFF
         if k == 0:
-            length = dc_len[v]
+            length = dc_len_at[bp] if bp < nbits else 0
             if not length or length > nbits - bp:
                 break  # slow-path fallback below
+            t = dc_sym_at[bp]
             bp += length
-            t = dc_sym[v]
             if t:
                 if bp + t > nbits:
                     reader.pos, reader.bit = divmod(bp, 8)
                     raise ValueError("truncated entropy-coded segment")
-                b0 = bp >> 3
-                nb = ((bp & 7) + t + 7) >> 3
-                val = (
-                    int.from_bytes(data[b0 : b0 + nb], "big")
-                    >> (nb * 8 - (bp & 7) - t)
-                ) & ((1 << t) - 1)
+                val = win[bp] >> (16 - t)
                 bp += t
                 pred += val if val >= (1 << (t - 1)) else val - (1 << t) + 1
             coef[0] = pred
             k = 1
             continue
-        length = ac_len[v]
+        length = ac_len_at[bp] if bp < nbits else 0
         if not length or length > nbits - bp:
             break  # slow-path fallback below
+        rs = ac_sym_at[bp]
         bp += length
-        rs = ac_sym[v]
         r, s = rs >> 4, rs & 0x0F
         if s == 0:
             if r == 15:  # ZRL: sixteen zeros
@@ -604,12 +657,7 @@ def _jpeg_decode_block_coefs(
             if bp + s > nbits:
                 reader.pos, reader.bit = divmod(bp, 8)
                 raise ValueError("truncated entropy-coded segment")
-            b0 = bp >> 3
-            nb = ((bp & 7) + s + 7) >> 3
-            val = (
-                int.from_bytes(data[b0 : b0 + nb], "big")
-                >> (nb * 8 - (bp & 7) - s)
-            ) & ((1 << s) - 1)
+            val = win[bp] >> (16 - s)
             bp += s
             coef[k] = val if val >= (1 << (s - 1)) else val - (1 << s) + 1
             k += 1
@@ -737,27 +785,24 @@ def _jpeg_ac_refine(
 def _jpeg_split_restarts(entropy: bytes) -> list[bytes]:
     """Split one scan's entropy stream into restart intervals (RSTn
     markers reset the bit phase, DC predictors and EOB run) and strip
-    byte stuffing."""
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        b = entropy[i]
-        if b == 0xFF:
-            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0x00
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-    return segments
+    byte stuffing.
+
+    Round-13: C-speed re.split + bytes.replace instead of the
+    byte-at-a-time Python walk (which was ~22% of whole-image decode —
+    one bytearray.append per entropy byte). Equivalence to the walk:
+    0xFF is never the SECOND byte of a consumed pair (only 0x00 and
+    0xD0-0xD7 are), so every 0xFF in the raw stream starts its own
+    left-to-right examination and the non-overlapping regex finds
+    exactly the walk's restart boundaries; splitting BEFORE unstuffing
+    matters (FF 00 Dx must unstuff to literal FF Dx data, never split),
+    and both operations consume left-to-right non-overlapping exactly
+    like the walk. A trailing lone 0xFF stays a literal 0xFF on both
+    paths. Pinned against the reference walk in
+    tests/test_operators_unit.py::test_jpeg_split_restarts_matches_walk."""
+    return [
+        seg.replace(b"\xff\x00", b"\xff")
+        for seg in re.split(b"\xff[\xd0-\xd7]", entropy)
+    ]
 
 
 def _parse_jpeg(payload: bytes) -> np.ndarray:
@@ -880,14 +925,11 @@ def _parse_jpeg(payload: bytes) -> np.ndarray:
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
             # entropy-coded data runs from here to the next real marker
-            end = pos
-            while end + 1 < len(payload):
-                if payload[end] == 0xFF and payload[end + 1] not in (
-                    0x00,
-                    *range(0xD0, 0xD8),
-                ):
-                    break
-                end += 1
+            # (first 0xFF not followed by stuffing/RSTn) — C-speed regex
+            # instead of the per-byte walk; a trailing lone 0xFF matches
+            # via the lookahead exactly where the walk's bound stopped
+            m = _JPEG_SCAN_END_RE.search(payload, pos)
+            end = m.start() if m else max(pos, len(payload) - 1)
             _jpeg_decode_scan(
                 payload[pos:end],
                 scan_comps,
@@ -1049,44 +1091,74 @@ _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     """GIF-variant LZW decompress (LSB-first bit packing, CLEAR/END
-    codes, growing code width capped at 12 bits) → palette indices."""
+    codes, growing code width capped at 12 bits) → palette indices.
+
+    Round-13: same speed shape as ``_tiff_lzw_decode`` — table entries
+    are ``bytes`` (C-speed concat/extend instead of per-element list
+    copies) and codes of one width are gathered in one vectorized numpy
+    shot from per-byte 32-bit little-endian windows (a batch is
+    discarded at width bumps and CLEAR resets, so correctness never
+    depends on predicting them). Values and error behavior are
+    identical to the per-bit walk; pinned by the GIF value/fuzz tests
+    plus test_gif_lzw_matches_reference_walk."""
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
-    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
-    out: list[int] = []
-    prev: list[int] | None = None
-    acc = bits = pos = 0
+    base = bytes(range(clear))
+    table: list[bytes] = [base[i : i + 1] for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    # per-byte 32-bit LSB-first windows: code at bit p (width w <= 12)
+    # = (win[p >> 3] >> (p & 7)) & mask — w + 7 <= 19 bits always fits
+    pad = np.concatenate(
+        [np.frombuffer(data, dtype=np.uint8), np.zeros(4, np.uint8)]
+    ).astype(np.uint32)
+    win = pad[:-3] | (pad[1:-2] << 8) | (pad[2:-1] << 16) | (pad[3:] << 24)
+    buf: list[int] = []
+    buf_i = 0
+    tsize = len(table)
     while len(out) < n_pixels:
-        while bits < width:
-            if pos >= len(data):
+        if buf_i >= len(buf):
+            # batch until the next possible width bump; with a full
+            # table (no growth, width pinned at 12) batch to stream end
+            until_bump = 1 << 20 if tsize >= 4096 else (1 << width) - tsize
+            count = min(max(1, until_bump), (nbits - bitpos) // width)
+            if count <= 0:
                 raise ValueError("GIF LZW stream truncated")
-            acc |= data[pos] << bits
-            pos += 1
-            bits += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        bits -= width
+            starts = bitpos + width * np.arange(count, dtype=np.int64)
+            buf = (
+                (win[starts >> 3] >> (starts & 7)) & ((1 << width) - 1)
+            ).tolist()
+            buf_i = 0
+        code = buf[buf_i]
+        buf_i += 1
+        bitpos += width
         if code == clear:
-            table = [[i] for i in range(clear)] + [[], []]
+            table = [base[i : i + 1] for i in range(clear)] + [b"", b""]
+            tsize = len(table)
             width = min_code_size + 1
             prev = None
+            buf_i = len(buf)  # positions past a reset re-derive
             continue
         if code == end:
             break
-        if code < len(table) and (code < clear or table[code]):
+        if code < tsize and (code < clear or table[code]):
             entry = table[code]
-        elif code == len(table) and prev is not None:
-            entry = prev + [prev[0]]  # the KwKwK case
+        elif code == tsize and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
         else:
             raise ValueError("invalid GIF LZW code")
-        out.extend(entry)
-        if prev is not None and len(table) < 4096:
-            table.append(prev + [entry[0]])
-            if len(table) == (1 << width) and width < 12:
+        out += entry
+        if prev is not None and tsize < 4096:
+            table.append(prev + entry[:1])
+            tsize += 1
+            if tsize == (1 << width) and width < 12:
                 width += 1
+                buf_i = len(buf)  # stale width: re-extract
         prev = entry
-    return out[:n_pixels]
+    return list(out[:n_pixels])
 
 
 def _parse_gif(payload: bytes) -> np.ndarray:
@@ -1189,12 +1261,30 @@ class _VP8LBits:
     supports the LUT-based prefix-code fast path (15 = the spec's
     maximum code length), zero-padded past the end of the stream."""
 
-    __slots__ = ("data", "pos", "nbits")
+    __slots__ = ("data", "pos", "nbits", "win15")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.nbits = len(data) * 8
+        self.win15 = None  # lazy per-bit-position peek15 table (round 13)
+
+    def win15_np(self) -> np.ndarray:
+        """Every bit position's ``peek15`` value as one u2 array —
+        O(8·len) vectorized setup feeding the per-code LUT gathers
+        (_VP8LCode.decode); identical zero-padded LSB-first windows."""
+        if self.win15 is None:
+            b = np.frombuffer(self.data + b"\x00\x00", dtype=np.uint8).astype(
+                np.uint32
+            )
+            v24 = b[:-2] | (b[1:-1] << np.uint32(8)) | (b[2:] << np.uint32(16))
+            shifts = np.arange(8, dtype=np.uint32)
+            self.win15 = (
+                ((v24[:, None] >> shifts[None, :]) & np.uint32(0x7FFF))
+                .astype(np.uint16)
+                .ravel()
+            )
+        return self.win15
 
     def read(self, n: int) -> int:
         if self.pos + n > self.nbits:
@@ -1221,10 +1311,13 @@ class _VP8LCode:
     stride ``2^len``); the bit-at-a-time dict walk remains as the
     tail/error path so truncation semantics are unchanged."""
 
-    __slots__ = ("table", "single", "lut_len", "lut_sym")
+    __slots__ = ("table", "single", "lut_len", "lut_sym", "lut_len_np",
+                 "lut_sym_np", "prep_src", "len_at", "sym_at", "uses")
 
     def __init__(self, lengths: list[int]):
         syms = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        self.prep_src = None
+        self.uses = 0
         if not syms:
             raise ValueError("empty VP8L prefix code")
         if len(syms) == 1:
@@ -1251,21 +1344,51 @@ class _VP8LCode:
             rev = int(f"{c:0{ln}b}"[::-1], 2)
             lut_len[rev :: 1 << ln] = ln
             lut_sym[rev :: 1 << ln] = s
-        # bytes/list, not ndarrays: plain-int scalar indexing in the
-        # per-symbol hot path (numpy scalar indexing costs ~3x)
-        self.lut_len = lut_len.tobytes()
-        self.lut_sym = lut_sym.tolist()
+        # only the ndarray forms are kept: the decode fast path indexes
+        # the per-bit-position GATHERS (len_at/sym_at, built from these
+        # per stream), and the fallback walks self.table — materializing
+        # 32K-entry bytes/list copies per code was ~15% of whole-image
+        # decode (round-13 profile) for tables nothing indexed anymore
+        self.lut_len = self.lut_sym = None
+        self.lut_len_np = lut_len
+        self.lut_sym_np = lut_sym
 
     def decode(self, br: _VP8LBits) -> int:
         if self.single is not None:
             return self.single
-        v = br.peek15()
-        ln = self.lut_len[v]
-        # accept only when the code fits in the REAL remaining bits —
-        # peek15's zero padding must never forge a code
-        if ln and br.pos + ln <= br.nbits:
-            br.pos += ln
-            return self.lut_sym[v]
+        # round 13: length/symbol pre-gathered PER BIT POSITION over the
+        # stream's win15 table (one vectorized pass per (code, stream)
+        # pair), so a symbol costs two C-speed scalar indexings at the
+        # cursor — identical values to lut_len/lut_sym[peek15()]. The
+        # gather costs O(len(stream)), so it is gated behind a use
+        # count: cold codes (the 19-symbol code-length code, simple
+        # codes read a handful of times) stay on the per-call peek15 +
+        # ndarray LUT path instead of paying a full-stream gather.
+        pos = br.pos
+        if self.prep_src is br:
+            ln = self.len_at[pos] if pos < br.nbits else 0
+            if ln and pos + ln <= br.nbits:
+                br.pos = pos + ln
+                return self.sym_at[pos]
+        else:
+            self.uses += 1
+            if self.uses > 64:
+                win15 = br.win15_np()
+                self.len_at = self.lut_len_np[win15].tobytes()
+                self.sym_at = memoryview(
+                    self.lut_sym_np[win15].tobytes()
+                ).cast("H")
+                self.prep_src = br
+                ln = self.len_at[pos] if pos < br.nbits else 0
+                if ln and pos + ln <= br.nbits:
+                    br.pos = pos + ln
+                    return self.sym_at[pos]
+            else:
+                v = br.peek15()
+                ln = int(self.lut_len_np[v])
+                if ln and pos + ln <= br.nbits:
+                    br.pos = pos + ln
+                    return int(self.lut_sym_np[v])
         acc = 0
         for ln in range(1, 16):
             acc = (acc << 1) | br.read(1)
@@ -1846,8 +1969,15 @@ def _tiff_lzw_decode(src: bytes, need: int) -> bytes:
     while len(out) < need:
         if buf_i >= len(buf):
             # codes until the next width bump (never past it: the
-            # reader-side early change below re-checks per code)
-            until_bump = max(1, ((1 << width) - 1) - (len(table) + 1))
+            # reader-side early change below re-checks per code); at
+            # width 12 no bump can occur (table growth no longer moves
+            # the width, and CLEAR discards the batch), so batch big —
+            # the old per-code refill at a near-full table was the tail
+            # cost of every large strip
+            if width == 12:
+                until_bump = 1 << 20
+            else:
+                until_bump = max(1, ((1 << width) - 1) - (len(table) + 1))
             refill(width, until_bump)
         code = buf[buf_i]
         buf_i += 1

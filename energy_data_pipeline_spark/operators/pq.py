@@ -521,12 +521,23 @@ def ivfpq_refine_topk(
     same shortlist) pass it in, so the scored aggregate's subplan
     appears once in the composed physical plan instead of per consumer
     — same rows either way (the default path builds the identical
-    frame)."""
+    frame). It MUST be an ``ivfpq_topk`` output built with
+    k=``shortlist`` and the same nprobe/codes as the other arguments; a
+    shortlist from different parameters silently re-ranks a different
+    candidate set, so at least the column contract is asserted here."""
     if shortl is None:
         shortl = ivfpq_topk(
             corpus, queries, coarse, pq_cents, id_col, vec_col,
             k=shortlist, nprobe=nprobe, codes=codes,
         )
+    else:
+        missing = {"query_id", "neighbor_id", "adc_dist"} - set(shortl.columns)
+        if missing:
+            raise ValueError(
+                f"ivfpq_refine_topk: shortl missing columns {sorted(missing)};"
+                " pass an ivfpq_topk output built with k=shortlist and the"
+                " same nprobe/codes"
+            )
     qv = _doubled(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("_qv")
     )

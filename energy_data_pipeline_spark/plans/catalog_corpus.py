@@ -578,13 +578,28 @@ def nearest_train_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         common = t.join(tr, "sh").groupBy("test_id", "train_id").agg(
             F.count(F.lit(1)).alias("n_common")
         )
-        w = Window.partitionBy("test_id").orderBy(
-            F.desc("n_common"), F.asc("train_id")
+        # top-1 by (n_common DESC, train_id ASC) as a MIN-of-struct
+        # aggregate instead of a row_number window: the winner per
+        # test_id is exactly the lexicographic min of
+        # (-n_common, train_id) — unique because (test_id, train_id) is
+        # the group key upstream — so the aggregate is value-identical
+        # while replacing Exchange+Sort+Window over every candidate
+        # pair with a map-side-combinable min (each map partition ships
+        # one row per test_id instead of its whole candidate list;
+        # guide §2.3 "aggregate before you shuffle").
+        best = common.groupBy("test_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_common")).alias("_neg"),
+                    F.col("train_id").alias("train_id"),
+                    F.col("n_common").alias("n_common"),
+                )
+            ).alias("_best")
         )
-        df = (
-            common.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("test_id", "train_id", "n_common")
+        df = best.select(
+            "test_id",
+            F.col("_best.train_id").alias("train_id"),
+            F.col("_best.n_common").alias("n_common"),
         )
         return df, pins
 

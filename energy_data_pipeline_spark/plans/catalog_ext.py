@@ -1233,6 +1233,8 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import plan_cache
 
     def build():
+        from pyspark.storagelevel import StorageLevel
+
         exact = _ann_exact_top5(spark, sf_dir)
         # The ivfadc and ivfadc_refined variants derive from ONE ADC
         # shortlist subplan (r11 verdict's round-12 candidate #2): the
@@ -1241,10 +1243,14 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # that same ranking (identical (adc_dist, neighbor_id) sort
         # keys on identical rounded distances — no FP re-derivation),
         # so re-ranking the |q|x{shortlist} frame reproduces
-        # ann_ivfpq_topk's rows exactly while the scored
-        # aggregate+window chain appears once in the composed plan
-        # instead of twice. Both searches still execute per action —
-        # nothing here is pinned; only the duplicated subplan is gone.
+        # ann_ivfpq_topk's rows exactly.
+        # Round-13 (r12 advice item 4): the shared shortlist frame is
+        # PINNED — Catalyst plan-reuse made the scored aggregate+window
+        # subplan appear once in the composed plan, but after adaptive
+        # re-optimization single EXECUTION was not guaranteed; the pin
+        # guarantees it. Same deterministic derived-index category as
+        # the pinned exact-L2 baseline above (|q|×{shortlist} rows,
+        # rebuilt per snapshot token / per JVM — never across runs).
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         coarse, pq_cents = _ivfpq_model(spark, sf_dir)
         queries = _audit_query_vecs(spark, sf_dir)
@@ -1252,7 +1258,8 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, coarse, pq_cents, "vec_id", "embedding",
             k=IVFPQ_SHORTLIST, nprobe=IVFPQ_NPROBE,
             codes=_ivfpq_codes(spark, sf_dir),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pins: plan_cache.PinList = [(shortl, StorageLevel.MEMORY_AND_DISK)]
         w5 = Window.partitionBy("query_id").orderBy(
             F.col("adc_dist").asc(), F.col("neighbor_id").asc()
         )
@@ -1294,11 +1301,20 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        # STREAM the three variant chains and broadcast the tiny
+        # expected frame (|q|×5×3 rows, derived from the pinned exact
+        # baseline) instead of broadcasting `labelled`: broadcasting
+        # the union serialized all three searches into one
+        # broadcast-build job; as the streamed side their independent
+        # stages schedule concurrently. A RIGHT outer join with the
+        # broadcast expected side keeps exactly the LEFT-join-from-
+        # expected row set (variant top-k lists are unique on the key),
+        # so the aggregate below is value-identical.
         per_q = (
-            expected.join(
-                F.broadcast(labelled),
+            labelled.join(
+                F.broadcast(expected),
                 ["variant", "query_id", "neighbor_id"],
-                "left",
+                "right",
             )
             .groupBy("variant", "query_id")
             .agg(
@@ -1312,7 +1328,7 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("recall"), 6).alias("mean_recall"),
             rnd(F.min("recall"), 6).alias("min_recall"),
         )
-        return rows.orderBy("variant"), []
+        return rows.orderBy("variant"), pins
 
     return plan_cache.cached_plan(
         spark,

@@ -5384,3 +5384,172 @@ def test_rake_keywords_runs_and_scores(spark, sf_small):
         # degree/freq >= 1 per member word, so a phrase scores at
         # least its own length
         assert r["rake_score"] >= len(ws) - 1e-4
+
+
+def test_jpeg_split_restarts_matches_walk():
+    """The round-13 re.split/replace fast path must reproduce the
+    reference byte-walk (restart boundaries + unstuffing) exactly —
+    crafted edges plus deterministic fuzz over marker-dense streams."""
+    import numpy as np
+
+    from energy_data_pipeline_spark.operators.multimodal import (
+        _jpeg_split_restarts,
+    )
+
+    def walk(entropy: bytes) -> list[bytes]:
+        segments, cur, i = [], bytearray(), 0
+        while i < len(entropy):
+            b = entropy[i]
+            if b == 0xFF:
+                nxt = entropy[i + 1] if i + 1 < len(entropy) else 0x00
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+            cur.append(b)
+            i += 1
+        segments.append(bytes(cur))
+        return segments
+
+    cases = [
+        b"",
+        b"\xff",
+        b"\xff\x00",
+        b"\xff\xd0",
+        b"\xff\x00\xd0",          # unstuffed FF then literal D0 — no split
+        b"\xff\xff\xd0",          # literal FF, then a real restart
+        b"\xff\x00\xff\xd3ab",
+        b"\xff\xff\x00\x00",
+        b"\xff\xd7\xff\xd0",      # empty segments between restarts
+        b"ab\xff\xc4cd",          # non-RST marker byte stays data
+        b"\xd0\xd1\xd2",          # Dx without FF is data
+    ]
+    rng = np.random.RandomState(13)
+    for _ in range(200):
+        n = int(rng.randint(0, 64))
+        # marker-dense alphabet so FF/00/Dx adjacencies are common
+        raw = rng.choice(
+            [0xFF, 0x00, 0xD0, 0xD3, 0xD7, 0x41, 0x42], size=n
+        ).astype("u1").tobytes()
+        cases.append(raw)
+    for raw in cases:
+        assert _jpeg_split_restarts(raw) == walk(raw), raw.hex()
+
+
+def test_gif_lzw_matches_reference_walk():
+    """The round-13 batched bytes-table GIF LZW decoder must reproduce
+    the per-bit list-table walk exactly — round-trip over random pixel
+    streams (via the test encoder) plus truncation/corruption cases."""
+    import numpy as np
+    import pytest
+
+    from energy_data_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    def walk(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+        clear = 1 << min_code_size
+        end = clear + 1
+        width = min_code_size + 1
+        table = [[i] for i in range(clear)] + [[], []]
+        out: list[int] = []
+        prev = None
+        acc = bits = pos = 0
+        while len(out) < n_pixels:
+            while bits < width:
+                if pos >= len(data):
+                    raise ValueError("GIF LZW stream truncated")
+                acc |= data[pos] << bits
+                pos += 1
+                bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("invalid GIF LZW code")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        return out[:n_pixels]
+
+    def encode(pixels: list[int], min_code_size: int) -> bytes:
+        # minimal GIF-LZW encoder (no dictionary: clear before every
+        # pixel run chunk) is too degenerate; use dictionary growth
+        clear = 1 << min_code_size
+        end = clear + 1
+        width = min_code_size + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = clear + 2
+        acc = bits = 0
+        out = bytearray()
+
+        def emit(code, w):
+            nonlocal acc, bits
+            acc |= code << bits
+            bits += w
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+
+        emit(clear, width)
+        cur = ()
+        for px in pixels:
+            cand = cur + (px,)
+            if cand in table:
+                cur = cand
+                continue
+            emit(table[cur], width)
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            cur = (px,)
+        if cur:
+            emit(table[cur], width)
+        emit(end, width)
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.RandomState(11)
+    for mcs in (2, 4, 8):
+        for n in (1, 7, 64, 4096):
+            pixels = rng.randint(0, 1 << mcs, size=n).tolist()
+            data = encode(pixels, mcs)
+            assert _gif_lzw_decode(data, mcs, n) == walk(data, mcs, n) == pixels
+            # truncation raises identically
+            if len(data) > 2:
+                cut = data[: len(data) // 2]
+                try:
+                    expected = walk(cut, mcs, n)
+                except ValueError:
+                    with pytest.raises(ValueError):
+                        _gif_lzw_decode(cut, mcs, n)
+                else:
+                    assert _gif_lzw_decode(cut, mcs, n) == expected
+    # corrupt stream: out-of-range code raises on both paths
+    bad = bytes([0xFF] * 8)
+    for fn in (walk, _gif_lzw_decode):
+        with pytest.raises(ValueError):
+            fn(bad, 2, 100)
