@@ -95,46 +95,131 @@ def _pair_cosines(V: np.ndarray, norms: np.ndarray, ii: np.ndarray, jj: np.ndarr
     return dots / (norms[ii] * norms[jj])
 
 
-def semdedup_loser_ids(assigned: DataFrame, eps: float) -> DataFrame:
+def semdedup_blocks(
+    n_rows: int, n_cells: int, parallelism: int, min_pairs: int = 2_000_000
+) -> int:
+    """Block count for ``semdedup_loser_ids``: 1 (plain one-task-per-
+    cell — no explode, no dedup shuffle) while the per-cell pair
+    triangle is small enough that splitting it buys only task overhead
+    (measured: blocks=4 on the 2k-vector bench corpus cost +0.45 s of
+    pure overhead, while at 20k vectors it took the 32-core time from
+    14.3 s to 6.8 s); otherwise enough blocks to spread cells across
+    the session's cores. Data-derived (the caller passes the memoized
+    corpus count) and session-derived — no local[32] constant."""
+    rpc = max(1, n_rows // max(1, n_cells))
+    if rpc * (rpc - 1) // 2 < min_pairs:
+        return 1
+    return max(1, min(8, -(-parallelism // max(1, n_cells))))
+
+
+def semdedup_loser_ids(
+    assigned: DataFrame,
+    eps: float,
+    blocks: int | None = None,
+    n_cells: int = 8,
+) -> DataFrame:
     """SemDeDup loser set: for every within-cell pair (id1 < id2) with
     ``rnd(cosine, 6) >= eps``, the higher id. Replaces the cell
-    self-join + per-pair interpreted cosine fold with one
-    ``groupBy(cell).applyInArrow`` pass: each pinned row crosses the
-    boundary once, pairs are enumerated and scored in numpy
+    self-join + per-pair interpreted cosine fold with an
+    ``applyInArrow`` pass: each pinned row crosses the boundary a
+    bounded number of times, pairs are enumerated and scored in numpy
     (bit-identical fold — module docstring), and only loser ids come
     back. ``assigned`` must carry (vec_id, _v, _n, cell) with _n the
-    precomputed L2 norm."""
+    precomputed L2 norm.
+
+    Parallelism is NOT capped at the cell count: with k cells the
+    quadratic pair work would otherwise run as k tasks (the round-13
+    10x-data probe measured an 8-vs-32-core ratio of ~1.1 with
+    N_CELLS=8 — cores 9..32 idle). Each cell's pair triangle is
+    decomposed over hash buckets: row -> bucket b = xxhash64(id) mod B,
+    task (cell, bi<=bj) holds buckets bi ∪ bj and enumerates exactly
+    the pairs whose bucket pair is (bi, bj) — every i<j pair lands in
+    exactly ONE task, per-pair math is orientation-independent
+    (elementwise products commute bit-exactly), so the loser SET is
+    identical for every B. B should come from ``semdedup_blocks``
+    (size- and session-adaptive: 1 below the pair-count threshold
+    where splitting only buys task overhead) at the cost of shipping
+    each row B times — B(B+1)/2 tasks per cell."""
     import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    spark = assigned.sparkSession
+    if blocks is None:
+        blocks = 1
 
     def losers(table: pa.Table) -> pa.Table:
         n = table.num_rows
         out_type = pa.int64()
+        empty = pa.table({"vec_id": pa.array([], type=out_type)})
         if n < 2:
-            return pa.table({"vec_id": pa.array([], type=out_type)})
+            return empty
         ids = table.column("vec_id").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         V = _matrix(table.column("_v"), n)[order]
         norms = table.column("_n").to_numpy(zero_copy_only=False)[order]
-        ii, jj = np.triu_indices(n, 1)
+        bi = table.column("_bi")[0].as_py()
+        bj = table.column("_bj")[0].as_py()
+        if bi == bj:
+            b = table.column("_b").to_numpy(zero_copy_only=False)[order]
+            keep = b == bi
+            ids, V, norms = ids[keep], V[keep], norms[keep]
+            if ids.size < 2:
+                return empty
+            ii, jj = np.triu_indices(ids.size, 1)
+            id_lo, id_hi = ids, ids
+        else:
+            b = table.column("_b").to_numpy(zero_copy_only=False)[order]
+            mi, mj = b == bi, b == bj
+            ni, nj = int(mi.sum()), int(mj.sum())
+            if ni == 0 or nj == 0:
+                return empty
+            idx_i, idx_j = np.nonzero(mi)[0], np.nonzero(mj)[0]
+            ii = np.repeat(idx_i, nj)
+            jj = np.tile(idx_j, ni)
+            id_lo = id_hi = ids
         loser_parts = []
         for s in range(0, ii.size, PAIR_BLOCK):
             ib, jb = ii[s : s + PAIR_BLOCK], jj[s : s + PAIR_BLOCK]
             cos = _pair_cosines(V, norms, ib, jb)
             hit = _rnd_np(cos, 6) >= eps
             if hit.any():
-                loser_parts.append(jb[hit])
+                loser_parts.append(
+                    np.maximum(id_lo[ib[hit]], id_hi[jb[hit]])
+                )
         if not loser_parts:
-            return pa.table({"vec_id": pa.array([], type=out_type)})
-        out = np.unique(ids[np.concatenate(loser_parts)])
+            return empty
+        out = np.unique(np.concatenate(loser_parts))
         return pa.table({"vec_id": pa.array(out, type=out_type)})
 
-    ensure_worker_imports(assigned.sparkSession)
-    return (
+    ensure_worker_imports(spark)
+    b_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int")
+    tasks = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_b"), F.lit(k)).alias("_bi"),
+                F.greatest(F.col("_b"), F.lit(k)).alias("_bj"),
+            )
+            for k in range(blocks)
+        ]
+    )
+    expanded = (
         assigned.select("vec_id", "_v", "_n", "cell")
-        .groupBy("cell")
+        .withColumn("_b", b_col)
+        .withColumn("_t", F.explode(tasks))
+        .select(
+            "vec_id", "_v", "_n", "cell", "_b",
+            F.col("_t._bi").alias("_bi"), F.col("_t._bj").alias("_bj"),
+        )
+    )
+    # a loser can surface from several bucket-pair tasks (one witness
+    # pair per task); the consumer anti-join is duplicate-insensitive,
+    # but dedup here keeps the output a set like the single-task shape
+    losers_df = (
+        expanded.groupBy("cell", "_bi", "_bj")
         .applyInArrow(losers, schema="vec_id bigint")
     )
+    return losers_df.distinct() if blocks > 1 else losers_df
 
 
 def bucket_cosine_pairs(

@@ -126,13 +126,22 @@ def quality_score(col: Column | str) -> Column:
     """Composite document-quality heuristic in [0,1]:
     rewards moderate length, low punctuation density, presence of
     function words — the standard cheap pre-filter for training corpora.
-    """
+
+    The word array is bound once (``_let``) — the inlined form split
+    the text twice (token count + stopword ratio); values identical."""
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count_ws(c).cast("double")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 5)
-    stop_score = F.least(stopword_ratio(c) * 5, F.lit(1.0))
-    return rnd((len_score * 0.5 + punct_pen * 0.25 + stop_score * 0.25), 6)
+
+    def over_words(w: Column) -> Column:
+        n_tok = F.size(w)
+        len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+        punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 5)
+        stop_raw = F.when(
+            n_tok > 0, _marker_hits(w, LANG_MARKERS["en"]) / n_tok
+        ).otherwise(F.lit(0.0))
+        stop_score = F.least(stop_raw * 5, F.lit(1.0))
+        return rnd((len_score * 0.5 + punct_pen * 0.25 + stop_score * 0.25), 6)
+
+    return _let(words(c), over_words)
 
 
 # the C4/Gopher-style admission thresholds shared by the
@@ -143,19 +152,82 @@ MIN_QUALITY = 0.4
 MAX_DUP_WORD_RATIO = 0.6
 
 
+def quality_metrics(col: Column | str = "text") -> Column:
+    """All quality gate inputs as ONE struct over a single word-split
+    and a single punctuation pass:
+    (n_tokens int, punct_raw double, stop_raw double, quality rounded,
+    dup_raw double). Each field is the identical expression the
+    standalone helpers produce — consumers (txt_quality_scores, the
+    filter funnel) previously re-split the text once per metric because
+    HOF trees get no subexpression elimination under interpreted
+    evaluation."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def over_words(w: Column) -> Column:
+        def over_punct(pr: Column) -> Column:
+            n_tok = F.size(w)
+            stop_raw = F.when(
+                n_tok > 0, _marker_hits(w, LANG_MARKERS["en"]) / n_tok
+            ).otherwise(F.lit(0.0))
+            len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+            punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - pr * 5)
+            stop_score = F.least(stop_raw * 5, F.lit(1.0))
+            quality = rnd(
+                (len_score * 0.5 + punct_pen * 0.25 + stop_score * 0.25), 6
+            )
+            return F.struct(
+                n_tok.alias("n_tokens"),
+                pr.alias("punct_raw"),
+                stop_raw.alias("stop_raw"),
+                quality.alias("quality"),
+                dup_word_ratio_from_words(w).alias("dup_raw"),
+            )
+
+        return _let(punct_ratio(c), over_punct)
+
+    return _let(words(c), over_words)
+
+
 def quality_keep(col: Column | str = "text") -> Column:
     """The standard pre-training keep/drop cascade as one predicate:
     drop too-short, punctuation-heavy, low-quality, or self-repeating
     documents. Thresholds compare ROUNDED values (rnd, the
     DuckDB-parity half-up) so keep/drop decisions at the boundaries are
     engine-portable — an oracle recomputing the ratios with a different
-    FP summation order lands on the same side."""
-    return (
-        (token_count_ws(col) >= MIN_TOKENS)
-        & (rnd(punct_ratio(col), 6) <= MAX_PUNCT_RATIO)
-        & (quality_score(col) >= MIN_QUALITY)
-        & (rnd(dup_word_ratio(col), 6) <= MAX_DUP_WORD_RATIO)
-    )
+    FP summation order lands on the same side.
+
+    Round-13: the word array and the punctuation ratio are bound ONCE
+    (``_let``) and every gate reads the bindings — the inlined form
+    re-split the text four times and re-ran the punctuation
+    regexp_replace twice per row (HOF trees do not get subexpression
+    elimination under interpreted evaluation). Every gate's VALUE is
+    the identical expression over the bound array, so keep/drop
+    decisions are unchanged (oracle green at all three SFs)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def over_words(w: Column) -> Column:
+        n_tok = F.size(w)
+
+        def over_punct(pr: Column) -> Column:
+            len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+            punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - pr * 5)
+            stop_raw = F.when(
+                n_tok > 0, _marker_hits(w, LANG_MARKERS["en"]) / n_tok
+            ).otherwise(F.lit(0.0))
+            stop_score = F.least(stop_raw * 5, F.lit(1.0))
+            quality = rnd(
+                (len_score * 0.5 + punct_pen * 0.25 + stop_score * 0.25), 6
+            )
+            return (
+                (n_tok >= MIN_TOKENS)
+                & (rnd(pr, 6) <= MAX_PUNCT_RATIO)
+                & (quality >= MIN_QUALITY)
+                & (rnd(dup_word_ratio_from_words(w), 6) <= MAX_DUP_WORD_RATIO)
+            )
+
+        return _let(punct_ratio(c), over_punct)
+
+    return _let(words(c), over_words)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -1201,13 +1201,17 @@ GROUP BY lang, pred_lang
 
 # --- text analysis: quality scoring ---
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one word-split + one punctuation pass per row via the bound
+    # metrics struct (T.quality_metrics) — each output field is the
+    # identical expression the standalone helpers produced
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    m = T.quality_metrics("text")
+    return docs.select("doc_id", m.alias("_m")).select(
         "doc_id",
-        T.token_count_ws("text").cast("bigint").alias("n_tokens"),
-        rnd(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        rnd(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        T.quality_score("text").alias("quality"),
+        F.col("_m.n_tokens").cast("bigint").alias("n_tokens"),
+        rnd(F.col("_m.punct_raw"), 6).alias("punct_ratio"),
+        rnd(F.col("_m.stop_raw"), 6).alias("stopword_ratio"),
+        F.col("_m.quality").alias("quality"),
     )
 
 
@@ -1386,17 +1390,21 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel's last stage equals that query's row count by construction.
     One scan, one aggregate — conditional sums are map-side partials."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    c1 = T.token_count_ws("text") >= T.MIN_TOKENS
-    c2 = c1 & (rnd(T.punct_ratio("text"), 6) <= T.MAX_PUNCT_RATIO)
-    c3 = c2 & (T.quality_score("text") >= T.MIN_QUALITY)
-    c4 = c3 & (rnd(T.dup_word_ratio("text"), 6) <= T.MAX_DUP_WORD_RATIO)
+    # one word-split + one punctuation pass per row (T.quality_metrics);
+    # each gate reads the bound struct — values identical to the
+    # per-gate helper expressions
+    staged = docs.select(T.quality_metrics("text").alias("_m"))
+    c1 = F.col("_m.n_tokens") >= T.MIN_TOKENS
+    c2 = c1 & (rnd(F.col("_m.punct_raw"), 6) <= T.MAX_PUNCT_RATIO)
+    c3 = c2 & (F.col("_m.quality") >= T.MIN_QUALITY)
+    c4 = c3 & (rnd(F.col("_m.dup_raw"), 6) <= T.MAX_DUP_WORD_RATIO)
 
     def n(cond, name):
         return (
             F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
         )
 
-    return docs.agg(
+    return staged.agg(
         F.count(F.lit(1)).alias("n_total"),
         n(c1, "n_after_min_tokens"),
         n(c2, "n_after_punct"),

@@ -1505,7 +1505,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle green at sf0.001/0.01/0.1). Loser ids are unique by
         # construction (unique per cell, cells disjoint), so the old
         # .distinct() shuffle is gone too.
-        losers = semdedup_loser_ids(assigned, SEMDEDUP_EPS)
+        from ..functions.pairwise import semdedup_blocks
+
+        losers = semdedup_loser_ids(
+            assigned,
+            SEMDEDUP_EPS,
+            blocks=semdedup_blocks(
+                _emb_count(spark, sf_dir),
+                ivf.N_CELLS,
+                spark.sparkContext.defaultParallelism,
+            ),
+            n_cells=ivf.N_CELLS,
+        )
         kept = assigned.join(losers, "vec_id", "left_anti").select(
             "vec_id", F.col("cell").cast("bigint").alias("cell")
         )

@@ -143,6 +143,28 @@ def test_semdedup_kernel_matches_expression_join(spark, _assigned):
     assert len(kern_losers) == len(set(kern_losers)), "kernel emitted dups"
 
 
+@pytest.mark.parametrize("blocks", [1, 2, 3, 8])
+def test_semdedup_block_decomposition_is_invariant(spark, _assigned, blocks):
+    """The all-pairs bucket decomposition (parallelism un-capped from
+    the cell count) must produce the SAME loser set for every block
+    count — each i<j pair is evaluated in exactly one bucket-pair task
+    and the per-pair math is orientation-independent."""
+    from energy_data_pipeline_spark.plans.catalog_ext import SEMDEDUP_EPS
+
+    base = sorted(
+        r["vec_id"]
+        for r in semdedup_loser_ids(_assigned, SEMDEDUP_EPS, blocks=1).collect()
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in semdedup_loser_ids(
+            _assigned, SEMDEDUP_EPS, blocks=blocks
+        ).collect()
+    )
+    assert got == base
+    assert len(got) == len(set(got))
+
+
 def test_bucket_pair_kernel_matches_expression_join(spark, _assigned):
     """bucket_cosine_pairs at a LOW threshold (many survivors) against
     the expression self-join — values compared bitwise via repr."""
