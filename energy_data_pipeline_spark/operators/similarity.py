@@ -94,6 +94,7 @@ def cosine_near_dup_pairs(
     n_planes: int = N_PLANES,
     dim: int = 64,
     pins_out: list | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH sign-bucket the corpus
     once (persisted — compute-once across the self-join branches), join
@@ -102,11 +103,18 @@ def cosine_near_dup_pairs(
     At 100 TB the bucket join replaces the |corpus|² cross product; the
     persisted (id, vec, norm, bucket) projection is the only state.
     Round-13: the within-bucket self-join + per-pair interpreted cosine
-    fold is one ``groupBy(_bkt).applyInArrow`` pass — each pinned row
-    crosses the quadratic stage once instead of once per bucket
+    fold becomes one ``groupBy(_bkt).applyInArrow`` pass — each pinned
+    row crosses the quadratic stage once instead of once per bucket
     partner, and the pair math is vectorized numpy with the bit-exact
     sequential fold + rnd replica (functions/pairwise docstring;
-    row-for-row equivalence pinned by tests/test_pairwise_kernel.py)."""
+    row-for-row equivalence pinned by tests/test_pairwise_kernel.py).
+    The kernel engages only when the expected within-bucket pair count
+    pays for the Python boundary (``n_rows``, when the caller knows the
+    corpus size — at 2k vectors the kernel measured +0.13 s of pure
+    boundary cost over the expression join, while the pair volume that
+    makes it win grows quadratically with bucket occupancy); below the
+    cutoff the original expression self-join runs. Both paths produce
+    identical rows."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.pairwise import bucket_cosine_pairs
@@ -120,6 +128,36 @@ def cosine_near_dup_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if pins_out is not None:
         pins_out.append((e, StorageLevel.MEMORY_AND_DISK))
+    # expected total pairs ~ n^2 / 2^planes buckets / 2; kernel pays
+    # past ~3M pairs (same economics as pairwise.semdedup_blocks)
+    if n_rows is not None and n_rows * n_rows // (2 << n_planes) < 3_000_000:
+        a = e.alias("a")
+        b = e.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a._bkt") == F.col("b._bkt"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .withColumn(
+                "cosine_sim",
+                rnd(
+                    cosine_from_norms(
+                        F.col("a._v"),
+                        F.col("b._v"),
+                        F.col("a._n"),
+                        F.col("b._n"),
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select(
+                F.col("a._id").alias("id1"),
+                F.col("b._id").alias("id2"),
+                "cosine_sim",
+            )
+        )
     return bucket_cosine_pairs(e, "_bkt", threshold)
 
 

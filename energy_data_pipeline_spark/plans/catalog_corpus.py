@@ -6378,10 +6378,7 @@ def _bitext_margin_from_pairs(pairs: DataFrame) -> DataFrame:
 
     ax = _topk_mean(pairs, "src_doc", "_ax")
     ay = _topk_mean(pairs, "tgt_doc", "_ay")
-    w = Window.partitionBy("src_doc").orderBy(
-        F.col("margin").desc(), F.col("tgt_doc").asc()
-    )
-    return (
+    scored = (
         pairs.join(F.broadcast(ax), "src_doc")
         .join(F.broadcast(ay), "tgt_doc")
         .withColumn(
@@ -6391,12 +6388,31 @@ def _bitext_margin_from_pairs(pairs: DataFrame) -> DataFrame:
                 6,
             ),
         )
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(
-            (F.col("_rk") == 1) & (F.col("margin") >= BITEXT_MIN_MARGIN)
-        )
-        .select("src_doc", "tgt_doc", "cosine_sim", "margin")
     )
+    # best pair per source as a MIN-of-struct aggregate instead of a
+    # row_number window (same rewrite as dd_nearest_train_doc): the
+    # winner by (margin DESC, tgt_doc ASC) is the lexicographic min of
+    # (-margin, tgt_doc) — map-side combinable, so each partition ships
+    # one row per source instead of its whole candidate list; the
+    # margin gate applies AFTER the pick, exactly like the old
+    # (_rk == 1) & (margin >= MIN) filter. Values identical (oracle
+    # green at sf0.001/0.01/0.1 for both bitext entries).
+    best = scored.groupBy("src_doc").agg(
+        F.min(
+            F.struct(
+                (-F.col("margin")).alias("_neg"),
+                F.col("tgt_doc").alias("tgt_doc"),
+                F.col("cosine_sim").alias("cosine_sim"),
+                F.col("margin").alias("margin"),
+            )
+        ).alias("_best")
+    )
+    return best.select(
+        "src_doc",
+        F.col("_best.tgt_doc").alias("tgt_doc"),
+        F.col("_best.cosine_sim").alias("cosine_sim"),
+        F.col("_best.margin").alias("margin"),
+    ).filter(F.col("margin") >= BITEXT_MIN_MARGIN)
 
 
 bitext_margin_pairs.__doc__ = bitext_margin_pairs.__doc__.format(

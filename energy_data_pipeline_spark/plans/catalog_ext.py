@@ -89,37 +89,40 @@ J5_DEFAULT = "other"
 
 
 def fuzzy_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 shape: the 6-entry keyword dim rides as ONE
+    array<struct> literal and both lookups are per-row array
+    expressions — first containment match in declaration order
+    (``filter`` preserves array order = prio order, so
+    ``element_at(..., 1)`` is exactly the old row_number-by-prio
+    winner; kws are unique so the exact match is also first-or-null).
+    The old shape paid a part×dim crossJoin + per-part window
+    (Exchange+Sort) + a part⋈part SortMergeJoin to re-attach — three
+    shuffles of a fact-scale frame for a 6-row dict lookup; now zero
+    exchanges beyond the scan at any scale. Values identical (oracle
+    green at sf0.001/0.01/0.1)."""
     part = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(
-        [(i, k, v) for i, (k, v) in enumerate(J5_DIM)], ["prio", "kw", "category"]
+    dim_lit = F.array(
+        *[
+            F.struct(F.lit(k).alias("kw"), F.lit(v).alias("category"))
+            for k, v in J5_DIM
+        ]
     )
-    exact = dim.select("kw", F.col("category").alias("cat_exact"))
-    # containment candidates: first match by DECLARATION order (prio),
-    # mirroring the reference's dict-iteration precedence
-    contains = (
-        part.crossJoin(F.broadcast(dim))
-        .filter(
-            F.col("p_type").contains(F.col("kw")) | F.col("kw").contains(F.col("p_type"))
-        )
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("p_partkey").orderBy(F.col("prio"))
-            ),
-        )
-        .filter(F.col("_rk") == 1)
-        .select("p_partkey", F.col("category").alias("cat_contains"))
+    p_type = F.col("p_type")
+
+    def first_cat(pred):
+        # F.get: 0-based, NULL on empty — the no-match case
+        return F.get(F.filter(dim_lit, pred), 0)["category"]
+
+    cat_exact = first_cat(lambda s: p_type == s["kw"])
+    cat_contains = first_cat(
+        lambda s: p_type.contains(s["kw"]) | s["kw"].contains(p_type)
     )
-    return (
-        part.join(F.broadcast(exact), part.p_type == exact.kw, "left")
-        .join(contains, "p_partkey", "left")
-        .select(
-            "p_partkey",
-            "p_type",
-            F.coalesce("cat_exact", "cat_contains", F.lit(J5_DEFAULT)).alias(
-                "category"
-            ),
-        )
+    return part.select(
+        "p_partkey",
+        "p_type",
+        F.coalesce(cat_exact, cat_contains, F.lit(J5_DEFAULT)).alias(
+            "category"
+        ),
     )
 
 
@@ -205,7 +208,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = fan_out(load_table(spark, sf_dir, "embeddings"))
         df = similarity.cosine_near_dup_pairs(
             emb, "vec_id", "embedding", threshold=EMB_DUP_THRESHOLD,
-            pins_out=pins,
+            pins_out=pins, n_rows=_emb_count(spark, sf_dir),
         )
         return df, pins
 
@@ -789,41 +792,21 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     index against exact L2 top-5, as a QUERY: the self-audit an index
     owner runs after (re)training before routing traffic to the
     compressed path ('measure, don't guess' made queryable). Composes
-    the memoized ``ann_pq_adc_topk`` chain with an inline exact-L2
-    baseline (queries broadcast against the corpus — the same
-    brute-force shape as ``ann_brute_force_topk``, fine exactly
-    because the query set is tiny)."""
+    the memoized ``ann_pq_adc_topk`` chain with the PINNED exact-L2
+    baseline (``_ann_exact_top5`` — the identical broadcast-crossjoin
+    frame: same query filter, same _d2 fold, same tie order; round-13
+    replaced this query's inline copy, which re-ran the |q|×|corpus|
+    brute-force pass + top-5 window on every invocation)."""
     from ..operators import pq as pqop
-    from ..operators.pq import _d2
     from . import plan_cache
 
     def build():
         adc = ann_pq_adc_topk(spark, sf_dir)
-        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-        vecs = emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-        q = vecs.filter(F.col("vec_id") < PQ_QUERY_MAX).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        )
-        c = vecs.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
-        )
-        scored = (
-            F.broadcast(q)
-            .crossJoin(c)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("_d2", _d2(F.col("qv"), F.col("cv")))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("_d2").asc(), F.col("neighbor_id").asc()
-        )
-        exact = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= 5)
-            .select("query_id", "neighbor_id")
-        )
+        # round-13: the inline exact-L2 baseline (broadcast crossjoin +
+        # _d2 + top-5 window, re-executed on every invocation) is the
+        # IDENTICAL frame the pinned _ann_exact_top5 memo holds — same
+        # query filter, same _d2 fold, same (d2, neighbor_id) tie order
+        exact = _ann_exact_top5(spark, sf_dir)
         hits = exact.join(
             adc.select("query_id", "neighbor_id", F.lit(1).alias("_hit")),
             ["query_id", "neighbor_id"],
